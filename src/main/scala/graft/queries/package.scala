@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+package object queries {
+
+  /** One verifiable query: a Spark DataFrame program plus (when SQL can
+    * express the same semantics) a DuckDB oracle statement run by the
+    * driver against the same parquet tables. Column names/order and row
+    * order must match the oracle exactly.
+    */
+  final case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  /** Sum doubles exactly and deterministically across engines: accumulate
+    * in decimal (associative, order-independent), convert to double once.
+    * A plain double sum is order-dependent and would hash-mismatch the
+    * oracle, whose partial-aggregation order differs from Spark's.
+    * Scale 6 covers every derived value in the testdata (prices are 2 dp,
+    * price*(1-disc)*(1+tax) is 6 dp), so the cast never rounds near a
+    * decimal midpoint.
+    */
+  def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+
+  /** Order-stable mean built on [[dsum]]. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** DuckDB spelling of [[dsum]]. */
+  def oSum(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(38,6))) AS DOUBLE)"
+
+  /** DuckDB spelling of [[davg]]. */
+  def oAvg(expr: String): String = s"${oSum(expr)} / COUNT($expr)"
+}
