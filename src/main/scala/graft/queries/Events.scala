@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Time-series query surface over the `events` table — the analytics the
+  * reference's ClickHouse DDL exists to serve (SURVEY.md §2.4): date
+  * partition pruning (PARTITION BY toYYYYMMDD, reference
+  * examples/binance.sql:14), sort-key range scans, tumbling-window
+  * aggregation, and key/value props search.
+  */
+object Events {
+
+  /** Tumbling 1-hour OHLC-style rollup per event type (§2.4 Q4).
+    * open/close use min_by/max_by on the unique event_id — deterministic
+    * under ties, unlike first/last. Partial aggregation collapses each
+    * scan task to (type × hour) rows before the shuffle.
+    */
+  val q13 = Q(
+    "q13_hourly_ohlc",
+    (spark, dir) =>
+      Tables(spark, dir, "events")
+        .groupBy(
+          date_format(window(col("ts"), "1 hour").getField("start"),
+            "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("value")).as("sum_value"),
+          min(col("value")).as("low"),
+          max(col("value")).as("high"),
+          min_by(col("value"), col("event_id")).as("open"),
+          max_by(col("value"), col("event_id")).as("close"))
+        .orderBy(col("bucket"), col("event_type")),
+    Some(s"""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+             event_type,
+             COUNT(*) AS n,
+             ${oSum("value")} AS sum_value,
+             MIN(value) AS low,
+             MAX(value) AS high,
+             ARG_MIN(value, event_id) AS open,
+             ARG_MAX(value, event_id) AS close
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY bucket, event_type"""))
+
+  /** Single-day scan (§2.4 Q1 partition pruning): the ts range predicate
+    * is pushed to parquet min/max stats; on a date-partitioned layout it
+    * prunes whole partitions before any IO.
+    */
+  val q14 = Q(
+    "q14_day_slice",
+    (spark, dir) =>
+      Tables(spark, dir, "events")
+        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+          col("ts") < lit("2024-01-06").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type")),
+    Some(s"""
+      SELECT event_type, COUNT(*) AS n, ${oSum("value")} AS sum_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06'
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** JSON props extraction (§2.4 Q6 analog): pull the `k` key out of the
+    * JSON props column and histogram it. Uses a regex extract, which both
+    * engines evaluate identically (no JSON-extension dependency in the
+    * oracle).
+    */
+  val q15 = Q(
+    "q15_props_extract",
+    (spark, dir) =>
+      Tables(spark, dir, "events")
+        .withColumn("k",
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("k_mod")),
+    Some("""
+      SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 10 AS k_mod,
+             COUNT(*) AS n,
+             SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS sum_k
+      FROM events
+      GROUP BY 1
+      ORDER BY k_mod"""))
+
+  /** Map flatten (P8 parity, reference clickhouse_table.go:183-201,270-289):
+    * a MapType column is carried internally and flattened to aligned
+    * key/value arrays at the sink projection, exactly like bristle's
+    * map → Nested(key, value) parallel arrays.
+    */
+  val q17 = Q(
+    "q17_map_flatten",
+    (spark, dir) =>
+      Tables(spark, dir, "events")
+        .filter(col("event_id") < 100)
+        .withColumn("m", map(lit("k"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1)))
+        .select(col("event_id"),
+          map_keys(col("m")).as("tag_keys"),
+          map_values(col("m")).as("tag_values"))
+        .orderBy(col("event_id")),
+    Some("""
+      SELECT event_id,
+             ['k'] AS tag_keys,
+             [regexp_extract(props, '"k": (\d+)', 1)] AS tag_values
+      FROM events
+      WHERE event_id < 100
+      ORDER BY event_id"""))
+
+  /** Timestamp disassemble/assemble round trip (P7 parity, reference
+    * clickhouse_table.go:215-226): epoch-millis ⇄ timestamp must be
+    * lossless at millisecond precision, per day.
+    */
+  val q20 = Q(
+    "q20_ts_epoch_roundtrip",
+    (spark, dir) =>
+      Tables(spark, dir, "events")
+        .withColumn("ms", unix_millis(col("ts")))
+        .withColumn("rt",
+          date_format(timestamp_millis(col("ms")), "yyyy-MM-dd"))
+        .groupBy(col("rt"))
+        .agg(count(lit(1)).as("n"), min(col("ms")).as("min_ms"),
+          max(col("ms")).as("max_ms"))
+        .orderBy(col("rt")),
+    Some("""
+      SELECT strftime(make_timestamp(epoch_ms(ts) * 1000), '%Y-%m-%d') AS rt,
+             COUNT(*) AS n,
+             MIN(epoch_ms(ts)) AS min_ms,
+             MAX(epoch_ms(ts)) AS max_ms
+      FROM events
+      GROUP BY 1
+      ORDER BY rt"""))
+
+  val all: Seq[Q] = Seq(q13, q14, q15, q17, q20)
+}

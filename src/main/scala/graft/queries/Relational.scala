@@ -49,5 +49,268 @@ object Relational {
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""))
 
-  val all: Seq[Q] = Seq(q01)
+  /** Selective scan: range + inequality predicates and a narrow
+    * projection. Both must reach the parquet reader (`PushedFilters`,
+    * `ReadSchema`) — at 100 TB this is the difference between reading
+    * two columns of a few files and reading everything.
+    */
+  val q02 = Q(
+    "q02_filter_project",
+    (spark, dir) => {
+      Tables(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-07-01").cast("timestamp") &&
+          col("l_discount") > lit(0.08) && col("l_quantity") < lit(10))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-07-01'
+        AND l_discount > 0.08 AND l_quantity < 10
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Multi-way join + aggregate: revenue per nation.
+    * Shape at scale: lineitem⋈orders is the one real shuffle; customer,
+    * nation, region are broadcast (dims are tiny relative to facts), so
+    * no fact table is ever re-partitioned for them.
+    */
+  val q03 = Q(
+    "q03_join_revenue_per_nation",
+    (spark, dir) => {
+      val l = Tables(spark, dir, "lineitem")
+      val o = Tables(spark, dir, "orders")
+      val c = broadcast(Tables(spark, dir, "customer"))
+      val n = broadcast(Tables(spark, dir, "nation"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    },
+    Some(s"""
+      SELECT n_name,
+             ${oSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+             COUNT(*) AS n_items
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name"""))
+
+  /** Global top-N: sort + limit. Spark executes as TakeOrderedAndProject —
+    * each partition keeps N rows, the driver merges; no global sort of
+    * 100 TB ever happens.
+    */
+  val q04 = Q(
+    "q04_top_orders",
+    (spark, dir) =>
+      Tables(spark, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+        .limit(10),
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             strftime(o_orderdate, '%Y-%m-%d') AS o_date
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC
+      LIMIT 10"""))
+
+  /** Window function: each customer's single largest order
+    * (row_number over a per-customer ordering; deterministic tiebreak
+    * on o_orderkey since totalprice can collide).
+    */
+  val q05 = Q(
+    "q05_top_order_per_customer",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables(spark, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice
+      FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders) t
+      WHERE rn = 1
+      ORDER BY o_custkey"""))
+
+  /** Set operation: customers active in 1995 but not in 1997 (EXCEPT
+    * is a distinct-based shuffle; both inputs pre-deduped map-side).
+    */
+  val q06 = Q(
+    "q06_setop_active_custkeys",
+    (spark, dir) => {
+      val o = Tables(spark, dir, "orders")
+      def in(year: Int) = o
+        .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      in(1995).except(in(1997)).orderBy(col("o_custkey"))
+    },
+    Some("""
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1996-01-01'
+      EXCEPT
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      ORDER BY o_custkey"""))
+
+  /** Exact distinct aggregation: suppliers per part (expands to a
+    * two-phase distinct: partial dedup before the shuffle).
+    */
+  val q07 = Q(
+    "q07_distinct_suppliers_per_part",
+    (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          count(lit(1)).as("n_lines"))
+        .filter(col("n_supp") >= 2)
+        .orderBy(col("l_partkey")),
+    Some("""
+      SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(*) AS n_lines
+      FROM lineitem
+      GROUP BY l_partkey
+      HAVING COUNT(DISTINCT l_suppkey) >= 2
+      ORDER BY l_partkey"""))
+
+  /** ROLLUP hierarchy totals (region → nation → grand total); subtotal
+    * rows labelled 'ALL' so the oracle comparison has no NULL-ordering
+    * ambiguity between engines.
+    */
+  val q08 = Q(
+    "q08_rollup_revenue",
+    (spark, dir) => {
+      val o = Tables(spark, dir, "orders")
+      val c = broadcast(Tables(spark, dir, "customer"))
+      val n = broadcast(Tables(spark, dir, "nation"))
+      val r = broadcast(Tables(spark, dir, "region"))
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(dsum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("revenue"), col("n_orders"))
+        .orderBy(col("region"), col("nation"))
+    },
+    Some(s"""
+      SELECT COALESCE(r_name, 'ALL') AS region,
+             COALESCE(n_name, 'ALL') AS nation,
+             ${oSum("o_totalprice")} AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY region, nation"""))
+
+  /** Semi join: customers with at least one finished order (Spark
+    * left_semi — probe side never materializes order columns).
+    */
+  val q09 = Q(
+    "q09_semi_customers_with_f_orders",
+    (spark, dir) => {
+      val c = Tables(spark, dir, "customer")
+      val o = Tables(spark, dir, "orders")
+        .filter(col("o_orderstatus") === lit("F"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      ORDER BY c_custkey"""))
+
+  /** Anti join: customers that never ordered. */
+  val q10 = Q(
+    "q10_anti_customers_without_orders",
+    (spark, dir) => {
+      val c = Tables(spark, dir, "customer")
+      val o = Tables(spark, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey"""))
+
+  /** Scalar subquery: orders 1.5× above the global mean. The mean is
+    * computed with the deterministic decimal path and broadcast as a
+    * one-row cross join, so both engines compare against bit-identical
+    * thresholds.
+    */
+  val q11 = Q(
+    "q11_orders_above_avg",
+    (spark, dir) => {
+      val o = Tables(spark, dir, "orders")
+      val avgDf = o.agg(davg(col("o_totalprice")).as("avg_price"))
+      o.crossJoin(broadcast(avgDf))
+        .filter(col("o_totalprice") > col("avg_price") * 1.5)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some(s"""
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_totalprice > 1.5 * (SELECT ${oAvg("o_totalprice")} FROM orders)
+      ORDER BY o_orderkey"""))
+
+  /** Enum decode + group (SURVEY §2.4 Q5): priority string → stable
+    * numeric code, mirroring bristle's Enum8 numeric storage
+    * (reference clickhouse_table.go:153-160).
+    */
+  val q12 = Q(
+    "q12_enum_priority_histogram",
+    (spark, dir) => {
+      val code = expr("""CASE o_orderpriority
+        WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 WHEN '3-MEDIUM' THEN 3
+        WHEN '4-NOT SPECIFIED' THEN 4 WHEN '5-LOW' THEN 5 ELSE 0 END""")
+        .cast("tinyint")
+      Tables(spark, dir, "orders")
+        .withColumn("priority_code", code)
+        .groupBy(col("priority_code"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("priority_code"))
+    },
+    Some(s"""
+      SELECT CAST(CASE o_orderpriority
+               WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+               WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+               WHEN '5-LOW' THEN 5 ELSE 0 END AS TINYINT) AS priority_code,
+             COUNT(*) AS n_orders,
+             ${oSum("o_totalprice")} AS revenue
+      FROM orders
+      GROUP BY 1
+      ORDER BY priority_code"""))
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12)
 }
