@@ -1,0 +1,145 @@
+package graft.types
+
+import org.apache.spark.sql.types._
+
+/** Parsed ClickHouse column type — the sink-side half of the transcode
+  * type matrix (SURVEY.md §1.3).
+  *
+  * The reference parses type strings with prefix checks and two regexes
+  * (reference clickhouse_table.go:130-133,138-160); we parse the same
+  * grammar with a small recursive-descent parser so nested forms
+  * (`Array(Nullable(LowCardinality(String)))`) resolve correctly, and
+  * map each shape to a Spark [[DataType]]:
+  *
+  *   - `Int8/16/32/64`            → Byte/Short/Integer/Long
+  *   - `UInt8/16/32`              → next wider signed type (Spark has no
+  *                                  unsigned integers)
+  *   - `UInt64`                   → Long with two's-complement wraparound
+  *                                  (documented; matches Go's uint64→int64
+  *                                  bit pattern, clickhouse_table.go:340-344)
+  *   - `Enum8/16('a'=0,…)`        → Byte/Short numeric code + dictionary
+  *   - `Decimal(p,s)`             → DecimalType(p,s)
+  *   - `DateTime`, `DateTime64(p)`→ TimestampType
+  *   - `Date`, `Date32`           → DateType
+  *   - `LowCardinality(T)`        → T (dictionary encoding is a storage
+  *                                  hint; Parquet does this automatically)
+  *   - `Nullable(T)`              → T, nullable
+  *   - `Array(T)`                 → ArrayType(T), default `[]`
+  */
+final case class ChType(
+    prim: ChPrim,
+    nullable: Boolean = false,
+    lowCardinality: Boolean = false,
+    array: Boolean = false) {
+
+  /** Spark sink type for this column. */
+  def spark: DataType =
+    if (array) ArrayType(prim.spark, containsNull = nullable) else prim.spark
+}
+
+sealed trait ChPrim { def spark: DataType }
+object ChPrim {
+  case object ChString extends ChPrim { val spark: DataType = StringType }
+  final case class ChFixedString(n: Int) extends ChPrim {
+    val spark: DataType = StringType
+  }
+  case object ChBool extends ChPrim { val spark: DataType = BooleanType }
+  case object ChFloat32 extends ChPrim { val spark: DataType = FloatType }
+  case object ChFloat64 extends ChPrim { val spark: DataType = DoubleType }
+  case object ChUuid extends ChPrim { val spark: DataType = StringType }
+  case object ChDate extends ChPrim { val spark: DataType = DateType }
+  case object ChDate32 extends ChPrim { val spark: DataType = DateType }
+
+  /** Signed or unsigned fixed-width integer. Unsigned targets widen by
+    * one Spark type so the full value range is representable — except
+    * UInt64, which stays Long with wraparound semantics.
+    */
+  final case class ChInt(bits: Int, unsigned: Boolean) extends ChPrim {
+    val spark: DataType = (bits, unsigned) match {
+      case (8, false)  => ByteType
+      case (16, false) => ShortType
+      case (32, false) => IntegerType
+      case (64, false) => LongType
+      case (8, true)   => ShortType
+      case (16, true)  => IntegerType
+      case (32, true)  => LongType
+      case (64, true)  => LongType // documented wraparound
+      case _ => throw new IllegalArgumentException(s"Int$bits")
+    }
+  }
+
+  /** Enum stored as its numeric code, with the name dictionary retained
+    * for decode joins (reference clickhouse_table.go:153-160 keeps only
+    * the width; we keep the labels too so queries can decode).
+    */
+  final case class ChEnum(bits: Int, values: Seq[(String, Int)]) extends ChPrim {
+    val spark: DataType = if (bits == 8) ByteType else ShortType
+  }
+
+  final case class ChDecimal(precision: Int, scale: Int) extends ChPrim {
+    val spark: DataType = DecimalType(precision, scale)
+  }
+
+  /** DateTime (second precision) / DateTime64(p). */
+  final case class ChDateTime(precision: Int) extends ChPrim {
+    val spark: DataType = TimestampType
+  }
+}
+
+object ChType {
+  import ChPrim._
+
+  final case class ParseError(input: String, msg: String)
+      extends IllegalArgumentException(s"cannot parse ClickHouse type '$input': $msg")
+
+  private val IntRe = """(U?)Int(8|16|32|64)""".r
+  private val DecimalRe = """Decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+  private val Dt64Re = """DateTime64\(\s*(\d+)\s*(?:,\s*'[^']*'\s*)?\)""".r
+  private val DtTzRe = """DateTime\(\s*'[^']*'\s*\)""".r
+  private val FixedRe = """FixedString\(\s*(\d+)\s*\)""".r
+  private val EnumRe = """Enum(8|16)?\((.*)\)""".r
+  private val EnumEntryRe = """'((?:[^'\\]|\\.)*)'\s*=\s*(-?\d+)""".r
+
+  /** Parse a ClickHouse type string. CODEC/TTL and other trailing
+    * decorations are the DDL's business, not the type's — callers strip
+    * them (our catalog stores bare types, like system.columns does).
+    */
+  def parse(s: String): ChType = parseInner(s.trim, s)
+
+  private def parseInner(s: String, orig: String): ChType = s match {
+    case w if w.startsWith("Nullable(") && w.endsWith(")") =>
+      val inner = parseInner(w.stripPrefix("Nullable(").stripSuffix(")").trim, orig)
+      if (inner.array)
+        throw ParseError(orig, "Nullable(Array(...)) is not a valid ClickHouse type")
+      inner.copy(nullable = true)
+    case w if w.startsWith("LowCardinality(") && w.endsWith(")") =>
+      val inner = parseInner(w.stripPrefix("LowCardinality(").stripSuffix(")").trim, orig)
+      inner.copy(lowCardinality = true)
+    case w if w.startsWith("Array(") && w.endsWith(")") =>
+      val inner = parseInner(w.stripPrefix("Array(").stripSuffix(")").trim, orig)
+      if (inner.array)
+        // nested arrays exist in CH but the reference never binds them
+        throw ParseError(orig, "nested Array(Array(...)) is unsupported")
+      inner.copy(array = true)
+    case IntRe(u, bits) => ChType(ChInt(bits.toInt, u == "U"))
+    case "Float32" => ChType(ChFloat32)
+    case "Float64" => ChType(ChFloat64)
+    case "String" => ChType(ChString)
+    case "Bool" | "Boolean" => ChType(ChBool)
+    case "UUID" => ChType(ChUuid)
+    case "Date" => ChType(ChDate)
+    case "Date32" => ChType(ChDate32)
+    case "DateTime" => ChType(ChDateTime(0))
+    case DtTzRe() => ChType(ChDateTime(0))
+    case Dt64Re(p) => ChType(ChDateTime(p.toInt))
+    case DecimalRe(p, sc) => ChType(ChDecimal(p.toInt, sc.toInt))
+    case FixedRe(n) => ChType(ChFixedString(n.toInt))
+    case EnumRe(bits, body) =>
+      val entries = EnumEntryRe.findAllMatchIn(body).map { m =>
+        (m.group(1).replace("\\'", "'"), m.group(2).toInt)
+      }.toSeq
+      if (entries.isEmpty) throw ParseError(orig, "empty enum")
+      ChType(ChEnum(Option(bits).map(_.toInt).getOrElse(8), entries))
+    case other => throw ParseError(orig, s"unknown type '$other'")
+  }
+}
