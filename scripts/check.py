@@ -2,34 +2,52 @@
 """Local stand-in for the driver's t2 correctness gate.
 
 Runs graft.Verify at a scale factor, then executes every oracle SQL in
-DuckDB against the same parquet tables and compares: row count, sorted
-column names, and cell values (floats to ~1e-9 relative).
+DuckDB against the same parquet tables and compares the way the driver
+does: load both results into pandas, sort columns by name, lexsort rows
+(array-typed cells make this raise, exactly like the driver), then
+require identical dtypes and exactly-equal cell values (NaN == NaN).
+No float tolerance: the dsum/oSum decimal discipline makes aggregates
+bit-identical, and a tolerant local gate is how round-1 shipped two
+driver failures that passed locally.
 
 Usage: scripts/check.py [sfdir] [outdir] [--skip-verify] [names...]
 """
-import json, math, subprocess, sys
+import json, subprocess, sys
 from pathlib import Path
 
 import duckdb
+import pandas as pd
 
 REPO = Path(__file__).resolve().parent.parent
 
-
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    return v
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
 
 
-def close(a, b):
-    a, b = norm(a), norm(b)
-    if isinstance(a, float) and isinstance(b, float):
-        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
-    if isinstance(a, list) and isinstance(b, list):
-        return len(a) == len(b) and all(close(x, y) for x, y in zip(a, b))
-    return a == b
+def compare(name, s_df, d_df):
+    """Driver-style compare. Returns None if equal, else a message."""
+    scols, dcols = sorted(s_df.columns), sorted(d_df.columns)
+    if scols != dcols:
+        return f"columns {scols} != {dcols}"
+    s_df, d_df = s_df[scols], d_df[dcols]
+    if len(s_df) != len(d_df):
+        return f"rows {len(s_df)} != {len(d_df)}"
+    try:
+        s_df = s_df.sort_values(scols).reset_index(drop=True)
+        d_df = d_df.sort_values(dcols).reset_index(drop=True)
+    except TypeError as e:
+        return f"unsortable (array-typed column?): {e}"
+    for c in scols:
+        if str(s_df[c].dtype) != str(d_df[c].dtype):
+            return (f"dtype mismatch on {c}: spark={s_df[c].dtype} "
+                    f"duck={d_df[c].dtype}")
+    eq = (s_df == d_df) | (s_df.isna() & d_df.isna())
+    if not eq.all().all():
+        bad = (~eq).any(axis=1)
+        i = bad[bad].index[0]
+        return (f"value mismatch, first @{i}:\n  spark: {list(s_df.loc[i])}"
+                f"\n  duck:  {list(d_df.loc[i])}")
+    return None
 
 
 def main():
@@ -43,8 +61,7 @@ def main():
 
     oracle = json.loads(Path(outdir, "oracle_sql.json").read_text())
     con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
+    for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
@@ -57,34 +74,19 @@ def main():
             print(f"FAIL {name}: no spark output")
             failures += 1
             continue
-        spark_rel = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
         try:
-            duck_rel = con.sql(oracle[name])
+            s_df = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'").df()
+            d_df = con.sql(oracle[name]).df()
         except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
+            print(f"FAIL {name}: {e}")
             failures += 1
             continue
-        scols, dcols = list(spark_rel.columns), list(duck_rel.columns)
-        if sorted(scols) != sorted(dcols):
-            print(f"FAIL {name}: columns {sorted(scols)} != {sorted(dcols)}")
-            failures += 1
-            continue
-        # driver sorts columns by name before hashing values
-        s_rows = spark_rel.select(*[f'"{c}"' for c in sorted(scols)]).fetchall()
-        d_rows = duck_rel.select(*[f'"{c}"' for c in sorted(dcols)]).fetchall()
-        if len(s_rows) != len(d_rows):
-            print(f"FAIL {name}: rows {len(s_rows)} != {len(d_rows)}")
-            failures += 1
-            continue
-        bad = [(i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows))
-               if not close(list(a), list(b))]
-        if bad:
-            i, a, b = bad[0]
-            print(f"FAIL {name}: {len(bad)} mismatched rows; first @{i}:")
-            print(f"  spark: {a}\n  duck:  {b}")
+        msg = compare(name, s_df, d_df)
+        if msg:
+            print(f"FAIL {name}: {msg}")
             failures += 1
         else:
-            print(f"PASS {name} ({len(s_rows)} rows)")
+            print(f"PASS {name} ({len(s_df)} rows)")
     sys.exit(1 if failures else 0)
 
 

@@ -82,7 +82,7 @@ object Events {
     Some("""
       SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 10 AS k_mod,
              COUNT(*) AS n,
-             SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS sum_k
+             CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS BIGINT) AS sum_k
       FROM events
       GROUP BY 1
       ORDER BY k_mod"""))
@@ -90,7 +90,10 @@ object Events {
   /** Map flatten (P8 parity, reference clickhouse_table.go:183-201,270-289):
     * a MapType column is carried internally and flattened to aligned
     * key/value arrays at the sink projection, exactly like bristle's
-    * map → Nested(key, value) parallel arrays.
+    * map → Nested(key, value) parallel arrays. The registered result
+    * serializes the arrays with array_join because the driver's compare
+    * harness can't sort/hash array cells; the MapType→arrays semantics
+    * stay under unit test (SchemaBinderSpec).
     */
   val q17 = Q(
     "q17_map_flatten",
@@ -98,15 +101,17 @@ object Events {
       Tables(spark, dir, "events")
         .filter(col("event_id") < 100)
         .withColumn("m", map(lit("k"),
-          regexp_extract(col("props"), "\"k\": (\\d+)", 1)))
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1),
+          lit("t"), col("event_type")))
         .select(col("event_id"),
-          map_keys(col("m")).as("tag_keys"),
-          map_values(col("m")).as("tag_values"))
+          array_join(map_keys(col("m")), ",").as("tag_keys"),
+          array_join(map_values(col("m")), ",").as("tag_values"))
         .orderBy(col("event_id")),
     Some("""
       SELECT event_id,
-             ['k'] AS tag_keys,
-             [regexp_extract(props, '"k": (\d+)', 1)] AS tag_values
+             'k,t' AS tag_keys,
+             concat(regexp_extract(props, '"k": (\d+)', 1), ',', event_type)
+               AS tag_values
       FROM events
       WHERE event_id < 100
       ORDER BY event_id"""))

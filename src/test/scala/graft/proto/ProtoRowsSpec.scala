@@ -16,7 +16,7 @@ class ProtoRowsSpec extends AnyFunSuite {
       PField("name", 1, PString),
       PField("type", 2, PEnum("MessageType",
         Seq("EMPTY" -> 0, "SMALL" -> 1, "BIG" -> 2))),
-      PField("timestamp", 3, PMessageT(Timestamp)),
+      PField("timestamp", 3, PMessageT(PType.Timestamp)),
       PField("value", 4, PInt64),
       PField("tags", 5, PString, mapOf = Some((PString, PString))),
       PField("labels", 6, PString, repeated = true)),
