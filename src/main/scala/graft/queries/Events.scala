@@ -87,6 +87,30 @@ object Events {
       GROUP BY 1
       ORDER BY k_mod"""))
 
+  /** Array membership (§2.4 Q7, reference examples/example.sql:7
+    * `labels Array(String)` / finnhub.sql:6 `tradeConditions`): build a
+    * real ArrayType column (tokenized text) and filter on
+    * array_contains. At scale the split+contains runs codegen'd inside
+    * the scan stage; only matching rows reach the aggregate.
+    */
+  val q16 = Q(
+    "q16_array_membership",
+    (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .filter(array_contains(col("words"), "spark"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("words"))).as("n_words"))
+        .orderBy(col("lang")),
+    Some("""
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words
+      FROM documents
+      WHERE list_contains(string_split(text, ' '), 'spark')
+      GROUP BY lang
+      ORDER BY lang"""))
+
   /** Map flatten (P8 parity, reference clickhouse_table.go:183-201,270-289):
     * a MapType column is carried internally and flattened to aligned
     * key/value arrays at the sink projection, exactly like bristle's
@@ -140,5 +164,5 @@ object Events {
       GROUP BY 1
       ORDER BY rt"""))
 
-  val all: Seq[Q] = Seq(q13, q14, q15, q17, q20)
+  val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20)
 }

@@ -125,22 +125,26 @@ object Relational {
       ORDER BY o_totalprice DESC, o_orderkey ASC
       LIMIT 10"""))
 
-  /** Window function: each customer's single largest order
-    * (row_number over a per-customer ordering; deterministic tiebreak
-    * on o_orderkey since totalprice can collide).
+  /** Each customer's single largest order. Expressed as max_by over a
+    * (totalprice, -orderkey) ordering struct rather than a row_number
+    * window: the window form shuffles and sorts the whole orders table
+    * with no partial aggregation, while max_by collapses map-side to
+    * one row per customer before the shuffle — at 100 TB only the
+    * per-customer winners cross the wire. Tiebreak (-orderkey ⇒ lowest
+    * orderkey wins) matches the window ordering exactly.
     */
   val q05 = Q(
     "q05_top_order_per_customer",
-    (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    (spark, dir) =>
       Tables(spark, dir, "orders")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
-        .orderBy(col("o_custkey"))
-    },
+        .groupBy(col("o_custkey"))
+        .agg(max_by(
+          struct(col("o_orderkey"), col("o_totalprice")),
+          struct(col("o_totalprice"), (-col("o_orderkey")).as("neg")))
+          .as("top"))
+        .select(col("o_custkey"), col("top.o_orderkey").as("o_orderkey"),
+          col("top.o_totalprice").as("o_totalprice"))
+        .orderBy(col("o_custkey")),
     Some("""
       SELECT o_custkey, o_orderkey, o_totalprice
       FROM (
@@ -247,12 +251,16 @@ object Relational {
                     WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
       ORDER BY c_custkey"""))
 
-  /** Anti join: customers that never ordered. */
+  /** Anti join: customers that never ordered. The probe side is
+    * pre-collapsed to distinct custkeys so the shuffle moves one row
+    * per customer instead of every order (partial dedup happens
+    * map-side); the anti-join result is identical.
+    */
   val q10 = Q(
     "q10_anti_customers_without_orders",
     (spark, dir) => {
       val c = Tables(spark, dir, "customer")
-      val o = Tables(spark, dir, "orders")
+      val o = Tables(spark, dir, "orders").select(col("o_custkey")).distinct()
       c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
         .orderBy(col("c_custkey"))
