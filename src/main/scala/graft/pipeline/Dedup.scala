@@ -1,0 +1,150 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact (hash-groupBy), MinHash+LSH banded
+  * near-dup, and SimHash hamming near-dup.
+  *
+  * Scale stance (the part that matters at 100 TB):
+  * - exact dedup shuffles a 32-byte digest per row, never the document
+  *   body;
+  * - near-dup NEVER does all-pairs — candidate pairs come from a
+  *   groupBy on (band, band-signature) buckets, so the shuffle volume
+  *   is rows × bands, and only bucket-colliding pairs are verified;
+  * - signature computation is per-row Column expression work
+  *   (codegen'd, map-side, embarrassingly parallel).
+  */
+object Dedup {
+
+  /** Exact dedup: canonical row per distinct text = lowest doc_id.
+    * Grouping key is sha2(text) so the shuffle carries a fixed-width
+    * digest instead of document bodies.
+    */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("digest"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .drop("digest")
+
+  /** MinHash parameters: k = bands × rowsPerBand signature slots.
+    * b=32, r=4 puts the LSH S-curve threshold at (1/32)^(1/4) ≈ 0.42,
+    * comfortably below the 0.5 verification threshold → near-perfect
+    * recall for true near-dups.
+    */
+  val Bands = 32
+  val RowsPerBand = 4
+  val K: Int = Bands * RowsPerBand
+
+  /** k-slot MinHash signature over a shingle set. Slot j uses
+    * xxhash64(j, shingle) as its permutation — k independent hash
+    * families from the seed column.
+    */
+  def minhashSignature(shingles: Column): Column =
+    transform(sequence(lit(0), lit(K - 1)), j =>
+      array_min(transform(shingles, s => xxhash64(j, s))))
+
+  /** Banded bucket keys: one 64-bit hash per band over its r signature
+    * slots. Equal bucket key ⇔ the band's slots all collide.
+    */
+  def bandKeys(sig: Column): Column =
+    array((0 until Bands).map { b =>
+      val slots = (0 until RowsPerBand)
+        .map(o => element_at(sig, b * RowsPerBand + o + 1))
+      xxhash64(lit(b) +: slots: _*)
+    }: _*)
+
+  /** Candidate near-dup pairs (a < b) from LSH band-bucket collisions,
+    * then exact-Jaccard verified at `threshold` on the original
+    * shingle sets. Returns (idA, idB, jaccard).
+    */
+  def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"),
+        TextOps.shingles(TextOps.words(col(textCol))).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+    // (id, band, bucket) — rows × Bands, the only "expansion" shuffle.
+    val buckets = sh
+      .select(col("id"),
+        posexplode(bandKeys(minhashSignature(col("sh")))).as(Seq("band", "bucket")))
+
+    val pairs = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+
+    // Verify candidates on exact shingle sets; ints divided as doubles
+    // exactly like the oracle's inter/union arithmetic.
+    val shA = sh.select(col("id").as("a"), col("sh").as("sh_a"))
+    val shB = sh.select(col("id").as("b"), col("sh").as("sh_b"))
+    pairs.join(shA, "a").join(shB, "b")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .select(col("a"), col("b"), (col("inter") / col("uni")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash bit width. 60 bits so every intermediate fits a positive
+    * int64 in both engines (DuckDB has no unsigned shift).
+    */
+  val SimBits = 60
+
+  /** Oracle-computable 60-bit token hash: top 15 hex chars of
+    * md5(token). Spark `conv(_,16,10)` and DuckDB `('0x'||_)::BIGINT`
+    * agree exactly.
+    */
+  def tokenHash60(w: Column): Column =
+    conv(substring(md5(w), 1, 15), 16, 10).cast("long")
+
+  /** Majority-vote SimHash over a pre-computed token-hash array: bit i
+    * set iff more than half the tokens have bit i set. Token
+    * multiplicity is the weight (duplicates count). The bit mask is
+    * pow(2, i) cast to long — exact for i < 63, and usable with a
+    * lambda-bound Column index (shiftleft only takes a literal Int).
+    */
+  def simhashFromHashes(hs: Column): Column =
+    aggregate(sequence(lit(0), lit(SimBits - 1)), lit(0L),
+      (acc, i) => {
+        val mask = pow(lit(2.0), i).cast("long")
+        acc + when(
+          size(filter(hs, h => h.bitwiseAND(mask) =!= 0L)) * 2 > size(hs),
+          mask).otherwise(0L)
+      })
+
+  def simhash(ws: Column): Column = simhashFromHashes(transform(ws, tokenHash60 _))
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxDist, found via
+    * the pigeonhole principle: split the 60-bit hash into `chunks`
+    * 15-bit chunks; any pair within distance chunks-1 shares at least
+    * one exact chunk → candidates come from a chunk-equality bucket
+    * join, never all-pairs.
+    */
+  val SimChunks = 4
+  def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist < SimChunks, "pigeonhole needs maxDist < chunks")
+    val bitsPerChunk = SimBits / SimChunks
+    val hashed = docs.select(col(idCol).as("id"),
+      simhash(TextOps.words(col(textCol))).as("h"))
+    val chunkArr = array((0 until SimChunks).map(c =>
+      shiftrightunsigned(col("h"), c * bitsPerChunk)
+        .bitwiseAND((1L << bitsPerChunk) - 1)): _*)
+    val chunked = hashed.select(col("id"), col("h"),
+      posexplode(chunkArr).as(Seq("chunk", "key")))
+    chunked.as("x")
+      .join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.h").as("ha"), col("y.h").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+}

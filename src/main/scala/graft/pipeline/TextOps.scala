@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, shingling, language-ID, quality scoring, token
+  * counting, and document fingerprinting.
+  *
+  * All operators are pure Column expressions (whole-stage codegen, no
+  * UDFs) and shared-nothing per row — at 100 TB they run entirely
+  * map-side inside the scan stage; only downstream aggregates shuffle.
+  * Every computation is also expressible in ANSI-ish SQL so the DuckDB
+  * oracle can recompute it exactly (see queries/Pipeline.scala).
+  */
+object TextOps {
+
+  /** Whitespace tokenization (single-space corpus). */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles — the unit of near-dup detection.
+    * Guarded so short documents yield an empty set rather than a
+    * descending sequence.
+    */
+  def shingles(ws: Column, n: Int = 3): Column =
+    when(size(ws) >= n,
+      array_distinct(transform(sequence(lit(0), size(ws) - n), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Language stopword marker sets for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: language ID at corpus scale is a
+    * per-row marker count, not a model.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "on", "that", "it"),
+    "es" -> Seq("el", "la", "de", "y", "en", "que", "los", "se", "del", "las"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "du", "au", "pour", "dans", "sur"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "im", "ein"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "个"))
+
+  /** Count of tokens belonging to a marker set. */
+  def markerCount(ws: Column, markers: Seq[String]): Column =
+    size(filter(ws, w => w.isin(markers.map(_.asInstanceOf[Any]): _*)))
+
+  /** Predicted language: the marker set with the highest count wins,
+    * ties broken by the fixed order of [[stopwords]]; no markers at
+    * all → "und". Deterministic by construction.
+    */
+  def langId(ws: Column): Column = {
+    val scores = stopwords.map { case (lang, m) => lang -> markerCount(ws, m) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-space symbols each count as one token — the standard cheap
+    * proxy for LLM token budgeting. Same regex runs in the oracle.
+    */
+  val BpeTokenRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BpeTokenRe))
+
+  /** Quality score in [0,1]: half length-saturation, half stopword
+    * density. Arithmetic is int-derived double ops, bit-identical
+    * across engines.
+    */
+  def qualityScore(text: Column, ws: Column): Column = {
+    val nTokens = size(ws)
+    val stopRatio = markerCount(ws, stopwords.head._2).cast("double") / nTokens
+    least(nTokens.cast("double") / 100.0, lit(1.0)) * 0.5 +
+      least(stopRatio * 10.0, lit(1.0)) * 0.5
+  }
+
+  /** Per-word integer code used by the rolling-hash fingerprint:
+    * first-codepoint * 31 + length. `ascii` (Spark) and `unicode`
+    * (DuckDB) both return the first codepoint.
+    */
+  def wordCode(w: Column): Column =
+    (ascii(w) * 31 + length(w)).cast("long")
+
+  /** Rolling polynomial fingerprint over word codes, mod 1e9+7.
+    * Accumulator stays < 1e9 so the multiply never overflows int64 in
+    * either engine (DuckDB errors on overflow instead of wrapping).
+    */
+  val FpMul = 1000003L
+  val FpMod = 1000000007L
+  def fingerprint(ws: Column): Column =
+    aggregate(transform(ws, wordCode _), lit(0L),
+      (acc, c) => (acc * FpMul + c) % FpMod)
+}

@@ -1,0 +1,295 @@
+package graft.queries
+
+import graft.Tables
+import graft.pipeline.{Dedup, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline query surface over the `documents` and
+  * `embeddings` tables: deduplication (exact, MinHash-LSH, SimHash),
+  * similarity search (brute-force + LSH-bucketed ANN), and text
+  * analysis (stats, language-ID, quality, token counting,
+  * fingerprinting). The north-star operators from SURVEY.md §2.6.
+  *
+  * Oracles recompute the SAME deterministic algorithm in DuckDB SQL,
+  * so these are differential tests of the whole operator, not just
+  * row counts — except where the algorithm needs xxhash64 (Spark-only),
+  * which the driver covers with its weaker rows-only check and we
+  * cover with unit tests.
+  */
+object Pipeline {
+
+  /** Exact dedup (hash-groupBy): canonical doc per distinct text.
+    * Shuffles sha256 digests, never document bodies.
+    */
+  val q21 = Q(
+    "q21_exact_dedup",
+    (spark, dir) =>
+      Dedup.exact(Tables(spark, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY text
+      ORDER BY doc_id"""))
+
+  /** Per-language corpus statistics: doc counts, char and token
+    * volumes. Pure scan + partial-agg shape.
+    */
+  val q22 = Q(
+    "q22_text_stats",
+    (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .withColumn("n_tokens", size(TextOps.words(col("text"))))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          davg(col("n_chars")).as("avg_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"))
+        .orderBy(col("lang")),
+    Some(s"""
+      SELECT lang,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             ${oAvg("n_chars")} AS avg_chars,
+             MIN(n_chars) AS min_chars,
+             MAX(n_chars) AS max_chars,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang"""))
+
+  /** Brute-force cosine top-5 for the first 20 vectors: the exactness
+    * baseline for similarity search. Query side broadcast; corpus
+    * scanned once. Cosine computed in double with left-to-right
+    * accumulation — bit-identical to DuckDB's list_dot_product.
+    */
+  val q23 = Q(
+    "q23_cosine_topk",
+    (spark, dir) =>
+      Similarity.bruteForceTopK(Tables(spark, dir, "embeddings"),
+        "vec_id", "embedding", _ < 20, k = 5)
+        .orderBy(col("query_id"), col("rank")),
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT * FROM e WHERE vec_id < 20),
+      s AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
+              list_dot_product(q.v, e.v) /
+                (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+            FROM q JOIN e ON e.vec_id <> q.vec_id),
+      r AS (SELECT qid, nid, cos,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+            FROM s)
+      SELECT qid AS query_id, rn::INT AS rank, nid AS neighbor_id,
+             ROUND(cos, 6) AS cosine
+      FROM r WHERE rn <= 5
+      ORDER BY query_id, rank"""))
+
+  /** MinHash-LSH near-dup pairs at Jaccard >= 0.5 over word 3-gram
+    * shingles. Spark side: banded signatures → groupBy(band, key)
+    * candidates → exact verify (NEVER all-pairs). Oracle: exact
+    * all-pairs Jaccard — feasible at sf0.01, and a true differential
+    * test that LSH recall is total on this corpus.
+    */
+  val q24 = Q(
+    "q24_minhash_neardup",
+    (spark, dir) =>
+      Dedup.minhashNearDups(Tables(spark, dir, "documents"),
+        "text", "doc_id", threshold = 0.5)
+        .orderBy(col("a"), col("b")),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)),
+      pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+      SELECT a, b, inter*1.0/(sa.n + sb.n - inter) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = a
+      JOIN sizes sb ON sb.doc_id = b
+      WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.5
+      ORDER BY a, b"""))
+
+  /** Language-ID confusion matrix: stopword-marker heuristic vs the
+    * labelled lang column. The heuristic is deterministic and
+    * recomputed identically by the oracle.
+    */
+  val q26 = {
+    def duckScore(markers: Seq[String]): String =
+      s"len(list_filter(string_split(text,' '), w -> w IN (${
+        markers.map(m => s"'$m'").mkString(",")})))"
+    val scoreSql = TextOps.stopwords
+      .map { case (l, m) => s"${duckScore(m)} AS s_$l" }.mkString(",\n             ")
+    val langs = TextOps.stopwords.map(_._1)
+    val bestSql = s"greatest(${langs.map("s_" + _).mkString(",")})"
+    val caseSql = langs.map(l =>
+      s"WHEN s_$l > 0 AND s_$l = $bestSql THEN '$l'").mkString("\n               ")
+    Q(
+      "q26_lang_id",
+      (spark, dir) =>
+        Tables(spark, dir, "documents")
+          .withColumn("pred", TextOps.langId(TextOps.words(col("text"))))
+          .groupBy(col("lang"), col("pred"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"), col("pred")),
+      Some(s"""
+      WITH scored AS (
+        SELECT lang,
+             $scoreSql
+        FROM documents)
+      SELECT lang,
+             CASE $caseSql
+               ELSE 'und' END AS pred,
+             COUNT(*) AS n_docs
+      FROM scored
+      GROUP BY 1, 2
+      ORDER BY lang, pred"""))
+  }
+
+  /** Quality-score histogram: deciles of a [0,1] composite of length
+    * saturation and stopword density.
+    */
+  val q27 = Q(
+    "q27_quality_histogram",
+    (spark, dir) => {
+      val ws = TextOps.words(col("text"))
+      Tables(spark, dir, "documents")
+        .withColumn("score", TextOps.qualityScore(col("text"), ws))
+        .groupBy((floor(col("score") * 10) / lit(10.0)).as("decile"))
+        .agg(count(lit(1)).as("n_docs"), davg(col("score")).as("avg_score"))
+        .orderBy(col("decile"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT least(len(string_split(text,' '))/100.0, 1.0) * 0.5 +
+               least((len(list_filter(string_split(text,' '),
+                       w -> w IN ('the','a','of','and','to','in','is','on','that','it')))::DOUBLE
+                     / len(string_split(text,' '))) * 10.0, 1.0) * 0.5 AS score
+        FROM documents)
+      SELECT floor(score * 10) / 10.0 AS decile,
+             COUNT(*) AS n_docs,
+             ${oAvg("score")} AS avg_score
+      FROM q
+      GROUP BY 1
+      ORDER BY decile"""))
+
+  /** Token counting: BPE-ish regex tokens vs whitespace tokens per
+    * source, with the blowup ratio.
+    */
+  val q28 = Q(
+    "q28_token_counts",
+    (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .withColumn("bpe", TextOps.bpeTokenCount(col("text")))
+        .withColumn("wst", size(TextOps.words(col("text"))).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("bpe")).as("bpe_tokens"),
+          sum(col("wst")).as("ws_tokens"))
+        .withColumn("ratio",
+          col("bpe_tokens").cast("double") / col("ws_tokens"))
+        .orderBy(col("source")),
+    Some(s"""
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(regexp_extract_all(text, '${TextOps.BpeTokenRe}'))) AS BIGINT) AS bpe_tokens,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+             CAST(SUM(len(regexp_extract_all(text, '${TextOps.BpeTokenRe}'))) AS BIGINT)::DOUBLE
+               / CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ratio
+      FROM documents
+      GROUP BY source
+      ORDER BY source"""))
+
+  /** Rolling-hash document fingerprints (first 50 docs): polynomial
+    * hash over per-word codes, mod 1e9+7 — content-addressable ids
+    * cheap enough to compute map-side for every document at scale.
+    */
+  val q29 = Q(
+    "q29_fingerprint",
+    (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          TextOps.fingerprint(TextOps.words(col("text"))).as("fp"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(string_split(text, ' '),
+                   w -> (unicode(w)*31 + length(w))::BIGINT)),
+               (a, b) -> (a * ${TextOps.FpMul} + b) % ${TextOps.FpMod}) AS fp
+      FROM documents
+      WHERE doc_id < 50
+      ORDER BY doc_id"""))
+
+  /** LSH-bucketed approximate top-k (the 100 TB similarity path):
+    * hyperplane sign buckets + 1-bit multiprobe, exact re-rank of
+    * candidates. Approximate ⇒ no SQL oracle; recall vs brute force
+    * is pinned by SimilaritySpec.
+    */
+  val q30 = Q(
+    "q30_ann_topk",
+    (spark, dir) =>
+      Similarity.annTopK(Tables(spark, dir, "embeddings"),
+        "vec_id", "embedding", _ < 20, k = 5)
+        .orderBy(col("query_id"), col("rank")),
+    None)
+
+  /** SimHash near-dup pairs (hamming <= 3 of 60 bits) via pigeonhole
+    * chunk bucketing. The md5-derived token hash is computable in both
+    * engines, so even this is differentially tested.
+    */
+  val q31 = Q(
+    "q31_simhash_neardup",
+    (spark, dir) =>
+      Dedup.simhashNearDups(Tables(spark, dir, "documents"),
+        "text", "doc_id", maxDist = 3)
+        .orderBy(col("a"), col("b")),
+    Some(s"""
+      WITH h AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                 w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS hs
+        FROM documents),
+      sim AS (
+        SELECT doc_id,
+               list_sum(list_transform(range(0, ${Dedup.SimBits}),
+                 i -> CASE WHEN 2 * len(list_filter(hs, x -> (x >> i) & 1 = 1))
+                             > len(hs)
+                      THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS h
+        FROM h)
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             bit_count(xor(a.h, b.h))::INT AS hamming
+      FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.h, b.h)) <= 3
+      ORDER BY a, b"""))
+
+  /** Embedding-cosine near-dup pairs at cosine >= 0.45; exact
+    * upper-triangle with the corpus capped (vec_id < 2000) so the
+    * quadratic is bounded at bench SF; the unbounded approximate path
+    * is q30's bucketing.
+    */
+  val q32 = Q(
+    "q32_embedding_neardup",
+    (spark, dir) =>
+      Similarity.cosineNearDups(Tables(spark, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.45, maxId = 2000L)
+        .orderBy(col("a"), col("b")),
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                 FROM embeddings WHERE vec_id < 2000)
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             ROUND(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+      ORDER BY a, b"""))
+
+  val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32)
+}

@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Pipeline-operator invariants that the DuckDB oracle can't express:
+  * LSH band math, SimHash metric properties, ANN recall floors.
+  * Driver-verified value correctness lives in queries/Pipeline.scala.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Tables(spark, sf, "documents")
+  private def emb = Tables(spark, sf, "embeddings")
+
+  import spark.implicits._
+
+  test("shingles: count, distinctness, guard on short docs") {
+    val df = Seq("a b c d e", "x y", "").toDF("text")
+      .select(TextOps.shingles(TextOps.words(col("text"))).as("sh"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("a b c", "b c d", "c d e"))
+    assert(rows(1) == Seq.empty) // shorter than n → empty, not garbage
+  }
+
+  test("minhash signature similarity estimates Jaccard") {
+    // two strings sharing ~half their shingles
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val half = ((1 to 20).map(i => s"w$i") ++ (1 to 20).map(i => s"v$i")).mkString(" ")
+    val df = Seq(base, half).toDF("text")
+      .select(Dedup.minhashSignature(
+        TextOps.shingles(TextOps.words(col("text")))).as("sig"))
+    val Array(s1, s2) = df.collect().map(_.getSeq[Long](0))
+    val agree = s1.zip(s2).count { case (a, b) => a == b }.toDouble / Dedup.K
+    // true Jaccard of the shingle sets is 18/58 ≈ 0.31
+    assert(agree > 0.15 && agree < 0.50, s"minhash agreement $agree")
+  }
+
+  test("band keys: identical signatures share all bands, disjoint share none") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val df = Seq(base, base, other).toDF("text")
+      .select(Dedup.bandKeys(Dedup.minhashSignature(
+        TextOps.shingles(TextOps.words(col("text"))))).as("bands"))
+    val rows = df.collect().map(_.getSeq[Long](0))
+    assert(rows(0) == rows(1))
+    assert(rows(0).intersect(rows(2)).isEmpty)
+  }
+
+  test("minhash near-dups: perfect recall vs exact all-pairs at tau=0.5") {
+    // exact all-pairs truth on the small SF
+    val sh = docs.select(col("doc_id"),
+        TextOps.shingles(TextOps.words(col("text"))).as("sh"))
+    val truth = sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+          size(array_union(col("x.sh"), col("y.sh")))).as("j"))
+      .filter(col("j") >= 0.5)
+      .select("a", "b")
+    val found = Dedup.minhashNearDups(docs, "text", "doc_id", 0.5)
+      .select("a", "b")
+    assert(truth.exceptAll(found).isEmpty, "LSH missed a true near-dup pair")
+    assert(found.exceptAll(truth).isEmpty, "verification let a false pair through")
+  }
+
+  test("simhash: identical → distance 0; token tweak stays close; disjoint far") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val tweaked = ((1 to 57).map(i => s"w$i") ++ Seq("q1", "q2", "q3")).mkString(" ")
+    val other = (1 to 60).map(i => s"z$i").mkString(" ")
+    val hs = Seq(base, base, tweaked, other).toDF("text")
+      .select(Dedup.simhash(TextOps.words(col("text"))).as("h"))
+      .collect().map(_.getLong(0))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(0), hs(1)) == 0)
+    assert(ham(hs(0), hs(2)) < ham(hs(0), hs(3)),
+      s"tweak ${ham(hs(0), hs(2))} !< disjoint ${ham(hs(0), hs(3))}")
+  }
+
+  test("ann top-k: recall@5 >= 0.45 vs brute force") {
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 20, 5)
+      .select("query_id", "neighbor_id")
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding", _ < 20, 5)
+      .select("query_id", "neighbor_id")
+    val recall = bf.intersect(ann).count().toDouble / bf.count()
+    assert(recall >= 0.45, s"ANN recall@5 $recall below floor")
+  }
+
+  test("ann probes a strict subset of buckets") {
+    val masks = (0 until (1 << Similarity.HyperBits)).count(m =>
+      java.lang.Integer.bitCount(m) <= Similarity.ProbeFlips)
+    assert(masks < (1 << Similarity.HyperBits) / 2,
+      "multiprobe must scan fewer than half the buckets or it's a scan")
+  }
+
+  test("fingerprint: stable, order-sensitive, in range") {
+    val fps = Seq("a b c", "a b c", "c b a").toDF("text")
+      .select(TextOps.fingerprint(TextOps.words(col("text"))).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2)) // rolling hash is position-sensitive
+    assert(fps.forall(f => f >= 0 && f < TextOps.FpMod))
+  }
+
+  test("langId: markers win, no markers → und") {
+    val preds = Seq("the cat sat on the mat", "el perro y la gata",
+      "xyzzy plugh").toDF("text")
+      .select(TextOps.langId(TextOps.words(col("text"))).as("p"))
+      .collect().map(_.getString(0))
+    assert(preds.toSeq == Seq("en", "es", "und"))
+  }
+}
