@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Events, Pipeline, Q, Relational, Transcode}
+import graft.queries.{Events, Pipeline, Q, Relational, Transcode, TranscodeE2E}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** All verifiable queries, in stable order. */
   def registry: Seq[Q] =
-    Relational.all ++ Events.all ++ Transcode.all ++ Pipeline.all
+    Relational.all ++ Events.all ++ Transcode.all ++ TranscodeE2E.all ++
+      Pipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -205,7 +205,10 @@ object SchemaBinder {
     elemPrim match {
       case ChPrim.ChInt(bits, unsigned) =>
         transform(arr, x => wrapToWidth(x.cast(LongType), bits, unsigned).cast(target))
-      case _ => arr.cast(ArrayType(target, ct.nullable))
+      case _ =>
+        // per-element cast: unlike a container cast it never trips over
+        // containsNull mismatches between decoder and sink schemas
+        transform(arr, x => x.cast(target))
     }
   }
 

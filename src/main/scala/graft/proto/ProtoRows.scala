@@ -225,9 +225,8 @@ object ProtoRows {
     * shuffle, codegen resumes downstream of the decode boundary.
     */
   def decode(bodies: Dataset[Array[Byte]], schema: PMessage): DataFrame = {
-    val spark = bodies.sparkSession
-    val enc: ExpressionEncoder[Row] = RowEncoder.encoderFor(schema.structType)
-      .asInstanceOf[ExpressionEncoder[Row]]
+    val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(schema.structType))
     bodies.mapPartitions(it => it.map(b => decodeRow(schema, b)))(enc)
   }
 
@@ -236,8 +235,8 @@ object ProtoRows {
     * ingest_service.go:152-177).
     */
   def decodeFramed(frames: Dataset[Array[Byte]], schema: PMessage): DataFrame = {
-    val enc: ExpressionEncoder[Row] = RowEncoder.encoderFor(schema.structType)
-      .asInstanceOf[ExpressionEncoder[Row]]
+    val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(schema.structType))
     frames.mapPartitions(it =>
       it.flatMap(blob => Wire.splitFrames(blob).map(b => decodeRow(schema, b))))(enc)
   }
