@@ -118,5 +118,34 @@ object TranscodeE2E {
       ORDER BY value"""
     })
 
-  val all: Seq[Q] = Seq(q25)
+  /** The same 64 fixture rows driven through the STREAMING path
+    * (D1-D5): ingest shim admission → framed landing files →
+    * binaryFile stream → decodeFramed → transcode → foreachBatch
+    * parquet append — then read back. Oracle identical to q25: the
+    * streaming pipeline must land exactly what batch transcode
+    * produces (batch-stream equivalence).
+    */
+  val q33 = Q(
+    "q33_stream_transcode",
+    (spark, _) => {
+      import graft.streaming.{LandingIngest, RowBuffer}
+      val binding = SchemaBinder.bind(message, table)
+      val batches = fixtures.grouped(MsgsPerFrame)
+        .map(_.map(f => ProtoRows.encodeValues(message, f.protoValues)))
+        .toSeq
+      LandingIngest.runOnce(spark, message, binding, batches,
+          maxBufferSize = NumRows, onFull = RowBuffer.Block)
+        .select(
+          col("name"),
+          col("type").as("type_code"),
+          unix_millis(col("timestamp")).as("ts_ms"),
+          col("value"),
+          array_join(col("`tags.key`"), ",").as("tag_keys"),
+          array_join(col("`tags.value`"), ",").as("tag_values"),
+          array_join(col("labels"), ",").as("labels"))
+        .orderBy(col("value"))
+    },
+    q25.oracle)
+
+  val all: Seq[Q] = Seq(q25, q33)
 }

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import graft.bind.Binding
+import graft.proto.{PMessage, ProtoRows, Wire}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicLong
+
+/** Streaming ingest (D1-D5), file-landing flavor — the
+  * SURVEY-sanctioned shim for the reference's gRPC surface: identical
+  * admission and flush semantics, different wire transport.
+  *
+  * Topology (mirrors reference server.go:79-99 wiring):
+  *
+  *   producer → [IngestShim: RowBuffer admission (D1) + timed flush
+  *   (D4) → framed blob files]  →  Structured Streaming: binaryFile
+  *   source → decodeFramed (S3+S4) → Binding.transcode (P1-P10) →
+  *   foreachBatch parquet append (D5), repartition(numWriters) (D3)
+  *
+  * The foreachBatch sink is the Spark analog of the reference's
+  * transactional batched INSERT (clickhouse_table_writer.go:115-149):
+  * each micro-batch is one atomic append whose batchId makes retries
+  * idempotent-by-convention.
+  */
+object LandingIngest {
+
+  /** Admission front-end: accepts encoded message batches, applies the
+    * buffer policy, and periodically (or explicitly) flushes the
+    * buffer as one varint-framed blob file into the landing dir. File
+    * writes are tmp+atomic-rename so the streaming source never sees
+    * a partial frame (the durability boundary the reference's acked-
+    * but-unflushed window sits behind, SURVEY §3.1).
+    */
+  final class IngestShim(landingDir: Path, maxBufferSize: Int,
+      onFull: RowBuffer.OnFull, maxBatchSize: Int = 10000) {
+    val buffer = new RowBuffer[Array[Byte]](maxBufferSize, onFull)
+    private val seq = new AtomicLong(0)
+    Files.createDirectories(landingDir)
+
+    def writeBatch(messages: Seq[Array[Byte]]): RowBuffer.WriteResult =
+      buffer.writeBatch(messages)
+
+    /** Drain one flush chunk (≤ maxBatchSize rows, D2) to a landing
+      * file; returns rows flushed.
+      */
+    def flush(): Int = {
+      val msgs = buffer.flushBatch(maxBatchSize)
+      if (msgs.nonEmpty) land(msgs)
+      msgs.size
+    }
+
+    /** Drain everything (used at shutdown / test barriers). */
+    def flushAll(): Int = {
+      var total = 0
+      var n = flush()
+      while (n > 0) { total += n; n = flush() }
+      total
+    }
+
+    private def land(msgs: Seq[Array[Byte]]): Unit = {
+      val blob = Wire.joinFrames(msgs)
+      val tmp = Files.createTempFile(landingDir, ".tmp-", ".part")
+      Files.write(tmp, blob)
+      Files.move(tmp, landingDir.resolve(
+        f"batch-${System.currentTimeMillis()}%d-${seq.getAndIncrement()}%06d.bin"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** The streaming transcode pipeline: landing dir → decoded → sink
+    * projection → parquet append. `flushIntervalMs` maps the
+    * reference's writer flush_interval to Trigger.ProcessingTime;
+    * `availableNow` processes the current backlog then stops (used by
+    * the synchronous driver query and tests).
+    */
+  def start(spark: SparkSession, message: PMessage, binding: Binding,
+      landingDir: String, outDir: String, checkpointDir: String,
+      numWriters: Int = 2, flushIntervalMs: Long = 1000,
+      availableNow: Boolean = false): StreamingQuery = {
+    import spark.implicits._
+    val frames = spark.readStream
+      .format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(landingDir)
+      .select(col("content"))
+      .as[Array[Byte]](Encoders.BINARY)
+
+    val decoded = ProtoRows.decodeFramed(frames, message)
+    val transcoded = binding.transcode(decoded)
+
+    transcoded.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(if (availableNow) Trigger.AvailableNow()
+               else Trigger.ProcessingTime(flushIntervalMs))
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        // D3 round-robin across writers ≈ repartition to writer count;
+        // D5 batched atomic append per micro-batch.
+        df.repartition(numWriters).write.mode("append").parquet(outDir)
+      }
+      .start()
+  }
+
+  /** Synchronous end-to-end run over a fixed set of message batches:
+    * admit through the shim (applying the buffer policy), flush all,
+    * stream the backlog with AvailableNow, and return the landed
+    * table. This is the batch-equivalence surface the driver verifies.
+    */
+  def runOnce(spark: SparkSession, message: PMessage, binding: Binding,
+      batches: Seq[Seq[Array[Byte]]], maxBufferSize: Int,
+      onFull: RowBuffer.OnFull, numWriters: Int = 2): DataFrame = {
+    val base = Files.createTempDirectory("graft-ingest-")
+    val landing = base.resolve("landing")
+    val shim = new IngestShim(landing, maxBufferSize, onFull)
+    batches.foreach(b => shim.writeBatch(b))
+    shim.flushAll()
+    val q = start(spark, message, binding, landing.toString,
+      base.resolve("out").toString, base.resolve("ckpt").toString,
+      numWriters = numWriters, availableNow = true)
+    q.awaitTermination()
+    spark.read.parquet(base.resolve("out").toString)
+  }
+}

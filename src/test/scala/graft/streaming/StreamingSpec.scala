@@ -1,0 +1,103 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.bind.SchemaBinder
+import graft.proto.ProtoRows
+import graft.queries.TranscodeE2E
+import org.apache.spark.sql.functions._
+
+/** D1-D5 semantics: buffer policy parity with the reference
+  * (memory_row_buffer.go:47-107) and batch/stream equivalence of the
+  * transcode pipeline.
+  */
+class StreamingSpec extends SparkSpec {
+  import RowBuffer._
+
+  private def buf(size: Int, p: OnFull) = new RowBuffer[Int](size, p)
+
+  test("oversize batch rejected whole (TOO_BIG)") {
+    val b = buf(4, Block)
+    assert(b.writeBatch(1 to 5) == TooBig)
+    assert(b.size == 0)
+  }
+
+  test("drop-oldest evicts the front of the buffer") {
+    val b = buf(4, DropOldest)
+    assert(b.writeBatch(Seq(1, 2, 3)) == Ok)
+    assert(b.writeBatch(Seq(4, 5, 6)) == Ok)
+    // needs 2 more slots → evicts 1, 2; buffer = [3, 4, 5, 6]
+    assert(b.drainAll() == Seq(3, 4, 5, 6))
+  }
+
+  test("drop-newest keeps the TAIL of the incoming batch (head-drop quirk)") {
+    val b = buf(4, DropNewest)
+    assert(b.writeBatch(Seq(1, 2, 3)) == Ok)
+    assert(b.writeBatch(Seq(4, 5, 6)) == Ok)
+    // spareRoom=1: reference keeps batch[2:] = [6] — drops the HEAD
+    // of the new batch, not its tail (memory_row_buffer.go:79-80)
+    assert(b.drainAll() == Seq(1, 2, 3, 6))
+  }
+
+  test("block returns FULL and buffers nothing") {
+    val b = buf(4, Block)
+    assert(b.writeBatch(Seq(1, 2, 3)) == Ok)
+    assert(b.writeBatch(Seq(4, 5)) == Full)
+    assert(b.drainAll() == Seq(1, 2, 3))
+  }
+
+  test("exact-fit batch needs no policy") {
+    val b = buf(4, Block)
+    assert(b.writeBatch(Seq(1, 2)) == Ok)
+    assert(b.writeBatch(Seq(3, 4)) == Ok)
+    assert(b.size == 4)
+  }
+
+  test("flush drains FIFO in chunks (D2)") {
+    val b = buf(10, Block)
+    b.writeBatch(1 to 7)
+    assert(b.flushBatch(3) == Seq(1, 2, 3))
+    assert(b.flushBatch(3) == Seq(4, 5, 6))
+    assert(b.flushBatch(3) == Seq(7))
+    assert(b.flushBatch(3).isEmpty)
+  }
+
+  test("streaming pipeline lands exactly what batch transcode produces") {
+    val binding = SchemaBinder.bind(TranscodeE2E.message, TranscodeE2E.table)
+    val batches = TranscodeE2E.fixtures.grouped(8)
+      .map(_.map(f => ProtoRows.encodeValues(TranscodeE2E.message, f.protoValues)))
+      .toSeq
+
+    val streamed = LandingIngest.runOnce(spark, TranscodeE2E.message, binding,
+      batches, maxBufferSize = 1000, onFull = Block)
+
+    import spark.implicits._
+    val batch = binding.transcode(ProtoRows.decodeFramed(
+      spark.createDataset(TranscodeE2E.frames), TranscodeE2E.message))
+
+    // exact row-set equality both directions (arrays joined: exceptAll
+    // needs hashable columns)
+    def flat(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("name"), col("type"), col("timestamp"), col("value"),
+      array_join(col("`tags.key`"), ",").as("tk"),
+      array_join(col("`tags.value`"), ",").as("tv"),
+      array_join(col("labels"), ",").as("ls"))
+    assert(flat(streamed).exceptAll(flat(batch)).isEmpty)
+    assert(flat(batch).exceptAll(flat(streamed)).isEmpty)
+    assert(streamed.count() == TranscodeE2E.NumRows)
+  }
+
+  test("drop-newest admission shows up in the landed table") {
+    val binding = SchemaBinder.bind(TranscodeE2E.message, TranscodeE2E.table)
+    val msgs = TranscodeE2E.fixtures
+      .map(f => ProtoRows.encodeValues(TranscodeE2E.message, f.protoValues))
+    // capacity 16, batches of 8: first two admitted, the rest dropped
+    // entirely (spareRoom 0 → batch.drop(8) = empty)
+    val streamed = LandingIngest.runOnce(spark, TranscodeE2E.message, binding,
+      msgs.grouped(8).toSeq, maxBufferSize = 16, onFull = DropNewest)
+    assert(streamed.count() == 16)
+    // the admitted rows are fixtures 0..15 (FIFO front of the stream)
+    val values = streamed.select("value").collect().map(_.getLong(0)).sorted
+    val expect = TranscodeE2E.fixtures.take(16).map(_.value).sorted
+    assert(values.toSeq == expect)
+  }
+}
