@@ -164,5 +164,29 @@ object Events {
       GROUP BY 1
       ORDER BY rt"""))
 
-  val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20)
+  /** Q1/Q2 exercised against a REAL partitioned/sorted layout: the
+    * events table landed via PartitionedLayout (PARTITION BY yyyyMMdd,
+    * sorted by (ts, event_type) within partitions), then the q14 day
+    * slice expressed as a p_date partition predicate — Catalyst prunes
+    * every other date directory before IO (PartitionFilters in the
+    * plan, pinned by LayoutSpec), and the ts sort makes the residual
+    * range a row-group-skip. Oracle identical to q14: layout must not
+    * change results.
+    */
+  val q34 = Q(
+    "q34_partitioned_day_slice",
+    (spark, dir) =>
+      graft.sources.PartitionedLayout.events(spark, dir)
+        .filter(col("p_date") === lit("20240105"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type")),
+    Some(s"""
+      SELECT event_type, COUNT(*) AS n, ${oSum("value")} AS sum_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06'
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34)
 }
