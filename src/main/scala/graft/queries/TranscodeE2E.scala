@@ -22,17 +22,16 @@ import java.time.Instant
   */
 object TranscodeE2E {
 
-  val message: PMessage = PMessage(
-    "ExampleMessage",
-    Seq(
-      PField("name", 1, PType.PString),
-      PField("type", 2, PType.PEnum("MessageType",
-        Seq("EMPTY" -> 0, "SMALL" -> 1, "BIG" -> 2))),
-      PField("timestamp", 3, PType.PMessageT(PType.Timestamp)),
-      PField("value", 4, PType.PInt64),
-      PField("tags", 5, PType.PString, mapOf = Some((PType.PString, PType.PString))),
-      PField("labels", 6, PType.PString, repeated = true)),
-    bristleTable = Some("default.example_table"))
+  /** The message schema comes from a checked-in serialized
+    * FileDescriptorSet (src/main/resources/descriptors/example.pb),
+    * loaded at runtime exactly like the reference loads `*.pb`
+    * artifacts (proto_registry.go:45-103) — so the descriptor loader
+    * itself sits on the driver-verified path. DescriptorSetSpec pins
+    * the loaded schema against a hand-built expectation.
+    */
+  val message: PMessage = graft.proto.DescriptorSet.load(
+    getClass.getResourceAsStream("/descriptors/example.pb").readAllBytes()
+  )("ExampleMessage")
 
   /** Sink schema, as the reference would introspect it from
     * system.columns for examples/example.sql.
