@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.pipeline.{Dedup, Similarity, TextOps}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline query surface over the `documents` and
@@ -291,5 +291,43 @@ object Pipeline {
               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
       ORDER BY a, b"""))
 
-  val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32)
+  /** Multimodal feature extraction: documents' payloads treated as an
+    * opaque media lake (binary column + typed metadata), features
+    * computed per partition over raw bytes (mapPartitions — the
+    * mapInPandas batch shape). The oracle recomputes byte-level
+    * features from the source text's codepoints (payloads are ASCII),
+    * so the whole binary path — encode, schema, iterator, histogram,
+    * checksum — is differentially verified.
+    */
+  val q36 = {
+    val histSql = (0 until Multimodal.HistBins)
+      .map(j => s"len(list_filter(codes, c -> c % ${Multimodal.HistBins} = $j))")
+      .mkString(", ")
+    Q(
+      "q36_multimodal_features",
+      (spark, dir) => {
+        val media = Multimodal.asMedia(
+          Tables(spark, dir, "documents").filter(col("doc_id") < 200),
+          "doc_id", "text", modality = "text", format = "utf8")
+        Multimodal.extractFeatures(media)
+          .select(col("media_id"), col("n_bytes"), col("checksum"),
+            array_join(transform(col("hist"), _.cast("string")), ",").as("hist"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+      WITH codes_t AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ''), ch -> unicode(ch)) AS codes
+        FROM documents WHERE doc_id < 200)
+      SELECT doc_id AS media_id,
+             CAST(len(codes) AS INT) AS n_bytes,
+             list_reduce(list_prepend(0::BIGINT, codes),
+               (a, c) -> (a * 31 + c) % 1000000007) AS checksum,
+             concat_ws(',', """ + histSql + """) AS hist
+      FROM codes_t
+      ORDER BY media_id"""))
+  }
+
+  val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
+    q36)
 }

@@ -68,6 +68,24 @@ object TranscodeE2E {
       value, tags.toMap, labels)
 
     def tsMillis: Long = tsSeconds * 1000L + tsMillisPart
+
+    /** protojson rendering (enum NAME, RFC3339 timestamp, map object,
+      * repeated array) — the line format the reference's JSON
+      * forwarder consumes (cmd/bristle-forward-json/main.go:29-38).
+      */
+    def protojsonLine: String = {
+      val enumName = Seq("EMPTY", "SMALL", "BIG")(typeCode)
+      val iso = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(Instant.ofEpochSecond(tsSeconds))
+      val tagsJson = tags.map { case (k, v) => s""""$k":"$v"""" }
+        .mkString("{", ",", "}")
+      val labelsJson = labels.map(l => s""""$l"""").mkString("[", ",", "]")
+      s"""{"name":"$name","type":"$enumName",""" +
+        s""""timestamp":"$iso.${"%03d".format(tsMillisPart)}Z",""" +
+        s""""value":$value,"tags":$tagsJson,"labels":$labelsJson}"""
+    }
   }
 
   val fixtures: Seq[Fixture] = (0 until NumRows).map(Fixture)
@@ -146,5 +164,29 @@ object TranscodeE2E {
     },
     q25.oracle)
 
-  val all: Seq[Q] = Seq(q25, q33)
+  /** S5: the same fixture rows ingested as protojson lines (the
+    * reference's bristle-forward-json input format) through
+    * JsonLines.parse → the SAME binding — one binder, two wire
+    * formats, one oracle.
+    */
+  val q35 = Q(
+    "q35_jsonl_ingest",
+    (spark, _) => {
+      import spark.implicits._
+      val binding = SchemaBinder.bind(message, table)
+      val lines = spark.createDataset(fixtures.map(_.protojsonLine))
+      binding.transcode(graft.streaming.JsonLines.parse(lines, message))
+        .select(
+          col("name"),
+          col("type").as("type_code"),
+          unix_millis(col("timestamp")).as("ts_ms"),
+          col("value"),
+          array_join(col("`tags.key`"), ",").as("tag_keys"),
+          array_join(col("`tags.value`"), ",").as("tag_values"),
+          array_join(col("labels"), ",").as("labels"))
+        .orderBy(col("value"))
+    },
+    q25.oracle)
+
+  val all: Seq[Q] = Seq(q25, q33, q35)
 }

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.proto.{PMessage, PType}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** S5: JSON-lines source — the engine-side analog of the reference's
+  * bristle-forward-json producer (cmd/bristle-forward-json/main.go:25-46),
+  * which reads protojson lines and forwards decoded messages.
+  *
+  * protojson conventions honored: enums carried as their NAMES,
+  * google.protobuf.Timestamp as RFC3339 strings; maps as JSON objects,
+  * repeated fields as arrays. `parse` lands rows in the exact decoded
+  * shape [[graft.proto.ProtoRows.decode]] produces, so the same
+  * [[graft.bind.Binding]] transcodes either source — one binder, two
+  * wire formats.
+  */
+object JsonLines {
+
+  /** The JSON-facing schema: like PMessage.structType but enums and
+    * timestamps arrive as strings.
+    */
+  def jsonSchema(m: PMessage): StructType = StructType(m.fields.map { f =>
+    def asJson(t: PType): DataType = t match {
+      case PType.PEnum(_, _) => StringType
+      case tt if PType.isTimestamp(tt) => StringType
+      case tt => PType.sparkType(tt)
+    }
+    val dt =
+      if (f.mapOf.isDefined)
+        MapType(asJson(f.mapOf.get._1), asJson(f.mapOf.get._2))
+      else if (f.repeated) ArrayType(asJson(f.ptype))
+      else asJson(f.ptype)
+    StructField(f.name, dt)
+  })
+
+  /** Parse JSON lines into the decoded-message shape (protojson enum
+    * names → numbers, RFC3339 → TimestampType, absent fields → proto3
+    * zero values — the same parity rule the wire decoder applies).
+    */
+  def parse(lines: Dataset[String], m: PMessage): DataFrame = {
+    val parsed = lines.select(
+      from_json(col("value"), jsonSchema(m), Map("mode" -> "FAILFAST")).as("j"))
+    val cols: Seq[Column] = m.fields.map { f =>
+      val j = col(s"j.${f.name}")
+      val e: Column = f.ptype match {
+        case PType.PEnum(_, values) if !f.repeated && f.mapOf.isEmpty =>
+          val dict = map(values.flatMap { case (n, v) =>
+            Seq(lit(n), lit(v)) }: _*)
+          coalesce(element_at(dict, j), lit(0))
+        case t if PType.isTimestamp(t) =>
+          coalesce(to_timestamp(j, "yyyy-MM-dd'T'HH:mm:ss.SSSX"),
+            lit("1970-01-01 00:00:00").cast(TimestampType))
+        case _ =>
+          // proto3 zero-value parity for absent JSON fields
+          val z = PType.zero(f.ptype) match {
+            case null => lit(null)
+            case s: String => lit(s)
+            case b: Boolean => lit(b)
+            case d: Double => lit(d)
+            case fl: Float => lit(fl)
+            case i: Int => lit(i)
+            case l: Long => lit(l)
+            case other => lit(other.toString)
+          }
+          if (f.repeated)
+            coalesce(j, array().cast(ArrayType(PType.sparkType(f.ptype))))
+          else if (f.mapOf.isDefined) coalesce(j,
+            map().cast(MapType(PType.sparkType(f.mapOf.get._1),
+              PType.sparkType(f.mapOf.get._2))))
+          else coalesce(j.cast(PType.sparkType(f.ptype)), z)
+      }
+      e.as(f.name)
+    }
+    parsed.select(cols: _*)
+  }
+}
