@@ -1,0 +1,51 @@
+package graft.bind
+
+import graft.SparkSpec
+import graft.types.ChType
+
+/** S6: footer introspection round-trips through the ChType parser and
+  * can feed bind() directly.
+  */
+class CatalogSpec extends SparkSpec {
+
+  test("every rendered type string parses back to the same Spark type") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", StringType, nullable = true),
+      StructField("c", DoubleType, nullable = false),
+      StructField("d", TimestampType, nullable = true),
+      StructField("e", ArrayType(StringType, containsNull = false), nullable = false),
+      StructField("f", DecimalType(38, 6), nullable = false),
+      StructField("g", ByteType, nullable = false),
+      StructField("h", BooleanType, nullable = true)))
+    val cols = ChCatalog.fromSchema(schema)
+    assert(cols.map(_.position) == (1 to 8))
+    cols.zip(schema.fields).foreach { case (c, f) =>
+      val parsed = ChType.parse(c.typeString)
+      assert(parsed.spark == f.dataType, s"${c.typeString} vs ${f.dataType}")
+      assert(parsed.nullable == (f.nullable && !f.dataType.isInstanceOf[ArrayType]))
+    }
+    assert(cols.find(_.name == "e").get.default == "[]")
+  }
+
+  test("introspected parquet footer binds a matching message") {
+    import graft.proto.{PField, PMessage, PType}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-").toString
+    Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("id", "name", "score")
+      .write.mode("overwrite").parquet(dir)
+
+    val cols = ChCatalog.fromParquet(spark, dir)
+    val msg = PMessage("M", Seq(
+      PField("id", 1, PType.PInt64),
+      PField("name", 2, PType.PString),
+      PField("score", 3, PType.PDouble)))
+    val binding = SchemaBinder.bind(msg, cols)
+    assert(binding.columns.map(_.name) == Seq("id", "name", "score"))
+    // transcode over the landed data itself is the identity
+    val out = binding.transcode(spark.read.parquet(dir))
+    assert(out.orderBy("id").collect().map(_.toSeq).toSeq ==
+      Seq(Seq(1L, "x", 1.5), Seq(2L, "y", 2.5)))
+  }
+}
