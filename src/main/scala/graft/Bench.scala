@@ -21,22 +21,36 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm-up: exercise the parquet reader, a shuffle agg, and
+    // the noop sink once, so the first timed query doesn't pay ~6 s of
+    // codegen/classloading init (BENCH_r02 q01 = 8.1 s vs ~1 s steady).
+    try {
+      spark.read.parquet(s"$sfDir/nation.parquet")
+        .groupBy("n_regionkey").count()
+        .write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
     // Stable order: registry order, so per-query JIT/cache warm-up
     // noise is at least consistent across rounds.
+    var failed = List.empty[String]
     val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
+          failed ::= q.name
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    // The one stdout line:
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The one stdout line; "failed" lets downstream consumers tell a
+    // healthy total from one with crashed queries (ADVICE r2).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

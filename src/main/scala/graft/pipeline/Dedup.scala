@@ -1,7 +1,12 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.storage.StorageLevel
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Deduplication operators: exact (hash-groupBy), MinHash+LSH banded
   * near-dup, and SimHash hamming near-dup.
@@ -12,8 +17,13 @@ import org.apache.spark.sql.functions._
   * - near-dup NEVER does all-pairs — candidate pairs come from a
   *   groupBy on (band, band-signature) buckets, so the shuffle volume
   *   is rows × bands, and only bucket-colliding pairs are verified;
-  * - signature computation is per-row Column expression work
-  *   (codegen'd, map-side, embarrassingly parallel).
+  * - signature computation is per-row, map-side, embarrassingly
+  *   parallel. The hot kernels (MinHash slots, SimHash majority vote)
+  *   run as single-pass JVM functions rather than nested higher-order
+  *   Column expressions: the HOF form allocates one array per slot per
+  *   row in interpreted eval and measured ~800x slower at bench scale
+  *   (BENCH_r02 q24 = 1011 s). The Column forms are kept as the
+  *   executable spec; PipelineSpec proves the kernels bit-identical.
   */
 object Dedup {
 
@@ -53,21 +63,67 @@ object Dedup {
       xxhash64(lit(b) +: slots: _*)
     }: _*)
 
+  /** Spark's xxhash64 chain seed (XxHash64 expression default). */
+  private val XxSeed = 42L
+  // Pre-chained seeds so the kernel's per-shingle work is exactly one
+  // string hash per slot: slotSeeds(j) == state after hashing the Int
+  // literal j, bandSeeds(b) == state after hashing the Int literal b —
+  // the same chains xxhash64(j, s) / xxhash64(b, slots...) walk.
+  private lazy val slotSeeds: Array[Long] =
+    Array.tabulate(K)(j => XxHash64Function.hash(j, IntegerType, XxSeed))
+  private lazy val bandSeeds: Array[Long] =
+    Array.tabulate(Bands)(b => XxHash64Function.hash(b, IntegerType, XxSeed))
+
+  /** Single-pass JVM kernel for `bandKeys(minhashSignature(sh))`,
+    * bit-identical on non-empty shingle sets (PipelineSpec proves it):
+    * one UTF8String conversion per shingle, K running minima, zero
+    * intermediate arrays.
+    */
+  val minhashBandKeysKernel: UserDefinedFunction = udf { (sh: Seq[String]) =>
+    val mins = Array.fill(K)(Long.MaxValue)
+    sh.foreach { s =>
+      val u = UTF8String.fromString(s)
+      var j = 0
+      while (j < K) {
+        val h = XxHash64Function.hash(u, StringType, slotSeeds(j))
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+    }
+    Array.tabulate(Bands) { b =>
+      var h = bandSeeds(b)
+      var o = 0
+      while (o < RowsPerBand) {
+        h = XxHash64Function.hash(mins(b * RowsPerBand + o), LongType, h)
+        o += 1
+      }
+      h
+    }
+  }
+
   /** Candidate near-dup pairs (a < b) from LSH band-bucket collisions,
     * then exact-Jaccard verified at `threshold` on the original
     * shingle sets. Returns (idA, idB, jaccard).
+    *
+    * The shingle sets and bucket keys are persisted and materialized
+    * once: both sides of the bucket self-join and both verify sides
+    * read the cache instead of re-deriving signatures 2-4x
+    * (ADVICE r2 #1).
     */
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       threshold: Double): DataFrame = {
     val sh = docs
       .select(col(idCol).as("id"),
-        TextOps.shingles(TextOps.words(col(textCol))).as("sh"))
+        TextOps.shinglesKernel()(TextOps.words(col(textCol))).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // (id, band, bucket) — rows × Bands, the only "expansion" shuffle.
     val buckets = sh
       .select(col("id"),
-        posexplode(bandKeys(minhashSignature(col("sh")))).as(Seq("band", "bucket")))
+        posexplode(minhashBandKeysKernel(col("sh"))).as(Seq("band", "bucket")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    buckets.count() // materialize sh + buckets before the self-join
 
     val pairs = buckets.as("x")
       .join(buckets.as("y"),
@@ -82,11 +138,21 @@ object Dedup {
     val shA = sh.select(col("id").as("a"), col("sh").as("sh_a"))
     val shB = sh.select(col("id").as("b"), col("sh").as("sh_b"))
     pairs.join(shA, "a").join(shB, "b")
-      .withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
-      .select(col("a"), col("b"), (col("inter") / col("uni")).as("jaccard"))
+      .select(col("a"), col("b"),
+        jaccardKernel(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact Jaccard of two already-distinct string arrays — identical
+    * to size(array_intersect)/size(array_union) on distinct inputs
+    * (int-derived division, bit-exact across engines).
+    */
+  val jaccardKernel: UserDefinedFunction = udf { (a: Seq[String], b: Seq[String]) =>
+    val sa = a.toSet
+    var inter = 0
+    b.foreach(s => if (sa.contains(s)) inter += 1)
+    val uni = sa.size + b.size - inter
+    inter.toDouble / uni
   }
 
   /** SimHash bit width. 60 bits so every intermediate fits a positive
@@ -118,6 +184,37 @@ object Dedup {
 
   def simhash(ws: Column): Column = simhashFromHashes(transform(ws, tokenHash60 _))
 
+  /** JVM mirror of [[tokenHash60]]: the top 15 hex chars of md5(token)
+    * are the high 60 bits of its first 8 bytes.
+    */
+  def tokenHash60Jvm(w: String): Long = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (dig(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+
+  /** Single-pass JVM kernel for `simhash(ws)`, bit-identical
+    * (PipelineSpec proves it): one md5 per token, 60 running bit
+    * counts — the HOF form re-filters the full hash array per bit.
+    */
+  val simhashKernel: UserDefinedFunction = udf { (ws: Seq[String]) =>
+    val counts = new Array[Int](SimBits)
+    var n = 0
+    ws.foreach { w =>
+      val h = tokenHash60Jvm(w)
+      var i = 0
+      while (i < SimBits) { if (((h >>> i) & 1L) != 0L) counts(i) += 1; i += 1 }
+      n += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < SimBits) { if (counts(i) * 2 > n) out |= (1L << i); i += 1 }
+    out
+  }
+
   /** SimHash near-dup pairs with hamming distance ≤ maxDist, found via
     * the pigeonhole principle: split the 60-bit hash into `chunks`
     * 15-bit chunks; any pair within distance chunks-1 shares at least
@@ -130,12 +227,14 @@ object Dedup {
     require(maxDist < SimChunks, "pigeonhole needs maxDist < chunks")
     val bitsPerChunk = SimBits / SimChunks
     val hashed = docs.select(col(idCol).as("id"),
-      simhash(TextOps.words(col(textCol))).as("h"))
+      simhashKernel(TextOps.words(col(textCol))).as("h"))
     val chunkArr = array((0 until SimChunks).map(c =>
       shiftrightunsigned(col("h"), c * bitsPerChunk)
         .bitwiseAND((1L << bitsPerChunk) - 1)): _*)
     val chunked = hashed.select(col("id"), col("h"),
       posexplode(chunkArr).as(Seq("chunk", "key")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    chunked.count() // hash each doc once; the self-join reads the cache
     chunked.as("x")
       .join(chunked.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&

@@ -1,8 +1,10 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.expressions.{UserDefinedFunction, Window}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
 
 /** Similarity search over an embedding column (array<float>).
   *
@@ -18,20 +20,35 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential-fold dot product of two double arrays — the executable
+    * spec for [[dotKernel]] and the shape the oracle's
+    * list_dot_product evaluates.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, z) => acc + z)
+
+  /** JVM kernel for [[dot]]: identical left-to-right IEEE accumulation
+    * (PipelineSpec proves bit-equality), minus the per-element HOF
+    * interpretation cost that dominated BENCH_r02 q30/q32.
+    */
+  val dotKernel: UserDefinedFunction = udf { (a: Seq[Double], b: Seq[Double]) =>
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
 
   /** cosine(a, b) computed as dot/(sqrt(dot_aa)*sqrt(dot_bb)) — the
     * exact expression the oracle uses.
     */
   def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
-    dot(a, b) / (na * nb)
+    dotKernel(a, b) / (na * nb)
 
   private def withNorm(df: DataFrame, idCol: String, vecCol: String,
       id: String, v: String, n: String): DataFrame =
     df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v))
-      .withColumn(n, sqrt(dot(col(v), col(v))))
+      .withColumn(n, sqrt(dotKernel(col(v), col(v))))
 
   /** Exact cosine top-k: for each query vector (filtered by
     * `queryPred` on the id), the k nearest corpus vectors. The query
@@ -85,6 +102,39 @@ object Similarity {
       when(proj >= 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** JVM mirror of [[planeComponent]] — same xxhash64 chain, same
+    * positive-mod arithmetic.
+    */
+  private def planeComponentJvm(p: Int, d: Int): Double = {
+    val m = 2000001L
+    val h = XxHash64Function.hash(d, IntegerType,
+      XxHash64Function.hash(p, IntegerType, 42L))
+    ((((h % m) + m) % m) - 1000000L).toDouble / 1000000.0
+  }
+
+  // plane components memoized for the common dim range; computed on
+  // the fly past it (identical values either way)
+  private lazy val planeCache: Array[Array[Double]] =
+    Array.tabulate(HyperBits, 1024)(planeComponentJvm)
+  private def planeOf(p: Int, d: Int): Double =
+    if (d < 1024) planeCache(p)(d) else planeComponentJvm(p, d)
+
+  /** JVM kernel for [[lshBucket]]: identical projections and sign
+    * bits (PipelineSpec proves equality), one pass per plane.
+    */
+  val lshBucketKernel: UserDefinedFunction = udf { (v: Seq[Double]) =>
+    var bucket = 0L
+    var p = 0
+    while (p < HyperBits) {
+      var proj = 0.0
+      var d = 0
+      while (d < v.length) { proj += v(d) * planeOf(p, d); d += 1 }
+      if (proj >= 0) bucket += (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
   /** Multi-probe buckets: every bucket within [[ProbeFlips]] bit
     * flips of the exact bucket.
     */
@@ -103,11 +153,11 @@ object Similarity {
   def annTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column => Column, k: Int): DataFrame = {
     val corpus = withNorm(emb, idCol, vecCol, "nid", "cv", "cn")
-      .withColumn("bucket", lshBucket(col("cv")))
+      .withColumn("bucket", lshBucketKernel(col("cv")))
     val queries = withNorm(emb.filter(queryPred(col(idCol))),
       idCol, vecCol, "qid", "qv", "qn")
       .withColumn("bucket",
-        explode(probeBuckets(lshBucket(col("qv")))))
+        explode(probeBuckets(lshBucketKernel(col("qv")))))
     val scored = corpus.join(broadcast(queries), "bucket")
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
@@ -121,22 +171,57 @@ object Similarity {
         col("nid").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Primitive-array dot — same left-to-right IEEE accumulation as
+    * [[dot]]/[[dotKernel]].
+    */
+  def dotJvm(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
   /** Embedding-cosine near-dup pairs above `threshold`, exact
     * upper-triangle comparison with the corpus capped at `maxId` so
-    * the quadratic stays bounded at bench scale; the approximate
-    * unbounded path is [[annTopK]]'s bucketing.
+    * the quadratic stays bounded; the approximate unbounded path is
+    * [[annTopK]]'s bucketing.
+    *
+    * Executed as a broadcast of the capped reference set (primitive
+    * matrix, bounded by contract — the same shape BroadcastExchange
+    * ships for a dim table) against a distributed scan of the same
+    * rows: each task loops the upper triangle in plain JVM code. A
+    * Column-level cross join evaluates the scoring UDF per ordered
+    * pair with per-call array conversion — measured 8x slower
+    * (BENCH_r02 q32) for identical output.
     */
   def cosineNearDups(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, maxId: Long): DataFrame = {
-    val side = withNorm(emb.filter(col(idCol) < maxId), idCol, vecCol,
-      "id", "v", "n")
-    side.select(col("id").as("a"), col("v").as("va"), col("n").as("na"))
-      .crossJoin(side.select(col("id").as("b"), col("v").as("vb"),
-        col("n").as("nb")))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        cosine(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
-      .filter(col("cos") >= threshold)
-      .select(col("a"), col("b"), round(col("cos"), 6).as("cosine"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val side = emb.filter(col(idCol) < maxId)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+    val ref = side.collect().sortBy(_._1)
+    val ids = ref.map(_._1)
+    val vecs = ref.map(_._2)
+    val norms = vecs.map(v => math.sqrt(dotJvm(v, v)))
+    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
+    side.flatMap { case (a, va) =>
+      val (ids, vecs, norms) = bc.value
+      val na = math.sqrt(dotJvm(va, va))
+      val start = java.util.Arrays.binarySearch(ids, a) + 1
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      var i = if (start > 0) start else -start // a always present; guard anyway
+      while (i < ids.length) {
+        val c = dotJvm(va, vecs(i)) / (na * norms(i))
+        if (c >= threshold) // NaN (zero norm) compares false, as in SQL
+          out += ((a, ids(i), java.math.BigDecimal.valueOf(c)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()))
+        i += 1
+      }
+      out.result()
+    }.toDF("a", "b", "cosine")
   }
 }

@@ -28,6 +28,29 @@ object TextOps {
         concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*))))
       .otherwise(array().cast("array<string>"))
 
+  /** JVM kernel for [[shingles]]: identical output including
+    * first-occurrence distinct order (PipelineSpec proves it). The HOF
+    * form evaluates interpreted per position and measured ~8 s for
+    * 5000 docs at bench scale.
+    */
+  def shinglesKernel(n: Int = 3): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (ws: Seq[String]) =>
+      if (ws.length < n) Array.empty[String]
+      else {
+        val arr = ws.toArray
+        val seen = new java.util.LinkedHashSet[String]()
+        var i = 0
+        while (i + n <= arr.length) {
+          val sb = new java.lang.StringBuilder(arr(i))
+          var k = 1
+          while (k < n) { sb.append(' ').append(arr(i + k)); k += 1 }
+          seen.add(sb.toString)
+          i += 1
+        }
+        seen.toArray(Array.empty[String])
+      }
+    }
+
   /** Language stopword marker sets for the n-gram/stopword language-ID
     * heuristic. Tiny on purpose: language ID at corpus scale is a
     * per-row marker count, not a model.

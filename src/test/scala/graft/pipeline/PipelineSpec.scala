@@ -63,6 +63,49 @@ class PipelineSpec extends SparkSpec {
     assert(found.exceptAll(truth).isEmpty, "verification let a false pair through")
   }
 
+  test("kernels are bit-identical to their Column-expression specs") {
+    // shingles: kernel vs Column form, including distinct order
+    val shc = docs.limit(100).select(
+        TextOps.shingles(TextOps.words(col("text"))).as("ref"),
+        TextOps.shinglesKernel()(TextOps.words(col("text"))).as("fast"))
+      .collect()
+    shc.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
+      "shingle kernel diverges"))
+    // MinHash band keys: kernel vs bandKeys(minhashSignature(...))
+    val sh = docs.limit(100).select(col("doc_id"),
+        TextOps.shingles(TextOps.words(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val bands = sh.select(col("doc_id"),
+        Dedup.bandKeys(Dedup.minhashSignature(col("sh"))).as("ref"),
+        Dedup.minhashBandKeysKernel(col("sh")).as("fast"))
+      .collect()
+    assert(bands.nonEmpty)
+    bands.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"minhash kernel diverges for doc ${r.getLong(0)}")
+    }
+    // SimHash: kernel vs simhash(...) (includes the empty-token edge)
+    val sims = docs.limit(100).select(col("doc_id"),
+        Dedup.simhash(TextOps.words(col("text"))).as("ref"),
+        Dedup.simhashKernel(TextOps.words(col("text"))).as("fast"))
+      .collect()
+    sims.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"simhash kernel diverges for doc ${r.getLong(0)}"))
+    // dot + lshBucket: kernels vs HOF forms on real embeddings
+    val pairs = emb.limit(50).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"),
+        Similarity.dot(col("v"), col("v")).as("dref"),
+        Similarity.dotKernel(col("v"), col("v")).as("dfast"),
+        Similarity.lshBucket(col("v")).as("bref"),
+        Similarity.lshBucketKernel(col("v")).as("bfast"))
+      .collect()
+    pairs.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2), s"dot kernel diverges: ${r}")
+      assert(r.getLong(3) == r.getLong(4), s"lsh bucket kernel diverges: ${r}")
+    }
+  }
+
   test("simhash: identical → distance 0; token tweak stays close; disjoint far") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val tweaked = ((1 to 57).map(i => s"w$i") ++ Seq("q1", "q2", "q3")).mkString(" ")
