@@ -72,6 +72,9 @@ object TranscodeE2E {
     /** protojson rendering (enum NAME, RFC3339 timestamp, map object,
       * repeated array) — the line format the reference's JSON
       * forwarder consumes (cmd/bristle-forward-json/main.go:29-38).
+      * Fraction width cycles through protojson's legal renderings
+      * (none / 3 / 6 / 9 digits, same instant) so q35 exercises every
+      * width the spec allows (ADVICE r2 #2).
       */
     def protojsonLine: String = {
       val enumName = Seq("EMPTY", "SMALL", "BIG")(typeCode)
@@ -79,11 +82,17 @@ object TranscodeE2E {
         .ofPattern("yyyy-MM-dd'T'HH:mm:ss")
         .withZone(java.time.ZoneOffset.UTC)
         .format(Instant.ofEpochSecond(tsSeconds))
+      val frac = (i % 4) match {
+        case 0 if tsMillisPart == 0 => ""
+        case 0 | 1 => ".%03d".format(tsMillisPart)
+        case 2 => ".%06d".format(tsMillisPart * 1000)
+        case _ => ".%09d".format(tsMillisPart.toLong * 1000000L)
+      }
       val tagsJson = tags.map { case (k, v) => s""""$k":"$v"""" }
         .mkString("{", ",", "}")
       val labelsJson = labels.map(l => s""""$l"""").mkString("[", ",", "]")
       s"""{"name":"$name","type":"$enumName",""" +
-        s""""timestamp":"$iso.${"%03d".format(tsMillisPart)}Z",""" +
+        s""""timestamp":"$iso${frac}Z",""" +
         s""""value":$value,"tags":$tagsJson,"labels":$labelsJson}"""
     }
   }

@@ -28,7 +28,13 @@ object PartitionedLayout {
     */
   def write(df: DataFrame, tsCol: String, sortCols: Seq[String],
       outDir: String): String = {
-    df.withColumn("p_date", date_format(col(tsCol), "yyyyMMdd"))
+    // UTC calendar day derived from the epoch instant (tz-independent
+    // arithmetic), not date_format — so the layout doesn't shift if a
+    // caller runs with a non-UTC session timezone (ADVICE r2 #5).
+    val utcDays = floor(unix_millis(col(tsCol)) / lit(86400000L)).cast("int")
+    val pDate = date_format(date_add(to_date(lit("1970-01-01")), utcDays),
+      "yyyyMMdd")
+    df.withColumn("p_date", pDate)
       .repartition(col("p_date"))
       .sortWithinPartitions(col(tsCol) +: sortCols.map(col): _*)
       .write.mode("overwrite")
@@ -49,6 +55,12 @@ object PartitionedLayout {
       val out = Files.createTempDirectory("graft-layout-events-").toString
       write(graft.Tables(spark, dir, "events"), "ts", Seq("event_type"), out)
     })
-    spark.read.parquet(root)
+    // Explicit schema keeps p_date a STRING partition column: without
+    // it, partition-type inference reads yyyyMMdd as IntegerType and
+    // string comparisons prune only via fragile cast-unwrapping
+    // (ADVICE r2 #5).
+    val schema = graft.Tables(spark, dir, "events").schema
+      .add("p_date", org.apache.spark.sql.types.StringType)
+    spark.read.schema(schema).parquet(root)
   }
 }

@@ -50,8 +50,20 @@ object JsonLines {
             Seq(lit(n), lit(v)) }: _*)
           coalesce(element_at(dict, j), lit(0))
         case t if PType.isTimestamp(t) =>
-          coalesce(to_timestamp(j, "yyyy-MM-dd'T'HH:mm:ss.SSSX"),
-            lit("1970-01-01 00:00:00").cast(TimestampType))
+          // protojson emits RFC3339 with 0, 3, 6, or 9 fractional
+          // digits (protobuf JSON mapping); accept all four widths.
+          // Zero-value parity applies only to ABSENT fields; a present
+          // but unparseable timestamp raises (P11 FAILFAST parity)
+          // instead of silently landing as epoch (ADVICE r2 #2).
+          val widths = Seq("yyyy-MM-dd'T'HH:mm:ssX",
+            "yyyy-MM-dd'T'HH:mm:ss.SSSX",
+            "yyyy-MM-dd'T'HH:mm:ss.SSSSSSX",
+            "yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSSX")
+          val parsed = coalesce(widths.map(p => try_to_timestamp(j, lit(p))): _*)
+          when(j.isNull, lit("1970-01-01 00:00:00").cast(TimestampType))
+            .otherwise(coalesce(parsed,
+              raise_error(concat(lit(s"unparseable timestamp ${f.name}: "), j))
+                .cast(TimestampType)))
         case _ =>
           // proto3 zero-value parity for absent JSON fields
           val z = PType.zero(f.ptype) match {

@@ -22,8 +22,8 @@ import java.util.concurrent.atomic.AtomicLong
   *
   * The foreachBatch sink is the Spark analog of the reference's
   * transactional batched INSERT (clickhouse_table_writer.go:115-149):
-  * each micro-batch is one atomic append whose batchId makes retries
-  * idempotent-by-convention.
+  * each micro-batch dynamically overwrites its own batchId-keyed
+  * partition, so a micro-batch replay is idempotent.
   */
 object LandingIngest {
 
@@ -96,13 +96,26 @@ object LandingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(if (availableNow) Trigger.AvailableNow()
                else Trigger.ProcessingTime(flushIntervalMs))
-      .foreachBatch { (df: DataFrame, _: Long) =>
-        // D3 round-robin across writers ≈ repartition to writer count;
-        // D5 batched atomic append per micro-batch.
-        df.repartition(numWriters).write.mode("append").parquet(outDir)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        sinkBatch(df, batchId, outDir, numWriters)
       }
       .start()
   }
+
+  /** D5 sink: one micro-batch = one dynamic overwrite of its own
+    * batchId-keyed partition, with D3's round-robin writer
+    * repartition. A replay after an append-but-before-checkpoint
+    * crash overwrites its own partition instead of double-appending —
+    * actually idempotent, not by convention (ADVICE r2 #3).
+    */
+  def sinkBatch(df: DataFrame, batchId: Long, outDir: String,
+      numWriters: Int): Unit =
+    df.withColumn("p_batch", lit(batchId))
+      .repartition(numWriters)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("p_batch")
+      .parquet(outDir)
 
   /** Synchronous end-to-end run over a fixed set of message batches:
     * admit through the shim (applying the buffer policy), flush all,
@@ -121,6 +134,7 @@ object LandingIngest {
       base.resolve("out").toString, base.resolve("ckpt").toString,
       numWriters = numWriters, availableNow = true)
     q.awaitTermination()
-    spark.read.parquet(base.resolve("out").toString)
+    // p_batch is sink bookkeeping (idempotent replay), not payload
+    spark.read.parquet(base.resolve("out").toString).drop("p_batch")
   }
 }

@@ -86,6 +86,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == TranscodeE2E.NumRows)
   }
 
+  test("D5 sink replay of a micro-batch is idempotent per batchId") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-sink-").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    LandingIngest.sinkBatch(df, batchId = 0L, out, numWriters = 2)
+    LandingIngest.sinkBatch(df, batchId = 0L, out, numWriters = 2) // replay
+    assert(spark.read.parquet(out).count() == 2, "replay double-appended")
+    LandingIngest.sinkBatch(df, batchId = 1L, out, numWriters = 2)
+    assert(spark.read.parquet(out).count() == 4, "new batch must append")
+  }
+
+  test("protojson timestamps: all legal fraction widths; absent → epoch; garbage raises") {
+    import spark.implicits._
+    def line(ts: String) =
+      s"""{"name":"x","type":"SMALL","timestamp":$ts,"value":1,"tags":{},"labels":[]}"""
+    val ok = Seq(
+      line("\"2021-06-01T12:44:56Z\""),
+      line("\"2021-06-01T12:44:56.004Z\""),
+      line("\"2021-06-01T12:44:56.004000Z\""),
+      line("\"2021-06-01T12:44:56.004000000Z\""),
+      """{"name":"absent","type":"SMALL","value":1,"tags":{},"labels":[]}""")
+    val ms = JsonLines.parse(spark.createDataset(ok), TranscodeE2E.message)
+      .select(unix_millis(col("timestamp"))).collect().map(_.getLong(0))
+    assert(ms.toSeq == Seq(1622551496000L, 1622551496004L, 1622551496004L,
+      1622551496004L, 0L))
+    val bad = JsonLines.parse(
+      spark.createDataset(Seq(line("\"not-a-time\""))), TranscodeE2E.message)
+    intercept[Exception] { bad.collect() }
+  }
+
   test("drop-newest admission shows up in the landed table") {
     val binding = SchemaBinder.bind(TranscodeE2E.message, TranscodeE2E.table)
     val msgs = TranscodeE2E.fixtures
