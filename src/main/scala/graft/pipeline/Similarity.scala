@@ -18,7 +18,7 @@ import org.apache.spark.sql.types.IntegerType
   * with left-to-right accumulation, matching DuckDB's
   * list_dot_product on DOUBLE[] so oracle hashes agree bit-for-bit.
   */
-object Similarity {
+object Similarity extends Serializable {
 
   /** Sequential-fold dot product of two double arrays — the executable
     * spec for [[dotKernel]] and the shape the oracle's
@@ -163,6 +163,59 @@ object Similarity {
       .select(col("qid"), col("nid"),
         cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("cos"))
       .distinct() // a pair can collide through several probes
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("nid").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** IVF (inverted-file) approximate top-k — the other standard scale
+    * path next to [[annTopK]]'s hyperplane LSH: a small coarse
+    * quantizer partitions the corpus into nlist cells; queries probe
+    * only the nprobe nearest cells and exact-rerank the candidates.
+    * Shuffle volume is corpus x 1 (cell assignment) + queries x
+    * nprobe, never corpus x queries.
+    *
+    * The quantizer here is the nlist lowest-id vectors, broadcast as a
+    * primitive matrix — deterministic by construction so the harness
+    * is reproducible; at real scale you'd train it with k-means|| and
+    * broadcast the trained centroids the same way (the assignment and
+    * probe plumbing — the Spark-side shape — is identical).
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column => Column, k: Int, nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = emb
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .orderBy(col("id")).limit(nlist).collect().map(_._2)
+    val centNorms = cents.map(c => math.sqrt(dotJvm(c, c)))
+    val bc = spark.sparkContext.broadcast((cents, centNorms))
+
+    def cellsOf(v: Seq[Double], m: Int): Array[Int] = {
+      val (cs, ns) = bc.value
+      val va = v.toArray
+      val nv = math.sqrt(dotJvm(va, va))
+      cs.indices.map(i => (dotJvm(va, cs(i)) / (nv * ns(i)), i))
+        .sortBy { case (c, i) => (-c, i) }.take(m).map(_._2).toArray
+    }
+    val assignCell = udf((v: Seq[Double]) => cellsOf(v, 1)(0))
+    val probeCells = udf((v: Seq[Double]) => cellsOf(v, nprobe))
+
+    val corpus = withNorm(emb, idCol, vecCol, "nid", "cv", "cn")
+      .withColumn("cell", assignCell(col("cv")))
+    val queries = withNorm(emb.filter(queryPred(col(idCol))),
+      idCol, vecCol, "qid", "qv", "qn")
+      .withColumn("cell", explode(probeCells(col("qv"))))
+    val scored = corpus.join(broadcast(queries), "cell")
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))

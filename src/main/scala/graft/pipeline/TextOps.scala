@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * Every computation is also expressible in ANSI-ish SQL so the DuckDB
   * oracle can recompute it exactly (see queries/Pipeline.scala).
   */
-object TextOps {
+object TextOps extends Serializable {
 
   /** Whitespace tokenization (single-space corpus). */
   def words(text: Column): Column = split(text, " ")

@@ -328,6 +328,46 @@ object Pipeline {
       ORDER BY media_id"""))
   }
 
+  /** N-gram (bigram) Jaccard near-dup pairs at >= 0.6 via the
+    * prefix-filtered set-similarity join — deterministic and complete
+    * by the prefix-filter theorem, so the exact all-pairs oracle is a
+    * true differential test of the whole candidate+verify pipeline
+    * (no recall luck involved, unlike LSH).
+    */
+  val q37 = Q(
+    "q37_ngram_jaccard",
+    (spark, dir) =>
+      Dedup.ngramJaccardNearDups(Tables(spark, dir, "documents"),
+        "text", "doc_id", threshold = 0.6, n = 2)
+        .orderBy(col("a"), col("b")),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1] AS s
+             FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+      pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+      SELECT a, b, inter*1.0/(sa.n + sb.n - inter) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = a
+      JOIN sizes sb ON sb.doc_id = b
+      WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.6
+      ORDER BY a, b"""))
+
+  /** IVF approximate top-k (the second 100 TB similarity path next to
+    * q30's hyperplane LSH): coarse-quantizer cells + nprobe probing,
+    * exact re-rank of cell candidates. Approximate ⇒ no SQL oracle;
+    * recall vs brute force is pinned by PipelineSpec.
+    */
+  val q38 = Q(
+    "q38_ivf_topk",
+    (spark, dir) =>
+      Similarity.ivfTopK(Tables(spark, dir, "embeddings"),
+        "vec_id", "embedding", _ < 20, k = 5)
+        .orderBy(col("query_id"), col("rank")),
+    None)
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
-    q36)
+    q36, q37, q38)
 }

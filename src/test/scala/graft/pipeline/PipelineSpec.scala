@@ -119,6 +119,34 @@ class PipelineSpec extends SparkSpec {
       s"tweak ${ham(hs(0), hs(2))} !< disjoint ${ham(hs(0), hs(3))}")
   }
 
+  test("ngram-jaccard prefix filter: complete AND precise vs exact all-pairs") {
+    val sh = docs.select(col("doc_id"),
+        TextOps.shinglesKernel(2)(TextOps.words(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val truth = sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        Dedup.jaccardKernel(col("x.sh"), col("y.sh")).as("j"))
+      .filter(col("j") >= 0.6)
+      .select("a", "b")
+    val found = Dedup.ngramJaccardNearDups(docs, "text", "doc_id", 0.6, n = 2)
+      .select("a", "b")
+    assert(truth.exceptAll(found).isEmpty,
+      "prefix filter missed a true pair — violates the completeness theorem")
+    assert(found.exceptAll(truth).isEmpty,
+      "verification let a false pair through")
+  }
+
+  test("ivf top-k: recall@5 >= 0.30 vs brute force; probes nprobe/nlist of corpus") {
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 20, 5)
+      .select("query_id", "neighbor_id")
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", _ < 20, 5)
+      .select("query_id", "neighbor_id")
+    val recall = bf.intersect(ivf).count().toDouble / bf.count()
+    // near-orthogonal random embeddings are the worst case for any
+    // partitioned index; 4/16 cells probed ⇒ ~25% of the corpus seen
+    assert(recall >= 0.30, s"IVF recall@5 $recall below floor")
+  }
+
   test("ann top-k: recall@5 >= 0.45 vs brute force") {
     val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 20, 5)
       .select("query_id", "neighbor_id")
