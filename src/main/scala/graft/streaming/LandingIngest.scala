@@ -35,13 +35,39 @@ object LandingIngest {
     * but-unflushed window sits behind, SURVEY §3.1).
     */
   final class IngestShim(landingDir: Path, maxBufferSize: Int,
-      onFull: RowBuffer.OnFull, maxBatchSize: Int = 10000) {
+      onFull: RowBuffer.OnFull, maxBatchSize: Int = 10000,
+      maxInFlight: Int = 12) {
     val buffer = new RowBuffer[Array[Byte]](maxBufferSize, onFull)
     private val seq = new AtomicLong(0)
+    private val inFlight = new java.util.concurrent.Semaphore(maxInFlight)
     Files.createDirectories(landingDir)
 
     def writeBatch(messages: Seq[Array[Byte]]): RowBuffer.WriteResult =
       buffer.writeBatch(messages)
+
+    /** D7 admission for the streaming path: a session processes at
+      * most `maxInFlight` batches concurrently; an excess write is
+      * rejected immediately (never queued), mirroring the reference's
+      * TryAcquire on a 12-permit semaphore
+      * (ingest_service.go:185,219-227).
+      */
+    def tryBeginStreamingWrite(): Boolean = inFlight.tryAcquire()
+    def endStreamingWrite(): Unit = inFlight.release()
+    def inFlightNow: Int = maxInFlight - inFlight.availablePermits()
+
+    /** Streaming-path write: admission-checked, processed
+      * asynchronously like the reference's per-batch goroutine
+      * (ingest_service.go:224-227); the future completes with the
+      * buffer-policy result.
+      */
+    def writeBatchAsync(messages: Seq[Array[Byte]])(
+        implicit ec: scala.concurrent.ExecutionContext)
+        : scala.concurrent.Future[RowBuffer.WriteResult] =
+      if (!tryBeginStreamingWrite())
+        scala.concurrent.Future.successful(RowBuffer.TooManyInFlight)
+      else scala.concurrent.Future {
+        try buffer.writeBatch(messages) finally endStreamingWrite()
+      }
 
     /** Drain one flush chunk (≤ maxBatchSize rows, D2) to a landing
       * file; returns rows flushed.
@@ -100,6 +126,50 @@ object LandingIngest {
         sinkBatch(df, batchId, outDir, numWriters)
       }
       .start()
+  }
+
+  /** D6 writer-group lifecycle with hot drain-and-swap (reference
+    * server.go:79-99,101-123: on reload, old writers are drained, new
+    * ones started atomically). Spark analog: the writer count is a
+    * property of the running StreamingQuery, so a reconfigure is
+    * drain (flush the admission buffer, finish the backlog) → stop →
+    * restart from the SAME checkpoint with the new writer count. The
+    * checkpoint plus the batchId-idempotent sink guarantee the swap
+    * neither loses nor duplicates rows (StreamingSpec proves it).
+    */
+  final class WriterGroup(spark: SparkSession, message: PMessage,
+      binding: Binding, val shim: IngestShim, landingDir: String,
+      outDir: String, checkpointDir: String,
+      @volatile private var writers: Int, flushIntervalMs: Long = 100) {
+    private var query: StreamingQuery =
+      start(spark, message, binding, landingDir, outDir, checkpointDir,
+        numWriters = writers, flushIntervalMs = flushIntervalMs)
+
+    def numWriters: Int = writers
+
+    /** Land everything admitted so far and wait until the stream has
+      * processed it (the reference's drain barrier).
+      */
+    def drain(): Unit = {
+      shim.flushAll()
+      query.processAllAvailable()
+    }
+
+    /** Drain-and-swap to a new writer count. */
+    def reload(newWriters: Int): Unit = synchronized {
+      drain()
+      query.stop()
+      query.awaitTermination()
+      writers = newWriters
+      query = start(spark, message, binding, landingDir, outDir,
+        checkpointDir, numWriters = writers, flushIntervalMs = flushIntervalMs)
+    }
+
+    def stop(): Unit = synchronized {
+      drain()
+      query.stop()
+      query.awaitTermination()
+    }
   }
 
   /** D5 sink: one micro-batch = one dynamic overwrite of its own

@@ -30,6 +30,11 @@ object RowBuffer {
   case object Ok extends WriteResult
   case object Full extends WriteResult
   case object TooBig extends WriteResult
+  /** D7: streaming-session admission rejection — more concurrent batch
+    * writes than the in-flight cap (reference
+    * ingest_service.go:185,219-227 TOO_MANY_IN_FLIGHT_BATCHES).
+    */
+  case object TooManyInFlight extends WriteResult
 }
 
 final class RowBuffer[T](val maxSize: Int, val onFull: RowBuffer.OnFull) {

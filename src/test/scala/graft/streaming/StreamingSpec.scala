@@ -86,6 +86,57 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == TranscodeE2E.NumRows)
   }
 
+  test("D7 in-flight admission: excess concurrent batches rejected, never queued") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val base = java.nio.file.Files.createTempDirectory("graft-admission-")
+    val shim = new LandingIngest.IngestShim(base.resolve("landing"),
+      maxBufferSize = 1000, onFull = Block, maxInFlight = 3)
+    // saturate the session: 3 writes in flight
+    assert((1 to 3).forall(_ => shim.tryBeginStreamingWrite()))
+    assert(shim.inFlightNow == 3)
+    // 4th concurrent batch is rejected immediately (reference
+    // TryAcquire — it does NOT block waiting for a permit)
+    val r = Await.result(shim.writeBatchAsync(Seq(Array[Byte](1))), 5.seconds)
+    assert(r == TooManyInFlight)
+    assert(shim.buffer.size == 0, "rejected batch must not be buffered")
+    // permits released → the same write is admitted and lands
+    (1 to 3).foreach(_ => shim.endStreamingWrite())
+    val ok = Await.result(shim.writeBatchAsync(Seq(Array[Byte](1))), 5.seconds)
+    assert(ok == Ok && shim.buffer.size == 1)
+    // async batches release their own permit on completion
+    val rs = Future.sequence((1 to 20).map(_ =>
+      shim.writeBatchAsync(Seq(Array[Byte](2)))))
+    Await.result(rs, 10.seconds)
+    assert(shim.inFlightNow == 0)
+  }
+
+  test("D6 writer group: drain-and-swap loses and duplicates nothing") {
+    val binding = SchemaBinder.bind(TranscodeE2E.message, TranscodeE2E.table)
+    val msgs = TranscodeE2E.fixtures
+      .map(f => ProtoRows.encodeValues(TranscodeE2E.message, f.protoValues))
+    val base = java.nio.file.Files.createTempDirectory("graft-wg-")
+    val shim = new LandingIngest.IngestShim(base.resolve("landing"),
+      maxBufferSize = 1000, onFull = Block)
+    val group = new LandingIngest.WriterGroup(spark, TranscodeE2E.message,
+      binding, shim, base.resolve("landing").toString,
+      base.resolve("out").toString, base.resolve("ckpt").toString,
+      writers = 1)
+    try {
+      shim.writeBatch(msgs.take(32))
+      group.drain()
+      group.reload(newWriters = 3) // hot swap mid-stream
+      assert(group.numWriters == 3)
+      shim.writeBatch(msgs.drop(32))
+    } finally group.stop()
+    val landed = spark.read.parquet(base.resolve("out").toString)
+      .drop("p_batch")
+    assert(landed.count() == TranscodeE2E.NumRows, "row lost or duplicated")
+    val values = landed.select("value").collect().map(_.getLong(0)).sorted
+    assert(values.toSeq == TranscodeE2E.fixtures.map(_.value).sorted)
+  }
+
   test("D5 sink replay of a micro-batch is idempotent per batchId") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-sink-").toString
