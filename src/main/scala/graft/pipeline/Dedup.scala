@@ -177,25 +177,48 @@ object Dedup extends Serializable {
       .filter(size(col("toks")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // global rarest-first order: (document frequency, token)
-    val tok = sh.select(col("id"), explode(col("toks")).as("tok"))
+    // global rarest-first order: (document frequency, token). The
+    // candidate stage runs on 64-bit token hashes — sound, because a
+    // collision can only merge two tokens (extra candidates, removed
+    // by exact-string verification below), never separate equal ones,
+    // and ANY consistent global order preserves the prefix theorem.
+    // Hashing shrinks every downstream shuffle from ~25-byte strings
+    // to 8-byte longs.
+    val tok = sh.select(col("id"), explode(col("toks")).as("tokS"))
+      .select(col("id"), xxhash64(col("tokS")).as("tok"))
     val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val ordered = tok.join(dfreq, "tok")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
         .getField("tok").as("sorted"))
 
-    // prefix length |d| - ceil(t*|d|) + 1; only prefix tokens indexed
+    // prefix length |d| - ceil(t*|d|) + 1; only prefix tokens indexed,
+    // each carrying its set size and 1-based position in the global
+    // order for the PPJoin filters below
     val prefLen = (size(col("sorted")) -
       ceil(lit(threshold) * size(col("sorted"))).cast("int") + 1)
     val prefix = ordered
-      .select(col("id"), explode(slice(col("sorted"), lit(1), prefLen)).as("tok"))
+      .select(col("id"), size(col("sorted")).as("len"),
+        posexplode(slice(col("sorted"), lit(1), prefLen)).as(Seq("pos", "tok")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     prefix.count() // materialize once for both sides of the self-join
 
+    // PPJoin pruning, both sound (the FIRST common token in the global
+    // order lies in both prefixes and passes them for any true pair):
+    // - length filter: J >= t forces t*|y| <= |x| and t*|x| <= |y|;
+    // - positional filter: common tokens after the matched one sit in
+    //   both suffixes, so overlap <= 1 + min(remaining), which must
+    //   reach ceil(t/(1+t)*(|x|+|y|)).
+    val minOverlap = ceil(lit(threshold / (1 + threshold)) *
+      (col("x.len") + col("y.len")))
+    val overlapUb = lit(1) + least(
+      col("x.len") - col("x.pos") - 1, col("y.len") - col("y.pos") - 1)
     val pairs = prefix.as("x")
       .join(prefix.as("y"),
-        col("x.tok") === col("y.tok") && col("x.id") < col("y.id"))
+        col("x.tok") === col("y.tok") && col("x.id") < col("y.id") &&
+          col("x.len") >= lit(threshold) * col("y.len") &&
+          col("y.len") >= lit(threshold) * col("x.len") &&
+          overlapUb >= minOverlap)
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
 

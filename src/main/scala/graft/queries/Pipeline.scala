@@ -328,7 +328,7 @@ object Pipeline {
       ORDER BY media_id"""))
   }
 
-  /** N-gram (bigram) Jaccard near-dup pairs at >= 0.6 via the
+  /** N-gram (trigram) Jaccard near-dup pairs at >= 0.6 via the
     * prefix-filtered set-similarity join — deterministic and complete
     * by the prefix-filter theorem, so the exact all-pairs oracle is a
     * true differential test of the whole candidate+verify pipeline
@@ -338,12 +338,12 @@ object Pipeline {
     "q37_ngram_jaccard",
     (spark, dir) =>
       Dedup.ngramJaccardNearDups(Tables(spark, dir, "documents"),
-        "text", "doc_id", threshold = 0.6, n = 2)
+        "text", "doc_id", threshold = 0.6, n = 3)
         .orderBy(col("a"), col("b")),
     Some("""
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1] AS s
-             FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+      sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)),
       pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
                 FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
                 GROUP BY 1, 2),
