@@ -94,4 +94,77 @@ object Multimodal {
     media.withColumn("transform",
       when(col("meta.n_bytes") > maxBytes, lit("downsample"))
         .otherwise(lit("passthrough")))
+
+  /** Resize stage: binary → smaller binary, per partition, media
+    * schema in = media schema out (so stages compose into a pipeline).
+    *
+    * ??? REAL-CODEC BOUNDARY: a production image resize decodes,
+    * scales, and re-encodes here. The deterministic stand-in keeps
+    * every k-th byte with stride k = ceil(n/targetBytes) — a real
+    * byte-level downsample whose output the DuckDB oracle recomputes
+    * exactly (driver q39).
+    */
+  def resize(media: DataFrame, targetBytes: Int): DataFrame = {
+    require(targetBytes > 0)
+    val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(mediaSchema))
+    media.select("media_id", "modality", "bytes", "meta").mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](2)
+        val meta = r.getStruct(3)
+        val out =
+          if (bytes.length <= targetBytes) bytes
+          else {
+            val k = (bytes.length + targetBytes - 1) / targetBytes
+            val n = (bytes.length - 1) / k + 1
+            Array.tabulate(n)(j => bytes(j * k))
+          }
+        Row(r.getLong(0), r.getString(1), out,
+          Row(meta.getString(0), out.length))
+      }
+    }(enc)
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame", BinaryType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("checksum", LongType, nullable = false)))
+
+  /** Frame-sample stage: one media row explodes into one row per
+    * sampled fixed-size frame (every `everyN`-th of the `frameSize`
+    * byte frames) — the video-keyframe shape: a 100 TB corpus fans out
+    * map-side, no shuffle, and downstream stages see per-frame rows.
+    *
+    * ??? REAL-CODEC BOUNDARY: production splits on container keyframes;
+    * the stand-in splits the byte stream at fixed offsets, which the
+    * oracle recomputes exactly (driver q40).
+    */
+  def frameSample(media: DataFrame, frameSize: Int, everyN: Int): DataFrame = {
+    require(frameSize > 0 && everyN > 0)
+    val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(frameSchema))
+    media.select("media_id", "modality", "bytes").mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val modality = r.getString(1)
+        val bytes = r.getAs[Array[Byte]](2)
+        val nFrames = (bytes.length + frameSize - 1) / frameSize
+        (0 until nFrames).iterator.filter(_ % everyN == 0).map { j =>
+          val from = j * frameSize
+          val until = math.min(from + frameSize, bytes.length)
+          val frame = java.util.Arrays.copyOfRange(bytes, from, until)
+          var checksum = 0L
+          var i = 0
+          while (i < frame.length) {
+            checksum = (checksum * 31 + (frame(i) & 0xff)) % 1000000007L
+            i += 1
+          }
+          Row(id, modality, j, frame, frame.length, checksum)
+        }
+      }
+    }(enc)
+  }
 }

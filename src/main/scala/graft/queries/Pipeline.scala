@@ -368,6 +368,78 @@ object Pipeline {
         .orderBy(col("query_id"), col("rank")),
     None)
 
+  /** Multimodal resize stage (media schema → media schema): stride
+    * byte-downsample to <= 64 bytes, then re-extract features from the
+    * resized payloads — two composed mapPartitions stages. The oracle
+    * recomputes the stride sampling and checksum from the source
+    * text's codepoints (payloads are ASCII), so the resize transform
+    * itself is differentially verified, not just its row count.
+    */
+  val q39 = Q(
+    "q39_media_resize",
+    (spark, dir) => {
+      val media = Multimodal.asMedia(
+        Tables(spark, dir, "documents").filter(col("doc_id") < 200),
+        "doc_id", "text", modality = "image", format = "utf8")
+      Multimodal.extractFeatures(Multimodal.resize(media, targetBytes = 64))
+        .select(col("media_id"), col("n_bytes"), col("checksum"))
+        .orderBy(col("media_id"))
+    },
+    Some("""
+      WITH codes_t AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ''), ch -> unicode(ch)) AS codes,
+               len(string_split(text, '')) AS n
+        FROM documents WHERE doc_id < 200),
+      resized AS (
+        SELECT doc_id,
+               CASE WHEN n <= 64 THEN codes
+                    ELSE list_transform(
+                      range(0, ((n - 1) // ((n + 63) // 64)) + 1),
+                      j -> codes[j * ((n + 63) // 64) + 1])
+               END AS rc
+        FROM codes_t)
+      SELECT doc_id AS media_id,
+             CAST(len(rc) AS INT) AS n_bytes,
+             list_reduce(list_prepend(0::BIGINT, rc),
+               (a, c) -> (a * 31 + c) % 1000000007) AS checksum
+      FROM resized
+      ORDER BY media_id"""))
+
+  /** Multimodal frame-sample stage (one row per sampled fixed-size
+    * frame — the video-keyframe fan-out): 32-byte frames, every 3rd
+    * kept, per-frame checksum. Map-side explode, no shuffle; oracle
+    * recomputes every sampled frame slice exactly.
+    */
+  val q40 = Q(
+    "q40_frame_sample",
+    (spark, dir) => {
+      val media = Multimodal.asMedia(
+        Tables(spark, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", modality = "video", format = "utf8")
+      Multimodal.frameSample(media, frameSize = 32, everyN = 3)
+        .select(col("media_id"), col("frame_idx"), col("n_bytes"),
+          col("checksum"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+    Some("""
+      WITH codes_t AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ''), ch -> unicode(ch)) AS codes,
+               len(string_split(text, '')) AS n
+        FROM documents WHERE doc_id < 100),
+      frames AS (
+        SELECT doc_id, CAST(j AS INT) AS frame_idx,
+               list_slice(codes, j * 32 + 1, least((j + 1) * 32, n)) AS fc
+        FROM codes_t, UNNEST(range(0, (n + 31) // 32)) AS t(j)
+        WHERE j % 3 = 0)
+      SELECT doc_id AS media_id, frame_idx,
+             CAST(len(fc) AS INT) AS n_bytes,
+             list_reduce(list_prepend(0::BIGINT, fc),
+               (a, c) -> (a * 31 + c) % 1000000007) AS checksum
+      FROM frames
+      ORDER BY media_id, frame_idx"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
-    q36, q37, q38)
+    q36, q37, q38, q39, q40)
 }

@@ -163,6 +163,30 @@ class PipelineSpec extends SparkSpec {
       "multiprobe must scan fewer than half the buckets or it's a scan")
   }
 
+  test("multimodal resize bounds payloads; frame-sample covers and reassembles") {
+    val media = Multimodal.asMedia(docs.limit(50), "doc_id", "text",
+      modality = "text", format = "utf8")
+    // resize: every payload lands at or under target, media schema out
+    val resized = Multimodal.resize(media, targetBytes = 64)
+    assert(resized.schema == Multimodal.mediaSchema)
+    val sizes = resized.select(length(col("bytes")).cast("int"),
+      col("meta.n_bytes")).collect()
+    sizes.foreach { r =>
+      assert(r.getInt(0) <= 64, "resize exceeded target")
+      assert(r.getInt(0) == r.getInt(1), "meta out of sync with bytes")
+    }
+    // frame-sample with everyN=1: frames reassemble the original bytes
+    val frames = Multimodal.frameSample(media, frameSize = 32, everyN = 1)
+    val rebuilt = frames.orderBy(col("media_id"), col("frame_idx"))
+      .groupBy(col("media_id"))
+      .agg(sum(col("n_bytes")).as("total"))
+    val orig = media.select(col("media_id"),
+      length(col("bytes")).cast("long").as("n"))
+    val joined = rebuilt.join(orig, "media_id")
+      .filter(col("total") =!= col("n"))
+    assert(joined.isEmpty, "sampled frames must cover every byte exactly once")
+  }
+
   test("fingerprint: stable, order-sensitive, in range") {
     val fps = Seq("a b c", "a b c", "c b a").toDF("text")
       .select(TextOps.fingerprint(TextOps.words(col("text"))).as("fp"))
