@@ -21,12 +21,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warm-up: exercise the parquet reader, a shuffle agg, and
-    // the noop sink once, so the first timed query doesn't pay ~6 s of
-    // codegen/classloading init (BENCH_r02 q01 = 8.1 s vs ~1 s steady).
+    // Untimed warm-up: exercise the parquet reader, shuffle/broadcast
+    // joins, window functions, and decimal aggregation on the tiny
+    // nation/region tables so the first timed query doesn't pay ~6 s
+    // of codegen/classloading init (BENCH_r02 q01 = 8.1 s vs ~1 s
+    // steady).
     try {
-      spark.read.parquet(s"$sfDir/nation.parquet")
-        .groupBy("n_regionkey").count()
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+      val region = spark.read.parquet(s"$sfDir/region.parquet")
+      nation.join(broadcast(region),
+          nation("n_regionkey") === region("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_nationkey").cast("decimal(38,4)")).as("s"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n").desc, col("r_name"))))
+        .orderBy("rk")
         .write.format("noop").mode("overwrite").save()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")

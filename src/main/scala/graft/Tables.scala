@@ -21,7 +21,19 @@ object Tables {
     // truncate identically at µs and ms granularity).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // The raw nanos column stays exposed as ts_ns: a range predicate on
+    // the DERIVED timestamp (timestamp_micros(...)) cannot be pushed to
+    // parquet (PlanSpec caught the full scan); one on ts_ns prunes
+    // row groups. Filter on ts_ns, read time through ts.
+    if (name == "events")
+      df.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
     else df
   }
+
+  /** Pushdown-safe event-time bound: epoch nanos of a UTC instant, for
+    * comparing against the raw `ts_ns` column.
+    */
+  def utcNanos(isoInstant: String): Long =
+    java.time.Instant.parse(isoInstant).getEpochSecond * 1000000000L
 }

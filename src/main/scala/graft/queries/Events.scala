@@ -45,16 +45,18 @@ object Events {
       GROUP BY 1, 2
       ORDER BY bucket, event_type"""))
 
-  /** Single-day scan (§2.4 Q1 partition pruning): the ts range predicate
-    * is pushed to parquet min/max stats; on a date-partitioned layout it
-    * prunes whole partitions before any IO.
+  /** Single-day scan (§2.4 Q1 partition pruning): the range predicate
+    * compares the RAW ts_ns column so it reaches parquet row-group
+    * min/max stats (PlanSpec pins the pushdown — a predicate on the
+    * derived timestamp scans everything); on a date-partitioned layout
+    * it prunes whole partitions before any IO.
     */
   val q14 = Q(
     "q14_day_slice",
     (spark, dir) =>
       Tables(spark, dir, "events")
-        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
-          col("ts") < lit("2024-01-06").cast("timestamp"))
+        .filter(col("ts_ns") >= graft.Tables.utcNanos("2024-01-05T00:00:00Z") &&
+          col("ts_ns") < graft.Tables.utcNanos("2024-01-06T00:00:00Z"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy(col("event_type")),
