@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Event-time semantics pins: watermark drops late rows exactly once
+  * it has passed their window; explicit per-key state accumulates
+  * across micro-batches.
+  */
+class WindowedStatsSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("watermarked window agg drops rows later than the watermark") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = WindowedStats.windowedCounts(
+        ms.toDF().toDF("ts", "key", "value"),
+        "ts", "key", windowLen = "10 minutes", watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode("update")
+      .start()
+    try {
+      // batch 1: a 10:00-window row and a 10:20 row that will advance
+      // the watermark to 10:15 for the NEXT batch
+      ms.addData((ts("2024-01-01 10:00:30"), "a", 1.0),
+        (ts("2024-01-01 10:20:00"), "a", 2.0))
+      q.processAllAvailable()
+      // batch 2: 10:01 is later than the 10:15 watermark and its
+      // [10:00, 10:10) window is closed → dropped, not double-counted
+      ms.addData((ts("2024-01-01 10:01:00"), "a", 100.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .filter($"w_start" === ts("2024-01-01 10:00:00")).collect()
+      assert(rows.length == 1, s"late row re-opened a closed window: ${rows.toSeq}")
+      assert(rows(0).getLong(2) == 1L && rows(0).getDouble(3) == 1.0,
+        "late row was counted despite the watermark")
+      // a timely row in the open 10:20 window still lands
+      ms.addData((ts("2024-01-01 10:21:00"), "a", 4.0))
+      q.processAllAvailable()
+      val open = spark.table("wc")
+        .filter($"w_start" === ts("2024-01-01 10:20:00")).collect()
+      assert(open.map(_.getLong(2)).max == 2L)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-key state across micro-batches") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Double)]
+    val q = WindowedStats.runningStats(ms.toDS())
+      .writeStream.format("memory").queryName("rs").outputMode("update")
+      .start()
+    try {
+      ms.addData(("a", 1.0), ("a", 2.0), ("b", 10.0))
+      q.processAllAvailable()
+      ms.addData(("a", 4.0))
+      q.processAllAvailable()
+      val last = spark.table("rs").filter($"key" === "a")
+        .orderBy($"n".desc).collect().head
+      assert(last.getLong(1) == 3L, "state did not persist across batches")
+      assert(last.getDouble(2) == 7.0 && last.getDouble(3) == 4.0)
+      val b = spark.table("rs").filter($"key" === "b")
+        .orderBy($"n".desc).collect().head
+      assert(b.getLong(1) == 1L && b.getDouble(3) == 10.0)
+    } finally q.stop()
+  }
+}
