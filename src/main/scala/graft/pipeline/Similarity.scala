@@ -40,15 +40,19 @@ object Similarity extends Serializable {
   }
 
   /** cosine(a, b) computed as dot/(sqrt(dot_aa)*sqrt(dot_bb)) — the
-    * exact expression the oracle uses.
+    * exact expression the oracle uses. Dot product is the native
+    * codegen [[graft.functions.DotProduct]] (same accumulation order
+    * as [[dot]]/[[dotKernel]], zero per-row boxing).
     */
   def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
-    dotKernel(a, b) / (na * nb)
+    call_function("graft_dot", a, b) / (na * nb)
 
   private def withNorm(df: DataFrame, idCol: String, vecCol: String,
-      id: String, v: String, n: String): DataFrame =
+      id: String, v: String, n: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v))
-      .withColumn(n, sqrt(dotKernel(col(v), col(v))))
+      .withColumn(n, sqrt(call_function("graft_dot", col(v), col(v))))
+  }
 
   /** Exact cosine top-k: for each query vector (filtered by
     * `queryPred` on the id), the k nearest corpus vectors. The query

@@ -91,18 +91,22 @@ class PipelineSpec extends SparkSpec {
       .collect()
     sims.foreach(r => assert(r.getLong(1) == r.getLong(2),
       s"simhash kernel diverges for doc ${r.getLong(0)}"))
-    // dot + lshBucket: kernels vs HOF forms on real embeddings
+    // dot (HOF spec vs UDF kernel vs native codegen Expression) +
+    // lshBucket on real embeddings
+    graft.functions.GraftFunctions.register(spark)
     val pairs = emb.limit(50).select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"),
         Similarity.dot(col("v"), col("v")).as("dref"),
         Similarity.dotKernel(col("v"), col("v")).as("dfast"),
+        call_function("graft_dot", col("v"), col("v")).as("dnative"),
         Similarity.lshBucket(col("v")).as("bref"),
         Similarity.lshBucketKernel(col("v")).as("bfast"))
       .collect()
     pairs.foreach { r =>
       assert(r.getDouble(1) == r.getDouble(2), s"dot kernel diverges: ${r}")
-      assert(r.getLong(3) == r.getLong(4), s"lsh bucket kernel diverges: ${r}")
+      assert(r.getDouble(1) == r.getDouble(3), s"native dot diverges: ${r}")
+      assert(r.getLong(4) == r.getLong(5), s"lsh bucket kernel diverges: ${r}")
     }
   }
 
