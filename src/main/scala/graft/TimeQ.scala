@@ -4,7 +4,8 @@ object TimeQ {
     val sfDir = args(0)
     val names = args.drop(1)
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions","32").config("spark.ui.enabled","false").getOrCreate()
+      .config("spark.sql.shuffle.partitions","32").config("spark.ui.enabled","false")
+      .config("spark.sql.session.timeZone","UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       val t0 = System.nanoTime()
