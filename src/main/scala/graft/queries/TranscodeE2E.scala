@@ -197,5 +197,33 @@ object TranscodeE2E {
     },
     q25.oracle)
 
-  val all: Seq[Q] = Seq(q25, q33, q35)
+  /** S1/S2 as a REAL custom DataSourceV2 MicroBatchStream: the same
+    * fixture rows admitted through QueueSource's in-source admission
+    * control, streamed out as micro-batches, transcoded, landed by the
+    * idempotent sink. Oracle identical to q25 — the custom source must
+    * be invisible in the landed values.
+    */
+  val q41 = Q(
+    "q41_queue_ingest",
+    (spark, _) => {
+      import graft.streaming.{QueueIngest, RowBuffer}
+      val binding = SchemaBinder.bind(message, table)
+      val batches = fixtures.grouped(MsgsPerFrame)
+        .map(_.map(f => ProtoRows.encodeValues(message, f.protoValues)))
+        .toSeq
+      QueueIngest.runOnce(spark, message, binding, batches,
+          capacity = NumRows, onFull = RowBuffer.Block, name = "q41")
+        .select(
+          col("name"),
+          col("type").as("type_code"),
+          unix_millis(col("timestamp")).as("ts_ms"),
+          col("value"),
+          array_join(col("`tags.key`"), ",").as("tag_keys"),
+          array_join(col("`tags.value`"), ",").as("tag_values"),
+          array_join(col("labels"), ",").as("labels"))
+        .orderBy(col("value"))
+    },
+    q25.oracle)
+
+  val all: Seq[Q] = Seq(q25, q33, q35, q41)
 }

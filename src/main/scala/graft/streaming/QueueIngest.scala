@@ -1,0 +1,43 @@
+package graft.streaming
+
+import graft.bind.Binding
+import graft.proto.{PMessage, ProtoRows}
+import graft.sources.QueueSource
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** The QueueSource twin of [[LandingIngest.runOnce]]: admit message
+  * batches through the source's own admission control, stream them out
+  * of the custom MicroBatchStream, transcode, and land with the
+  * idempotent batch sink — S1/S2's engine contract end-to-end through
+  * a real DataSourceV2 source instead of the file shim.
+  */
+object QueueIngest {
+
+  def runOnce(spark: SparkSession, message: PMessage, binding: Binding,
+      batches: Seq[Seq[Array[Byte]]], capacity: Int,
+      onFull: RowBuffer.OnFull, numWriters: Int = 2,
+      name: String = "queue-ingest"): DataFrame = {
+    QueueSource.drop(name)
+    val q = QueueSource.queue(name, capacity, onFull)
+    batches.foreach(q.writeBatch)
+
+    val base = Files.createTempDirectory("graft-queue-ingest-")
+    val outDir = base.resolve("out").toString
+    val bodies = QueueSource.readStream(spark, name)
+      .select(col("value")).as[Array[Byte]](Encoders.BINARY)
+    val transcoded = binding.transcode(ProtoRows.decode(bodies, message))
+    val sq = transcoded.writeStream
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        LandingIngest.sinkBatch(df, batchId, outDir, numWriters)
+      }
+      .start()
+    sq.processAllAvailable()
+    sq.stop()
+    sq.awaitTermination()
+    spark.read.parquet(outDir).drop("p_batch")
+  }
+}
