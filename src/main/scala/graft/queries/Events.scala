@@ -190,5 +190,86 @@ object Events {
       GROUP BY event_type
       ORDER BY event_type"""))
 
-  val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34)
+  /** Gap-based sessionization via Spark's native session_window: per
+    * event type, events closer than 10 minutes chain into one session.
+    * The training-pipeline shape for user/doc activity bundling; state
+    * is per (key, session) and merges map-side. Oracle: classic
+    * gaps-and-islands (lag + cumulative sum) — same sessions, computed
+    * the relational way.
+    */
+  val q42 = Q(
+    "q42_sessionize",
+    (spark, dir) =>
+      Tables(spark, dir, "events")
+        .groupBy(session_window(col("ts"), "10 minutes").as("s"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(
+          date_format(col("s.start"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("s_start"), col("event_type")),
+    Some(s"""
+      WITH g AS (
+        SELECT event_type, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY event_type ORDER BY ts)
+                         <= INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS brk
+        FROM events),
+      s AS (
+        SELECT event_type, ts, value,
+               SUM(brk) OVER (PARTITION BY event_type ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g)
+      SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+             event_type,
+             COUNT(*) AS n_events,
+             ${oSum("value")} AS sum_value
+      FROM s
+      GROUP BY event_type, sid
+      ORDER BY s_start, event_type"""))
+
+  /** Ordered per-key deltas (lag): distribution of inter-event time
+    * per event type — the sort-key range-scan consumer pattern (Q2):
+    * within a partitioned/sorted layout this computes without a sort
+    * at scale.
+    */
+  val q43 = Q(
+    "q43_event_deltas",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // event_id tiebreak: ts has duplicates, and floored deltas don't
+      // telescope — without a total order the per-engine sums drift
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      Tables(spark, dir, "events")
+        .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
+        // µs-truncate BEFORE differencing (DuckDB's TIMESTAMP_NS is µs
+        // past the reader), and integer `div`, not `/` (double division
+        // rounds and drifts off the oracle's floor on large sums)
+        .withColumn("delta_ms",
+          expr("((ts_ns div 1000) - (prev_ns div 1000)) div 1000"))
+        .filter(col("delta_ms").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("delta_ms")).as("min_ms"),
+          max(col("delta_ms")).as("max_ms"),
+          sum(col("delta_ms")).as("total_ms"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT event_type,
+               (epoch_ns(ts) - LAG(epoch_ns(ts))
+                  OVER (PARTITION BY event_type ORDER BY ts, event_id))
+                 // 1000000 AS delta_ms
+        FROM events)
+      SELECT event_type, COUNT(*) AS n,
+             MIN(delta_ms) AS min_ms,
+             MAX(delta_ms) AS max_ms,
+             CAST(SUM(delta_ms) AS BIGINT) AS total_ms
+      FROM d
+      WHERE delta_ms IS NOT NULL
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43)
 }
