@@ -319,6 +319,31 @@ object Relational {
       GROUP BY 1
       ORDER BY priority_code"""))
 
+  /** Skew-salted join, driver-verified: revenue per customer segment
+    * through Shuffle.saltedJoin — the salt must be invisible in the
+    * result, so the oracle is the PLAIN join's SQL. At 100 TB this is
+    * the shape for a hot-key fact join AQE can't fully split.
+    */
+  val q44 = Q(
+    "q44_salted_join",
+    (spark, dir) => {
+      val orders = Tables(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice"))
+      val customer = Tables(spark, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.operators.Shuffle.saltedJoin(orders, customer, "o_custkey", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some(s"""
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+             ${oSum("o_totalprice")} AS revenue
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12)
+    q11, q12, q44)
 }
