@@ -34,6 +34,8 @@ object Tables {
   /** Pushdown-safe event-time bound: epoch nanos of a UTC instant, for
     * comparing against the raw `ts_ns` column.
     */
-  def utcNanos(isoInstant: String): Long =
-    java.time.Instant.parse(isoInstant).getEpochSecond * 1000000000L
+  def utcNanos(isoInstant: String): Long = {
+    val i = java.time.Instant.parse(isoInstant)
+    i.getEpochSecond * 1000000000L + i.getNano
+  }
 }

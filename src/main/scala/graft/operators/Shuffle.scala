@@ -37,6 +37,8 @@ object Shuffle {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       salts: Int): DataFrame = {
     require(salts > 0)
+    require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
+      "inputs must not already have a _salt column")
     val saltedFact = fact.withColumn("_salt",
       pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(salts)).cast("int"))
     val saltedDim = dim.withColumn("_salt",

@@ -137,10 +137,11 @@ object Dedup extends Serializable {
     // exactly like the oracle's inter/union arithmetic.
     val shA = sh.select(col("id").as("a"), col("sh").as("sh_a"))
     val shB = sh.select(col("id").as("b"), col("sh").as("sh_b"))
-    pairs.join(shA, "a").join(shB, "b")
+    val verified = pairs.join(shA, "a").join(shB, "b")
       .select(col("a"), col("b"),
         jaccardKernel(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    Similarity.materializeAndRelease(verified, Seq(sh, buckets))
   }
 
   /** Exact Jaccard of two already-distinct string arrays — identical
@@ -224,10 +225,11 @@ object Dedup extends Serializable {
 
     val shA = sh.select(col("id").as("a"), col("toks").as("t_a"))
     val shB = sh.select(col("id").as("b"), col("toks").as("t_b"))
-    pairs.join(shA, "a").join(shB, "b")
+    val verified = pairs.join(shA, "a").join(shB, "b")
       .select(col("a"), col("b"),
         jaccardKernel(col("t_a"), col("t_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    Similarity.materializeAndRelease(verified, Seq(sh, prefix))
   }
 
   /** SimHash bit width. 60 bits so every intermediate fits a positive
@@ -310,7 +312,7 @@ object Dedup extends Serializable {
       posexplode(chunkArr).as(Seq("chunk", "key")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     chunked.count() // hash each doc once; the self-join reads the cache
-    chunked.as("x")
+    val out = chunked.as("x")
       .join(chunked.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
@@ -320,5 +322,6 @@ object Dedup extends Serializable {
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxDist)
       .select(col("a"), col("b"), col("hamming"))
+    Similarity.materializeAndRelease(out, Seq(chunked))
   }
 }

@@ -127,6 +127,12 @@ object Similarity extends Serializable {
     * bits (PipelineSpec proves equality), one pass per plane.
     */
   val lshBucketKernel: UserDefinedFunction = udf { (v: Seq[Double]) =>
+    // empty vector: the Column spec yields null projections → bucket 0
+    if (v.isEmpty) 0L
+    else lshBucketJvm(v)
+  }
+
+  private def lshBucketJvm(v: Seq[Double]): Long = {
     var bucket = 0L
     var p = 0
     while (p < HyperBits) {
@@ -137,6 +143,19 @@ object Similarity extends Serializable {
       p += 1
     }
     bucket
+  }
+
+  /** Eagerly materialize `result` (disk-backed) and release the
+    * intermediate caches: without this, every near-dup/similarity
+    * query would pin its self-join inputs in the block manager for
+    * the rest of the session (Verify/Bench run ~44 queries in one).
+    */
+  private[pipeline] def materializeAndRelease(result: DataFrame,
+      intermediates: Seq[DataFrame]): DataFrame = {
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    intermediates.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Multi-probe buckets: every bucket within [[ProbeFlips]] bit

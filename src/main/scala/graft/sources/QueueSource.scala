@@ -84,9 +84,24 @@ object QueueSource {
   private val queues =
     scala.collection.concurrent.TrieMap.empty[String, IngestQueue]
 
-  def queue(name: String, capacity: Int = 1 << 20,
-      onFull: RowBuffer.OnFull = RowBuffer.Block): IngestQueue =
-    queues.getOrElseUpdate(name, new IngestQueue(capacity, onFull))
+  /** Create (or replace) a queue with explicit admission settings —
+    * the producer entry point. A lazy `queue(name)` accessor would
+    * silently keep stale settings if a consumer touched the name
+    * first.
+    */
+  def create(name: String, capacity: Int,
+      onFull: RowBuffer.OnFull): IngestQueue = {
+    val q = new IngestQueue(capacity, onFull)
+    queues.put(name, q)
+    q
+  }
+
+  /** Accessor for stream plumbing: default settings only if nothing
+    * created the queue yet.
+    */
+  def queue(name: String): IngestQueue =
+    queues.getOrElseUpdate(name,
+      new IngestQueue(1 << 20, RowBuffer.Block))
 
   def drop(name: String): Unit = { queues.remove(name); () }
 

@@ -148,9 +148,11 @@ object LandingIngest {
     def numWriters: Int = writers
 
     /** Land everything admitted so far and wait until the stream has
-      * processed it (the reference's drain barrier).
+      * processed it (the reference's drain barrier). Synchronized so a
+      * concurrent reload()/stop() can't swap the query out from under
+      * the barrier (both hold the same reentrant lock).
       */
-    def drain(): Unit = {
+    def drain(): Unit = synchronized {
       shim.flushAll()
       query.processAllAvailable()
     }

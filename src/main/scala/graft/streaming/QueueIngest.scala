@@ -20,9 +20,16 @@ object QueueIngest {
       batches: Seq[Seq[Array[Byte]]], capacity: Int,
       onFull: RowBuffer.OnFull, numWriters: Int = 2,
       name: String = "queue-ingest"): DataFrame = {
-    QueueSource.drop(name)
-    val q = QueueSource.queue(name, capacity, onFull)
-    batches.foreach(q.writeBatch)
+    val q = QueueSource.create(name, capacity, onFull)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      q.writeBatch(b) match {
+        case RowBuffer.Ok => ()
+        case rejected =>
+          // legitimate shedding under DropOldest/DropNewest; under
+          // Block it means the caller lost this batch — say so
+          System.err.println(s"[queue-ingest] batch $i: $rejected")
+      }
+    }
 
     val base = Files.createTempDirectory("graft-queue-ingest-")
     val outDir = base.resolve("out").toString

@@ -36,8 +36,7 @@ class QueueSourceSpec extends SparkSpec {
 
   test("streams incremental micro-batches with monotone offsets") {
     import spark.implicits._
-    QueueSource.drop("spec-incr")
-    val q = QueueSource.queue("spec-incr", capacity = 100,
+    val q = QueueSource.create("spec-incr", capacity = 100,
       onFull = RowBuffer.Block)
     q.writeBatch(Seq(msg(1), msg(2)))
     val sq = QueueSource.readStream(spark, "spec-incr")
