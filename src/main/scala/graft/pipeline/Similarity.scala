@@ -181,11 +181,13 @@ object Similarity extends Serializable {
       idCol, vecCol, "qid", "qv", "qn")
       .withColumn("bucket",
         explode(probeBuckets(lshBucketKernel(col("qv")))))
+    // no dedup needed: a corpus vector sits in exactly ONE bucket and
+    // the probe masks are distinct, so each (qid, nid) matches at most
+    // once — a distinct here would be a pure extra shuffle
     val scored = corpus.join(broadcast(queries), "bucket")
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("cos"))
-      .distinct() // a pair can collide through several probes
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -319,6 +319,90 @@ object Relational {
       GROUP BY 1
       ORDER BY priority_code"""))
 
+  /** Full outer join with coalesced keys: customers and their order
+    * stats, keeping customers without orders AND (if any) orphan
+    * orders — the reconciliation shape. Dims stay broadcastable; the
+    * outer side streams.
+    */
+  val q45 = Q(
+    "q45_full_outer",
+    (spark, dir) => {
+      val c = Tables(spark, dir, "customer")
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val o = Tables(spark, dir, "orders")
+        .join(Tables(spark, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_orders"))
+      c.join(o, Seq("nk"), "full_outer")
+        .select(col("nk"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy(col("nk"))
+    },
+    Some("""
+      WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+                 FROM customer GROUP BY 1),
+      o AS (SELECT c_nationkey AS nk, COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+      SELECT COALESCE(c.nk, o.nk) AS nk,
+             COALESCE(n_cust, 0) AS n_cust,
+             COALESCE(n_orders, 0) AS n_orders
+      FROM c FULL OUTER JOIN o ON c.nk = o.nk
+      ORDER BY nk"""))
+
+  /** GROUPING SETS beyond q08's rollup: independent slices (by
+    * orderpriority, by orderstatus, grand total) in one pass —
+    * expand-then-aggregate, partial aggregation per set.
+    */
+  val q46 = Q(
+    "q46_grouping_sets",
+    (spark, dir) => {
+      Tables(spark, dir, "orders").createOrReplaceTempView("orders_gs")
+      spark.sql(s"""
+        SELECT COALESCE(o_orderpriority, 'ALL') AS pri,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY pri, status""")
+    },
+    Some(s"""
+      SELECT COALESCE(o_orderpriority, 'ALL') AS pri,
+             COALESCE(o_orderstatus, 'ALL') AS status,
+             COUNT(*) AS n,
+             ${oSum("o_totalprice")} AS revenue
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      ORDER BY pri, status"""))
+
+  /** Correlated EXISTS subquery: parts with at least one open-order
+    * lineitem — Catalyst decorrelates to a semi join (same physical
+    * shape as q09, arrived at through the subquery surface).
+    */
+  val q47 = Q(
+    "q47_exists_subquery",
+    (spark, dir) => {
+      Tables(spark, dir, "part").createOrReplaceTempView("part_ex")
+      Tables(spark, dir, "lineitem").createOrReplaceTempView("lineitem_ex")
+      spark.sql("""
+        SELECT p_brand, COUNT(*) AS n_parts
+        FROM part_ex p
+        WHERE EXISTS (SELECT 1 FROM lineitem_ex l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+        GROUP BY p_brand
+        ORDER BY p_brand""")
+    },
+    Some("""
+      SELECT p_brand, COUNT(*) AS n_parts
+      FROM part p
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+      GROUP BY p_brand
+      ORDER BY p_brand"""))
+
   /** Skew-salted join, driver-verified: revenue per customer segment
     * through Shuffle.saltedJoin — the salt must be invisible in the
     * result, so the oracle is the PLAIN join's SQL. At 100 TB this is
@@ -345,5 +429,5 @@ object Relational {
       ORDER BY c_mktsegment"""))
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q44)
+    q11, q12, q44, q45, q46, q47)
 }
