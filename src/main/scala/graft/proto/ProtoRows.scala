@@ -2,7 +2,7 @@ package graft.proto
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
 
 import java.sql.Timestamp
 import java.time.Instant
@@ -239,6 +239,39 @@ object ProtoRows {
       ExpressionEncoder(RowEncoder.encoderFor(schema.structType))
     frames.mapPartitions(it =>
       it.flatMap(blob => Wire.splitFrames(blob).map(b => decodeRow(schema, b))))(enc)
+  }
+
+  /** Lenient decode with a dead-letter side-channel — the NON-parity
+    * P11 option (parity = MalformedProto fails the whole batch, which
+    * a 100 TB ingest can't afford for one poisoned row). Every output
+    * row carries an extra `_error` column: null for good rows; the
+    * decode failure message (with all data fields null) for bad ones.
+    * One pass, no shuffle; split downstream with `_error IS NULL` /
+    * `IS NOT NULL` into the table append and the dead-letter sink.
+    */
+  def decodeFramedLenient(frames: Dataset[Array[Byte]],
+      schema: PMessage): DataFrame = {
+    val outType = schema.structType.add("_error", StringType)
+    val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outType))
+    val width = schema.fields.length
+    frames.mapPartitions { it =>
+      it.flatMap { blob =>
+        // a torn blob dead-letters once; a bad message inside a good
+        // blob dead-letters individually
+        val msgs =
+          try Wire.splitFrames(blob).map(Right(_): Either[String, Array[Byte]])
+          catch { case e: Exception => Seq(Left(s"frame: ${e.getMessage}")) }
+        msgs.map {
+          case Right(b) =>
+            try Row.fromSeq(decodeValues(schema, b).toIndexedSeq :+ null)
+            catch { case e: Exception =>
+              Row.fromSeq(Seq.fill[Any](width)(null) :+ s"decode: ${e.getMessage}")
+            }
+          case Left(err) => Row.fromSeq(Seq.fill[Any](width)(null) :+ err)
+        }
+      }
+    }(enc)
   }
 
   def structType(schema: PMessage): StructType = schema.structType

@@ -137,6 +137,41 @@ class StreamingSpec extends SparkSpec {
     assert(values.toSeq == TranscodeE2E.fixtures.map(_.value).sorted)
   }
 
+  test("P11 lenient decode dead-letters bad rows; parity path still fails whole batch") {
+    import graft.proto.Wire
+    import spark.implicits._
+    // a blob holding one good message and one truncated message
+    val badMsg = Array[Byte](0x0a, 0x7f) // field 1 len-delim, length 127, no bytes
+    val mixed = Wire.joinFrames(Seq(
+      ProtoRows.encodeValues(TranscodeE2E.message,
+        TranscodeE2E.fixtures(0).protoValues),
+      badMsg))
+    val df = ProtoRows.decodeFramedLenient(
+      spark.createDataset(TranscodeE2E.frames :+ mixed), TranscodeE2E.message)
+    assert(df.count() == TranscodeE2E.NumRows + 2)
+    assert(df.filter(col("_error").isNotNull).count() == 1)
+    val good = df.filter(col("_error").isNull)
+    assert(good.count() == TranscodeE2E.NumRows + 1)
+    // good rows decode identically to the strict path (map/array cols
+    // flattened: set ops can't hash them)
+    def flatDecoded(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("name"), col("type"), col("timestamp"), col("value"),
+      array_join(map_keys(col("tags")), ",").as("tk"),
+      array_join(map_values(col("tags")), ",").as("tv"),
+      array_join(col("labels"), ",").as("ls"))
+    val strict = ProtoRows.decodeFramed(
+      spark.createDataset(TranscodeE2E.frames :+ Wire.joinFrames(Seq(
+        ProtoRows.encodeValues(TranscodeE2E.message,
+          TranscodeE2E.fixtures(0).protoValues)))),
+      TranscodeE2E.message)
+    assert(flatDecoded(good.drop("_error")).exceptAll(flatDecoded(strict)).isEmpty)
+    // parity mode: the same poisoned blob fails the batch outright
+    intercept[Exception] {
+      ProtoRows.decodeFramed(spark.createDataset(Seq(mixed)),
+        TranscodeE2E.message).count()
+    }
+  }
+
   test("D5 sink replay of a micro-batch is idempotent per batchId") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-sink-").toString
