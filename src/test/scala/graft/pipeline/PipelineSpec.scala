@@ -110,6 +110,35 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("kernels match Column specs on adversarial random tokens (property)") {
+    val rnd = new scala.util.Random(7)
+    def tok(): String = {
+      val alphabet = "ab é中😀xyz01"
+      (0 until 1 + rnd.nextInt(8)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val docs = (0 until 60).map(_ =>
+      (0 until 3 + rnd.nextInt(40)).map(_ => tok()).mkString(" "))
+    import spark.implicits._
+    val df = docs.toDF("text")
+    val sh = df.select(TextOps.shingles(TextOps.words(col("text"))).as("ref"),
+        TextOps.shinglesKernel()(TextOps.words(col("text"))).as("fast"))
+      .collect()
+    sh.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    val nonEmpty = df
+      .select(TextOps.shinglesKernel()(TextOps.words(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val bands = nonEmpty.select(
+        Dedup.bandKeys(Dedup.minhashSignature(col("sh"))).as("ref"),
+        Dedup.minhashBandKeysKernel(col("sh")).as("fast"))
+      .collect()
+    bands.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    val sims = df.select(Dedup.simhash(TextOps.words(col("text"))).as("ref"),
+        Dedup.simhashKernel(TextOps.words(col("text"))).as("fast"))
+      .collect()
+    sims.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("simhash: identical → distance 0; token tweak stays close; disjoint far") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val tweaked = ((1 to 57).map(i => s"w$i") ++ Seq("q1", "q2", "q3")).mkString(" ")
