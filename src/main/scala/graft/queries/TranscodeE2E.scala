@@ -225,5 +225,36 @@ object TranscodeE2E {
     },
     q25.oracle)
 
-  val all: Seq[Q] = Seq(q25, q33, q35, q41)
+  /** S6 driver-verified: the sink schema is INTROSPECTED from a landed
+    * parquet footer (ChCatalog.fromParquet — the system.columns
+    * analog), and the binding compiled against those introspected
+    * columns must transcode identically to the hand-declared table:
+    * land → introspect → re-bind → transcode, one oracle.
+    */
+  val q48 = Q(
+    "q48_catalog_bind",
+    (spark, _) => {
+      import spark.implicits._
+      val landed = java.nio.file.Files
+        .createTempDirectory("graft-catalog-").resolve("t").toString
+      SchemaBinder.bind(message, table)
+        .transcode(ProtoRows.decodeFramed(spark.createDataset(frames), message))
+        .write.mode("overwrite").parquet(landed)
+      val introspected = graft.bind.ChCatalog.fromParquet(spark, landed)
+      val binding = SchemaBinder.bind(message, introspected)
+      binding.transcode(
+          ProtoRows.decodeFramed(spark.createDataset(frames), message))
+        .select(
+          col("name"),
+          col("type").cast("tinyint").as("type_code"),
+          unix_millis(col("timestamp")).as("ts_ms"),
+          col("value"),
+          array_join(col("`tags.key`"), ",").as("tag_keys"),
+          array_join(col("`tags.value`"), ",").as("tag_values"),
+          array_join(col("labels"), ",").as("labels"))
+        .orderBy(col("value"))
+    },
+    q25.oracle)
+
+  val all: Seq[Q] = Seq(q25, q33, q35, q41, q48)
 }
