@@ -65,6 +65,15 @@ object SchemaBinder {
     val byName = table.map(c => c.name -> c).toMap
     // position → transcode expression
     val exprs = scala.collection.mutable.Map.empty[Int, Column]
+    // two fields resolving to the same column is data loss, not a
+    // last-wins: fail like every other bind conflict
+    def setExpr(column: ChColumn, field: PField, e: Column): Unit = {
+      if (exprs.contains(column.position))
+        throw BindError(
+          s"column '${column.name}' bound by more than one field " +
+            s"(second: '${field.name}')")
+      exprs(column.position) = e.as(column.name)
+    }
 
     message.fields.foreach { field =>
       field.mapOf match {
@@ -73,16 +82,22 @@ object SchemaBinder {
           // clickhouse_table.go:183-201). Unlike the reference — whose two
           // independent Map.Range iterations may disagree on order —
           // map_keys/map_values over one MapType value are aligned by
-          // construction.
-          val keyCol = byName.getOrElse(s"${field.name}.key",
+          // construction. bristle_column renames the Nested base name,
+          // same as it renames a scalar's column.
+          vt match {
+            case PType.PMessageT(m) if !PType.isTimestamp(vt) =>
+              throw BindError(
+                s"cannot handle arbitrary embedded message of type ${m.fullName}")
+            case _ =>
+          }
+          val baseName = field.bristleColumn.getOrElse(field.name)
+          val keyCol = byName.getOrElse(s"$baseName.key",
             throw BindError(s"Failed to find key column for map '${field.name}'"))
-          val valCol = byName.getOrElse(s"${field.name}.value",
+          val valCol = byName.getOrElse(s"$baseName.value",
             throw BindError(s"Failed to find value column for map '${field.name}'"))
           val m = col(quoted(field.name))
-          exprs(keyCol.position) =
-            castArray(map_keys(m), kt, keyCol, field).as(keyCol.name)
-          exprs(valCol.position) =
-            castArray(map_values(m), vt, valCol, field).as(valCol.name)
+          setExpr(keyCol, field, castArray(map_keys(m), kt, keyCol, field))
+          setExpr(valCol, field, castArray(map_values(m), vt, valCol, field))
         case None =>
           val columnName = field.bristleColumn.getOrElse(field.name)
           val column = byName.getOrElse(columnName,
@@ -98,7 +113,7 @@ object SchemaBinder {
           val e =
             if (field.repeated) castArray(base, field.ptype, column, field)
             else scalarExpr(base, field.ptype, column, field, unset)
-          exprs(column.position) = e.as(column.name)
+          setExpr(column, field, e)
       }
     }
 
@@ -205,6 +220,11 @@ object SchemaBinder {
     elemPrim match {
       case ChPrim.ChInt(bits, unsigned) =>
         transform(arr, x => wrapToWidth(x.cast(LongType), bits, unsigned).cast(target))
+      case ChPrim.ChEnum(bits, _) =>
+        // same wrap discipline as the scalar enum arm — a plain CAST
+        // would throw under ANSI for out-of-width enum numbers
+        transform(arr, x =>
+          wrapToWidth(x.cast(LongType), bits, unsigned = false).cast(target))
       case _ =>
         // per-element cast: unlike a container cast it never trips over
         // containsNull mismatches between decoder and sink schemas
@@ -219,10 +239,14 @@ object SchemaBinder {
   private def nullIfZero(raw: Column, base: Column, pt: PType): Column = {
     val z = pt match {
       case PType.PString => lit("")
+      case PType.PBytes => lit(Array.empty[Byte])
       case PType.PBool => lit(false)
       case PType.PDouble => lit(0.0d)
       case PType.PFloat => lit(0.0f)
-      case t if PType.isTimestamp(t) => lit("1970-01-01 00:00:00").cast(TimestampType)
+      case t if PType.isTimestamp(t) =>
+        // instant literal, not a session-timezone-parsed string: the
+        // decoder's zero is epoch UTC regardless of session tz
+        lit(java.sql.Timestamp.from(java.time.Instant.EPOCH))
       case _ => lit(0L)
     }
     when(base === z, lit(null)).otherwise(raw)

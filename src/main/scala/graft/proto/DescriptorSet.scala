@@ -175,7 +175,9 @@ object DescriptorSet {
           if (target.mapEntry) {
             // map<K,V>: synthesized entry message, fields 1=key 2=value
             def entryType(num: Int): PType = {
-              val ef = target.fields.find(_.number == num).get
+              val ef = target.fields.find(_.number == num).getOrElse(
+                throw Wire.MalformedProto(
+                  s"map entry '${f.typeName}' missing field $num"))
               ef.ftype match {
                 case TypeMessage | TypeEnum => resolveType(ef)
                 case t => ScalarTypes(t)

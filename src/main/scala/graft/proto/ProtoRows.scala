@@ -27,9 +27,9 @@ object ProtoRows {
     */
   def decodeValues(schema: PMessage, bytes: Array[Byte]): Array[Any] = {
     val values = new Array[Any](schema.fields.length)
-    val index = schema.fields.zipWithIndex.map { case (f, i) => f.number -> i }.toMap
-    val repeatedAcc = mutable.Map.empty[Int, mutable.ArrayBuffer[Any]]
-    val mapAcc = mutable.Map.empty[Int, mutable.LinkedHashMap[Any, Any]]
+    val index = schema.indexByNumber // precomputed once per schema, not per row
+    var repeatedAcc: mutable.Map[Int, mutable.ArrayBuffer[Any]] = null
+    var mapAcc: mutable.Map[Int, mutable.LinkedHashMap[Any, Any]] = null
 
     val r = new Wire.Reader(bytes)
     while (r.hasNext) {
@@ -41,12 +41,15 @@ object ProtoRows {
         case Some(i) =>
           val f = schema.fields(i)
           f.mapOf match {
-            case Some((kt, vt)) =>
+            case Some((kt, vt)) if wt == 2 =>
               val entry = r.readBytes()
               val (k, v) = decodeMapEntry(kt, vt, entry)
+              if (mapAcc == null) mapAcc = mutable.Map.empty
               mapAcc.getOrElseUpdate(i, mutable.LinkedHashMap.empty)
                 .update(k, v)
-            case None if f.repeated =>
+            case None if f.repeated &&
+                (wt == 2 || wt == PType.wireType(f.ptype)) =>
+              if (repeatedAcc == null) repeatedAcc = mutable.Map.empty
               val acc = repeatedAcc.getOrElseUpdate(i, mutable.ArrayBuffer.empty)
               if (wt == 2 && PType.wireType(f.ptype) != 2) {
                 // packed encoding: one length-delimited run of values
@@ -54,16 +57,26 @@ object ProtoRows {
                 val pr = new Wire.Reader(packed)
                 while (pr.hasNext) acc += readScalar(pr, f.ptype, PType.wireType(f.ptype))
               } else acc += readScalar(r, f.ptype, wt)
-            case None =>
+            case None if !f.repeated && wt == PType.wireType(f.ptype) =>
               values(i) = readScalar(r, f.ptype, wt)
+            case _ =>
+              // known field, WRONG wire type: treat as unknown and skip
+              // by the ACTUAL wire type (spec-conformant parsers do the
+              // same) — decoding by the declared type would misalign
+              // the reader and corrupt every later field silently
+              r.skip(wt)
           }
       }
     }
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       if (f.mapOf.isDefined)
-        values(i) = mapAcc.get(i).map(_.toMap).getOrElse(Map.empty[Any, Any])
+        values(i) =
+          if (mapAcc == null) Map.empty[Any, Any]
+          else mapAcc.get(i).map(_.toMap).getOrElse(Map.empty[Any, Any])
       else if (f.repeated)
-        values(i) = repeatedAcc.get(i).map(_.toSeq).getOrElse(Seq.empty[Any])
+        values(i) =
+          if (repeatedAcc == null) Seq.empty[Any]
+          else repeatedAcc.get(i).map(_.toSeq).getOrElse(Seq.empty[Any])
       else if (values(i) == null) values(i) = PType.zero(f.ptype)
     }
     values
@@ -251,7 +264,11 @@ object ProtoRows {
     */
   def decodeFramedLenient(frames: Dataset[Array[Byte]],
       schema: PMessage): DataFrame = {
-    val outType = schema.structType.add("_error", StringType)
+    // dead-letter rows carry null data fields — every field must be
+    // nullable here, unlike the strict decode's schema
+    val outType = StructType(
+      schema.structType.fields.map(_.copy(nullable = true))
+    ).add("_error", StringType)
     val enc: ExpressionEncoder[Row] =
       ExpressionEncoder(RowEncoder.encoderFor(outType))
     val width = schema.fields.length

@@ -139,4 +139,9 @@ final case class PMessage(
 
   lazy val structType: StructType = StructType(fields.map(_.sparkField))
   lazy val byNumber: Map[Int, PField] = fields.map(f => f.number -> f).toMap
+  /** field number → positional index, precomputed once per schema so
+    * the per-message decode loop allocates nothing for the lookup.
+    */
+  lazy val indexByNumber: Map[Int, Int] =
+    fields.zipWithIndex.map { case (f, i) => f.number -> i }.toMap
 }

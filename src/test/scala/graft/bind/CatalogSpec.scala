@@ -29,6 +29,28 @@ class CatalogSpec extends SparkSpec {
     assert(cols.find(_.name == "e").get.default == "[]")
   }
 
+  test("two fields binding the same column is a bind error, not last-wins") {
+    import graft.proto.{PField, PMessage, PType}
+    val cols = Seq(ChColumn("x", 1, "Int64"))
+    val msg = PMessage("M", Seq(
+      PField("a", 1, PType.PInt64, bristleColumn = Some("x")),
+      PField("x", 2, PType.PInt64)))
+    val e = intercept[BindError] { SchemaBinder.bind(msg, cols) }
+    assert(e.getMessage.contains("more than one field"))
+  }
+
+  test("bristle_column renames the Nested base name for map fields") {
+    import graft.proto.{PField, PMessage, PType}
+    val cols = Seq(
+      ChColumn("renamed.key", 1, "Array(String)", "[]"),
+      ChColumn("renamed.value", 2, "Array(String)", "[]"))
+    val msg = PMessage("M", Seq(
+      PField("tags", 1, PType.PString, mapOf = Some((PType.PString, PType.PString)),
+        bristleColumn = Some("renamed"))))
+    val binding = SchemaBinder.bind(msg, cols)
+    assert(binding.columns.map(_.name) == Seq("renamed.key", "renamed.value"))
+  }
+
   test("introspected parquet footer binds a matching message") {
     import graft.proto.{PField, PMessage, PType}
     import spark.implicits._

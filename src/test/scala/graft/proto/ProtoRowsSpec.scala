@@ -104,4 +104,19 @@ class ProtoRowsSpec extends AnyFunSuite {
     assert(bytes.isEmpty) // nothing on the wire
     assert(ProtoRows.decodeValues(example, bytes).toSeq == vals)
   }
+
+  test("known field with WRONG wire type is skipped, later fields survive") {
+    val m = PMessage("M", Seq(
+      PField("s", 1, PString), PField("v", 2, PInt64)))
+    val w = new Wire.Writer
+    // field 2 declared varint but encoded as fixed32 — must be skipped
+    // by the ACTUAL wire type, not decoded by the declared one
+    w.writeTag(2, 5)
+    w.writeFixed32(0xdeadbeef)
+    w.writeTag(1, 2); w.writeBytes("ok".getBytes("UTF-8"))
+    w.writeTag(2, 0); w.writeVarint(42)
+    val vals = ProtoRows.decodeValues(m, w.toBytes)
+    assert(vals(0) == "ok", "reader misaligned after wrong-wire-type field")
+    assert(vals(1) == 42L)
+  }
 }
