@@ -91,9 +91,12 @@ object TranscodeE2E {
       val tagsJson = tags.map { case (k, v) => s""""$k":"$v"""" }
         .mkString("{", ",", "}")
       val labelsJson = labels.map(l => s""""$l"""").mkString("[", ",", "]")
+      // int64 quoted per the protojson spec on even rows, bare number
+      // (accepted by real parsers, and by ours) on odd rows
+      val valueJson = if (i % 2 == 0) s""""$value"""" else s"$value"
       s"""{"name":"$name","type":"$enumName",""" +
         s""""timestamp":"$iso${frac}Z",""" +
-        s""""value":$value,"tags":$tagsJson,"labels":$labelsJson}"""
+        s""""value":$valueJson,"tags":$tagsJson,"labels":$labelsJson}"""
     }
   }
 

@@ -29,7 +29,8 @@ object Batcher {
 final class Batcher(
     bufferSize: Int,
     sink: (String, Seq[Array[Byte]]) => RowBuffer.WriteResult,
-    retryTimes: Int = 0) {
+    retryTimes: Int = 0,
+    retrySleepMs: Long = 10) {
   import Batcher._
 
   private val batches = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Array[Byte]]]
@@ -77,7 +78,10 @@ final class Batcher(
         case RowBuffer.Full =>
           if (attemptsLeft == 0) return Left(RetriesExhausted)
           if (attemptsLeft > 0) attemptsLeft -= 1
-        // -1: retry forever
+          // -1: retry forever; sleep between attempts so a full sink
+          // can drain instead of being busy-spun against (the
+          // reference client sleeps too, client/client.go:158-170)
+          if (retrySleepMs > 0) Thread.sleep(retrySleepMs)
       }
     }
     throw new IllegalStateException("unreachable")

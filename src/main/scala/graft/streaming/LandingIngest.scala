@@ -206,7 +206,14 @@ object LandingIngest {
       base.resolve("out").toString, base.resolve("ckpt").toString,
       numWriters = numWriters, availableNow = true)
     q.awaitTermination()
-    // p_batch is sink bookkeeping (idempotent replay), not payload
-    spark.read.parquet(base.resolve("out").toString).drop("p_batch")
+    // nothing landed (everything shed/rejected) is a legitimate
+    // admission outcome — surface it as an empty frame, not a
+    // missing-path crash
+    if (!Files.exists(base.resolve("out")))
+      binding.transcode(ProtoRows.decode(
+        spark.emptyDataset(Encoders.BINARY), message))
+    else
+      // p_batch is sink bookkeeping (idempotent replay), not payload
+      spark.read.parquet(base.resolve("out").toString).drop("p_batch")
   }
 }

@@ -45,6 +45,10 @@ object QueueIngest {
     sq.processAllAvailable()
     sq.stop()
     sq.awaitTermination()
-    spark.read.parquet(outDir).drop("p_batch")
+    // all-shed/all-rejected runs land nothing: empty frame, not a crash
+    if (!Files.exists(base.resolve("out")))
+      binding.transcode(ProtoRows.decode(
+        spark.emptyDataset(Encoders.BINARY), message))
+    else spark.read.parquet(outDir).drop("p_batch")
   }
 }

@@ -29,10 +29,11 @@ object WindowedStats {
     * (WindowedStatsSpec pins both).
     */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
-      windowLen: String, watermarkDelay: String): DataFrame =
+      windowLen: String, watermarkDelay: String,
+      valueCol: String = "value"): DataFrame =
     events.withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowLen).as("w"), col(keyCol))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
       .select(col("w.start").as("w_start"), col(keyCol),
         col("n"), col("sum_value"))
 

@@ -192,11 +192,21 @@ class StreamingSpec extends SparkSpec {
       line("\"2021-06-01T12:44:56.004Z\""),
       line("\"2021-06-01T12:44:56.004000Z\""),
       line("\"2021-06-01T12:44:56.004000000Z\""),
+      line("\"2021-06-01T14:44:56.004+02:00\""), // RFC3339 numeric offset
       """{"name":"absent","type":"SMALL","value":1,"tags":{},"labels":[]}""")
     val ms = JsonLines.parse(spark.createDataset(ok), TranscodeE2E.message)
       .select(unix_millis(col("timestamp"))).collect().map(_.getLong(0))
     assert(ms.toSeq == Seq(1622551496000L, 1622551496004L, 1622551496004L,
-      1622551496004L, 0L))
+      1622551496004L, 1622551496004L, 0L))
+    // protojson spellings: quoted int64 (the spec), numeric enum, and
+    // full-range uint64-style values survive exactly
+    val spellings = JsonLines.parse(spark.createDataset(Seq(
+        """{"name":"q","type":2,"timestamp":"2021-06-01T12:44:56Z","value":"9007199254740993","tags":{},"labels":[]}""")),
+      TranscodeE2E.message)
+      .select(col("type"), col("value")).collect()(0)
+    assert(spellings.getInt(0) == 2, "numeric enum value must resolve")
+    assert(spellings.getLong(1) == 9007199254740993L,
+      "quoted int64 must not round-trip through double")
     val bad = JsonLines.parse(
       spark.createDataset(Seq(line("\"not-a-time\""))), TranscodeE2E.message)
     intercept[Exception] { bad.collect() }
