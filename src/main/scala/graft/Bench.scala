@@ -61,8 +61,11 @@ object Bench {
     val fs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // The one stdout line; "failed" lets downstream consumers tell a
-    // healthy total from one with crashed queries (ADVICE r2).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    // healthy total from one with crashed queries (ADVICE r2). sfDir
+    // is escaped so a quote/backslash in the env var can't break the
+    // record's JSON validity.
+    val sfJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfJson"}""")
     spark.stop()
   }
 }

@@ -12,9 +12,15 @@ import graft.queries.{Events, Pipeline, Q, Relational, Transcode, TranscodeE2E}
 object SparkEntry {
 
   /** All verifiable queries, in stable order. */
-  def registry: Seq[Q] =
-    Relational.all ++ Events.all ++ Transcode.all ++ TranscodeE2E.all ++
-      Pipeline.all
+  def registry: Seq[Q] = {
+    val all = Relational.all ++ Events.all ++ Transcode.all ++
+      TranscodeE2E.all ++ Pipeline.all
+    // a duplicate name would silently shadow a query in the queries/
+    // oracleSql maps — fail loudly instead
+    val dups = all.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    all
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -10,10 +10,6 @@ import org.apache.spark.sql.functions._
   * the physical layout can be swapped without touching query code.
   */
 object Tables {
-  val names: Seq[String] = Seq(
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings")
-
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
     // reader rejects outright; read it as raw nanos and floor to the

@@ -16,8 +16,17 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // remove any prior run's artifact FIRST: a query that fails must
+      // leave nothing behind, or a stale result from an earlier run
+      // would silently pass the driver's compare
+      val target = Paths.get(s"$outDir/$name")
+      if (Files.exists(target)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(target).iterator().asScala.toSeq.reverse
+          .foreach(Files.delete)
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+        .parquet(target.toString)
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

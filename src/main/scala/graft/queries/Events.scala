@@ -183,12 +183,7 @@ object Events {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy(col("event_type")),
-    Some(s"""
-      SELECT event_type, COUNT(*) AS n, ${oSum("value")} AS sum_value
-      FROM events
-      WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06'
-      GROUP BY event_type
-      ORDER BY event_type"""))
+    q14.oracle) // layout must not change results: q14's oracle by reference
 
   /** Gap-based sessionization via Spark's native session_window: per
     * event type, events closer than 10 minutes chain into one session.

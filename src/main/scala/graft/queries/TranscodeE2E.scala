@@ -29,9 +29,13 @@ object TranscodeE2E {
     * itself sits on the driver-verified path. DescriptorSetSpec pins
     * the loaded schema against a hand-built expectation.
     */
-  val message: PMessage = graft.proto.DescriptorSet.load(
-    getClass.getResourceAsStream("/descriptors/example.pb").readAllBytes()
-  )("ExampleMessage")
+  val message: PMessage = {
+    val in = Option(getClass.getResourceAsStream("/descriptors/example.pb"))
+      .getOrElse(throw new IllegalStateException(
+        "resource /descriptors/example.pb missing from classpath"))
+    val bytes = try in.readAllBytes() finally in.close()
+    graft.proto.DescriptorSet.load(bytes)("ExampleMessage")
+  }
 
   /** Sink schema, as the reference would introspect it from
     * system.columns for examples/example.sql.
@@ -44,6 +48,20 @@ object TranscodeE2E {
     ChColumn("tags.key", 5, "Array(String)"),
     ChColumn("tags.value", 6, "Array(String)"),
     ChColumn("labels", 7, "Array(String)", default = "[]"))
+
+  /** The single comparison projection all transcode queries share with
+    * q25's oracle: one definition, zero drift between the five paths
+    * (batch wire, stream, jsonl, queue source, catalog bind).
+    */
+  private def sinkSelect(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("name"),
+      col("type").cast("tinyint").as("type_code"),
+      unix_millis(col("timestamp")).as("ts_ms"),
+      col("value"),
+      array_join(col("`tags.key`"), ",").as("tag_keys"),
+      array_join(col("`tags.value`"), ",").as("tag_values"),
+      array_join(col("labels"), ",").as("labels"))
+    .orderBy(col("value"))
 
   val NumRows = 64
   val MsgsPerFrame = 8
@@ -117,15 +135,7 @@ object TranscodeE2E {
       val binding = SchemaBinder.bind(message, table)
       val decoded = ProtoRows.decodeFramed(spark.createDataset(frames), message)
       binding.transcode(decoded)
-        .select(
-          col("name"),
-          col("type").as("type_code"),
-          unix_millis(col("timestamp")).as("ts_ms"),
-          col("value"),
-          array_join(col("`tags.key`"), ",").as("tag_keys"),
-          array_join(col("`tags.value`"), ",").as("tag_values"),
-          array_join(col("labels"), ",").as("labels"))
-        .orderBy(col("value"))
+        .transform(sinkSelect)
     },
     Some {
       val rows = fixtures.map { f =>
@@ -164,15 +174,7 @@ object TranscodeE2E {
         .toSeq
       LandingIngest.runOnce(spark, message, binding, batches,
           maxBufferSize = NumRows, onFull = RowBuffer.Block)
-        .select(
-          col("name"),
-          col("type").as("type_code"),
-          unix_millis(col("timestamp")).as("ts_ms"),
-          col("value"),
-          array_join(col("`tags.key`"), ",").as("tag_keys"),
-          array_join(col("`tags.value`"), ",").as("tag_values"),
-          array_join(col("labels"), ",").as("labels"))
-        .orderBy(col("value"))
+        .transform(sinkSelect)
     },
     q25.oracle)
 
@@ -188,15 +190,7 @@ object TranscodeE2E {
       val binding = SchemaBinder.bind(message, table)
       val lines = spark.createDataset(fixtures.map(_.protojsonLine))
       binding.transcode(graft.streaming.JsonLines.parse(lines, message))
-        .select(
-          col("name"),
-          col("type").as("type_code"),
-          unix_millis(col("timestamp")).as("ts_ms"),
-          col("value"),
-          array_join(col("`tags.key`"), ",").as("tag_keys"),
-          array_join(col("`tags.value`"), ",").as("tag_values"),
-          array_join(col("labels"), ",").as("labels"))
-        .orderBy(col("value"))
+        .transform(sinkSelect)
     },
     q25.oracle)
 
@@ -216,15 +210,7 @@ object TranscodeE2E {
         .toSeq
       QueueIngest.runOnce(spark, message, binding, batches,
           capacity = NumRows, onFull = RowBuffer.Block, name = "q41")
-        .select(
-          col("name"),
-          col("type").as("type_code"),
-          unix_millis(col("timestamp")).as("ts_ms"),
-          col("value"),
-          array_join(col("`tags.key`"), ",").as("tag_keys"),
-          array_join(col("`tags.value`"), ",").as("tag_values"),
-          array_join(col("labels"), ",").as("labels"))
-        .orderBy(col("value"))
+        .transform(sinkSelect)
     },
     q25.oracle)
 
@@ -247,15 +233,7 @@ object TranscodeE2E {
       val binding = SchemaBinder.bind(message, introspected)
       binding.transcode(
           ProtoRows.decodeFramed(spark.createDataset(frames), message))
-        .select(
-          col("name"),
-          col("type").cast("tinyint").as("type_code"),
-          unix_millis(col("timestamp")).as("ts_ms"),
-          col("value"),
-          array_join(col("`tags.key`"), ",").as("tag_keys"),
-          array_join(col("`tags.value`"), ",").as("tag_values"),
-          array_join(col("labels"), ",").as("labels"))
-        .orderBy(col("value"))
+        .transform(sinkSelect)
     },
     q25.oracle)
 

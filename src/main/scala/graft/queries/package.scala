@@ -25,8 +25,12 @@ package object queries {
     */
   def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
 
-  /** Order-stable mean built on [[dsum]]. */
-  def davg(c: Column): Column = dsum(c) / count(c)
+  /** Order-stable mean built on [[dsum]]. The count-0 guard turns the
+    * degenerate all-NULL/empty group into NULL (the oracle's answer)
+    * instead of an ANSI DIVIDE_BY_ZERO.
+    */
+  def davg(c: Column): Column =
+    dsum(c) / when(count(c) =!= 0L, count(c))
 
   /** DuckDB spelling of [[dsum]]. */
   def oSum(expr: String): String =
