@@ -197,28 +197,71 @@ object Similarity extends Serializable {
   }
 
   /** IVF (inverted-file) approximate top-k — the other standard scale
-    * path next to [[annTopK]]'s hyperplane LSH: a small coarse
-    * quantizer partitions the corpus into nlist cells; queries probe
-    * only the nprobe nearest cells and exact-rerank the candidates.
-    * Shuffle volume is corpus x 1 (cell assignment) + queries x
-    * nprobe, never corpus x queries.
-    *
-    * The quantizer here is the nlist lowest-id vectors, broadcast as a
-    * primitive matrix — deterministic by construction so the harness
-    * is reproducible; at real scale you'd train it with k-means|| and
-    * broadcast the trained centroids the same way (the assignment and
-    * probe plumbing — the Spark-side shape — is identical).
+    * path next to [[annTopK]]'s hyperplane LSH: a k-means-trained
+    * coarse quantizer ([[trainCentroids]]) partitions the corpus into
+    * nlist cells; queries probe only the nprobe nearest cells and
+    * exact-rerank the candidates. Shuffle volume is corpus x 1 per
+    * training round + corpus x 1 (cell assignment) + queries x nprobe,
+    * never corpus x queries.
     */
+  /** Deterministic k-means (Lloyd) training for the IVF coarse
+    * quantizer: init = the nlist lowest-id vectors, then `iters`
+    * rounds of distributed assign (broadcast centroids, map-side
+    * nearest-cell) + element-wise mean update (explode to (cell, dim)
+    * partial sums — the rows x dim shuffle shape that scales to any
+    * corpus; only nlist x dim aggregates reach the driver). Ties and
+    * empty cells resolve deterministically (lowest index / keep old
+    * centroid), so the trained quantizer is reproducible.
+    */
+  def trainCentroids(vecs: DataFrame, vecCol: String, nlist: Int,
+      iters: Int = 3): Array[Array[Double]] = {
+    val spark = vecs.sparkSession
+    var cents = vecs.select(col(vecCol).cast("array<double>").as("v"))
+      .limit(nlist).collect().map(_.getSeq[Double](0).toArray)
+    for (_ <- 0 until iters) {
+      val frozen = cents
+      val norms = frozen.map(c => math.sqrt(dotJvm(c, c)))
+      val bc = spark.sparkContext.broadcast((frozen, norms))
+      val nearest = udf { (v: Seq[Double]) =>
+        val (cs, ns) = bc.value
+        val va = v.toArray
+        val nv = math.sqrt(dotJvm(va, va))
+        var best = 0
+        var bestCos = Double.MinValue
+        var i = 0
+        while (i < cs.length) {
+          val c = dotJvm(va, cs(i)) / (nv * ns(i))
+          if (c > bestCos) { bestCos = c; best = i }
+          i += 1
+        }
+        best
+      }
+      val stats = vecs.select(col(vecCol).cast("array<double>").as("v"))
+        .withColumn("cell", nearest(col("v")))
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = frozen.map(_.clone())
+      stats.foreach { r =>
+        val (cell, dim) = (r.getInt(0), r.getInt(1))
+        next(cell)(dim) = r.getDouble(2) / r.getLong(3)
+      }
+      cents = next
+    }
+    cents
+  }
+
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column => Column, k: Int, nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4, trainIters: Int = 3): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val cents = emb
+    val ordered = emb
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
-      .as[(Long, Array[Double])]
-      .orderBy(col("id")).limit(nlist).collect().map(_._2)
+      .orderBy(col("id"))
+    val cents = trainCentroids(ordered, "v", nlist, trainIters)
     val centNorms = cents.map(c => math.sqrt(dotJvm(c, c)))
     val bc = spark.sparkContext.broadcast((cents, centNorms))
 
