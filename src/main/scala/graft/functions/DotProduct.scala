@@ -74,6 +74,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_dot takes exactly 2 arguments")
         DotProduct(args.head, args(1))
+      }),
+    (new FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(classOf[MinhashBandKeys].getName, "graft_minhash_bands"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_minhash_bands takes exactly 1 argument")
+        MinhashBandKeys(args.head)
       }))
 
   /** Idempotent per-session registration (the imperative twin of

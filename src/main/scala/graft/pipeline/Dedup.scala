@@ -69,10 +69,14 @@ object Dedup extends Serializable {
   // string hash per slot: slotSeeds(j) == state after hashing the Int
   // literal j, bandSeeds(b) == state after hashing the Int literal b —
   // the same chains xxhash64(j, s) / xxhash64(b, slots...) walk.
-  private lazy val slotSeeds: Array[Long] =
+  // Exposed (Jvm suffix) for the native Expression twin
+  // (graft.functions.MinhashBandKeys).
+  lazy val slotSeedsJvm: Array[Long] =
     Array.tabulate(K)(j => XxHash64Function.hash(j, IntegerType, XxSeed))
-  private lazy val bandSeeds: Array[Long] =
+  lazy val bandSeedsJvm: Array[Long] =
     Array.tabulate(Bands)(b => XxHash64Function.hash(b, IntegerType, XxSeed))
+  private def slotSeeds = slotSeedsJvm
+  private def bandSeeds = bandSeedsJvm
 
   /** Single-pass JVM kernel for `bandKeys(minhashSignature(sh))`,
     * bit-identical on non-empty shingle sets (PipelineSpec proves it):
@@ -112,6 +116,7 @@ object Dedup extends Serializable {
     */
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val sh = docs
       .select(col(idCol).as("id"),
         TextOps.shinglesKernel()(TextOps.words(col(textCol))).as("sh"))
@@ -119,9 +124,12 @@ object Dedup extends Serializable {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // (id, band, bucket) — rows × Bands, the only "expansion" shuffle.
+    // Band keys via the native Expression (no per-row Seq conversion,
+    // no UTF8String round trip — graft.functions.MinhashBandKeys).
     val buckets = sh
       .select(col("id"),
-        posexplode(minhashBandKeysKernel(col("sh"))).as(Seq("band", "bucket")))
+        posexplode(call_function("graft_minhash_bands", col("sh")))
+          .as(Seq("band", "bucket")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     buckets.count() // materialize sh + buckets before the self-join
 

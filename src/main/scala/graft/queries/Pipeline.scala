@@ -440,6 +440,66 @@ object Pipeline {
       FROM frames
       ORDER BY media_id, frame_idx"""))
 
+  /** The composed training-data prep pipeline — the end-to-end shape a
+    * corpus run actually executes, chaining the §2.6 operators: exact
+    * dedup (keep lowest doc_id per distinct text) → quality floor →
+    * language allowlist → per-language token budget (greedy by doc_id
+    * order). Every stage is deterministic, so the whole composition is
+    * one differential test: the oracle re-runs the same pipeline
+    * relationally.
+    */
+  val q49 = {
+    val langs = Seq("en", "es")
+    val quality = 0.5
+    val budget = 50000L
+    Q(
+      "q49_corpus_prep",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(spark, dir, "documents")
+        val ws = TextOps.words(col("text"))
+        val keep = Dedup.exact(docs, "text", "doc_id").select("doc_id")
+        val scored = docs.join(keep, "doc_id")
+          .withColumn("score", TextOps.qualityScore(col("text"), ws))
+          .withColumn("n_tokens", size(ws).cast("long"))
+          .filter(col("score") >= quality && col("lang").isin(langs: _*))
+        // greedy per-language budget: running token total in doc_id order
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        scored.withColumn("running", sum(col("n_tokens")).over(w))
+          .filter(col("running") <= budget)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("tokens"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""
+      WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+      scored AS (
+        SELECT d.doc_id, d.lang,
+               len(string_split(d.text,' '))::BIGINT AS n_tokens,
+               least(len(string_split(d.text,' '))/100.0, 1.0) * 0.5 +
+               least((len(list_filter(string_split(d.text,' '),
+                       w -> w IN ('the','a','of','and','to','in','is','on','that','it')))::DOUBLE
+                     / len(string_split(d.text,' '))) * 10.0, 1.0) * 0.5 AS score
+        FROM documents d JOIN keep k ON d.doc_id = k.doc_id),
+      filtered AS (
+        SELECT * FROM scored
+        WHERE score >= $quality AND lang IN (${langs.map(l => s"'$l'").mkString(",")})),
+      budgeted AS (
+        SELECT lang, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS running
+        FROM filtered)
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+             MAX(doc_id) AS last_doc
+      FROM budgeted
+      WHERE running <= $budget
+      GROUP BY lang
+      ORDER BY lang"""))
+  }
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
-    q36, q37, q38, q39, q40)
+    q36, q37, q38, q39, q40, q49)
 }

@@ -71,18 +71,22 @@ class PipelineSpec extends SparkSpec {
       .collect()
     shc.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
       "shingle kernel diverges"))
-    // MinHash band keys: kernel vs bandKeys(minhashSignature(...))
+    // MinHash band keys: Column spec vs UDF kernel vs native Expression
+    graft.functions.GraftFunctions.register(spark)
     val sh = docs.limit(100).select(col("doc_id"),
         TextOps.shingles(TextOps.words(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
     val bands = sh.select(col("doc_id"),
         Dedup.bandKeys(Dedup.minhashSignature(col("sh"))).as("ref"),
-        Dedup.minhashBandKeysKernel(col("sh")).as("fast"))
+        Dedup.minhashBandKeysKernel(col("sh")).as("fast"),
+        call_function("graft_minhash_bands", col("sh")).as("native"))
       .collect()
     assert(bands.nonEmpty)
     bands.foreach { r =>
       assert(r.getSeq[Long](1) == r.getSeq[Long](2),
         s"minhash kernel diverges for doc ${r.getLong(0)}")
+      assert(r.getSeq[Long](1) == r.getSeq[Long](3),
+        s"native minhash diverges for doc ${r.getLong(0)}")
     }
     // SimHash: kernel vs simhash(...) (includes the empty-token edge)
     val sims = docs.limit(100).select(col("doc_id"),
