@@ -35,6 +35,15 @@ final class Batcher(
 
   private val batches = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Array[Byte]]]
   private val typeIds = mutable.LinkedHashMap.empty[String, Int]
+  @volatile private var backoffUntil: Long = 0L
+
+  /** D8: honor a server-issued backoff — deliveries are suspended
+    * until the deadline (reference client/client.go:128-135,158-163;
+    * the v1 server never sends one, but the client-side contract is
+    * the operative half).
+    */
+  def backoff(untilEpochMs: Long): Unit = { backoffUntil = untilEpochMs }
+  def inBackoff: Boolean = System.currentTimeMillis() < backoffUntil
 
   /** D11: session-stable type id, assigned on first registration. */
   def typeId(messageType: String): Int = synchronized {
@@ -70,6 +79,10 @@ final class Batcher(
   }
 
   private def deliver(t: String, msgs: Seq[Array[Byte]]): Either[WriteError, Unit] = {
+    // backoff wait precedes every send attempt, like the reference's
+    // pre-send backoff gate
+    while (inBackoff) Thread.sleep(
+      math.min(retrySleepMs.max(1), backoffUntil - System.currentTimeMillis()).max(1))
     var attemptsLeft = retryTimes
     while (true) {
       sink(t, msgs) match {

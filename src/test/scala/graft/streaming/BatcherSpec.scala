@@ -11,6 +11,20 @@ class BatcherSpec extends AnyFunSuite {
 
   private def msg(i: Int) = Array(i.toByte)
 
+  test("D8 backoff suspends delivery until the deadline, then sends") {
+    val sent = new java.util.concurrent.atomic.AtomicLong(0)
+    val b = new Batcher(10, (_, _) => { sent.set(System.currentTimeMillis()); RowBuffer.Ok },
+      retrySleepMs = 1)
+    val deadline = System.currentTimeMillis() + 150
+    b.backoff(deadline)
+    assert(b.inBackoff)
+    b.writeBatch("a", Seq(msg(1)))
+    val results = b.flush() // must block until the deadline passes
+    assert(results("a") == Right(()))
+    assert(sent.get() >= deadline, "delivery happened inside the backoff window")
+    assert(!b.inBackoff)
+  }
+
   test("per-type capacity: incoming alone or combined over cap rejects") {
     val b = new Batcher(3, (_, _) => RowBuffer.Ok)
     assert(b.writeBatch("a", Seq(msg(1), msg(2), msg(3), msg(4))) == Left(Oversized))
