@@ -54,6 +54,9 @@ object Bench {
           failed ::= q.name
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
+      // written = consumed: drop the near-dup/similarity result cache so
+      // one query's pinned blocks can't skew the next query's timing
+      graft.pipeline.Similarity.releaseResult()
       q.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -30,6 +30,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // written = consumed: drop the near-dup/similarity result cache
+      // so no query's blocks outlive its own dump
+      graft.pipeline.Similarity.releaseResult()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

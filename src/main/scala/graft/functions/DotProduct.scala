@@ -37,10 +37,16 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  // Length-mismatched inputs yield NULL (like the Column spec, where
+  // zip_with null-pads the shorter array and the sum goes null) — so
+  // the result is nullable even over non-null children.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -53,12 +59,16 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $s = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $s += $a.getDouble($i) * $b.getDouble($i);
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $s += $a.getDouble($i) * $b.getDouble($i);
+          }
+          ${ev.value} = $s;
         }
-        ${ev.value} = $s;
       """
     })
 

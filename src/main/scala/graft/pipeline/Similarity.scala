@@ -29,14 +29,19 @@ object Similarity extends Serializable {
 
   /** JVM kernel for [[dot]]: identical left-to-right IEEE accumulation
     * (PipelineSpec proves bit-equality), minus the per-element HOF
-    * interpretation cost that dominated BENCH_r02 q30/q32.
+    * interpretation cost that dominated BENCH_r02 q30/q32. Like the
+    * Column spec, length-mismatched or null inputs yield NULL
+    * (zip_with null-pads the shorter array, nulling the sum).
     */
   val dotKernel: UserDefinedFunction = udf { (a: Seq[Double], b: Seq[Double]) =>
-    var s = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i) * b(i); i += 1 }
-    s
+    if (a == null || b == null || a.length != b.length) null
+    else {
+      var s = 0.0
+      var i = 0
+      val n = a.length
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s: java.lang.Double
+    }
   }
 
   /** cosine(a, b) computed as dot/(sqrt(dot_aa)*sqrt(dot_bb)) — the
@@ -124,12 +129,15 @@ object Similarity extends Serializable {
     if (d < 1024) planeCache(p)(d) else planeComponentJvm(p, d)
 
   /** JVM kernel for [[lshBucket]]: identical projections and sign
-    * bits (PipelineSpec proves equality), one pass per plane.
+    * bits (PipelineSpec proves equality), one pass per plane. A null
+    * vector yields NULL like the Column form (whose aggregate over a
+    * null array is null), not an NPE.
     */
   val lshBucketKernel: UserDefinedFunction = udf { (v: Seq[Double]) =>
+    if (v == null) null
     // empty vector: the Column spec yields null projections → bucket 0
-    if (v.isEmpty) 0L
-    else lshBucketJvm(v)
+    else if (v.isEmpty) (0L: java.lang.Long)
+    else (lshBucketJvm(v): java.lang.Long)
   }
 
   private def lshBucketJvm(v: Seq[Double]): Long = {
@@ -149,13 +157,33 @@ object Similarity extends Serializable {
     * intermediate caches: without this, every near-dup/similarity
     * query would pin its self-join inputs in the block manager for
     * the rest of the session (Verify/Bench run ~44 queries in one).
+    *
+    * The result cache itself is a single rotating slot: materializing
+    * the next query's result unpersists the previous one, so at most
+    * one result is ever pinned (ADVICE r3 #2 — the same accumulation
+    * class as the intermediates, one query behind). Callers that want
+    * the block manager fully drained call [[releaseResult]] once the
+    * result has been consumed.
     */
+  private val lastResult =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   private[pipeline] def materializeAndRelease(result: DataFrame,
       intermediates: Seq[DataFrame]): DataFrame = {
     val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     intermediates.foreach(_.unpersist(blocking = false))
+    val prev = lastResult.getAndSet(out)
+    if (prev != null) prev.unpersist(blocking = false)
     out
+  }
+
+  /** Drop the one result cache [[materializeAndRelease]] keeps alive —
+    * the consumed DataFrame stays valid (it just recomputes if re-read).
+    */
+  def releaseResult(): Unit = {
+    val prev = lastResult.getAndSet(null)
+    if (prev != null) prev.unpersist(blocking = false)
   }
 
   /** Multi-probe buckets: every bucket within [[ProbeFlips]] bit

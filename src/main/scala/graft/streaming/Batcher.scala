@@ -79,12 +79,13 @@ final class Batcher(
   }
 
   private def deliver(t: String, msgs: Seq[Array[Byte]]): Either[WriteError, Unit] = {
-    // backoff wait precedes every send attempt, like the reference's
-    // pre-send backoff gate
-    while (inBackoff) Thread.sleep(
-      math.min(retrySleepMs.max(1), backoffUntil - System.currentTimeMillis()).max(1))
     var attemptsLeft = retryTimes
     while (true) {
+      // backoff wait precedes every send attempt — including Full
+      // retries, so a backoff set mid-delivery is honored (the
+      // reference re-checks before each send, client/client.go:158-163)
+      while (inBackoff) Thread.sleep(
+        math.min(retrySleepMs.max(1), backoffUntil - System.currentTimeMillis()).max(1))
       sink(t, msgs) match {
         case RowBuffer.Ok => return Right(())
         case RowBuffer.TooBig => return Left(DroppedTooBig) // non-retryable

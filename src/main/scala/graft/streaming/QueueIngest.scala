@@ -21,34 +21,40 @@ object QueueIngest {
       onFull: RowBuffer.OnFull, numWriters: Int = 2,
       name: String = "queue-ingest"): DataFrame = {
     val q = QueueSource.create(name, capacity, onFull)
-    batches.zipWithIndex.foreach { case (b, i) =>
-      q.writeBatch(b) match {
-        case RowBuffer.Ok => ()
-        case rejected =>
-          // legitimate shedding under DropOldest/DropNewest; under
-          // Block it means the caller lost this batch — say so
-          System.err.println(s"[queue-ingest] batch $i: $rejected")
+    try {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        q.writeBatch(b) match {
+          case RowBuffer.Ok => ()
+          case rejected =>
+            // legitimate shedding under DropOldest/DropNewest; under
+            // Block it means the caller lost this batch — say so
+            System.err.println(s"[queue-ingest] batch $i: $rejected")
+        }
       }
-    }
 
-    val base = Files.createTempDirectory("graft-queue-ingest-")
-    val outDir = base.resolve("out").toString
-    val bodies = QueueSource.readStream(spark, name)
-      .select(col("value")).as[Array[Byte]](Encoders.BINARY)
-    val transcoded = binding.transcode(ProtoRows.decode(bodies, message))
-    val sq = transcoded.writeStream
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .foreachBatch { (df: DataFrame, batchId: Long) =>
-        LandingIngest.sinkBatch(df, batchId, outDir, numWriters)
-      }
-      .start()
-    sq.processAllAvailable()
-    sq.stop()
-    sq.awaitTermination()
-    // all-shed/all-rejected runs land nothing: empty frame, not a crash
-    if (!Files.exists(base.resolve("out")))
-      binding.transcode(ProtoRows.decode(
-        spark.emptyDataset(Encoders.BINARY), message))
-    else spark.read.parquet(outDir).drop("p_batch")
+      val base = Files.createTempDirectory("graft-queue-ingest-")
+      val outDir = base.resolve("out").toString
+      val bodies = QueueSource.readStream(spark, name)
+        .select(col("value")).as[Array[Byte]](Encoders.BINARY)
+      val transcoded = binding.transcode(ProtoRows.decode(bodies, message))
+      val sq = transcoded.writeStream
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          LandingIngest.sinkBatch(df, batchId, outDir, numWriters)
+        }
+        .start()
+      sq.processAllAvailable()
+      sq.stop()
+      sq.awaitTermination()
+      // all-shed/all-rejected runs land nothing: empty frame, not a crash
+      if (!Files.exists(base.resolve("out")))
+        binding.transcode(ProtoRows.decode(
+          spark.emptyDataset(Encoders.BINARY), message))
+      else spark.read.parquet(outDir).drop("p_batch")
+    } finally {
+      // the registry is process-global: without this, each run leaks
+      // its queue object (and any retained uncommitted rows)
+      QueueSource.drop(name)
+    }
   }
 }

@@ -143,6 +143,26 @@ class PipelineSpec extends SparkSpec {
     sims.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("dot: ragged or null inputs yield NULL in all three forms") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0))),          // ragged
+      (Some(Seq(1.0, 2.0)), None),                    // null side
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))))     // equal → 11.0
+      .toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("ref"),
+        Similarity.dotKernel(col("a"), col("b")).as("fast"),
+        call_function("graft_dot", col("a"), col("b")).as("native"),
+        Similarity.lshBucketKernel(col("b")).as("bucket"))
+      .collect()
+    assert(df(0).isNullAt(0) && df(0).isNullAt(1) && df(0).isNullAt(2),
+      "ragged dot must be NULL, not a partial sum")
+    assert(df(1).isNullAt(0) && df(1).isNullAt(1) && df(1).isNullAt(2))
+    assert(df(1).isNullAt(3), "lsh bucket of a null vector must be NULL")
+    assert(df(2).getDouble(0) == 11.0 && df(2).getDouble(1) == 11.0 &&
+      df(2).getDouble(2) == 11.0)
+  }
+
   test("simhash: identical → distance 0; token tweak stays close; disjoint far") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val tweaked = ((1 to 57).map(i => s"w$i") ++ Seq("q1", "q2", "q3")).mkString(" ")

@@ -25,6 +25,28 @@ class BatcherSpec extends AnyFunSuite {
     assert(!b.inBackoff)
   }
 
+  test("D8 backoff set mid-delivery is honored before the next retry") {
+    // first attempt returns Full and sets a backoff (as a server
+    // rejecting under pressure would); the retry must wait the backoff
+    // out instead of ignoring it (ADVICE r3 #3)
+    val attempts = mutable.ArrayBuffer.empty[Long]
+    var batcher: Batcher = null
+    var deadline = 0L
+    batcher = new Batcher(10, (_, _) => {
+      attempts += System.currentTimeMillis()
+      if (attempts.size == 1) {
+        deadline = System.currentTimeMillis() + 120
+        batcher.backoff(deadline)
+        RowBuffer.Full
+      } else RowBuffer.Ok
+    }, retryTimes = 3, retrySleepMs = 1)
+    batcher.writeBatch("t", Seq(msg(1)))
+    assert(batcher.flush() == Map("t" -> Right(())))
+    assert(attempts.size == 2)
+    assert(attempts(1) >= deadline,
+      "retry fired inside the backoff window set during delivery")
+  }
+
   test("per-type capacity: incoming alone or combined over cap rejects") {
     val b = new Batcher(3, (_, _) => RowBuffer.Ok)
     assert(b.writeBatch("a", Seq(msg(1), msg(2), msg(3), msg(4))) == Left(Oversized))
