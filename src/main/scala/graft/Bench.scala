@@ -40,6 +40,18 @@ object Bench {
           Window.orderBy(col("n").desc, col("r_name"))))
         .orderBy("rk")
         .write.format("noop").mode("overwrite").save()
+      // Second warm-up shape: double→decimal cast aggregation, Scala
+      // UDF dispatch, and explode — the other codegen/classload paths
+      // the first timed queries would otherwise pay for. Runs on 25
+      // rows; warms machinery, precomputes nothing.
+      val wudf = udf((s: String) => s.length)
+      nation.limit(25)
+        .select(col("n_name"), col("n_nationkey"),
+          explode(split(col("n_comment"), " ")).as("w"))
+        .groupBy(col("n_name"))
+        .agg(sum(wudf(col("w")).cast("decimal(38,6)")).cast("double").as("s"),
+          count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }

@@ -26,17 +26,24 @@ case class MinhashBandKeys(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any =
-    MinhashBandKeys.eval(input.asInstanceOf[ArrayData])
+    MinhashBandKernel.eval(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.MinhashBandKeys.eval($c);")
+      s"${ev.value} = graft.functions.MinhashBandKernel.eval($c);")
 
   override protected def withNewChildInternal(newChild: Expression): MinhashBandKeys =
     copy(child = newChild)
 }
 
-object MinhashBandKeys {
+/** Kernel host for [[MinhashBandKeys]]. Deliberately NOT the case
+  * class's companion: a companion `eval` gets no static forwarder
+  * (the class inherits `Expression.eval(InternalRow)`), so generated
+  * code calling `MinhashBandKeys.eval(arr)` failed janino compile and
+  * every stage containing it silently fell back to interpreted eval.
+  * A distinct object name gives a real static method to call.
+  */
+object MinhashBandKernel {
   /** Static entry shared by interpreted eval and generated code. */
   def eval(arr: ArrayData): ArrayData = {
     val slotSeeds = Dedup.slotSeedsJvm

@@ -230,13 +230,17 @@ object Events {
   val q43 = Q(
     "q43_event_deltas",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
       // event_id tiebreak: ts has duplicates, and floored deltas don't
-      // telescope — without a total order the per-engine sums drift
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("ts_ns"), col("event_id"))
-      Tables(spark, dir, "events")
-        .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
+      // telescope — without a total order the per-engine sums drift.
+      // The lag is bucket-decomposed (operators/OrderedScan): a plain
+      // partitionBy(event_type) window would put each type's whole
+      // history on one task; hourly buckets keep it parallel with the
+      // boundary rows stitched from per-bucket summaries.
+      graft.operators.OrderedScan.laggedHead(Tables(spark, dir, "events"),
+          key = col("event_type"), ordHead = col("ts_ns"),
+          tiebreak = col("event_id"),
+          bucket = floor(col("ts_ns") / lit(3600L * 1000 * 1000 * 1000)),
+          as = "prev_ns")
         // µs-truncate BEFORE differencing (DuckDB's TIMESTAMP_NS is µs
         // past the reader), and integer `div`, not `/` (double division
         // rounds and drifts off the oracle's floor on large sums)

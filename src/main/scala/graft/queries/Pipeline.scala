@@ -455,7 +455,6 @@ object Pipeline {
     Q(
       "q49_corpus_prep",
       (spark, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val docs = Tables(spark, dir, "documents")
         val ws = TextOps.words(col("text"))
         val keep = Dedup.exact(docs, "text", "doc_id").select("doc_id")
@@ -463,9 +462,14 @@ object Pipeline {
           .withColumn("score", TextOps.qualityScore(col("text"), ws))
           .withColumn("n_tokens", size(ws).cast("long"))
           .filter(col("score") >= quality && col("lang").isin(langs: _*))
-        // greedy per-language budget: running token total in doc_id order
-        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        scored.withColumn("running", sum(col("n_tokens")).over(w))
+        // greedy per-language budget: running token total in doc_id
+        // order. Bucket-decomposed (operators/OrderedScan) — a plain
+        // partitionBy(lang) window would serialize each language onto
+        // one task; this runs langs × buckets tasks plus a tiny stitch.
+        graft.operators.OrderedScan.runningTotal(scored,
+            key = col("lang"), ord = Seq(col("doc_id")),
+            value = col("n_tokens"), bucket = floor(col("doc_id") / 500),
+            as = "running")
           .filter(col("running") <= budget)
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),

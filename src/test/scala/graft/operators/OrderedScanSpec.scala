@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** OrderedScan's bucket decomposition must be bit-identical to the
+  * single-window forms it replaces — on real tables and on adversarial
+  * bucket layouts (empty buckets, all-one-bucket, one-row buckets).
+  */
+class OrderedScanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("runningTotal == single-window running sum (documents, any bucket width)") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+    val ref = docs.withColumn("run",
+      sum(col("n_chars")).over(Window.partitionBy(col("lang"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    for (width <- Seq(1, 37, 500, 1000000)) {
+      val got = OrderedScan.runningTotal(docs, col("lang"), Seq(col("doc_id")),
+        col("n_chars"), floor(col("doc_id") / width), "run")
+      assert(ref.select("lang", "doc_id", "run")
+        .exceptAll(got.select("lang", "doc_id", "run")).isEmpty &&
+        got.count() == ref.count(),
+        s"runningTotal diverges from single-window at bucket width $width")
+    }
+  }
+
+  test("laggedHead == single-window lag (events, incl. duplicate order keys)") {
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_type"), col("event_id"), col("ts_ns"))
+    val ref = ev.withColumn("prev",
+      lag(col("ts_ns"), 1).over(Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_ns"), col("event_id"))))
+    for (width <- Seq(1000L * 1000 * 1000, 3600L * 1000 * 1000 * 1000)) {
+      val got = OrderedScan.laggedHead(ev, col("event_type"), col("ts_ns"),
+        col("event_id"), floor(col("ts_ns") / width), "prev")
+      assert(ref.exceptAll(got.select("event_type", "event_id", "ts_ns", "prev"))
+        .isEmpty && got.count() == ref.count(),
+        s"laggedHead diverges from single-window at bucket width $width")
+    }
+  }
+
+  test("stitch handles empty buckets and per-key first rows") {
+    import spark.implicits._
+    // key a: buckets 0 and 9 occupied (1..8 empty); key b: single row
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 95L, 30L),
+      ("b", 50L, 5L)).toDF("k", "ord", "v")
+    val run = OrderedScan.runningTotal(df, col("k"), Seq(col("ord")),
+        col("v"), floor(col("ord") / 10), "run")
+      .orderBy("k", "ord").select("run").as[Long].collect()
+    assert(run.toSeq == Seq(10L, 30L, 60L, 5L))
+    val prev = OrderedScan.laggedHead(df, col("k"), col("ord"), col("v"),
+        floor(col("ord") / 10), "prev")
+      .orderBy("k", "ord").select("prev").collect()
+    assert(prev(0).isNullAt(0))           // first row of key a
+    assert(prev(1).getLong(0) == 1L)
+    assert(prev(2).getLong(0) == 2L)      // across 8 empty buckets
+    assert(prev(3).isNullAt(0))           // first (only) row of key b
+  }
+}
