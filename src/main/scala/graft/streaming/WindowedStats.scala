@@ -60,4 +60,65 @@ object WindowedStats {
           KeyStats(key, s.n, s.total, s.max)
       }
   }
+
+  final case class OpenSession(startMs: Long, lastMs: Long, n: Long, total: Double)
+  final case class Session(key: String, startMs: Long, endMs: Long,
+      n: Long, total: Double)
+
+  /** Streaming gap-sessionization via flatMapGroupsWithState — the
+    * 0..N-output state shape (mapGroupsWithState emits exactly one row
+    * per touched key; closing sessions needs zero-or-more). Semantics
+    * mirror the batch q42 sessionizer (session_window): a session
+    * closes when a gap > `gapMs` separates consecutive events of a
+    * key. Event-time timeout closes the last session of an idle key
+    * once the watermark passes lastMs + gapMs — so state is bounded
+    * and every session is emitted exactly once, both pinned by
+    * WindowedStatsSpec.
+    *
+    * Input rows: (key, eventTime, value). The event-time column must
+    * keep its caller-set watermark tag into this operator (convert to
+    * epoch only inside — a projection like unix_millis(ts) sheds the
+    * tag and fails analysis).
+    */
+  def sessionize(events: Dataset[(String, java.sql.Timestamp, Double)],
+      gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, Session](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp, Double)],
+         state: GroupState[OpenSession]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed lastMs + gap: the open session can never
+            // be extended — close and clear
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(key, s.startMs, s.lastMs, s.n, s.total))
+          } else {
+            val closed = Iterator.newBuilder[Session]
+            var open = state.getOption
+            // fold this batch's rows in event-time order; a gap closes
+            // the open session and starts the next
+            rows.map(r => (r._1, r._2.getTime, r._3)).toSeq
+              .sortBy(r => (r._2, r._3)).foreach { case (_, t, v) =>
+              open match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  open = Some(OpenSession(s.startMs, t, s.n + 1, s.total + v))
+                case Some(s) =>
+                  closed += Session(key, s.startMs, s.lastMs, s.n, s.total)
+                  open = Some(OpenSession(t, t, 1L, v))
+                case None =>
+                  open = Some(OpenSession(t, t, 1L, v))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // close once no on-time event can extend it
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.result()
+          }
+      }
+  }
 }

@@ -44,6 +44,46 @@ class WindowedStatsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer: gap closes inline, idle key closes by timeout") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val withWm = ms.toDF().toDF("ts", "key", "value")
+      .withWatermark("ts", "0 seconds")
+      .select($"key", $"ts", $"value")
+      .as[(String, java.sql.Timestamp, Double)]
+    val q = WindowedStats.sessionize(withWm, gapMs = 60000L)
+      .writeStream.format("memory").queryName("sess").outputMode("append")
+      .start()
+    try {
+      def sessions() = spark.table("sess").orderBy($"startMs").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // batch 1: two events 30 s apart (one session), then one 10 min
+      // later — the in-batch gap closes session 1 immediately
+      ms.addData((ts("2024-01-01 10:00:00"), "a", 1.0),
+        (ts("2024-01-01 10:00:30"), "a", 2.0),
+        (ts("2024-01-01 10:10:00"), "a", 3.0))
+      q.processAllAvailable()
+      assert(sessions().count(_._1 == "a") == 1, "in-batch gap did not close a session")
+      assert(sessions().head._4 == 2L)
+      // batch 2: next event far past the gap → closes session 2 inline
+      ms.addData((ts("2024-01-01 10:20:00"), "a", 4.0))
+      q.processAllAvailable()
+      assert(sessions().count(_._1 == "a") == 2)
+      // batch 3: only key b arrives; it advances the watermark past
+      // 10:21, so a's last open session closes via event-time timeout
+      ms.addData((ts("2024-01-01 10:30:00"), "b", 9.0))
+      q.processAllAvailable()
+      val a = sessions().filter(_._1 == "a")
+      assert(a.length == 3, s"idle session did not close by timeout: ${a.toSeq}")
+      assert(a(2)._2 == a(2)._3 && a(2)._4 == 1L) // single-event session
+      // exactly-once: nothing re-emits on a further watermark advance
+      ms.addData((ts("2024-01-01 11:00:00"), "b", 1.0))
+      q.processAllAvailable()
+      assert(sessions().count(_._1 == "a") == 3)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-key state across micro-batches") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
