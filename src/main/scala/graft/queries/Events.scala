@@ -270,5 +270,51 @@ object Events {
       GROUP BY event_type
       ORDER BY event_type"""))
 
-  val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43)
+  /** As-of join (operators/AsOfJoin): each click matched to the same
+    * user's latest view at-or-before it under the total order
+    * (ts_ns, event_id) — the trade↔prevailing-quote pattern over the
+    * reference's trade-feed DDL, done as ONE union + keyed
+    * carry-forward window: |clicks|+|views| shuffled once on user_id,
+    * no per-row probe, no range blow-up. The oracle replays the same
+    * carry-forward with last_value IGNORE NULLS.
+    */
+  val q50 = Q(
+    "q50_asof_join",
+    (spark, dir) => {
+      val ev = Tables(spark, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_ns"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts_ns"))
+      graft.operators.AsOfJoin.asofFlat(clicks, views,
+          keys = Seq("user_id"), ord = Seq("ts_ns", "event_id"),
+          payload = Seq("event_id", "ts_ns"), prefix = "view_")
+        .select(col("event_id"), col("user_id"),
+          col("view_event_id"),
+          // µs-truncate then ms like q43: identical floors both engines
+          expr("((ts_ns div 1000) - (view_ts_ns div 1000)) div 1000").as("gap_ms"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id, epoch_ns(ts) AS tn, event_id, event_type,
+               CASE WHEN event_type = 'view' THEN event_id END AS v_id,
+               CASE WHEN event_type = 'view' THEN epoch_ns(ts) END AS v_tn
+        FROM events WHERE event_type IN ('click', 'view')),
+      m AS (
+        SELECT *,
+               last_value(v_id IGNORE NULLS) OVER
+                 (PARTITION BY user_id ORDER BY tn, event_id
+                  ROWS UNBOUNDED PRECEDING) AS view_event_id,
+               last_value(v_tn IGNORE NULLS) OVER
+                 (PARTITION BY user_id ORDER BY tn, event_id
+                  ROWS UNBOUNDED PRECEDING) AS view_tn
+        FROM u)
+      SELECT event_id, user_id, view_event_id,
+             ((tn // 1000) - (view_tn // 1000)) // 1000 AS gap_ms
+      FROM m
+      WHERE event_type = 'click'
+      ORDER BY event_id"""))
+
+  val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50)
 }
