@@ -316,5 +316,43 @@ object Events {
       WHERE event_type = 'click'
       ORDER BY event_id"""))
 
-  val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50)
+  /** Band/interval join (operators/RangeJoin): (error, purchase) pairs
+    * of the same user within ±1 h — planned as a hash join on
+    * (user_id, time-bucket) with the probe side replicated to ≤3
+    * covering buckets, then exact-filtered. The naive inequality-only
+    * join would be a nested-loop cross product; this shuffles
+    * |L| + 3·|R| once. Oracle runs the quadratic form directly
+    * (feasible at oracle SF, and a complete/precise differential test
+    * of the bucketing rewrite).
+    */
+  val q51 = {
+    val bandNs = 3600L * 1000 * 1000 * 1000
+    Q(
+      "q51_range_join",
+      (spark, dir) => {
+        val ev = Tables(spark, dir, "events")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts_ns"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_ns"))
+        graft.operators.RangeJoin.band(errors, purchases,
+            keys = Seq("user_id"), ordL = "ts_ns", ordR = "ts_ns",
+            band = bandNs, prefix = "p_")
+          .select(col("event_id").as("error_id"),
+            col("p_event_id").as("purchase_id"), col("user_id"),
+            expr("abs(ts_ns - p_ts_ns) div 1000000").as("gap_ms"))
+          .orderBy(col("error_id"), col("purchase_id"))
+      },
+      Some(s"""
+      SELECT e.event_id AS error_id, p.event_id AS purchase_id, e.user_id,
+             abs(epoch_ns(e.ts) - epoch_ns(p.ts)) // 1000000 AS gap_ms
+      FROM events e
+      JOIN events p
+        ON e.user_id = p.user_id
+       AND abs(epoch_ns(e.ts) - epoch_ns(p.ts)) <= ${bandNs}
+      WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+      ORDER BY error_id, purchase_id"""))
+  }
+
+  val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51)
 }
