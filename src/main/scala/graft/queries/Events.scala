@@ -354,5 +354,40 @@ object Events {
       ORDER BY error_id, purchase_id"""))
   }
 
-  val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51)
+  /** Exact linear-interpolated percentiles per event type — the
+    * ClickHouse quantile/quantileExact surface over landed data.
+    * Exact percentile is the oracle-checkable form (Spark `percentile`
+    * == DuckDB `quantile_cont` up to last-ulp interpolation, pinned by
+    * round(6)); it buffers per-group values, so at 100 TB the scale
+    * path is `approx_percentile` (t-digest, mergeable map-side sketch,
+    * same call shape) — approximate ⇒ not oracle-comparable, hence the
+    * exact twin is what the driver verifies.
+    */
+  val q52 = Q(
+    "q52_percentiles",
+    (spark, dir) =>
+      Tables(spark, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("value"), lit(0.9)), 6).as("p90"),
+          round(percentile(col("value"), lit(0.99)), 6).as("p99"),
+          min(col("value")).as("p0"),
+          max(col("value")).as("p100"))
+        .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type,
+             COUNT(*) AS n,
+             ROUND(quantile_cont(value, 0.5), 6) AS p50,
+             ROUND(quantile_cont(value, 0.9), 6) AS p90,
+             ROUND(quantile_cont(value, 0.99), 6) AS p99,
+             MIN(value) AS p0,
+             MAX(value) AS p100
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
+    q52)
 }

@@ -46,4 +46,18 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("l_comment"),
       s"scan reads unprojected columns: $readSchema")
   }
+
+  test("q50: as-of join plans as union + window — no join operator at all") {
+    val p = plan(Events.q50)
+    assert(p.contains("Union") && p.contains("Window"),
+      s"expected union+carry-forward window in:\n$p")
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+  }
+
+  test("q51: band join is a hash/merge join, never a nested loop") {
+    val p = plan(Events.q51)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$p")
+  }
 }
