@@ -57,8 +57,14 @@ object Bench {
     }
     // Stable order: registry order, so per-query JIT/cache warm-up
     // noise is at least consistent across rounds.
+    // SPARK_GRAFT_BENCH_ONLY=q24_...,q31_... restricts the run for
+    // local iteration; the driver never sets it, so its runs are full.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val registry = only.fold(SparkEntry.registry)(s =>
+      SparkEntry.registry.filter(q => s(q.name)))
     var failed = List.empty[String]
-    val results = SparkEntry.registry.map { q =>
+    val results = registry.map { q =>
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {

@@ -117,7 +117,9 @@ object Dedup extends Serializable {
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val sh = docs
+    // K hashes per shingle per doc is the CPU hot spot: fan out before
+    // it so a single-row-group input can't serialize it onto one core
+    val sh = graft.operators.FanOut(docs)
       .select(col(idCol).as("id"),
         TextOps.shinglesKernel()(TextOps.words(col(textCol))).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -180,7 +182,7 @@ object Dedup extends Serializable {
     */
   def ngramJaccardNearDups(docs: DataFrame, textCol: String, idCol: String,
       threshold: Double, n: Int = 2): DataFrame = {
-    val sh = docs
+    val sh = graft.operators.FanOut(docs)
       .select(col(idCol).as("id"),
         TextOps.shinglesKernel(n)(TextOps.words(col(textCol))).as("toks"))
       .filter(size(col("toks")) > 0)
@@ -311,7 +313,8 @@ object Dedup extends Serializable {
       maxDist: Int): DataFrame = {
     require(maxDist < SimChunks, "pigeonhole needs maxDist < chunks")
     val bitsPerChunk = SimBits / SimChunks
-    val hashed = docs.select(col(idCol).as("id"),
+    // one md5 per token per doc: fan out ahead of the kernel stage
+    val hashed = graft.operators.FanOut(docs).select(col(idCol).as("id"),
       simhashKernel(TextOps.words(col(textCol))).as("h"))
     val chunkArr = array((0 until SimChunks).map(c =>
       shiftrightunsigned(col("h"), c * bitsPerChunk)

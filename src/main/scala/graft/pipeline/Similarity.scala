@@ -348,7 +348,9 @@ object Similarity extends Serializable {
       threshold: Double, maxId: Long): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val side = emb.filter(col(idCol) < maxId)
+    // each row scans the whole reference triangle: fan out so a
+    // single-row-group input can't serialize the O(n²·dim) loop
+    val side = graft.operators.FanOut(emb.filter(col(idCol) < maxId))
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .as[(Long, Array[Double])]

@@ -131,7 +131,9 @@ object Pipeline {
     Q(
       "q26_lang_id",
       (spark, dir) =>
-        Tables(spark, dir, "documents")
+        // langId is 5 interpreted HOF marker counts per row — fan out
+        // ahead of it (single-row-group inputs otherwise run one task)
+        graft.operators.FanOut(Tables(spark, dir, "documents"))
           .withColumn("pred", TextOps.langId(TextOps.words(col("text"))))
           .groupBy(col("lang"), col("pred"))
           .agg(count(lit(1)).as("n_docs"))
@@ -458,7 +460,10 @@ object Pipeline {
         val docs = Tables(spark, dir, "documents")
         val ws = TextOps.words(col("text"))
         val keep = Dedup.exact(docs, "text", "doc_id").select("doc_id")
-        val scored = docs.join(keep, "doc_id")
+        // keep is broadcast-small, so the probe side keeps its scan
+        // partitioning — fan out so the quality/token kernels after
+        // the join don't inherit a single-row-group's one task
+        val scored = graft.operators.FanOut(docs).join(keep, "doc_id")
           .withColumn("score", TextOps.qualityScore(col("text"), ws))
           .withColumn("n_tokens", size(ws).cast("long"))
           .filter(col("score") >= quality && col("lang").isin(langs: _*))
