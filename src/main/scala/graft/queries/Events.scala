@@ -388,6 +388,35 @@ object Events {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** Distinct-cardinality surface (ClickHouse uniqExact/uniq): exact
+    * distinct users and active days per event type. Exact distinct is
+    * the oracle-checkable form (two distincts in one agg → Expand,
+    * the standard multi-distinct plan); the 100 TB path is
+    * `approx_count_distinct` (HyperLogLog++: a fixed-size mergeable
+    * sketch that partial-aggregates map-side instead of shuffling one
+    * row per distinct value) — approximate ⇒ unit-level only
+    * (CardinalitySpec pins the rsd envelope and the per-group call
+    * shape).
+    */
+  val q53 = Q(
+    "q53_distinct_users",
+    (spark, dir) =>
+      Tables(spark, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(date_format(col("ts"), "yyyy-MM-dd")).as("n_days"))
+        .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type,
+             COUNT(*) AS n,
+             COUNT(DISTINCT user_id) AS n_users,
+             COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
-    q52)
+    q52, q53)
 }

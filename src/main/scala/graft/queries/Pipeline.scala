@@ -509,6 +509,47 @@ object Pipeline {
       ORDER BY lang"""))
   }
 
+  /** Deterministic corpus splits — the ClickHouse SAMPLE-by-hash
+    * analog and the reproducible train/val/test assignment a training
+    * pipeline needs: each doc lands in a split by an md5 bucket of its
+    * id (18/1/1 of 20). Hash assignment is stable under reruns,
+    * insertion order, and cluster size — unlike `.sample()`, whose
+    * output depends on partitioning — and recomputable by any engine,
+    * so the whole split is differentially verified. Map-side only;
+    * the aggregate is the sole shuffle.
+    */
+  val q54 = {
+    val buckets = 20
+    Q(
+      "q54_hash_split",
+      (spark, dir) => {
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("long") % buckets
+        val split = when(bucket < buckets - 2, "train")
+          .when(bucket === buckets - 2, "val").otherwise("test")
+        Tables(spark, dir, "documents")
+          .withColumn("split", split)
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(TextOps.words(col("text"))).cast("long")).as("n_tokens"))
+          .orderBy(col("split"))
+      },
+      Some(s"""
+      WITH b AS (
+        SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % $buckets AS bucket,
+               len(string_split(text, ' '))::BIGINT AS n_tokens
+        FROM documents)
+      SELECT CASE WHEN bucket < ${buckets - 2} THEN 'train'
+                  WHEN bucket = ${buckets - 2} THEN 'val'
+                  ELSE 'test' END AS split,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM b
+      GROUP BY 1
+      ORDER BY split"""))
+  }
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
-    q36, q37, q38, q39, q40, q49)
+    q36, q37, q38, q39, q40, q49, q54)
 }
