@@ -242,6 +242,72 @@ object Dedup extends Serializable {
     Similarity.materializeAndRelease(verified, Seq(sh, prefix))
   }
 
+  /** Connected components over an undirected pair list — the cluster
+    * collapse step after any near-dup pass: pairs say "these two are
+    * dups", components say "keep ONE canonical doc per dup set", and
+    * transitivity (a~b, b~c ⇒ {a,b,c}) is exactly what pair output
+    * lacks. Returns (node, canon) with canon = the component's
+    * minimum node id, one row per node that appears in a pair.
+    *
+    * Algorithm: iterative min-label propagation with path halving —
+    * each round (1) every node takes the min of its own label and its
+    * neighbors' labels (one hash join edges⋈labels + partial-agg
+    * min), then (2) jumps to its label's label (one labels⋈labels
+    * join), which collapses chains in O(log d) instead of O(d)
+    * rounds. Labels only decrease and are bounded by the component
+    * minimum, so the fixpoint is exact, not approximate. All work is
+    * hash joins and partial aggregates on (node, lab) longs: shuffle
+    * volume per round is |edges| + |nodes|, never quadratic, and the
+    * round count is logarithmic in the largest component diameter —
+    * the standard distributed-CC shape (cf. MapReduce large/small-star).
+    * The driver-side loop runs one count per round (the fixpoint
+    * test), each a tiny aggregate over |nodes|.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e0 = pairs.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v"))
+    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // Iterative plans MUST truncate lineage every round: each round
+    // references the previous labels twice (neighbor join + halving
+    // self-join), so an un-truncated logical plan grows geometrically
+    // and OOMs the driver long before the data does. localCheckpoint
+    // materializes the round (executor-local blocks, no lineage); a
+    // production run on an unreliable cluster would use
+    // checkpoint(reliable) — same shape, recoverable blocks.
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("lab", col("node"))
+      .localCheckpoint(true)
+
+    var changed = 1L
+    var rounds = 0
+    val maxRounds = 64 // >> log2 of any conceivable component diameter
+    while (changed > 0 && rounds < maxRounds) {
+      // (1) min over neighborhood: lab'(u) = min(lab(u), min_{(u,v)∈E} lab(v))
+      val nbrMin = edges
+        .join(labels.select(col("node").as("v"), col("lab").as("vlab")), "v")
+        .groupBy(col("u").as("node")).agg(min(col("vlab")).as("nmin"))
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("lab"),
+          least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab1"))
+        .localCheckpoint(true) // referenced twice below: cut before fan-in
+      // (2) path halving: lab''(u) = lab'(lab'(u)) — chains collapse
+      // exponentially instead of one hop per round
+      val jumped = stepped
+        .join(stepped.select(col("node").as("lab1"), col("lab1").as("lab2")),
+          Seq("lab1"), "left")
+        .select(col("node"), col("lab"),
+          coalesce(col("lab2"), col("lab1")).as("newlab"))
+        .localCheckpoint(true)
+      changed = jumped.filter(col("newlab") =!= col("lab")).count()
+      labels = jumped.select(col("node"), col("newlab").as("lab"))
+      rounds += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxRounds rounds")
+    val out = labels.select(col("node"), col("lab").as("canon"))
+    Similarity.materializeAndRelease(out, Seq(edges))
+  }
+
   /** SimHash bit width. 60 bits so every intermediate fits a positive
     * int64 in both engines (DuckDB has no unsigned shift).
     */

@@ -550,6 +550,50 @@ object Pipeline {
       ORDER BY split"""))
   }
 
+  /** Near-dup CLUSTER collapse: the step after q24's pair discovery —
+    * connected components over the verified near-dup graph
+    * (transitivity: a~b, b~c ⇒ one cluster {a,b,c}), one canonical
+    * doc (minimum id) per cluster. This is what an actual dedup run
+    * keeps/drops by. Spark side: MinHash-LSH pairs → iterative
+    * min-label propagation (Dedup.connectedComponents). Oracle:
+    * exact all-pairs Jaccard pairs → recursive-CTE transitive
+    * closure → min reachable label — a full differential test of
+    * pairs AND clustering.
+    */
+  val q55 = Q(
+    "q55_dedup_clusters",
+    (spark, dir) => {
+      val pairs = Dedup.minhashNearDups(Tables(spark, dir, "documents"),
+        "text", "doc_id", threshold = 0.5)
+      Dedup.connectedComponents(pairs, "a", "b")
+        .select(col("node").as("doc_id"), col("canon").as("canon_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH RECURSIVE
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)),
+      cand AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+               FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+               GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      pairs AS (
+        SELECT a, b FROM cand
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.5),
+      e AS (SELECT a AS u, b AS v FROM pairs
+            UNION SELECT b, a FROM pairs),
+      reach(node, lab) AS (
+        SELECT DISTINCT u, u FROM e
+        UNION
+        SELECT e.v, r.lab FROM reach r JOIN e ON e.u = r.node)
+      SELECT node AS doc_id, MIN(lab) AS canon_id
+      FROM reach
+      GROUP BY node
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
-    q36, q37, q38, q39, q40, q49, q54)
+    q36, q37, q38, q39, q40, q49, q54, q55)
 }
