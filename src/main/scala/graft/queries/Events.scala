@@ -417,6 +417,51 @@ object Events {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** Frequent-items surface (ClickHouse topK analog): the top-3 users
+    * by event count per event type, exact, with a deterministic
+    * count-desc/user-asc tiebreak. Plan shape: two-level aggregate
+    * (partial collapse on (type, user)) then a per-type top-N — the
+    * grouped-TakeOrdered pattern, never a global sort. The sketch
+    * twin at 100 TB is `count_min_sketch` (mergeable, fixed-size,
+    * same per-group shape) — approximate ⇒ unit-level only
+    * (FrequentItemsSpec pins the CMS overcount bound).
+    */
+  val q56 = Q(
+    "q56_top_users",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // two-level top-N: top-3 per (type, user-hash-bucket) — provably
+      // a superset of the per-type top-3 — then rank the ≤ 3×32
+      // survivors per type. A single partitionBy(event_type) window
+      // would serialize every type's full user histogram onto one task.
+      val counts = Tables(spark, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val w1 = Window.partitionBy(col("event_type"),
+          pmod(col("user_id"), lit(32)))
+        .orderBy(col("n").desc, col("user_id").asc)
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("n").desc, col("user_id").asc)
+      counts.withColumn("r1", row_number().over(w1)).filter(col("r1") <= 3)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("event_type"), col("rank"), col("user_id"), col("n"))
+        .orderBy(col("event_type"), col("rank"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_type, user_id, COUNT(*) AS n
+        FROM events
+        GROUP BY event_type, user_id),
+      r AS (
+        SELECT event_type, user_id, n,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY n DESC, user_id) AS rank
+        FROM c)
+      SELECT event_type, rank::INT AS rank, user_id, n
+      FROM r WHERE rank <= 3
+      ORDER BY event_type, rank"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
-    q52, q53)
+    q52, q53, q56)
 }

@@ -121,4 +121,21 @@ object WindowedStats {
           }
       }
   }
+
+  /** Ingest-time exact dedup with BOUNDED state: first row per dedup
+    * key passes, duplicates arriving within `watermarkDelay` of it are
+    * dropped, and each key's state is evicted once the watermark
+    * passes its event time + delay — so state size is (keys seen per
+    * delay window), not (keys ever seen), which is what makes dedup
+    * at ingest survivable at 100 TB/day. The documented trade: a
+    * duplicate arriving later than the delay after its original is
+    * NOT suppressed (its state is gone) — the batch-side exact dedup
+    * (q21/q55) catches those. This is the streaming half of the §2.6
+    * dedup story, composable after the transcode stage exactly like
+    * the reference's ingest pipeline (decode → bind → buffer → sink).
+    */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+      dedupCols: Seq[String], watermarkDelay: String): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(dedupCols)
 }
