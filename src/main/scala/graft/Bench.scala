@@ -81,12 +81,25 @@ object Bench {
       .mkString("{", ",", "}")
     val fs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // Ingest throughput (rows/s through split→decode→bind→transcode→
+    // parquet land) against the reference's 10k-100k rows/s/writer
+    // envelope. Reported as an extra key; skipped under BENCH_ONLY.
+    val ingestJson =
+      if (only.isDefined) ""
+      else try {
+        val (rows, sec) = IngestBench.run(spark, rows = 1000000L)
+        val rps = (rows / sec).toLong
+        s""","ingest":{"rows":$rows,"sec":$sec,"rows_per_sec":$rps}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ingest bench failed: ${e.getMessage}")
+        ""
+      }
     // The one stdout line; "failed" lets downstream consumers tell a
     // healthy total from one with crashed queries (ADVICE r2). sfDir
     // is escaped so a quote/backslash in the env var can't break the
     // record's JSON validity.
     val sfJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfJson"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs$ingestJson,"sf":"$sfJson"}""")
     spark.stop()
   }
 }
