@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -62,6 +62,84 @@ object OrderedScan {
         key === col("_os_key") && col("_os_bucket") === col("_os_kb"))
       .withColumn(as, col("_os_within") + coalesce(col("_os_offset"), lit(0L)))
       .drop("_os_key", "_os_kb", "_os_bucket", "_os_v", "_os_within", "_os_offset")
+  }
+
+  /** Rolling frame aggregate — per-key sliding sum/count of the last
+    * `k` rows (ROWS k-1 PRECEDING .. CURRENT ROW) in (ordHead,
+    * tiebreak) order, bucket-parallel. Adds `asSum` (sum of `value`
+    * over the frame) and `asN` (frame size; < k only near the key's
+    * first rows). `value` must be integral (LongType) so frame sums
+    * are order-independent-exact — the caller converts doubles to
+    * fixed-point first (FP sums would tie results to summation order,
+    * which sliding-window engines don't guarantee).
+    *
+    * Decomposition: sliding frames cross bucket boundaries, and a
+    * sparse bucket (< k rows) can make a frame span SEVERAL buckets —
+    * so buckets are first coalesced, per key, into GROUPS holding at
+    * least k rows each (a greedy walk over the per-(key, bucket)
+    * counts — summary-level data, keys × buckets rows, never the
+    * table). Every frame then spans at most one group boundary, and
+    * replicating each group's last k rows into the next group as
+    * non-owner context makes the per-(key, group) local window exact:
+    * context rows sort ahead of the group's own rows, complete every
+    * frame, and are dropped after. Shuffle volume: rows × 1 for the
+    * window + k rows per group of replication; parallelism is
+    * keys × groups.
+    */
+  def rollingSum(df: DataFrame, key: Column, ordHead: Column,
+      tiebreak: Column, value: Column, k: Int, bucket: Column,
+      asSum: String, asN: String): DataFrame = {
+    require(k >= 1)
+    val in = df.withColumn("_os_bucket", bucket.cast("long"))
+      .withColumn("_os_v", value.cast("long"))
+
+    // group assignment: greedy walk over per-(key,bucket) counts —
+    // close a group once it holds >= k rows. Summary-level work.
+    val assignGroups = udf { (bc: Seq[Row]) =>
+      val sorted = bc.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val out = Seq.newBuilder[(Long, Long)]
+      var grp = 0L
+      var acc = 0L
+      sorted.foreach { case (b, n) =>
+        if (acc >= k) { grp += 1; acc = 0L }
+        out += ((b, grp))
+        acc += n
+      }
+      out.result()
+    }
+    val bucketCounts = in.groupBy(key.as("_os_key"), col("_os_bucket").as("_os_kb"))
+      .agg(count(lit(1)).as("_os_n"))
+    val grpMap = bucketCounts
+      .groupBy(col("_os_key"))
+      .agg(collect_list(struct(col("_os_kb"), col("_os_n"))).as("_os_bc"))
+      .select(col("_os_key"),
+        explode(assignGroups(col("_os_bc"))).as("_os_bg"))
+      .select(col("_os_key"), col("_os_bg._1").as("_os_kb"),
+        col("_os_bg._2").as("_os_grp"))
+
+    val own = in.join(broadcast(grpMap),
+        key === col("_os_key") && col("_os_bucket") === col("_os_kb"))
+      .drop("_os_key", "_os_kb")
+      .withColumn("_os_owner", lit(true))
+
+    // context: each group's last k rows, replicated to the next group
+    val lastW = Window.partitionBy(key, col("_os_grp"))
+      .orderBy(ordHead.desc, tiebreak.desc)
+    val context = own
+      .withColumn("_os_rn", row_number().over(lastW))
+      .filter(col("_os_rn") <= k)
+      .drop("_os_rn")
+      .withColumn("_os_grp", col("_os_grp") + 1)
+      .withColumn("_os_owner", lit(false))
+
+    val frame = Window.partitionBy(key, col("_os_grp"))
+      .orderBy(ordHead, tiebreak)
+      .rowsBetween(-(k - 1), Window.currentRow)
+    own.unionByName(context)
+      .withColumn(asSum, sum(col("_os_v")).over(frame))
+      .withColumn(asN, count(lit(1)).over(frame))
+      .filter(col("_os_owner"))
+      .drop("_os_bucket", "_os_v", "_os_grp", "_os_owner")
   }
 
   /** Per-key delta between each row's `ord` head column and its

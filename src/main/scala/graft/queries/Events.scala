@@ -462,6 +462,48 @@ object Events {
       FROM r WHERE rank <= 3
       ORDER BY event_type, rank"""))
 
+  /** Sliding-frame aggregate (moving sum over the last 4 events) per
+    * event type — the ClickHouse neighbor/moving-window surface, and
+    * the third ordered-scan shape after q43's lag and q49's running
+    * total. Bucket-decomposed (operators/OrderedScan.rollingSum): a
+    * plain per-type frame window would serialize each type onto one
+    * task; hourly buckets coalesced into ≥k-row groups keep it
+    * parallel with only k rows replicated per group boundary. Values
+    * go through floor(value*100) fixed-point so frame sums are exact
+    * integers in both engines (double→long CAST truncates in Spark
+    * but rounds in DuckDB; floor agrees everywhere).
+    */
+  val q57 = Q(
+    "q57_moving_window",
+    (spark, dir) => {
+      val ev = Tables(spark, dir, "events")
+        .select(col("event_type"), col("event_id"), col("ts_ns"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      graft.operators.OrderedScan.rollingSum(ev, col("event_type"),
+          col("ts_ns"), col("event_id"), col("cents"), k = 4,
+          bucket = floor(col("ts_ns") / lit(3600L * 1000 * 1000 * 1000)),
+          asSum = "rsum", asN = "rn")
+        .filter(col("event_id") % 199 === 0)
+        .select(col("event_id"), col("event_type"), col("rsum"), col("rn"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_type, event_id, ts,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events),
+      r AS (
+        SELECT event_id, event_type,
+               SUM(cents) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS rsum,
+               COUNT(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS rn
+        FROM c)
+      SELECT event_id, event_type, CAST(rsum AS BIGINT) AS rsum, rn
+      FROM r
+      WHERE event_id % 199 = 0
+      ORDER BY event_id"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
-    q52, q53, q56)
+    q52, q53, q56, q57)
 }

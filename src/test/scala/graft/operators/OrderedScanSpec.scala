@@ -61,4 +61,42 @@ class OrderedScanSpec extends SparkSpec {
     assert(prev(2).getLong(0) == 2L)      // across 8 empty buckets
     assert(prev(3).isNullAt(0))           // first (only) row of key b
   }
+
+  test("rollingSum == single-window sliding frame (events, any bucket width)") {
+    val k = 4
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_type"), col("event_id"), col("ts_ns"),
+        (col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(-(k - 1), Window.currentRow)
+    val ref = ev.withColumn("rsum", sum(col("cents")).over(w))
+      .withColumn("rn", count(lit(1)).over(w))
+    // widths chosen so buckets range from one-row (frames span MANY
+    // buckets — the group-coalescing case) to everything-in-one
+    for (width <- Seq(1000L * 1000, 3600L * 1000 * 1000 * 1000,
+        Long.MaxValue)) {
+      val got = OrderedScan.rollingSum(ev, col("event_type"), col("ts_ns"),
+        col("event_id"), col("cents"), k, floor(col("ts_ns") / width),
+        "rsum", "rn")
+      assert(ref.select("event_type", "event_id", "rsum", "rn")
+        .exceptAll(got.select("event_type", "event_id", "rsum", "rn")).isEmpty &&
+        got.count() == ref.count(),
+        s"rollingSum diverges from single-window at bucket width $width")
+    }
+  }
+
+  test("rollingSum exact across sparse one-row buckets and key starts") {
+    import spark.implicits._
+    // key a: 6 rows in buckets far apart — every frame spans multiple
+    // raw buckets; key b: fewer rows than the frame
+    val df = Seq(("a", 1L, 1L), ("a", 11L, 2L), ("a", 21L, 4L),
+      ("a", 31L, 8L), ("a", 41L, 16L), ("a", 51L, 32L),
+      ("b", 5L, 100L), ("b", 15L, 200L)).toDF("k", "ord", "v")
+    val got = OrderedScan.rollingSum(df, col("k"), col("ord"), col("v"),
+        col("v"), 3, floor(col("ord") / 10), "rsum", "rn")
+      .orderBy("k", "ord").select("rsum", "rn").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 1L), (3L, 2L), (7L, 3L), (14L, 3L),
+      (28L, 3L), (56L, 3L), (100L, 1L), (300L, 2L)))
+  }
 }
