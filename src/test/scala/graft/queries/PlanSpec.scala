@@ -60,4 +60,38 @@ class PlanSpec extends SparkSpec {
       !p.contains("CartesianProduct"),
       s"range join degenerated to a nested loop:\n$p")
   }
+
+  test("q54: hash split is map-side — one aggregate exchange, no join, no window") {
+    val p = plan(Pipeline.q54)
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"hash split must be a pure scan+agg:\n$p")
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 2,
+      s"expected only the aggregate (+order) exchanges:\n$p")
+  }
+
+  test("q56: top-K windows never partition by event_type alone") {
+    // the first (heavy) window must include the user bucket in its
+    // partitioning; only the candidate-ranking window — fed ≤ 3×32
+    // rows per type — may partition by event_type alone. AQE wraps
+    // the executed plan (its children are invisible to collect before
+    // materialization), so plan without it for this structural check.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val windows = try {
+      Events.q56.fn(spark, sf).queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(windows.nonEmpty)
+    val heavy = windows.filter(_.partitionSpec.length > 1)
+    assert(heavy.nonEmpty,
+      "expected the candidate window to partition by (event_type, bucket)")
+  }
+
+  test("q57: rolling frame plans a broadcast of the group map, no nested loop") {
+    val p = plan(Events.q57)
+    assert(p.contains("BroadcastHashJoin"),
+      s"group-map join should broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"unexpected nested loop:\n$p")
+  }
 }
