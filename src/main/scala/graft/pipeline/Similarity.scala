@@ -66,10 +66,19 @@ object Similarity extends Serializable {
     * Returns (query_id, rank, neighbor_id, cosine rounded to 6 dp).
     */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column => Column, k: Int): DataFrame = {
-    val corpus = withNorm(emb, idCol, vecCol, "nid", "cv", "cn")
-    val queries = withNorm(emb.filter(queryPred(col(idCol))),
-      idCol, vecCol, "qid", "qv", "qn")
+      queryPred: Column => Column, k: Int): DataFrame =
+    bruteForceTopK(emb, emb.filter(queryPred(col(idCol))), idCol, vecCol, k)
+
+  /** Separate-frame form — the corpus may be pre-filtered (metadata
+    * predicates: language, quality floor, license…) BEFORE the scan,
+    * which is how filtered vector search stays exact: filter-then-
+    * search never loses recall, unlike post-filtering an ANN result
+    * list, and the predicate prunes the corpus scan itself.
+    */
+  def bruteForceTopK(corpusDf: DataFrame, queriesDf: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val corpus = withNorm(corpusDf, idCol, vecCol, "nid", "cv", "cn")
+    val queries = withNorm(queriesDf, idCol, vecCol, "qid", "qv", "qn")
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),

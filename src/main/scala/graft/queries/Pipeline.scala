@@ -594,6 +594,56 @@ object Pipeline {
       GROUP BY node
       ORDER BY doc_id"""))
 
+  /** Filtered vector search — the retrieval-with-metadata-predicates
+    * composition (lang allowlist + quality floor on `documents`,
+    * cosine top-5 over the matching `embeddings`): filter-THEN-search,
+    * so the predicate prunes the corpus scan and exactness is
+    * preserved — post-filtering an ANN result list instead loses
+    * recall whenever a near neighbor fails the predicate. Spans both
+    * tables (vec_id = doc_id), eligible ids joined into the corpus
+    * before the broadcast-query scan; the whole composition is
+    * oracle-recomputed.
+    */
+  val q58 = Q(
+    "q58_filtered_topk",
+    (spark, dir) => {
+      val ws = TextOps.words(col("text"))
+      val eligible = Tables(spark, dir, "documents")
+        .withColumn("score", TextOps.qualityScore(col("text"), ws))
+        .filter(col("lang") === "en" && col("score") >= 0.5)
+        .select(col("doc_id"))
+      val emb = Tables(spark, dir, "embeddings")
+      val corpus = emb.join(eligible, emb("vec_id") === eligible("doc_id"))
+        .select(emb("vec_id"), emb("embedding"))
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+                  FROM documents),
+      sc AS (SELECT doc_id, lang,
+               least(len(w)/100.0, 1.0) * 0.5 +
+               least((len(list_filter(w,
+                       x -> x IN ('the','a','of','and','to','in','is','on','that','it')))::DOUBLE
+                     / len(w)) * 10.0, 1.0) * 0.5 AS score
+             FROM ws),
+      elig AS (SELECT doc_id FROM sc WHERE lang = 'en' AND score >= 0.5),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      corpus AS (SELECT e.vec_id, e.v FROM e JOIN elig ON e.vec_id = elig.doc_id),
+      qs AS (SELECT * FROM e WHERE vec_id < 10),
+      s AS (SELECT qs.vec_id AS qid, c.vec_id AS nid,
+              list_dot_product(qs.v, c.v) /
+                (sqrt(list_dot_product(qs.v, qs.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+            FROM qs JOIN corpus c ON c.vec_id <> qs.vec_id),
+      r AS (SELECT qid, nid, cos,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+            FROM s)
+      SELECT qid AS query_id, rn::INT AS rank, nid AS neighbor_id,
+             ROUND(cos, 6) AS cosine
+      FROM r WHERE rn <= 5
+      ORDER BY query_id, rank"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
-    q36, q37, q38, q39, q40, q49, q54, q55)
+    q36, q37, q38, q39, q40, q49, q54, q55, q58)
 }
