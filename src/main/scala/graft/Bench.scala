@@ -61,6 +61,12 @@ object Bench {
     // local iteration; the driver never sets it, so its runs are full.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { s =>
+      val unknown = s -- SparkEntry.registry.map(_.name).toSet
+      if (unknown.nonEmpty) // a typo must not look like a healthy tiny run
+        System.err.println(
+          s"[bench] BENCH_ONLY names match no query: ${unknown.mkString(", ")}")
+    }
     val registry = only.fold(SparkEntry.registry)(s =>
       SparkEntry.registry.filter(q => s(q.name)))
     var failed = List.empty[String]

@@ -44,14 +44,22 @@ object IngestBench {
       .persist(StorageLevel.MEMORY_AND_DISK)
     frames.count()
 
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft-ingest-bench-").resolve("t").toString
-    val t0 = System.nanoTime()
-    binding.transcode(ProtoRows.decodeFramed(frames, message))
-      .write.mode("overwrite").parquet(outDir)
-    val sec = (System.nanoTime() - t0) / 1e9
-    val landed = spark.read.parquet(outDir).count()
-    frames.unpersist(blocking = false)
-    (landed, sec)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-ingest-bench-")
+    val outDir = tmpRoot.resolve("t").toString
+    try {
+      val t0 = System.nanoTime()
+      binding.transcode(ProtoRows.decodeFramed(frames, message))
+        .write.mode("overwrite").parquet(outDir)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val landed = spark.read.parquet(outDir).count()
+      (landed, sec)
+    } finally {
+      frames.unpersist(blocking = false)
+      // ~1M rows of parquet per run: delete, don't leak /tmp
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 }

@@ -34,6 +34,17 @@ object BindingRegistry {
       messages: Map[String, PMessage],
       tableMessages: Map[(String, String), Seq[String]],
       mode: SchemaBinder.UnsetMode = SchemaBinder.ZeroValues): Map[String, Binding] = {
+    // a config entry naming a catalog/table that doesn't exist is a
+    // hard error too — silently skipping it would leave its message
+    // types unbound past startup, exactly what the fail-fast posture
+    // exists to prevent
+    tableMessages.keys.foreach { case (catName, tableName) =>
+      val cat = catalogs.find(_.name == catName).getOrElse(
+        throw BindError(s"explicit binding references unknown catalog '$catName'"))
+      if (!cat.tables.contains(tableName))
+        throw BindError(
+          s"explicit binding references unknown table '$tableName' in catalog '$catName'")
+    }
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Binding]
     catalogs.foreach { cat =>
       cat.tables.toSeq.sortBy(_._1).foreach { case (tableName, cols) =>

@@ -326,30 +326,36 @@ object Events {
     * of the bucketing rewrite).
     */
   val q51 = {
-    val bandNs = 3600L * 1000 * 1000 * 1000
+    val bandUs = 3600L * 1000 * 1000
     Q(
       "q51_range_join",
       (spark, dir) => {
+        // µs-truncate BEFORE the band compare, like q43/q50: DuckDB's
+        // parquet reader drops the sub-µs bits of TIMESTAMP(NANOS), so
+        // a raw-ns band would flip pairs whose diff sits within 999 ns
+        // of the band edge (and gap_ms near ms boundaries) vs the
+        // oracle — a latent flake at any SF.
         val ev = Tables(spark, dir, "events")
+          .withColumn("ts_us", expr("ts_ns div 1000"))
         val errors = ev.filter(col("event_type") === "error")
-          .select(col("event_id"), col("user_id"), col("ts_ns"))
+          .select(col("event_id"), col("user_id"), col("ts_us"))
         val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("event_id"), col("user_id"), col("ts_ns"))
+          .select(col("event_id"), col("user_id"), col("ts_us"))
         graft.operators.RangeJoin.band(errors, purchases,
-            keys = Seq("user_id"), ordL = "ts_ns", ordR = "ts_ns",
-            band = bandNs, prefix = "p_")
+            keys = Seq("user_id"), ordL = "ts_us", ordR = "ts_us",
+            band = bandUs, prefix = "p_")
           .select(col("event_id").as("error_id"),
             col("p_event_id").as("purchase_id"), col("user_id"),
-            expr("abs(ts_ns - p_ts_ns) div 1000000").as("gap_ms"))
+            expr("abs(ts_us - p_ts_us) div 1000").as("gap_ms"))
           .orderBy(col("error_id"), col("purchase_id"))
       },
       Some(s"""
       SELECT e.event_id AS error_id, p.event_id AS purchase_id, e.user_id,
-             abs(epoch_ns(e.ts) - epoch_ns(p.ts)) // 1000000 AS gap_ms
+             abs(epoch_us(e.ts) - epoch_us(p.ts)) // 1000 AS gap_ms
       FROM events e
       JOIN events p
         ON e.user_id = p.user_id
-       AND abs(epoch_ns(e.ts) - epoch_ns(p.ts)) <= ${bandNs}
+       AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= ${bandUs}
       WHERE e.event_type = 'error' AND p.event_type = 'purchase'
       ORDER BY error_id, purchase_id"""))
   }

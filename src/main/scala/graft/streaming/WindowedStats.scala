@@ -104,7 +104,15 @@ object WindowedStats {
               .sortBy(r => (r._2, r._3)).foreach { case (_, t, v) =>
               open match {
                 case Some(s) if t - s.lastMs <= gapMs =>
-                  open = Some(OpenSession(s.startMs, t, s.n + 1, s.total + v))
+                  // clamp both bounds: a CROSS-batch out-of-order event
+                  // (older than lastMs but above the watermark) must
+                  // extend the session backwards, never rewind lastMs —
+                  // a rewound lastMs resets the event-time timeout into
+                  // the past and closes the session early with a wrong
+                  // end. Within-gap-of-span late events merge; the
+                  // watermark bounds how far back that reaches.
+                  open = Some(OpenSession(math.min(s.startMs, t),
+                    math.max(s.lastMs, t), s.n + 1, s.total + v))
                 case Some(s) =>
                   closed += Session(key, s.startMs, s.lastMs, s.n, s.total)
                   open = Some(OpenSession(t, t, 1L, v))

@@ -58,6 +58,18 @@ class BindingRegistrySpec extends AnyFunSuite {
     assert(e.getMessage.contains("'NoSuchMessage' is not registered"))
   }
 
+  test("explicit bind rejects unknown catalog and table references") {
+    val cats = Seq(Catalog("main", Map("t" -> table)))
+    val e1 = intercept[BindError] {
+      bindExplicit(cats, messages, Map(("main", "nope") -> Seq(msg.fullName)))
+    }
+    assert(e1.getMessage.contains("unknown table 'nope'"))
+    val e2 = intercept[BindError] {
+      bindExplicit(cats, messages, Map(("ghost", "t") -> Seq(msg.fullName)))
+    }
+    assert(e2.getMessage.contains("unknown catalog 'ghost'"))
+  }
+
   test("bindAll: explicit first, autobind overwrites same-name binds") {
     // same bindable schema under another table name, distinguishable
     // by column metadata (the binder requires every field↔column pair

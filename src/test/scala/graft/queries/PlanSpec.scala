@@ -75,12 +75,13 @@ class PlanSpec extends SparkSpec {
     // rows per type — may partition by event_type alone. AQE wraps
     // the executed plan (its children are invisible to collect before
     // materialization), so plan without it for this structural check.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val windows = try {
       Events.q56.fn(spark, sf).queryExecution.executedPlan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
     assert(windows.nonEmpty)
     val heavy = windows.filter(_.partitionSpec.length > 1)
     assert(heavy.nonEmpty,

@@ -84,6 +84,41 @@ class WindowedStatsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: cross-batch out-of-order event extends backwards, never rewinds") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    // a REAL watermark delay so older-than-state events survive the
+    // late filter — the 0-second test above can never exercise this
+    val withWm = ms.toDF().toDF("ts", "key", "value")
+      .withWatermark("ts", "10 minutes")
+      .select($"key", $"ts", $"value")
+      .as[(String, java.sql.Timestamp, Double)]
+    val q = WindowedStats.sessionize(withWm, gapMs = 60000L)
+      .writeStream.format("memory").queryName("sess_ooo").outputMode("append")
+      .start()
+    try {
+      ms.addData((ts("2024-01-01 10:00:00"), "k", 1.0))
+      q.processAllAvailable()
+      // out-of-order, above the watermark, within the gap of the open
+      // session: must extend startMs backwards and keep lastMs
+      ms.addData((ts("2024-01-01 09:59:30"), "k", 2.0))
+      q.processAllAvailable()
+      // advance the watermark far past lastMs + gap → timeout close
+      ms.addData((ts("2024-01-01 10:30:00"), "z", 9.0))
+      q.processAllAvailable()
+      val k = spark.table("sess_ooo").filter($"key" === "k").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(k.length == 1, s"expected one closed session: ${k.toSeq}")
+      val (start, last, n) = k.head
+      assert(start == ts("2024-01-01 09:59:30").getTime,
+        "out-of-order event did not extend the session backwards")
+      assert(last == ts("2024-01-01 10:00:00").getTime,
+        "out-of-order event rewound lastMs (premature close, wrong end)")
+      assert(n == 2L)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-key state across micro-batches") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
