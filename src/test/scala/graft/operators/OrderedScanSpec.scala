@@ -86,6 +86,32 @@ class OrderedScanSpec extends SparkSpec {
     }
   }
 
+  test("rollingSum == single window on seeded random layouts and frame sizes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val k = 1 + rnd.nextInt(5)
+      val width = Seq(1L, 7L, 100L)(trial)
+      // duplicate ord values are fine — the (ord, tiebreak) pair is a
+      // total order because the tiebreak index is unique
+      val rows = (0 until 400).map { i =>
+        (s"k${rnd.nextInt(3)}", rnd.nextInt(50).toLong, i.toLong,
+          rnd.nextInt(1000).toLong)
+      }
+      val df = rows.toDF("key", "ord", "tb", "v")
+      val w = Window.partitionBy(col("key")).orderBy(col("ord"), col("tb"))
+        .rowsBetween(-(k - 1), Window.currentRow)
+      val ref = df.withColumn("rsum", sum(col("v")).over(w))
+        .withColumn("rn", count(lit(1)).over(w))
+      val got = OrderedScan.rollingSum(df, col("key"), col("ord"), col("tb"),
+        col("v"), k, floor(col("ord") / width), "rsum", "rn")
+      assert(ref.select("key", "tb", "rsum", "rn")
+        .exceptAll(got.select("key", "tb", "rsum", "rn")).isEmpty &&
+        got.count() == ref.count(),
+        s"trial $trial (k=$k width=$width) diverged")
+    }
+  }
+
   test("rollingSum exact across sparse one-row buckets and key starts") {
     import spark.implicits._
     // key a: 6 rows in buckets far apart — every frame spans multiple
