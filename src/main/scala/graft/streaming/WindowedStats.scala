@@ -130,6 +130,39 @@ object WindowedStats {
       }
   }
 
+  /** Stream-stream interval join — the STREAMING half of the band-join
+    * story (batch form: operators/RangeJoin, driver q51): left rows
+    * match right rows of the same key whose event time lies within
+    * [leftTs - before, leftTs + after]. Both sides carry watermarks,
+    * and the time-range predicate is what lets Spark BOUND the join
+    * state: a buffered right row can be evicted once the watermark
+    * guarantees no future left row's interval can reach it (state is
+    * rows-per-watermark-horizon, not rows-ever). Without the range
+    * condition a stream-stream inner join would buffer both streams
+    * forever. Output columns: key, left `l_` payload, right `r_`
+    * payload (timestamps included) — append mode, emitted as matches
+    * become final.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, watermarkDelay: String,
+      before: String, after: String, leftPrefix: String = "l_",
+      rightPrefix: String = "r_"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermarkDelay)
+      .select(col(key) +: left.columns.filter(_ != key)
+        .map(c => col(c).as(s"$leftPrefix$c")): _*)
+    val r = right.withWatermark(tsCol, watermarkDelay)
+      .select(col(key).as(s"$rightPrefix$key") +:
+        right.columns.filter(_ != key)
+          .map(c => col(c).as(s"$rightPrefix$c")): _*)
+    l.join(r,
+      col(key) === col(s"$rightPrefix$key") &&
+        col(s"$rightPrefix$tsCol") >=
+          col(s"$leftPrefix$tsCol") - expr(s"INTERVAL $before") &&
+        col(s"$rightPrefix$tsCol") <=
+          col(s"$leftPrefix$tsCol") + expr(s"INTERVAL $after"))
+      .drop(s"$rightPrefix$key")
+  }
+
   /** Ingest-time exact dedup with BOUNDED state: first row per dedup
     * key passes, duplicates arriving within `watermarkDelay` of it are
     * dropped, and each key's state is evicted once the watermark
