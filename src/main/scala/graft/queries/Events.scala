@@ -510,6 +510,47 @@ object Events {
       WHERE event_id % 199 = 0
       ORDER BY event_id"""))
 
+  /** Incrementally-maintained rollup (streaming/RollupSink — the
+    * SummingMergeTree analog) driven end-to-end on the driver path:
+    * events land as three batchId-keyed partial-aggregate parts, one
+    * batch is REPLAYED (crash simulation — its part overwrites, never
+    * double-counts), parts are compacted (the background-merge
+    * analog), and a post-compaction part lands. The merged read must
+    * equal a direct one-shot aggregate — which is exactly what the
+    * oracle computes. Fixed-point cents keep partial-sum-of-sums
+    * exact.
+    */
+  val q59 = Q(
+    "q59_rollup_maintenance",
+    (spark, dir) => {
+      val keys = Seq("event_type", "day")
+      val vals = Seq("cents")
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-rollup-q59-").resolve("t").toString
+      val ev = Tables(spark, dir, "events")
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+        .select(col("event_type"), col("day"), col("cents"), col("event_id"))
+      def stripe(b: Int) = ev.filter(pmod(col("event_id"), lit(4)) === b)
+      for (b <- 0 until 3)
+        graft.streaming.RollupSink.sinkBatch(stripe(b), b, keys, vals, out)
+      // crash-replay of batch 1: must overwrite its own part
+      graft.streaming.RollupSink.sinkBatch(stripe(1), 1L, keys, vals, out)
+      graft.streaming.RollupSink.compact(spark, out, keys, vals)
+      // a part landing after compaction still merges on read
+      graft.streaming.RollupSink.sinkBatch(stripe(3), 3L, keys, vals, out)
+      graft.streaming.RollupSink.read(spark, out, keys, vals)
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""
+      SELECT event_type,
+             strftime(ts, '%Y-%m-%d') AS day,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY event_type, day"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
-    q52, q53, q56, q57)
+    q52, q53, q56, q57, q59)
 }
