@@ -73,4 +73,24 @@ object AsOfJoin {
     joined.select(left.columns.map(col).toSeq ++
       payload.map(p => col(s"_aj_m.$p").as(s"$prefix$p")): _*)
   }
+
+  /** Staleness-bounded as-of: like [[asof]], but a match whose order
+    * head trails the left row's by more than `tolerance` is nulled —
+    * the "prevailing quote no older than X" rule trade pipelines
+    * apply so a symbol that went quiet doesn't pin a stale quote to
+    * every later trade. Same single-shuffle plan; the bound is a
+    * post-window predicate, not a join condition. `ord.head` must be
+    * numeric and included in `payload` (the match's own timestamp is
+    * what the bound compares against).
+    */
+  def asofWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      ord: Seq[String], payload: Seq[String], as: String,
+      tolerance: Long): DataFrame = {
+    val ordHead = ord.head
+    require(payload.contains(ordHead),
+      s"payload must include the order head '$ordHead' for the staleness bound")
+    asof(left, right, keys, ord, payload, as)
+      .withColumn(as,
+        when(col(ordHead) - col(s"$as.$ordHead") <= tolerance, col(as)))
+  }
 }

@@ -551,6 +551,36 @@ object Events {
       GROUP BY 1, 2
       ORDER BY event_type, day"""))
 
+  /** Cohort retention — the canonical two-level user analytics
+    * composition over the landed events: each user's cohort is their
+    * first active day (one agg on user_id), joined back to activity
+    * (co-partitioned on user_id — the join reuses the aggregate's
+    * hash partitioning, no extra exchange) and rolled up to
+    * (cohort, day) active-user counts.
+    */
+  val q60 = Q(
+    "q60_cohort_retention",
+    (spark, dir) => {
+      val ev = Tables(spark, dir, "events")
+        .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      val firstSeen = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort"))
+      ev.join(firstSeen, "user_id")
+        .groupBy(col("cohort"), col("day"))
+        .agg(countDistinct(col("user_id")).as("active_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("cohort"), col("day"))
+    },
+    Some("""
+      WITH d AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events),
+      f AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY user_id)
+      SELECT f.cohort, d.day,
+             COUNT(DISTINCT d.user_id) AS active_users,
+             COUNT(*) AS n_events
+      FROM d JOIN f USING (user_id)
+      GROUP BY 1, 2
+      ORDER BY cohort, day"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
-    q52, q53, q56, q57, q59)
+    q52, q53, q56, q57, q59, q60)
 }
