@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) clustering — the multi-dimensional extension
+  * of Q2's sort-key layout. A lexicographic sort (PartitionedLayout,
+  * the MergeTree ORDER BY analog) gives row-group skipping only on the
+  * sort PREFIX: a predicate on the second dimension alone scans
+  * everything. Interleaving the bits of two bucketed dimensions into
+  * one sort key makes row groups cluster in BOTH dimensions at once,
+  * so min/max stats skip groups for either predicate — the standard
+  * lakehouse layout for two-filter tables (time × user, time ×
+  * symbol), at the cost of somewhat coarser skipping per single
+  * dimension than a dedicated sort.
+  *
+  * The layout is write-side only: readers see the same rows and
+  * schema, every query result is layout-invariant (ZOrderSpec pins
+  * equality), and the skipping claim is pinned by counting row groups
+  * whose min/max stats intersect a secondary-dimension predicate —
+  * z-ordered files must touch strictly fewer than ts-sorted files.
+  */
+object ZOrderLayout {
+
+  /** Bits interleaved per dimension. 2×16 = 32-bit Morton codes:
+    * 65k buckets per dimension is plenty of resolution for row-group
+    * clustering (a row group holds thousands of rows regardless).
+    */
+  val BitsPerDim = 16
+
+  /** Morton interleave of two bucketed dimensions (each clamped to
+    * [0, 2^16)): bit i of `a` lands at position 2i, bit i of `b` at
+    * 2i+1. Pure integer Column arithmetic — codegen'd, map-side.
+    */
+  def morton(a: Column, b: Column): Column = {
+    val mask = (1L << BitsPerDim) - 1
+    val ca = a.bitwiseAND(mask)
+    val cb = b.bitwiseAND(mask)
+    (0 until BitsPerDim).map { i =>
+      shiftleft(shiftright(ca, i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(cb, i).bitwiseAND(1), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** JVM mirror for tests. */
+  def mortonJvm(a: Long, b: Long): Long = {
+    val mask = (1L << BitsPerDim) - 1
+    var out = 0L
+    var i = 0
+    while (i < BitsPerDim) {
+      out |= (((a & mask) >> i) & 1L) << (2 * i)
+      out |= (((b & mask) >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    out
+  }
+
+  /** Land `df` clustered on morton(dimA, dimB): global range
+    * repartition on the code (so files hold disjoint code ranges —
+    * the cross-file analog of sortWithinPartitions), then sorted
+    * within partitions. `rowGroupBytes` bounds parquet row-group size
+    * so group-level stats stay fine-grained.
+    */
+  def write(df: DataFrame, dimA: Column, dimB: Column, outDir: String,
+      files: Int = 8, rowGroupBytes: Int = 64 * 1024): String = {
+    df.withColumn("_z", morton(dimA, dimB))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes.toLong)
+      .parquet(outDir)
+    outDir
+  }
+}

@@ -1,0 +1,94 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** ZOrderLayout: morton code correctness, layout invariance (same
+  * query answers from any layout), and the actual skipping claim —
+  * for a secondary-dimension predicate, strictly fewer row groups
+  * intersect the predicate range under z-order than under a linear
+  * time sort, measured from real parquet footer stats.
+  */
+class ZOrderSpec extends SparkSpec {
+
+  test("morton interleave matches the bit formula") {
+    assert(ZOrderLayout.mortonJvm(3L, 1L) == 7L)   // 0b11 ⨯ 0b1 → 0b111
+    assert(ZOrderLayout.mortonJvm(0L, 0L) == 0L)
+    assert(ZOrderLayout.mortonJvm(0L, 1L) == 2L)   // b bit 0 → position 1
+    assert(ZOrderLayout.mortonJvm((1L << 16) - 1, 0L) == 0x55555555L)
+    // Column form == JVM form on a sweep
+    import spark.implicits._
+    val rows = spark.range(0, 4096)
+      .select((col("id") * 37 % 65536).as("a"), (col("id") * 101 % 65536).as("b"))
+    val mismatch = rows
+      .withColumn("mc", ZOrderLayout.morton(col("a"), col("b")))
+      .as[(Long, Long, Long)].collect()
+      .count { case (a, b, mc) => mc != ZOrderLayout.mortonJvm(a, b) }
+    assert(mismatch == 0)
+  }
+
+  /** Row groups whose [min,max] user_id stats intersect [lo, hi]. */
+  private def candidateGroups(dir: String, lo: Long, hi: Long): (Int, Int) = {
+    val conf = new Configuration()
+    val files = Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    var total = 0
+    var candidates = 0
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new HPath(f.toString), conf))
+      try {
+        reader.getFooter.getBlocks.asScala.foreach { block =>
+          total += 1
+          val stats = block.getColumns.asScala
+            .find(_.getPath.toDotString == "user_id").get.getStatistics
+          val (mn, mx) = (stats.genericGetMin.asInstanceOf[Number].longValue(),
+            stats.genericGetMax.asInstanceOf[Number].longValue())
+          if (mn <= hi && mx >= lo) candidates += 1
+        }
+      } finally reader.close()
+    }
+    (candidates, total)
+  }
+
+  test("z-order skips more row groups than a time sort on the user dimension") {
+    val ev = Tables(spark, "/root/testdata/sf0.1", "events")
+      .select(col("event_id"), col("user_id"), col("ts_ns"), col("value"))
+    val day = expr("ts_ns div 86400000000000")
+    val base = Files.createTempDirectory("graft-zorder-")
+    val zDir = base.resolve("z").toString
+    val tDir = base.resolve("t").toString
+    ZOrderLayout.write(ev, day, col("user_id"), zDir)
+    // linear control: same file/row-group budget, time-sorted
+    ev.withColumn("_t", col("ts_ns"))
+      .repartitionByRange(8, col("_t")).sortWithinPartitions(col("_t"))
+      .drop("_t")
+      .write.mode("overwrite")
+      .option("parquet.block.size", (64 * 1024).toLong).parquet(tDir)
+
+    // a narrow user-id slice — the dimension the time sort can't skip
+    val (lo, hi) = (100L, 150L)
+    val (zCand, zTotal) = candidateGroups(zDir, lo, hi)
+    val (tCand, tTotal) = candidateGroups(tDir, lo, hi)
+    assert(zTotal >= 8 && tTotal >= 8, s"too few row groups ($zTotal/$tTotal)")
+    assert(tCand == tTotal,
+      s"time sort unexpectedly skips user-id groups ($tCand/$tTotal)")
+    assert(zCand < tCand,
+      s"z-order must touch fewer groups: z=$zCand/$zTotal vs t=$tCand/$tTotal")
+
+    // layout invariance: identical answers from either layout
+    val q = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("user_id").between(lo, hi))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val a = q(spark.read.parquet(zDir))
+    val b = q(spark.read.parquet(tDir))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}
