@@ -644,6 +644,45 @@ object Pipeline {
       FROM r WHERE rn <= 5
       ORDER BY query_id, rank"""))
 
+  /** Media near-dup — the multimodal × similarity composition: opaque
+    * payload bytes → per-partition feature extraction (the byte-value
+    * histogram is a REAL deterministic feature, not a codec stub) →
+    * normalized-cosine near-dup pairs over the feature vectors. The
+    * full chain (binary encode, mapPartitions batch iterator, feature
+    * schema, triangle scan) is differentially verified: the oracle
+    * recomputes histograms from the source text's codepoints (payloads
+    * are ASCII) and the exact quadratic cosine.
+    */
+  val q61 = Q(
+    "q61_media_neardup",
+    (spark, dir) => {
+      val media = Multimodal.asMedia(
+        Tables(spark, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", modality = "image", format = "utf8")
+      val feats = Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("hist").cast("array<double>").as("v"))
+      Similarity.cosineNearDups(feats, "media_id", "v",
+          threshold = 0.999, maxId = 500L)
+        .orderBy(col("a"), col("b"))
+    },
+    Some(s"""
+      WITH codes_t AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ''), ch -> unicode(ch)) AS codes
+        FROM documents WHERE doc_id < 500),
+      h AS (
+        SELECT doc_id,
+               list_transform(range(0, ${Multimodal.HistBins}),
+                 j -> len(list_filter(codes, c -> c % ${Multimodal.HistBins} = j))::DOUBLE) AS v
+        FROM codes_t)
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             ROUND(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+      FROM h a JOIN h b ON a.doc_id < b.doc_id
+      WHERE list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.999
+      ORDER BY a, b"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
-    q36, q37, q38, q39, q40, q49, q54, q55, q58)
+    q36, q37, q38, q39, q40, q49, q54, q55, q58, q61)
 }
