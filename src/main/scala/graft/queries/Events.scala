@@ -581,6 +581,76 @@ object Events {
       GROUP BY 1, 2
       ORDER BY cohort, day"""))
 
+  /** Ordered, time-bounded funnel (view → click → purchase): per
+    * user, the first view, the first click within 24 h AFTER it, and
+    * the first purchase within 24 h after that click — sequence- and
+    * window-constrained, not mere co-occurrence (unbounded, every
+    * active user converges to full depth and the histogram
+    * degenerates to one row). Three chained aggregates on user_id
+    * (each join reuses the aggregate hash partitioning); the final
+    * histogram counts users by conversion depth. Exact and
+    * order-deterministic, so the oracle recomputes it step by step.
+    */
+  val q62 = {
+    val winUs = 24L * 3600 * 1000000
+    Q(
+    "q62_funnel",
+    (spark, dir) => {
+      // µs-truncate like q43/q50/q51: the oracle's epoch_ns works on
+      // DuckDB's µs-truncated timestamps, so strict step inequalities
+      // must compare at the same precision
+      val ev = Tables(spark, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts_ns div 1000").as("ts_us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts_us") > col("t_view") &&
+          col("ts_us") <= col("t_view") + winUs)
+        .groupBy(col("user_id"), col("t_view"))
+        .agg(min(col("ts_us")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts_us") > col("t_click") &&
+          col("ts_us") <= col("t_click") + winUs)
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_purchase"))
+      val depth = v
+        .join(c.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2).otherwise(1).as("depth"))
+      depth.groupBy(col("depth"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("depth"))
+    },
+    Some(s"""
+      WITH v AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id),
+      c AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+          AND epoch_us(e.ts) <= v.t_view + $winUs
+        GROUP BY e.user_id),
+      p AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+          AND epoch_us(e.ts) <= c.t_click + $winUs
+        GROUP BY e.user_id),
+      d AS (
+        SELECT CASE WHEN p.user_id IS NOT NULL THEN 3
+                    WHEN c.user_id IS NOT NULL THEN 2
+                    ELSE 1 END AS depth
+        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
+      SELECT depth, COUNT(*) AS n_users
+      FROM d
+      GROUP BY depth
+      ORDER BY depth"""))
+  }
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
-    q52, q53, q56, q57, q59, q60)
+    q52, q53, q56, q57, q59, q60, q62)
 }
