@@ -554,9 +554,11 @@ object Events {
   /** Cohort retention — the canonical two-level user analytics
     * composition over the landed events: each user's cohort is their
     * first active day (one agg on user_id), joined back to activity
-    * (co-partitioned on user_id — the join reuses the aggregate's
-    * hash partitioning, no extra exchange) and rolled up to
-    * (cohort, day) active-user counts.
+    * on the same key and rolled up to (cohort, day) active-user
+    * counts. The join is key-aligned with the aggregate, so at scale
+    * (where the cohort side is too big to broadcast) both sides hash
+    * to the same partitioning; at bench scale AQE simply broadcasts
+    * the small side.
     */
   val q60 = Q(
     "q60_cohort_retention",
@@ -586,10 +588,11 @@ object Events {
     * the first purchase within 24 h after that click — sequence- and
     * window-constrained, not mere co-occurrence (unbounded, every
     * active user converges to full depth and the histogram
-    * degenerates to one row). Three chained aggregates on user_id
-    * (each join reuses the aggregate hash partitioning); the final
-    * histogram counts users by conversion depth. Exact and
-    * order-deterministic, so the oracle recomputes it step by step.
+    * degenerates to one row). Three chained key-aligned aggregates on
+    * user_id (at scale the step joins co-partition; at bench scale
+    * AQE broadcasts the small step tables); the final histogram
+    * counts users by conversion depth. Exact and order-deterministic,
+    * so the oracle recomputes it step by step.
     */
   val q62 = {
     val winUs = 24L * 3600 * 1000000

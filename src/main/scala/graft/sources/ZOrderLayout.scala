@@ -28,14 +28,18 @@ object ZOrderLayout {
     */
   val BitsPerDim = 16
 
-  /** Morton interleave of two bucketed dimensions (each clamped to
-    * [0, 2^16)): bit i of `a` lands at position 2i, bit i of `b` at
-    * 2i+1. Pure integer Column arithmetic — codegen'd, map-side.
+  /** Morton interleave of two bucketed dimensions, each SATURATED into
+    * [0, 2^16): out-of-range values clamp to the nearest bound (a
+    * bitmask would wrap 65536 → bucket 0, silently scrambling the
+    * clustering; saturation keeps the code monotone so locality only
+    * coarsens at the extremes). Bit i of `a` lands at position 2i,
+    * bit i of `b` at 2i+1. Pure integer Column arithmetic —
+    * codegen'd, map-side.
     */
   def morton(a: Column, b: Column): Column = {
     val mask = (1L << BitsPerDim) - 1
-    val ca = a.bitwiseAND(mask)
-    val cb = b.bitwiseAND(mask)
+    val ca = least(greatest(a, lit(0L)), lit(mask))
+    val cb = least(greatest(b, lit(0L)), lit(mask))
     (0 until BitsPerDim).map { i =>
       shiftleft(shiftright(ca, i).bitwiseAND(1), 2 * i) +
         shiftleft(shiftright(cb, i).bitwiseAND(1), 2 * i + 1)
@@ -45,11 +49,13 @@ object ZOrderLayout {
   /** JVM mirror for tests. */
   def mortonJvm(a: Long, b: Long): Long = {
     val mask = (1L << BitsPerDim) - 1
+    val ca = math.min(math.max(a, 0L), mask)
+    val cb = math.min(math.max(b, 0L), mask)
     var out = 0L
     var i = 0
     while (i < BitsPerDim) {
-      out |= (((a & mask) >> i) & 1L) << (2 * i)
-      out |= (((b & mask) >> i) & 1L) << (2 * i + 1)
+      out |= ((ca >> i) & 1L) << (2 * i)
+      out |= ((cb >> i) & 1L) << (2 * i + 1)
       i += 1
     }
     out
@@ -58,11 +64,14 @@ object ZOrderLayout {
   /** Land `df` clustered on morton(dimA, dimB): global range
     * repartition on the code (so files hold disjoint code ranges —
     * the cross-file analog of sortWithinPartitions), then sorted
-    * within partitions. `rowGroupBytes` bounds parquet row-group size
-    * so group-level stats stay fine-grained.
+    * within partitions. `rowGroupBytes` bounds parquet row-group size;
+    * the default is parquet's standard 128 MB — tests pass a tiny
+    * value to get many groups from small data, production keeps the
+    * default (smaller groups mean finer skipping but metadata and
+    * per-group overhead grow).
     */
   def write(df: DataFrame, dimA: Column, dimB: Column, outDir: String,
-      files: Int = 8, rowGroupBytes: Int = 64 * 1024): String = {
+      files: Int = 8, rowGroupBytes: Int = 128 * 1024 * 1024): String = {
     df.withColumn("_z", morton(dimA, dimB))
       .repartitionByRange(files, col("_z"))
       .sortWithinPartitions(col("_z"))

@@ -59,19 +59,24 @@ class AsOfJoinSpec extends SparkSpec {
 
   test("asofWithin nulls stale matches; fresh ones keep the asof answer") {
     import spark.implicits._
-    // right at t=10; lefts at t=15 (gap 5, fresh), t=100 (gap 90,
-    // stale under tolerance 50 — would match without the bound)
-    val left = Seq(("k", 15L, 0L), ("k", 100L, 1L)).toDF("key", "t", "id")
+    // right at t=10; lefts at t=15 (gap 5, fresh), t=60 (gap exactly
+    // the tolerance — inclusive bound keeps it), t=100 (gap 90, stale
+    // under tolerance 50 — would match without the bound)
+    val left = Seq(("k", 15L, 0L), ("k", 60L, 2L), ("k", 100L, 1L))
+      .toDF("key", "t", "id")
     val right = Seq(("k", 10L, 7L)).toDF("key", "t", "id")
     val got = AsOfJoin.asofWithin(left, right, Seq("key"), Seq("t", "id"),
         Seq("t", "id"), "m", tolerance = 50L)
       .orderBy(col("t")).select(col("m.id")).collect()
     assert(got(0).getLong(0) == 7L, "fresh match must survive the bound")
-    assert(got(1).isNullAt(0), "stale match must be nulled, not carried")
+    assert(got(1).getLong(0) == 7L,
+      "gap == tolerance is 'no older than X' inclusive — must match")
+    assert(got(2).isNullAt(0), "stale match must be nulled, not carried")
     // equivalence with unbounded asof under a huge tolerance
     val loose = AsOfJoin.asofWithin(left, right, Seq("key"), Seq("t", "id"),
         Seq("t", "id"), "m", tolerance = Long.MaxValue)
       .orderBy(col("t")).select(col("m.id")).collect()
-    assert(loose(0).getLong(0) == 7L && loose(1).getLong(0) == 7L)
+    assert(loose(0).getLong(0) == 7L && loose(1).getLong(0) == 7L &&
+      loose(2).getLong(0) == 7L)
   }
 }

@@ -23,6 +23,10 @@ class ZOrderSpec extends SparkSpec {
     assert(ZOrderLayout.mortonJvm(0L, 0L) == 0L)
     assert(ZOrderLayout.mortonJvm(0L, 1L) == 2L)   // b bit 0 → position 1
     assert(ZOrderLayout.mortonJvm((1L << 16) - 1, 0L) == 0x55555555L)
+    // out-of-range saturates (monotone), never wraps to bucket 0
+    assert(ZOrderLayout.mortonJvm(70000L, 0L) ==
+      ZOrderLayout.mortonJvm(65535L, 0L))
+    assert(ZOrderLayout.mortonJvm(-5L, 3L) == ZOrderLayout.mortonJvm(0L, 3L))
     // Column form == JVM form on a sweep
     import spark.implicits._
     val rows = spark.range(0, 4096)
@@ -37,8 +41,10 @@ class ZOrderSpec extends SparkSpec {
   /** Row groups whose [min,max] user_id stats intersect [lo, hi]. */
   private def candidateGroups(dir: String, lo: Long, hi: Long): (Int, Int) = {
     val conf = new Configuration()
-    val files = Files.list(Paths.get(dir)).iterator().asScala
+    val listing = Files.list(Paths.get(dir))
+    val files = try listing.iterator().asScala
       .filter(_.toString.endsWith(".parquet")).toSeq
+    finally listing.close()
     var total = 0
     var candidates = 0
     files.foreach { f =>
@@ -65,11 +71,10 @@ class ZOrderSpec extends SparkSpec {
     val base = Files.createTempDirectory("graft-zorder-")
     val zDir = base.resolve("z").toString
     val tDir = base.resolve("t").toString
-    ZOrderLayout.write(ev, day, col("user_id"), zDir)
+    ZOrderLayout.write(ev, day, col("user_id"), zDir,
+      rowGroupBytes = 64 * 1024)
     // linear control: same file/row-group budget, time-sorted
-    ev.withColumn("_t", col("ts_ns"))
-      .repartitionByRange(8, col("_t")).sortWithinPartitions(col("_t"))
-      .drop("_t")
+    ev.repartitionByRange(8, col("ts_ns")).sortWithinPartitions(col("ts_ns"))
       .write.mode("overwrite")
       .option("parquet.block.size", (64 * 1024).toLong).parquet(tDir)
 
@@ -77,7 +82,9 @@ class ZOrderSpec extends SparkSpec {
     val (lo, hi) = (100L, 150L)
     val (zCand, zTotal) = candidateGroups(zDir, lo, hi)
     val (tCand, tTotal) = candidateGroups(tDir, lo, hi)
-    assert(zTotal >= 8 && tTotal >= 8, s"too few row groups ($zTotal/$tTotal)")
+    // STRICTLY more groups than files, or parquet.block.size was
+    // ignored and this would silently measure whole-file skipping
+    assert(zTotal > 8 && tTotal > 8, s"too few row groups ($zTotal/$tTotal)")
     assert(tCand == tTotal,
       s"time sort unexpectedly skips user-id groups ($tCand/$tTotal)")
     assert(zCand < tCand,
