@@ -63,4 +63,26 @@ object PartitionedLayout {
       .add("p_date", org.apache.spark.sql.types.StringType)
     spark.read.schema(schema).parquet(root)
   }
+
+  /** Retention expiry — the ClickHouse `TTL ... DELETE` analog over
+    * the date-partitioned layout: whole p_date partitions strictly
+    * older than the cutoff are dropped as directories. Partition-level
+    * deletion never reads or rewrites row data, so expiring any
+    * amount of history is O(partitions dropped) metadata work — the
+    * reason retention policy belongs to the layout, not to a DELETE
+    * query (which at 100 TB would rewrite every surviving file).
+    * Returns the dropped partition values. Maintenance-path only,
+    * like part compaction.
+    */
+  def expire(root: String, beforeYyyyMmDd: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+    val parts = try listing.iterator().asScala.toSeq finally listing.close()
+    val dropped = parts
+      .filter(p => p.getFileName.toString.startsWith("p_date="))
+      .filter(p => p.getFileName.toString.stripPrefix("p_date=") < beforeYyyyMmDd)
+    dropped.foreach(graft.streaming.Parts.deleteTree)
+    dropped.map(_.getFileName.toString.stripPrefix("p_date="))
+      .sorted
+  }
 }

@@ -189,6 +189,26 @@ object LandingIngest {
       .partitionBy("p_batch")
       .parquet(outDir)
 
+  /** Part consolidation for the landed raw table — the MergeTree
+    * background-merge analog for data parts (RollupSink.compact is
+    * the summing variant): every p_batch part is rewritten into one
+    * consolidated part and swapped in atomically. The per-batch sink
+    * necessarily writes many small parts (one per micro-batch x
+    * writer — correct for durability, pathological for scan fan-out
+    * at 100 TB); periodic consolidation restores healthy file sizes.
+    * Maintenance-path only: must not race an active stream, and a
+    * batch replayed after its part was folded would double-append —
+    * stop the query first, exactly like RollupSink.compact.
+    */
+  def compact(spark: SparkSession, outDir: String, files: Int = 8): Unit = {
+    val folded = spark.read.parquet(outDir)
+      .drop("p_batch")
+      .repartition(files)
+      .withColumn("p_batch", lit(-1L))
+    Parts.swapIn(outDir, tmp =>
+      folded.write.mode("overwrite").partitionBy("p_batch").parquet(tmp))
+  }
+
   /** Synchronous end-to-end run over a fixed set of message batches:
     * admit through the shim (applying the buffer policy), flush all,
     * stream the backlog with AvailableNow, and return the landed

@@ -1,0 +1,33 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Part-directory maintenance shared by the landed-table sinks: an
+  * atomic replace-on-swap (write the replacement beside the live dir,
+  * then two ATOMIC_MOVEs) and recursive deletion. Maintenance-path
+  * operations — callers must not race an active writer, the same rule
+  * a MergeTree background merge enforces with part locks.
+  */
+object Parts {
+
+  /** Build a replacement for `dir` (the callback writes it at the
+    * given temp path) and swap it in atomically.
+    */
+  def swapIn(dir: String, writeReplacement: String => Unit): Unit = {
+    val live = Paths.get(dir)
+    val tmp = live.resolveSibling(live.getFileName.toString + ".swap-tmp")
+    val old = live.resolveSibling(live.getFileName.toString + ".swap-old")
+    writeReplacement(tmp.toString)
+    Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+    deleteTree(old)
+  }
+
+  def deleteTree(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(f => Files.deleteIfExists(f))
+  }
+}

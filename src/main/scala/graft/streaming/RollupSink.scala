@@ -3,8 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-
 /** Incrementally-maintained rollup — the Spark analog of the
   * ClickHouse SummingMergeTree tables the reference lands into (the
   * reference's example DDL files declare plain MergeTree, but the
@@ -69,21 +67,9 @@ object RollupSink {
     */
   def compact(spark: SparkSession, outDir: String, keys: Seq[String],
       values: Seq[String]): Unit = {
-    val dir = Paths.get(outDir)
-    val tmp = dir.resolveSibling(dir.getFileName.toString + ".compact-tmp")
-    val old = dir.resolveSibling(dir.getFileName.toString + ".compact-old")
-    read(spark, outDir, keys, values)
+    val folded = read(spark, outDir, keys, values)
       .withColumn("p_batch", lit(-1L))
-      .write.mode("overwrite").partitionBy("p_batch").parquet(tmp.toString)
-    Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
-    deleteTree(old)
-  }
-
-  private def deleteTree(p: Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    Files.walk(p).iterator().asScala.toSeq
-      .sortBy(-_.getNameCount)
-      .foreach(f => Files.deleteIfExists(f))
+    Parts.swapIn(outDir, tmp =>
+      folded.write.mode("overwrite").partitionBy("p_batch").parquet(tmp))
   }
 }
