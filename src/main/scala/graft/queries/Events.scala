@@ -654,6 +654,32 @@ object Events {
       ORDER BY depth"""))
   }
 
+  /** Q2's multi-dimensional extension exercised against a REAL
+    * z-ordered layout (sources/ZOrderLayout, morton(day, user_id)):
+    * the two-filter slice — one day AND a narrow user range — reads
+    * the layout built for exactly that shape. Oracle computes the
+    * same slice from the raw table: layout must not change results
+    * (the skipping win itself is pinned by ZOrderSpec from parquet
+    * footers).
+    */
+  val q63 = Q(
+    "q63_zorder_slice",
+    (spark, dir) =>
+      graft.sources.ZOrderLayout.events(spark, dir)
+        .filter(col("ts_ns") >= graft.Tables.utcNanos("2024-01-05T00:00:00Z") &&
+          col("ts_ns") < graft.Tables.utcNanos("2024-01-06T00:00:00Z") &&
+          col("user_id").between(100, 200))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type")),
+    Some(s"""
+      SELECT event_type, COUNT(*) AS n, ${oSum("value")} AS sum_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06'
+        AND user_id BETWEEN 100 AND 200
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
-    q52, q53, q56, q57, q59, q60, q62)
+    q52, q53, q56, q57, q59, q60, q62, q63)
 }

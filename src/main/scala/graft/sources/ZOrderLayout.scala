@@ -81,4 +81,22 @@ object ZOrderLayout {
       .parquet(outDir)
     outDir
   }
+
+  // one z-ordered copy per (source dir) per JVM, like
+  // PartitionedLayout.events
+  private val layouts = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The events table z-ordered on (utc day, user_id) — the layout a
+    * time × user two-filter workload wants (built on first use per
+    * scale factor).
+    */
+  def events(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val root = layouts.getOrElseUpdate(s"$dir/events", {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-zorder-events-").toString
+      write(graft.Tables(spark, dir, "events"),
+        expr("ts_ns div 86400000000000"), col("user_id"), out)
+    })
+    spark.read.parquet(root)
+  }
 }

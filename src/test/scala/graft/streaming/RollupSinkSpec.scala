@@ -48,4 +48,28 @@ class RollupSinkSpec extends SparkSpec {
     assert(rollup(dir) == Map(
       "a" -> (4L, 176L), "b" -> (2L, 100L), "c" -> (2L, 10L)))
   }
+
+  test("rollup maintained by a live stream equals the batch aggregate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup-stream-")
+      .resolve("t").toString
+    val ms = MemoryStream[(String, Long)]
+    val q = ms.toDF().toDF("k", "cents")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        RollupSink.sinkBatch(df, id, keys, values, dir)
+      }
+      .start()
+    try {
+      ms.addData(("a", 10L), ("b", 5L))
+      q.processAllAvailable()
+      ms.addData(("a", 7L), ("c", 1L))
+      q.processAllAvailable()
+      assert(rollup(dir) == Map(
+        "a" -> (2L, 17L), "b" -> (1L, 5L), "c" -> (1L, 1L)))
+    } finally q.stop()
+  }
 }
