@@ -19,6 +19,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ContextCleaner reclaims broadcasts/shuffles/checkpoints only
+      // when a GC notices dead references; the default periodic-GC
+      // interval (30 min) never fires inside a bench run, so driver
+      // state accumulated over ~60 queries degraded the tail of the
+      // run (q55 measured 5x slower at position 55 than in isolation).
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up: exercise the parquet reader, shuffle/broadcast
@@ -78,9 +84,14 @@ object Bench {
           failed ::= q.name
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
-      // written = consumed: drop the near-dup/similarity result cache so
-      // one query's pinned blocks can't skew the next query's timing
+      // written = consumed: drop the near-dup/similarity result cache
+      // and any RDD a query left persisted (e.g. per-round local
+      // checkpoints of the iterative operators) so one query's pinned
+      // blocks can't skew the next query's timing. Nothing crosses
+      // query boundaries by design, so a blanket unpersist is safe.
       graft.pipeline.Similarity.releaseResult()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       q.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
