@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same end-of-run hygiene as Bench: without a GC the cleaner
+      // never reclaims broadcasts/shuffles across ~60 queries and the
+      // tail of the run crawls
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -31,8 +35,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // written = consumed: drop the near-dup/similarity result cache
-      // so no query's blocks outlive its own dump
+      // and stray persisted RDDs so no query's blocks outlive its dump
       graft.pipeline.Similarity.releaseResult()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
