@@ -24,11 +24,7 @@ object Verify {
       // leave nothing behind, or a stale result from an earlier run
       // would silently pass the driver's compare
       val target = Paths.get(s"$outDir/$name")
-      if (Files.exists(target)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(target).iterator().asScala.toSeq.reverse
-          .foreach(Files.delete)
-      }
+      graft.streaming.Parts.deleteTree(target)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(target.toString)
       catch { case e: Throwable =>

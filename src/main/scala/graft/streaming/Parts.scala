@@ -11,12 +11,21 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 object Parts {
 
   /** Build a replacement for `dir` (the callback writes it at the
-    * given temp path) and swap it in atomically.
+    * given temp path) and swap it in atomically. Crash-safe across
+    * retries: a stale `.swap-tmp` is garbage from an interrupted
+    * build; a missing live dir with `.swap-old` present means a crash
+    * hit between the two moves — the old data is restored before
+    * proceeding, so a re-run always starts from a live table instead
+    * of failing on leftovers (or worse, leaving no table at all).
     */
   def swapIn(dir: String, writeReplacement: String => Unit): Unit = {
     val live = Paths.get(dir)
     val tmp = live.resolveSibling(live.getFileName.toString + ".swap-tmp")
     val old = live.resolveSibling(live.getFileName.toString + ".swap-old")
+    deleteTree(tmp)
+    if (!Files.exists(live) && Files.exists(old))
+      Files.move(old, live, StandardCopyOption.ATOMIC_MOVE)
+    deleteTree(old)
     writeReplacement(tmp.toString)
     Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
@@ -25,9 +34,10 @@ object Parts {
 
   def deleteTree(p: Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(f => Files.deleteIfExists(f))
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      val entries = try walk.iterator().asScala.toSeq finally walk.close()
+      entries.sortBy(-_.getNameCount).foreach(f => Files.deleteIfExists(f))
+    }
   }
 }

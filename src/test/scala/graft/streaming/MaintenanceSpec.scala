@@ -28,16 +28,47 @@ class MaintenanceSpec extends SparkSpec {
       LandingIngest.sinkBatch(
         Seq.tabulate(50)(i => (b * 100 + i, s"v$b-$i")).toDF("id", "s"),
         b, dir, numWriters = 2)
-    val before = spark.read.parquet(dir).drop("p_batch").collect().toSet
+    val before = spark.read.parquet(dir).drop("p_batch").collect()
+      .map(_.toString).sorted.toSeq
     val filesBefore = parquetFiles(dir)
 
     LandingIngest.compact(spark, dir, files = 2)
-    val after = spark.read.parquet(dir).drop("p_batch").collect().toSet
+    // sorted-multiset compare: a Set would mask duplicated rows
+    val after = spark.read.parquet(dir).drop("p_batch").collect()
+      .map(_.toString).sorted.toSeq
     assert(after == before, "compaction changed the row multiset")
     assert(parquetFiles(dir) < filesBefore,
       s"expected fewer files after compaction ($filesBefore -> ${parquetFiles(dir)})")
     val parts = spark.read.parquet(dir).select("p_batch").distinct().count()
     assert(parts == 1L, "compaction left multiple parts")
+  }
+
+  test("swapIn recovers from crashed prior swaps") {
+    def mk(p: java.nio.file.Path, marker: String): Unit = {
+      Files.createDirectories(p)
+      Files.writeString(p.resolve("marker"), marker)
+    }
+    def markerOf(p: java.nio.file.Path): String =
+      Files.readString(p.resolve("marker"))
+    val base = Files.createTempDirectory("graft-swap-")
+    val live = base.resolve("t")
+
+    // crash state A: stale .swap-old left beside a live dir — the next
+    // swap must clean it up and succeed, not fail on a non-empty target
+    mk(live, "v1")
+    mk(base.resolve("t.swap-old"), "stale")
+    Parts.swapIn(live.toString, tmp => mk(Paths.get(tmp), "v2"))
+    assert(markerOf(live) == "v2")
+    assert(!Files.exists(base.resolve("t.swap-old")))
+
+    // crash state B: interrupted between the two moves — live missing,
+    // old holds the data; the next swap restores it, then replaces it
+    Files.move(live, base.resolve("t.swap-old"))
+    mk(base.resolve("t.swap-tmp"), "garbage")
+    Parts.swapIn(live.toString, tmp => mk(Paths.get(tmp), "v3"))
+    assert(markerOf(live) == "v3")
+    assert(!Files.exists(base.resolve("t.swap-old")) &&
+      !Files.exists(base.resolve("t.swap-tmp")))
   }
 
   test("partition expiry drops exactly the out-of-retention dates") {
