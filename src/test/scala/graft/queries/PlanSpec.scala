@@ -88,6 +88,13 @@ class PlanSpec extends SparkSpec {
       "expected the candidate window to partition by (event_type, bucket)")
   }
 
+  test("q63: both slice predicates are pushed to the z-layout scan") {
+    val p = plan(Events.q63)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("ts_ns") && pushed.contains("user_id"),
+      s"expected both dims pushed to the scan:\n$p")
+  }
+
   test("q57: rolling frame plans a broadcast of the group map, no nested loop") {
     val p = plan(Events.q57)
     assert(p.contains("BroadcastHashJoin"),
