@@ -181,7 +181,8 @@ object Dedup extends Serializable {
     * of a document-frequency pass.
     */
   def ngramJaccardNearDups(docs: DataFrame, textCol: String, idCol: String,
-      threshold: Double, n: Int = 2): DataFrame = {
+      threshold: Double, n: Int = 2, broadcastDict: Boolean = true): DataFrame = {
+    val spark = docs.sparkSession
     val sh = graft.operators.FanOut(docs)
       .select(col(idCol).as("id"),
         TextOps.shinglesKernel(n)(TextOps.words(col(textCol))).as("toks"))
@@ -197,11 +198,50 @@ object Dedup extends Serializable {
     // to 8-byte longs.
     val tok = sh.select(col("id"), explode(col("toks")).as("tokS"))
       .select(col("id"), xxhash64(col("tokS")).as("tok"))
+    // df shuffles only DISTINCT token hashes (map-side partial agg);
+    // the rows × tokens stream never crosses the wire for the count.
     val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val ordered = tok.join(dfreq, "tok")
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
-        .getField("tok").as("sorted"))
+    // Default path: ship the (tok → df) dictionary — distinct-shingles
+    // sized, the same payload a broadcast-hash join would build — and
+    // sort each document's tokens map-side, removing BOTH rows×tokens
+    // shuffles (the tok ⋈ dfreq join and the groupBy(id) collect_list)
+    // that made this the most expensive query in BENCH_r04 (23 s).
+    // For corpora whose shingle dictionary outgrows the driver
+    // (~100s of millions of distinct shingles), broadcastDict=false
+    // keeps the r4 distributed-join shape instead — slower, unbounded.
+    val ordered =
+      if (broadcastDict) {
+        val dict = dfreq.orderBy(col("tok")).collect()
+        val dictToks = dict.map(_.getLong(0))
+        val dictDfs = dict.map(_.getLong(1))
+        val bcDict = spark.sparkContext.broadcast((dictToks, dictDfs))
+        // Per-row mirror of sort_array(collect_list(struct(df, tok))):
+        // hash via the same XxHash64 chain as the Column xxhash64
+        // (seed 42), ascending signed (df, tok) order.
+        val sortKernel = udf { (toks: Seq[String]) =>
+          val (ts, dfs) = bcDict.value
+          val m = toks.length
+          val df = new Array[Long](m)
+          val hs = new Array[Long](m)
+          var i = 0
+          while (i < m) {
+            val h = XxHash64Function.hash(
+              UTF8String.fromString(toks(i)), StringType, 42L)
+            hs(i) = h
+            df(i) = dfs(java.util.Arrays.binarySearch(ts, h))
+            i += 1
+          }
+          val idx = Array.range(0, m).sortWith { (a, b) =>
+            if (df(a) != df(b)) df(a) < df(b) else hs(a) < hs(b)
+          }
+          idx.map(hs)
+        }
+        sh.select(col("id"), sortKernel(col("toks")).as("sorted"))
+      } else
+        tok.join(dfreq, "tok")
+          .groupBy(col("id"))
+          .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+            .getField("tok").as("sorted"))
 
     // prefix length |d| - ceil(t*|d|) + 1; only prefix tokens indexed,
     // each carrying its set size and 1-based position in the global

@@ -251,10 +251,11 @@ object Similarity extends Serializable {
     * centroid), so the trained quantizer is reproducible.
     */
   def trainCentroids(vecs: DataFrame, vecCol: String, nlist: Int,
-      iters: Int = 3): Array[Array[Double]] = {
+      iters: Int = 3, init: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
     val spark = vecs.sparkSession
-    var cents = vecs.select(col(vecCol).cast("array<double>").as("v"))
-      .limit(nlist).collect().map(_.getSeq[Double](0).toArray)
+    var cents = init.getOrElse(
+      vecs.select(col(vecCol).cast("array<double>").as("v"))
+        .limit(nlist).collect().map(_.getSeq[Double](0).toArray))
     for (_ <- 0 until iters) {
       val frozen = cents
       val norms = frozen.map(c => math.sqrt(dotJvm(c, c)))
@@ -294,11 +295,21 @@ object Similarity extends Serializable {
       nprobe: Int = 4, trainIters: Int = 3): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val ordered = emb
+    // Deterministic init = the nlist lowest-id vectors, fetched via
+    // orderBy+limit (TakeOrderedAndProject — a per-partition top-N +
+    // driver merge, NOT a global sort). Training then runs on the
+    // UNSORTED persisted projection: Lloyd assignment is order-free,
+    // and the r4 shape (passing the sorted frame into training)
+    // replayed a full corpus sort once per round — three avoidable
+    // global sorts at 100 TB.
+    val base = emb
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
-      .orderBy(col("id"))
-    val cents = trainCentroids(ordered, "v", nlist, trainIters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val init = base.orderBy(col("id")).limit(nlist)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val cents = trainCentroids(base, "v", nlist, trainIters, Some(init))
+    base.unpersist(blocking = false)
     val centNorms = cents.map(c => math.sqrt(dotJvm(c, c)))
     val bc = spark.sparkContext.broadcast((cents, centNorms))
 

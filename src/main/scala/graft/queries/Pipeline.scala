@@ -134,7 +134,7 @@ object Pipeline {
         // langId is 5 interpreted HOF marker counts per row — fan out
         // ahead of it (single-row-group inputs otherwise run one task)
         graft.operators.FanOut(Tables(spark, dir, "documents"))
-          .withColumn("pred", TextOps.langId(TextOps.words(col("text"))))
+          .withColumn("pred", TextOps.langIdFast(TextOps.words(col("text"))))
           .groupBy(col("lang"), col("pred"))
           .agg(count(lit(1)).as("n_docs"))
           .orderBy(col("lang"), col("pred")),
@@ -160,7 +160,7 @@ object Pipeline {
     (spark, dir) => {
       val ws = TextOps.words(col("text"))
       Tables(spark, dir, "documents")
-        .withColumn("score", TextOps.qualityScore(col("text"), ws))
+        .withColumn("score", TextOps.qualityScoreFast(ws))
         .groupBy((floor(col("score") * 10) / lit(10.0)).as("decile"))
         .agg(count(lit(1)).as("n_docs"), davg(col("score")).as("avg_score"))
         .orderBy(col("decile"))
@@ -464,7 +464,7 @@ object Pipeline {
         // partitioning — fan out so the quality/token kernels after
         // the join don't inherit a single-row-group's one task
         val scored = graft.operators.FanOut(docs).join(keep, "doc_id")
-          .withColumn("score", TextOps.qualityScore(col("text"), ws))
+          .withColumn("score", TextOps.qualityScoreFast(ws))
           .withColumn("n_tokens", size(ws).cast("long"))
           .filter(col("score") >= quality && col("lang").isin(langs: _*))
         // greedy per-language budget: running token total in doc_id
@@ -609,7 +609,7 @@ object Pipeline {
     (spark, dir) => {
       val ws = TextOps.words(col("text"))
       val eligible = Tables(spark, dir, "documents")
-        .withColumn("score", TextOps.qualityScore(col("text"), ws))
+        .withColumn("score", TextOps.qualityScoreFast(ws))
         .filter(col("lang") === "en" && col("score") >= 0.5)
         .select(col("doc_id"))
       val emb = Tables(spark, dir, "embeddings")
