@@ -322,7 +322,9 @@ object Dedup extends Serializable {
     var changed = 1L
     var rounds = 0
     val maxRounds = 64 // >> log2 of any conceivable component diameter
+    val t0 = System.nanoTime()
     while (changed > 0 && rounds < maxRounds) {
+      val tr = System.nanoTime()
       // (1) min over neighborhood: lab'(u) = min(lab(u), min_{(u,v)∈E} lab(v))
       val nbrMin = edges
         .join(labels.select(col("node").as("v"), col("lab").as("vlab")), "v")
@@ -342,7 +344,11 @@ object Dedup extends Serializable {
       changed = jumped.filter(col("newlab") =!= col("lab")).count()
       labels = jumped.select(col("node"), col("newlab").as("lab"))
       rounds += 1
+      System.err.println(f"[cc] round $rounds: changed=$changed " +
+        f"${(System.nanoTime() - tr) / 1e9}%.2fs")
     }
+    System.err.println(f"[cc] converged in $rounds rounds, " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2fs")
     require(changed == 0, s"connectedComponents did not converge in $maxRounds rounds")
     val out = labels.select(col("node"), col("lab").as("canon"))
     Similarity.materializeAndRelease(out, Seq(edges))
