@@ -4,6 +4,7 @@ import graft.bind.{ChColumn, SchemaBinder}
 import graft.proto.{PField, PMessage, PType, ProtoRows, Wire}
 import org.apache.spark.sql.functions._
 
+import java.nio.file.Files
 import java.sql.Timestamp
 import java.time.Instant
 
@@ -237,5 +238,65 @@ object TranscodeE2E {
     },
     q25.oracle)
 
-  val all: Seq[Q] = Seq(q25, q33, q35, q41, q48)
+  /** S1/S2 over the REAL network: a [[graft.net.BristleServer]] is
+    * assembled from a config file + descriptor set (the reference's
+    * startup path, server.go + config.json), an [[graft.net
+    * .IngestClient]] registers the message type for a session id and
+    * streams every fixture batch over a TCP socket with per-batch
+    * acks, and the landed queue drains through the MicroBatchStream →
+    * transcode → idempotent-sink pipeline. Oracle identical to q25 —
+    * the wire hop must be invisible in the landed values.
+    */
+  val q64 = Q(
+    "q64_wire_ingest",
+    (spark, _) => {
+      import graft.net.{BristleServer, IngestClient}
+      import graft.streaming.QueueIngest
+      val base = Files.createTempDirectory("graft-wire-ingest-")
+      // descriptor set on disk, as the reference deploys schemas
+      val in = getClass.getResourceAsStream("/descriptors/example.pb")
+      Files.write(base.resolve("example.desc"), in.readAllBytes())
+      in.close()
+      val colsJson = table.map { c =>
+        val d = if (c.default.isEmpty) ""
+          else s""", "default": "${c.default.replace("\"", "\\\"")}""""
+        s"""{"name": "${c.name}", "type": "${c.typeString}"$d}"""
+      }.mkString("[", ", ", "]")
+      Files.write(base.resolve("config.json"),
+        s"""{
+           |  "ingest": {"bind_port": 0, "max_in_flight": 12},
+           |  "proto_descriptor_paths": ["${base.resolve("example.desc")}"],
+           |  "catalogs": [{
+           |    "name": "landing",
+           |    "tables": {"example": {
+           |      "capacity": $NumRows,
+           |      "on_full": "block",
+           |      "messages": ["ExampleMessage"],
+           |      "columns": $colsJson
+           |    }}}]
+           |}""".stripMargin.getBytes("UTF-8"))
+      val server = new BristleServer(base.resolve("config.json")).start()
+      try {
+        val client = new IngestClient("127.0.0.1", server.ingest.boundPort)
+        try {
+          client.registerType("ExampleMessage")
+          fixtures.grouped(MsgsPerFrame).foreach { group =>
+            val bodies = group.map(f =>
+              ProtoRows.encodeValues(message, f.protoValues))
+            val r = client.writeBatch("ExampleMessage", bodies)
+            require(r == graft.net.ControlProto.BatchResult.Ok,
+              s"wire ingest batch rejected: $r")
+          }
+        } finally client.close()
+        val binding = SchemaBinder.bind(message, table)
+        QueueIngest.drain(spark, "landing.example", message, binding)
+          .transform(sinkSelect)
+      } finally {
+        server.stop()
+        server.queues.keys.foreach(graft.sources.QueueSource.drop)
+      }
+    },
+    q25.oracle)
+
+  val all: Seq[Q] = Seq(q25, q33, q35, q41, q48, q64)
 }

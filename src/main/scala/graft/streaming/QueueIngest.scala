@@ -31,30 +31,40 @@ object QueueIngest {
             System.err.println(s"[queue-ingest] batch $i: $rejected")
         }
       }
-
-      val base = Files.createTempDirectory("graft-queue-ingest-")
-      val outDir = base.resolve("out").toString
-      val bodies = QueueSource.readStream(spark, name)
-        .select(col("value")).as[Array[Byte]](Encoders.BINARY)
-      val transcoded = binding.transcode(ProtoRows.decode(bodies, message))
-      val sq = transcoded.writeStream
-        .option("checkpointLocation", base.resolve("ckpt").toString)
-        .foreachBatch { (df: DataFrame, batchId: Long) =>
-          LandingIngest.sinkBatch(df, batchId, outDir, numWriters)
-        }
-        .start()
-      sq.processAllAvailable()
-      sq.stop()
-      sq.awaitTermination()
-      // all-shed/all-rejected runs land nothing: empty frame, not a crash
-      if (!Files.exists(base.resolve("out")))
-        binding.transcode(ProtoRows.decode(
-          spark.emptyDataset(Encoders.BINARY), message))
-      else spark.read.parquet(outDir).drop("p_batch")
+      drain(spark, name, message, binding, numWriters)
     } finally {
       // the registry is process-global: without this, each run leaks
       // its queue object (and any retained uncommitted rows)
       QueueSource.drop(name)
     }
+  }
+
+  /** Drain an EXISTING queue (filled by any producer — in-process
+    * writes or the [[graft.net.IngestServer]] socket path) through the
+    * MicroBatchStream → decode → transcode → idempotent-sink pipeline,
+    * returning the landed frame. Does not own the queue's lifecycle:
+    * the caller created it and decides when to drop it.
+    */
+  def drain(spark: SparkSession, name: String, message: PMessage,
+      binding: Binding, numWriters: Int = 2): DataFrame = {
+    val base = Files.createTempDirectory("graft-queue-ingest-")
+    val outDir = base.resolve("out").toString
+    val bodies = QueueSource.readStream(spark, name)
+      .select(col("value")).as[Array[Byte]](Encoders.BINARY)
+    val transcoded = binding.transcode(ProtoRows.decode(bodies, message))
+    val sq = transcoded.writeStream
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        LandingIngest.sinkBatch(df, batchId, outDir, numWriters)
+      }
+      .start()
+    sq.processAllAvailable()
+    sq.stop()
+    sq.awaitTermination()
+    // all-shed/all-rejected runs land nothing: empty frame, not a crash
+    if (!Files.exists(base.resolve("out")))
+      binding.transcode(ProtoRows.decode(
+        spark.emptyDataset(Encoders.BINARY), message))
+    else spark.read.parquet(outDir).drop("p_batch")
   }
 }

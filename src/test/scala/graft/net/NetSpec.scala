@@ -1,0 +1,370 @@
+package graft.net
+
+import graft.SparkSpec
+import graft.net.ControlProto._
+import graft.proto.{ProtoRows, Wire}
+import graft.queries.TranscodeE2E
+import graft.sources.QueueSource
+import graft.streaming.{Batcher, RowBuffer}
+
+import java.nio.file.{Files, Path}
+
+/** The network surface: control-message codec round-trips, the TCP
+  * ingest server/client against reference `ingest_service.go` /
+  * `client/client.go` semantics, config-driven assembly with hot
+  * reload (`server.go:134-161`), and the debug/metrics endpoint
+  * (`debug_server.go`).
+  */
+class NetSpec extends SparkSpec {
+
+  private def body(i: Int): Array[Byte] =
+    ProtoRows.encodeValues(TranscodeE2E.message,
+      TranscodeE2E.Fixture(i).protoValues)
+
+  // ---- codec -------------------------------------------------------
+
+  test("control messages round-trip through the wire codec") {
+    val p = Payload("a.B", Seq(Array[Byte](1, 2), Array.emptyByteArray, Array[Byte](3)))
+    val p2 = decodePayload(encode(p))
+    assert(p2.msgType == "a.B")
+    // proto3 cannot distinguish an empty bytes element from absent
+    // content, but element COUNT and non-empty contents must survive
+    assert(p2.bodies.map(_.toSeq) == p.bodies.map(_.toSeq))
+
+    val req = WriteBatchRequest("key1", Seq(p, Payload("c.D", Nil)))
+    val req2 = decodeWriteBatchRequest(encode(req))
+    assert(req2.key == "key1" && req2.payloads.map(_.msgType) == Seq("a.B", "c.D"))
+
+    assert(decodeWriteBatchResponse(encode(WriteBatchResponse(7, 3))) ==
+      WriteBatchResponse(7, 3))
+    assert(decodeWriteBatchResponse(encode(WriteBatchResponse(0, 0))) ==
+      WriteBatchResponse(0, 0)) // zero-valued fields elided, defaults recovered
+  }
+
+  test("client/server envelopes round-trip every oneof variant") {
+    val wbName = ClientWriteBatch(5, Some("t.N"), None, 2, Array[Byte](9, 8))
+    val d1 = decodeClientMessage(encode(wbName)).asInstanceOf[ClientWriteBatch]
+    assert(d1.id == 5 && d1.typeName.contains("t.N") && d1.typeId.isEmpty &&
+      d1.length == 2 && d1.data.toSeq == Seq[Byte](9, 8))
+
+    val wbId = ClientWriteBatch(6, None, Some(3), 1, Array[Byte](7))
+    val d2 = decodeClientMessage(encode(wbId)).asInstanceOf[ClientWriteBatch]
+    assert(d2.typeId.contains(3) && d2.typeName.isEmpty)
+
+    val rt = decodeClientMessage(encode(ClientRegisterType("x.Y", Array.emptyByteArray)))
+    assert(rt == ClientRegisterType("x.Y", Array.emptyByteArray))
+
+    assert(decodeServerMessage(encode(ServerWriteBatchResult(9, BatchResult.Full))) ==
+      ServerWriteBatchResult(9, BatchResult.Full))
+    assert(decodeServerMessage(encode(ServerBackoff(123456789L, Seq("a", "b")))) ==
+      ServerBackoff(123456789L, Seq("a", "b")))
+    assert(decodeServerMessage(encode(ServerIdentifyType("m.T", 4))) ==
+      ServerIdentifyType("m.T", 4))
+  }
+
+  test("frame reader handles multi-byte varint lengths and clean EOF") {
+    val payload = Array.fill[Byte](300)(42) // length needs 2 varint bytes
+    val bos = new java.io.ByteArrayOutputStream()
+    writeFrame(bos, payload)
+    writeFrame(bos, Array.emptyByteArray)
+    val in = new java.io.ByteArrayInputStream(bos.toByteArray)
+    assert(readFrame(in).get.toSeq == payload.toSeq)
+    assert(readFrame(in).get.isEmpty)
+    assert(readFrame(in).isEmpty) // clean EOF
+    // torn frame: length says 5, body has 2
+    val torn = new java.io.ByteArrayInputStream(Array[Byte](5, 1, 2))
+    intercept[java.io.EOFException](readFrame(torn))
+  }
+
+  // ---- server/client fixtures --------------------------------------
+
+  private def targetFor(capacity: Int,
+      onFull: RowBuffer.OnFull = RowBuffer.Block,
+      qname: String = s"netspec-${System.nanoTime()}") = {
+    val q = QueueSource.create(qname, capacity, onFull)
+    (qname, q, Map("ExampleMessage" ->
+      IngestServer.Target(TranscodeE2E.message, q)))
+  }
+
+  private def withServer[A](targets: Map[String, IngestServer.Target],
+      maxInFlight: Int = 12)(f: IngestServer => A): A = {
+    val metrics = new Metrics
+    val s = new IngestServer(() => targets, 0, maxInFlight,
+      metrics = metrics).start()
+    try f(s) finally s.stop()
+  }
+
+  private def withClient[A](port: Int)(f: IngestClient => A): A = {
+    val c = new IngestClient("127.0.0.1", port)
+    try f(c) finally c.close()
+  }
+
+  // ---- streaming RPC -----------------------------------------------
+
+  test("streaming write path: register → type-id batches → queue holds bodies") {
+    val (qn, q, targets) = targetFor(capacity = 64)
+    try withServer(targets) { srv =>
+      withClient(srv.boundPort) { client =>
+        val id = client.registerType("ExampleMessage")
+        assert(id == 1) // session ids start at 1 (ingest_service.go:190)
+        val bodies = (0 until 8).map(body)
+        assert(client.writeBatch("ExampleMessage", bodies) == BatchResult.Ok)
+        assert(client.writeBatch("ExampleMessage",
+          (8 until 12).map(body)) == BatchResult.Ok)
+        assert(q.endSeq - q.firstSeq == 12)
+        val held = q.slice(0, 12).map(_._2.toSeq)
+        assert(held == (0 until 12).map(body(_).toSeq))
+      }
+    } finally QueueSource.drop(qn)
+  }
+
+  test("streaming rejections: UNK_MESSAGE, DECODE_ERR, FULL, TOO_BIG") {
+    val (qn, q, targets) = targetFor(capacity = 4)
+    try withServer(targets) { srv =>
+      withClient(srv.boundPort) { client =>
+        assert(client.writeBatch("no.Such", Seq(body(0)), retryTimes = 0) ==
+          BatchResult.UnkMessage)
+        assert(client.writeBatch("ExampleMessage",
+          Seq(Array[Byte](-1, -1, -1)), retryTimes = 0) == BatchResult.DecodeErr)
+        assert(client.writeBatch("ExampleMessage",
+          (0 until 5).map(body), retryTimes = 0) == BatchResult.TooBig)
+        assert(client.writeBatch("ExampleMessage",
+          (0 until 3).map(body), retryTimes = 0) == BatchResult.Ok)
+        assert(client.writeBatch("ExampleMessage",
+          (0 until 2).map(body), retryTimes = 0) == BatchResult.Full)
+        assert(q.endSeq - q.firstSeq == 3) // Block policy sheds nothing
+      }
+    } finally QueueSource.drop(qn)
+  }
+
+  test("in-flight admission: zero permits → TOO_MANY_IN_FLIGHT_BATCHES") {
+    val (qn, _, targets) = targetFor(capacity = 64)
+    try withServer(targets, maxInFlight = 0) { srv =>
+      withClient(srv.boundPort) { client =>
+        assert(client.writeBatch("ExampleMessage", Seq(body(0)),
+          retryTimes = 0) == BatchResult.TooManyInFlightBatches)
+      }
+    } finally QueueSource.drop(qn)
+  }
+
+  test("server pushes backoff past the high-water mark; client honors it") {
+    val (qn, _, targets) = targetFor(capacity = 10)
+    try {
+      val s = new IngestServer(() => targets, 0, backoffHighWater = 0.5,
+        backoffMs = 300, metrics = new Metrics).start()
+      try withClient(s.boundPort) { client =>
+        assert(!client.inBackoff)
+        assert(client.writeBatch("ExampleMessage",
+          (0 until 6).map(body)) == BatchResult.Ok) // depth 6 ≥ 5 → push
+        // the ack precedes the backoff push on the same socket; poll
+        // briefly for the reader thread to apply it
+        val deadline = System.currentTimeMillis() + 2000
+        while (!client.inBackoff && System.currentTimeMillis() < deadline)
+          Thread.sleep(5)
+        assert(client.inBackoff)
+        // a write issued during backoff waits the deadline out first
+        val t0 = System.currentTimeMillis()
+        assert(client.writeBatch("ExampleMessage",
+          Seq(body(7)), retryTimes = 0) == BatchResult.Ok)
+        assert(System.currentTimeMillis() >= t0) // completed, post-deadline
+        assert(client.backoffDeadline <= System.currentTimeMillis() + 300)
+      } finally s.stop()
+    } finally QueueSource.drop(qn)
+  }
+
+  // ---- unary RPC ---------------------------------------------------
+
+  test("unary WriteBatch: multi-payload acknowledge and first-error abort") {
+    val (qn, q, targets) = targetFor(capacity = 64)
+    try withServer(targets) { srv =>
+      val ok = IngestClient.unaryWriteBatch("127.0.0.1", srv.boundPort,
+        WriteBatchRequest("k", Seq(
+          Payload("ExampleMessage", (0 until 4).map(body)),
+          Payload("ExampleMessage", (4 until 6).map(body)))))
+      assert(ok == (BatchResult.Ok, Some(WriteBatchResponse(2, 0))))
+      assert(q.endSeq - q.firstSeq == 6)
+
+      val bad = IngestClient.unaryWriteBatch("127.0.0.1", srv.boundPort,
+        WriteBatchRequest("k", Seq(
+          Payload("ExampleMessage", Seq(body(0))),
+          Payload("no.Such", Seq(body(1))))))
+      assert(bad == (BatchResult.UnkMessage, None))
+      // first payload admitted before the second aborted the request
+      // (reference :110-115 streams payloads in order)
+      assert(q.endSeq - q.firstSeq == 7)
+    } finally QueueSource.drop(qn)
+  }
+
+  // ---- Batcher over the network ------------------------------------
+
+  test("Batcher delivers through the socket sink") {
+    val (qn, q, targets) = targetFor(capacity = 64)
+    try withServer(targets) { srv =>
+      withClient(srv.boundPort) { client =>
+        client.registerType("ExampleMessage")
+        val b = new Batcher(bufferSize = 16, sink = client.sink,
+          retryTimes = 2, retrySleepMs = 1)
+        (0 until 10).foreach(i =>
+          assert(b.writeBatch("ExampleMessage", Seq(body(i))).isRight))
+        val flushed = b.flush()
+        assert(flushed.values.forall(_.isRight))
+        assert(q.endSeq - q.firstSeq == 10)
+      }
+    } finally QueueSource.drop(qn)
+  }
+
+  // ---- config-driven server + hot reload ---------------------------
+
+  private def writeConfig(dir: Path, capacity: Int,
+      extraTable: Boolean = false): Path = {
+    val desc = dir.resolve("example.desc")
+    if (!Files.exists(desc)) {
+      val in = getClass.getResourceAsStream("/descriptors/example.pb")
+      Files.write(desc, in.readAllBytes())
+      in.close()
+    }
+    val cols = TranscodeE2E.table.map { c =>
+      s"""{"name": "${c.name}", "type": "${c.typeString}"}"""
+    }.mkString("[", ", ", "]")
+    val extra = if (!extraTable) "" else
+      s""", "extra": {"capacity": 8, "on_full": "drop_oldest",
+         |  "messages": ["ExampleMessage"], "columns": $cols}""".stripMargin
+    val cfg = dir.resolve("config.json")
+    Files.write(cfg,
+      s"""{
+         |  "ingest": {"bind_port": 0},
+         |  "proto_descriptor_paths": ["$desc"],
+         |  "catalogs": [{"name": "landing", "tables": {
+         |    "example": {"capacity": $capacity, "on_full": "block",
+         |      "messages": ["ExampleMessage"], "columns": $cols}$extra
+         |  }}]
+         |}""".stripMargin.getBytes("UTF-8"))
+    cfg
+  }
+
+  test("BristleServer assembles from config; reload swaps atomically") {
+    val dir = Files.createTempDirectory("netspec-cfg-")
+    val cfg = writeConfig(dir, capacity = 16)
+    val metrics = new Metrics
+    val server = new BristleServer(cfg, metrics).start()
+    try {
+      assert(server.targets.keySet == Set("ExampleMessage"))
+      val q1 = server.queues("landing.example")
+      assert(q1.capacity == 16)
+      q1.writeBatch(Seq(body(0), body(1)))
+
+      // same settings → reload KEEPS the live queue and its rows
+      writeConfig(dir, capacity = 16, extraTable = true)
+      assert(server.reload().isRight)
+      assert(server.queues("landing.example") eq q1)
+      assert(q1.endSeq - q1.firstSeq == 2)
+      assert(server.queues.contains("landing.extra"))
+      // last-write wins on the shared message type (bindAll map order):
+      // the 'extra' table now owns ExampleMessage
+      assert(server.targets("ExampleMessage").queue eq
+        server.queues("landing.extra"))
+
+      // changed capacity → rebuilt queue
+      writeConfig(dir, capacity = 32)
+      assert(server.reload().isRight)
+      val q2 = server.queues("landing.example")
+      assert(q2.capacity == 32 && !(q2 eq q1))
+      assert(!server.queues.contains("landing.extra"))
+
+      // broken config → Left, registry untouched
+      Files.write(cfg, "{not json".getBytes("UTF-8"))
+      assert(server.reload().isLeft)
+      assert(server.queues("landing.example") eq q2)
+      assert(metrics.counterValue("graft_config_reloads_total",
+        "outcome" -> "ok") == 2)
+      assert(metrics.counterValue("graft_config_reloads_total",
+        "outcome" -> "error") == 1)
+    } finally {
+      server.stop()
+      server.queues.keys.foreach(QueueSource.drop)
+    }
+  }
+
+  test("SIGHUP triggers a config reload (D14)") {
+    val dir = Files.createTempDirectory("netspec-hup-")
+    val cfg = writeConfig(dir, capacity = 16)
+    val metrics = new Metrics
+    val server = new BristleServer(cfg, metrics)
+    try {
+      server.installSighup()
+      writeConfig(dir, capacity = 64)
+      sun.misc.Signal.raise(new sun.misc.Signal("HUP"))
+      val deadline = System.currentTimeMillis() + 5000
+      while (metrics.counterValue("graft_config_reloads_total",
+          "outcome" -> "ok") < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+      assert(metrics.counterValue("graft_config_reloads_total",
+        "outcome" -> "ok") == 1)
+      assert(server.queues("landing.example").capacity == 64)
+    } finally server.queues.keys.foreach(QueueSource.drop)
+  }
+
+  // ---- debug/metrics endpoint --------------------------------------
+
+  private def httpGet(port: Int, path: String): (Int, String) = {
+    val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    try {
+      val code = conn.getResponseCode
+      val stream = if (code < 400) conn.getInputStream else conn.getErrorStream
+      val text = new String(stream.readAllBytes(), "UTF-8")
+      (code, text)
+    } finally conn.disconnect()
+  }
+
+  test("debug server scrapes metrics, health, and status (D15)") {
+    val metrics = new Metrics
+    metrics.help("graft_test_total", "a test counter")
+    metrics.add("graft_test_total", 41, "kind" -> "x")
+    metrics.inc("graft_test_total", "kind" -> "x")
+    metrics.gauge("graft_test_depth")(7.0)
+    val dbg = new DebugServer(0, metrics,
+      () => Map("queue.t.depth" -> "3")).start()
+    try {
+      val (mc, mb) = httpGet(dbg.boundPort, "/metrics")
+      assert(mc == 200)
+      assert(mb.contains("# HELP graft_test_total a test counter"))
+      assert(mb.contains("# TYPE graft_test_total counter"))
+      assert(mb.contains("""graft_test_total{kind="x"} 42"""))
+      assert(mb.contains("graft_test_depth 7"))
+      assert(httpGet(dbg.boundPort, "/healthz") == ((200, "ok\n")))
+      val (sc, sb) = httpGet(dbg.boundPort, "/statusz")
+      assert(sc == 200)
+      assert(sb.contains("queue.t.depth: 3") && sb.contains("uptime_ms:"))
+    } finally dbg.stop()
+  }
+
+  test("ingest server counts batches and rows in metrics") {
+    val (qn, _, targets) = targetFor(capacity = 64)
+    val metrics = new Metrics
+    val srv = new IngestServer(() => targets, 0, metrics = metrics).start()
+    try withClient(srv.boundPort) { client =>
+      client.registerType("ExampleMessage")
+      assert(client.writeBatch("ExampleMessage",
+        (0 until 5).map(body)) == BatchResult.Ok)
+      assert(client.writeBatch("no.Such", Seq(body(0)),
+        retryTimes = 0) == BatchResult.UnkMessage)
+      assert(metrics.counterValue("graft_ingest_rows_total",
+        "type" -> "ExampleMessage") == 5)
+      assert(metrics.counterValue("graft_ingest_batches_total",
+        "rpc" -> "streaming", "result" -> "OK") == 1)
+      assert(metrics.counterValue("graft_ingest_batches_total",
+        "rpc" -> "streaming", "result" -> "UNK_MESSAGE") == 1)
+    } finally { srv.stop(); QueueSource.drop(qn) }
+  }
+
+  // ---- full path through Spark -------------------------------------
+
+  test("q64: socket → queue → stream → transcode lands the fixture rows") {
+    val df = graft.SparkEntry.queries("q64_wire_ingest")(spark, "")
+    val rows = df.collect()
+    assert(rows.length == TranscodeE2E.NumRows)
+    val expected = TranscodeE2E.fixtures.sortBy(_.value).map(f => (f.name, f.value))
+    assert(rows.map(r => (r.getString(0), r.getLong(3))).toSeq == expected)
+  }
+}
