@@ -48,7 +48,9 @@ final case class ServerConfig(
 
 object ServerConfig {
   final case class TableConf(name: String, capacity: Int,
-      onFull: RowBuffer.OnFull, messages: Seq[String], columns: Seq[ChColumn])
+      onFull: RowBuffer.OnFull, messages: Seq[String], columns: Seq[ChColumn],
+      landingDir: Option[String] = None, flushIntervalMs: Int = 1000,
+      writers: Int = 2)
   final case class CatalogConf(name: String, tables: Seq[TableConf])
 
   private val mapper = new ObjectMapper()
@@ -87,7 +89,10 @@ object ServerConfig {
               onFull(opt(t, "on_full").map(_.asText).getOrElse("block")),
               opt(t, "messages").toSeq.flatMap(_.elements().asScala)
                 .map(_.asText),
-              cols)
+              cols,
+              opt(t, "landing_dir").map(_.asText),
+              opt(t, "flush_interval").map(_.asInt).getOrElse(1000),
+              opt(t, "writers").map(_.asInt).getOrElse(2))
           }
         CatalogConf(
           opt(c, "name").map(_.asText).getOrElse("default"),
@@ -129,9 +134,22 @@ object ServerConfig {
 final class BristleServer(configPath: Path,
     metrics: Metrics = Metrics.default) {
 
+  /** One landing drain a runner should keep alive: the queue to read,
+    * the message schema to decode, and the table's sink settings. Only
+    * built for tables with a `landing_dir`, which must have exactly
+    * ONE bound message type — the queue holds raw bodies, so a shared
+    * table would make them indistinguishable at decode time (the
+    * reference buffers *prepared rows*, which is why it can merge
+    * types; our decode runs in the Spark drain).
+    */
+  final case class DrainPlan(queueName: String, msgType: String,
+      message: PMessage, binding: graft.bind.Binding,
+      table: ServerConfig.TableConf)
+
   @volatile private var conf = ServerConfig.load(configPath)
   @volatile private var targetsNow = Map.empty[String, IngestServer.Target]
   @volatile private var queuesNow = Map.empty[String, QueueSource.IngestQueue]
+  @volatile private var drainsNow = Seq.empty[DrainPlan]
   applyConfig(conf, first = true)
 
   val ingest = new IngestServer(() => targetsNow, conf.ingestPort,
@@ -200,6 +218,16 @@ final class BristleServer(configPath: Path,
       SchemaBinder.bind(msg, cols) // fail-fast bind compile
       msgName -> (qn, msg)
     }.toMap
+    val drains = bound.toSeq.collect {
+      case (msgName, (qn, msg)) if tablesByQname(qn).landingDir.isDefined =>
+        DrainPlan(qn, msgName, msg,
+          SchemaBinder.bind(msg, tablesByQname(qn).columns), tablesByQname(qn))
+    }.sortBy(_.queueName)
+    drains.groupBy(_.queueName).foreach { case (qn, ds) =>
+      if (ds.size > 1) throw BindError(
+        s"table $qn has a landing_dir but ${ds.size} bound message types; " +
+          "a drained table must bind exactly one")
+    }
 
     // swap queues: unchanged settings keep the live queue (and its
     // buffered rows); changed/new rebuild; removed drop
@@ -218,6 +246,7 @@ final class BristleServer(configPath: Path,
     targetsNow = bound.map { case (msgName, (qn, msg)) =>
       msgName -> IngestServer.Target(msg, nextQueues(qn))
     }
+    drainsNow = drains
     if (!first)
       System.err.println(s"[server] configuration reload completed: " +
         s"${targetsNow.size} bound types, ${nextQueues.size} queues")
@@ -256,6 +285,7 @@ final class BristleServer(configPath: Path,
 
   def targets: Map[String, IngestServer.Target] = targetsNow
   def queues: Map[String, QueueSource.IngestQueue] = queuesNow
+  def drains: Seq[DrainPlan] = drainsNow
 
   def start(): this.type = {
     ingest.start()

@@ -1,0 +1,74 @@
+package graft.net
+
+import graft.proto.{DescriptorSet, ProtoJson}
+
+import java.nio.file.Paths
+import scala.util.control.NonFatal
+
+/** `graft.net.ForwardJson <host:port> <messageType> <descriptor.pb>
+  * [batchSize]` — the `cmd/bristle-forward-json` analog (reference
+  * `cmd/bristle-forward-json/main.go:25-46`): read protojson lines
+  * from stdin, decode each against the message descriptor
+  * ([[graft.proto.ProtoJson]]), and forward encoded bodies to the
+  * ingest server over one streaming session, batched `batchSize` at a
+  * time (default 256). A line that fails to parse is logged and
+  * skipped, like the reference; a rejected batch (FULL after retries,
+  * TOO_BIG) is logged with its result code. Flushes the tail batch
+  * and exits at EOF.
+  */
+object ForwardJson {
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println(
+        "usage: graft.net.ForwardJson <host:port> <messageType> <descriptor.pb> [batchSize]")
+      sys.exit(2)
+    }
+    val Array(host, port) = args(0).split(":", 2)
+    val msgType = args(1)
+    val messages = DescriptorSet.loadFile(Paths.get(args(2)))
+    val message = messages.getOrElse(msgType, {
+      System.err.println(s"[forward-json] message type '$msgType' not in " +
+        s"descriptor set (${messages.keys.toSeq.sorted.mkString(", ")})")
+      sys.exit(2)
+    })
+    val batchSize = args.lift(3).map(_.toInt).getOrElse(256)
+
+    val client = new IngestClient(host, port.toInt)
+    var sent = 0L
+    var skipped = 0L
+    try {
+      client.registerType(msgType)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def flush(): Unit = if (buf.nonEmpty) {
+        client.writeBatch(msgType, buf.toSeq) match {
+          case ControlProto.BatchResult.Ok => sent += buf.size
+          case other =>
+            skipped += buf.size
+            System.err.println(s"[forward-json] batch rejected: " +
+              ControlProto.BatchResult.name(other))
+        }
+        buf.clear()
+      }
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(System.in, "UTF-8"))
+      var line = reader.readLine()
+      while (line != null) {
+        if (line.trim.nonEmpty) {
+          try {
+            buf += ProtoJson.toWire(message, line)
+            if (buf.size >= batchSize) flush()
+          } catch {
+            case NonFatal(e) =>
+              skipped += 1
+              System.err.println(
+                s"[forward-json] failed to parse JSON: ${e.getMessage}")
+          }
+        }
+        line = reader.readLine()
+      }
+      flush()
+    } finally client.close()
+    System.err.println(s"[forward-json] done: $sent forwarded, $skipped skipped")
+  }
+}

@@ -358,6 +358,49 @@ class NetSpec extends SparkSpec {
     } finally { srv.stop(); QueueSource.drop(qn) }
   }
 
+  // ---- ServerMain landing drains -----------------------------------
+
+  test("continuous landing drain: server + drains land what the client sends") {
+    val dir = Files.createTempDirectory("netspec-drain-")
+    val desc = dir.resolve("example.desc")
+    val in = getClass.getResourceAsStream("/descriptors/example.pb")
+    Files.write(desc, in.readAllBytes()); in.close()
+    val cols = TranscodeE2E.table.map { c =>
+      s"""{"name": "${c.name}", "type": "${c.typeString}"}"""
+    }.mkString("[", ", ", "]")
+    val cfg = dir.resolve("config.json")
+    Files.write(cfg,
+      s"""{
+         |  "ingest": {"bind_port": 0},
+         |  "proto_descriptor_paths": ["$desc"],
+         |  "catalogs": [{"name": "landing", "tables": {
+         |    "example": {"capacity": 256, "on_full": "block",
+         |      "messages": ["ExampleMessage"], "columns": $cols,
+         |      "landing_dir": "${dir.resolve("land")}",
+         |      "flush_interval": 100}
+         |  }}]
+         |}""".stripMargin.getBytes("UTF-8"))
+    val server = new BristleServer(cfg, new Metrics).start()
+    try {
+      assert(server.drains.map(_.queueName) == Seq("landing.example"))
+      val drains = ServerMain.startDrains(spark, server)
+      try {
+        withClient(server.ingest.boundPort) { client =>
+          client.registerType("ExampleMessage")
+          assert(client.writeBatch("ExampleMessage",
+            (0 until 16).map(body)) == BatchResult.Ok)
+        }
+        drains.values.foreach(_.processAllAvailable())
+        val landed = spark.read.parquet(dir.resolve("land/data").toString)
+        assert(landed.count() == 16)
+        assert(landed.columns.contains("value"))
+      } finally drains.values.foreach(_.stop())
+    } finally {
+      server.stop()
+      server.queues.keys.foreach(QueueSource.drop)
+    }
+  }
+
   // ---- full path through Spark -------------------------------------
 
   test("q64: socket → queue → stream → transcode lands the fixture rows") {
