@@ -172,6 +172,31 @@ class NetSpec extends SparkSpec {
     } finally QueueSource.drop(qn)
   }
 
+  test("concurrent sessions: admitted rows equal the sum of acked batches") {
+    val (qn, q, targets) = targetFor(capacity = 100000)
+    try withServer(targets) { srv =>
+      val clients = 8
+      val batchesPer = 20
+      val rowsPer = 5
+      val acked = new java.util.concurrent.atomic.AtomicLong(0)
+      val threads = (0 until clients).map { c =>
+        new Thread(() => withClient(srv.boundPort) { client =>
+          client.registerType("ExampleMessage")
+          (0 until batchesPer).foreach { b =>
+            if (client.writeBatch("ExampleMessage",
+                (0 until rowsPer).map(i => body((c + b + i) % 64)),
+                retryTimes = -1) == BatchResult.Ok)
+              acked.addAndGet(rowsPer.toLong)
+          }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(30000))
+      assert(acked.get() == clients.toLong * batchesPer * rowsPer)
+      assert(q.endSeq - q.firstSeq == acked.get())
+    } finally QueueSource.drop(qn)
+  }
+
   // ---- unary RPC ---------------------------------------------------
 
   test("unary WriteBatch: multi-payload acknowledge and first-error abort") {
