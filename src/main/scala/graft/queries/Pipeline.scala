@@ -683,6 +683,52 @@ object Pipeline {
               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.999
       ORDER BY a, b"""))
 
+  /** Benchmark decontamination — the train/test-overlap removal every
+    * published LLM data pipeline runs before training (n-gram overlap
+    * against held-out benchmark text; the GPT-3/Pile-style criterion):
+    * a training doc is CONTAMINATED if it shares at least one word
+    * 5-gram with any benchmark document. The benchmark set here is the
+    * deterministic `doc_id % 7 == 0` slice, standing in for an
+    * external eval corpus.
+    *
+    * Scale shape: the benchmark side is tiny by construction (eval
+    * sets are thousands of docs, the corpus is billions), so its
+    * distinct shingles BROADCAST and the corpus runs a map-side
+    * left-semi probe — the 100 TB scan never shuffles; only the
+    * matched (doc_id, lang) survivors (sparse by nature) hit the
+    * distinct's exchange. Exact string equality on the shingle — no
+    * hashing — keeps the operator differentially verifiable row-for-row.
+    */
+  val q65 = {
+    val n = 5
+    val benchMod = 7
+    Q(
+      "q65_decontaminate",
+      (spark, dir) => {
+        val sh = graft.operators.FanOut(Tables(spark, dir, "documents"))
+          .select(col("doc_id"), col("lang"),
+            explode(TextOps.shinglesKernel(n)(TextOps.words(col("text"))))
+              .as("s"))
+        val bench = sh.filter(col("doc_id") % benchMod === 0)
+          .select(col("s")).distinct()
+        sh.filter(col("doc_id") % benchMod =!= 0)
+          .join(broadcast(bench), Seq("s"), "left_semi")
+          .select(col("doc_id"), col("lang")).distinct()
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+      WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+                 FROM documents),
+      sh AS (SELECT DISTINCT doc_id, lang,
+               list_aggregate(ws[i:i+${n - 1}], 'string_agg', ' ') AS s
+             FROM w, UNNEST(range(1, len(ws)-${n - 2})) AS t(i)),
+      bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % $benchMod = 0)
+      SELECT DISTINCT sh.doc_id, sh.lang
+      FROM sh JOIN bench USING (s)
+      WHERE sh.doc_id % $benchMod <> 0
+      ORDER BY doc_id"""))
+  }
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
-    q36, q37, q38, q39, q40, q49, q54, q55, q58, q61)
+    q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65)
 }

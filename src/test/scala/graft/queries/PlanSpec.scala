@@ -102,4 +102,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), s"unexpected nested loop:\n$p")
   }
+
+  test("q65: decontamination probes a BROADCAST semi join — the corpus never shuffles for the match") {
+    val p = plan(Pipeline.q65)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"benchmark shingles should broadcast into a left-semi probe:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus side must not shuffle into a sort-merge join:\n$p")
+  }
 }
