@@ -80,8 +80,11 @@ object Bench {
     // local iteration; the driver never sets it, so its runs are full.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // "ingest" / "wire_ingest" are pseudo-names selecting the two
+    // throughput benches, so they can be iterated on in isolation too
+    val pseudo = Set("ingest", "wire_ingest")
     only.foreach { s =>
-      val unknown = s -- SparkEntry.registry.map(_.name).toSet
+      val unknown = s -- SparkEntry.registry.map(_.name).toSet -- pseudo
       if (unknown.nonEmpty) // a typo must not look like a healthy tiny run
         System.err.println(
           s"[bench] BENCH_ONLY names match no query: ${unknown.mkString(", ")}")
@@ -126,7 +129,7 @@ object Bench {
     // parquet land) against the reference's 10k-100k rows/s/writer
     // envelope. Reported as an extra key; skipped under BENCH_ONLY.
     val ingestJson =
-      if (only.isDefined) ""
+      if (only.exists(!_.contains("ingest"))) ""
       else try {
         val (rows, sec) = IngestBench.run(spark, rows = 1000000L)
         val rps = (rows / sec).toLong
@@ -135,12 +138,24 @@ object Bench {
         System.err.println(s"[bench] ingest bench failed: ${e.getMessage}")
         ""
       }
+    // Wire half of the same path: concurrent socket sessions → server
+    // decode-check → queue admission, acked per batch (WireBench).
+    val wireJson =
+      if (only.exists(!_.contains("wire_ingest"))) ""
+      else try {
+        val (rows, sec) = WireBench.run(rows = 262144)
+        val rps = (rows / sec).toLong
+        s""","wire_ingest":{"rows":$rows,"sec":$sec,"rows_per_sec":$rps}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] wire bench failed: ${e.getMessage}")
+        ""
+      }
     // The one stdout line; "failed" lets downstream consumers tell a
     // healthy total from one with crashed queries (ADVICE r2). sfDir
     // is escaped so a quote/backslash in the env var can't break the
     // record's JSON validity.
     val sfJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs$ingestJson,"sf":"$sfJson"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs$ingestJson$wireJson,"sf":"$sfJson"}""")
     spark.stop()
   }
 }

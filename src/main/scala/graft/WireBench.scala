@@ -1,0 +1,66 @@
+package graft
+
+import graft.net.{IngestClient, IngestServer, Metrics}
+import graft.proto.ProtoRows
+import graft.queries.TranscodeE2E
+import graft.sources.QueueSource
+import graft.streaming.RowBuffer
+
+/** Wire-ingest throughput: the network half [[IngestBench]] excludes —
+  * concurrent client sessions → socket framing → server decode-check →
+  * queue admission, measured as rows/s. Together the two numbers cover
+  * the reference's full path: wire acceptance (its gRPC service) and
+  * durable transcode landing (its writer group). Bodies are
+  * pre-encoded once outside the clock (client encode is excluded from
+  * the reference's envelope too); every timed batch write waits for
+  * its per-batch ack, so the number includes the full request/ack
+  * round trip, not a fire-and-forget upper bound.
+  */
+object WireBench {
+
+  /** Returns (rows admitted, wall seconds). Capacity is sized so the
+    * fill never crosses the server's backoff high-water mark — this
+    * measures the acceptance path's speed; the flow-control path
+    * (deliberately pacing clients at ~4 batches/s once a queue is 80%
+    * full) is NetSpec's subject, and letting it trigger here turned
+    * the tail of the run into a measurement of the backoff deadline.
+    */
+  def run(rows: Int, batch: Int = 256, clients: Int = 4): (Long, Double) = {
+    val qname = "wire-bench"
+    val q = QueueSource.create(qname, rows * 2, RowBuffer.Block)
+    val targets = Map("ExampleMessage" ->
+      IngestServer.Target(TranscodeE2E.message, q))
+    val srv = new IngestServer(() => targets, 0, metrics = new Metrics).start()
+    try {
+      val bodies = (0 until batch).map(i => ProtoRows.encodeValues(
+        TranscodeE2E.message, TranscodeE2E.Fixture(i % 64).protoValues))
+      val batchesPerClient = rows / clients / batch
+      val errors = new java.util.concurrent.atomic.AtomicLong(0)
+      val t0 = System.nanoTime()
+      val threads = (0 until clients).map { _ =>
+        val t = new Thread(() => {
+          val c = new IngestClient("127.0.0.1", srv.boundPort)
+          try {
+            c.registerType("ExampleMessage")
+            var b = 0
+            while (b < batchesPerClient) {
+              if (c.writeBatch("ExampleMessage", bodies,
+                  retryTimes = -1) != net.ControlProto.BatchResult.Ok)
+                errors.incrementAndGet()
+              b += 1
+            }
+          } finally c.close()
+        })
+        t.start()
+        t
+      }
+      threads.foreach(_.join())
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(errors.get() == 0, s"wire bench: ${errors.get()} failed batches")
+      (q.endSeq - q.firstSeq, sec)
+    } finally {
+      srv.stop()
+      QueueSource.drop(qname)
+    }
+  }
+}

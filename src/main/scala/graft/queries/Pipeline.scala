@@ -729,6 +729,69 @@ object Pipeline {
       ORDER BY doc_id"""))
   }
 
+  /** Within-document repetition — the repeated-n-gram quality filter
+    * (the Gopher-style "fraction of duplicate 3-grams" signal): a doc
+    * whose 3-grams are mostly repeats of each other is boilerplate or
+    * degenerate generation, independent of the length/stopword signals
+    * in q27. rep = 1 − distinct/total over word 3-grams (0 for docs
+    * too short to have one). Pure map-side per-row work — one shingle
+    * kernel pass per doc, then a per-lang aggregate; the only shuffle
+    * is the 5-group final agg. Every aggregate is an exact integer sum
+    * (counts of n-grams), and the corpus-level ratio is ONE double
+    * division of exact longs at the end — bit-identical across engines
+    * with no decimal-rounding traffic (a davg over per-doc ratios
+    * would truncate 1/52-style values at the 6th decimal place, where
+    * Spark and DuckDB can round midpoints differently).
+    */
+  val q66 = {
+    val n = 3
+    val flagAt = 0.2
+    Q(
+      "q66_repetition",
+      (spark, dir) => {
+        val ws = TextOps.words(col("text"))
+        val total = greatest(size(ws) - (n - 1), lit(0))
+        val distinctN = size(TextOps.shinglesKernel(n)(ws))
+        val rep = when(col("total") > 0,
+          (col("total") - col("dist")).cast("double") / col("total"))
+          .otherwise(lit(0.0))
+        graft.operators.FanOut(Tables(spark, dir, "documents"))
+          .select(col("doc_id"), col("lang"),
+            total.cast("long").as("total"), distinctN.cast("long").as("dist"))
+          .withColumn("rep", rep)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("rep") > flagAt, 1L).otherwise(0L)).as("n_repetitive"),
+            sum(col("total")).as("ngrams"),
+            sum(col("total") - col("dist")).as("dup_ngrams"))
+          .withColumn("dup_ratio",
+            col("dup_ngrams").cast("double") / col("ngrams"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""
+      WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+                 FROM documents),
+      c AS (SELECT doc_id, lang,
+              greatest(len(ws) - ${n - 1}, 0) AS total,
+              (SELECT count(DISTINCT list_aggregate(ws[i:i+${n - 1}],
+                                                    'string_agg', ' '))
+               FROM UNNEST(range(1, len(ws)-${n - 2})) AS t(i)) AS dist
+            FROM w),
+      r AS (SELECT lang, total, dist,
+              CASE WHEN total > 0
+                   THEN (total - dist)::DOUBLE / total ELSE 0.0 END AS rep
+            FROM c)
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN rep > $flagAt THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repetitive,
+             CAST(SUM(total) AS BIGINT) AS ngrams,
+             CAST(SUM(total - dist) AS BIGINT) AS dup_ngrams,
+             CAST(SUM(total - dist) AS DOUBLE) / SUM(total) AS dup_ratio
+      FROM r
+      GROUP BY lang
+      ORDER BY lang"""))
+  }
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
-    q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65)
+    q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66)
 }
