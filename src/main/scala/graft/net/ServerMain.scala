@@ -139,13 +139,18 @@ object ServerMain {
     // Order matters: drains stop at a flushed barrier BEFORE the
     // registry swap, so no drain ever observes its queue being
     // replaced mid-batch; a failed reload restarts the old plans
-    // unchanged.
+    // unchanged. The JVM dispatches each signal on its own thread, so
+    // rapid repeated HUPs would interleave stop/restart without the
+    // lock — serialized, the second reload simply runs after the first.
+    val reloadLock = new Object
     sun.misc.Signal.handle(new sun.misc.Signal("HUP"), (_: sun.misc.Signal) => {
       System.err.println("[server] received SIGHUP, reloading configuration...")
-      val before = server.queues
-      stopDrains(drainQs)
-      server.reload()
-      drainQs = restartDrains(spark, server, before)
+      reloadLock.synchronized {
+        val before = server.queues
+        stopDrains(drainQs)
+        server.reload()
+        drainQs = restartDrains(spark, server, before)
+      }
     })
     sun.misc.Signal.handle(new sun.misc.Signal("TERM"),
       (_: sun.misc.Signal) => done.countDown())

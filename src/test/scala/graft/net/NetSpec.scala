@@ -62,6 +62,27 @@ class NetSpec extends SparkSpec {
       ServerIdentifyType("m.T", 4))
   }
 
+  test("hostile bytes: decoders either parse or raise MalformedProto, nothing else") {
+    // the server feeds socket bytes straight into these; any exception
+    // class other than the codec's own would escape the per-connection
+    // handler's intent (fixed seed: failures must reproduce)
+    val rnd = new scala.util.Random(0xb215713L)
+    (0 until 2000).foreach { i =>
+      val bytes = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(bytes)
+      Seq[Array[Byte] => Any](decodePayload, decodeWriteBatchRequest,
+        decodeWriteBatchResponse, decodeClientMessage, decodeServerMessage)
+        .foreach { dec =>
+          try dec(bytes)
+          catch {
+            case _: Wire.MalformedProto => // the contract
+            case e: Throwable =>
+              fail(s"iteration $i: unexpected ${e.getClass.getName}: ${e.getMessage}")
+          }
+        }
+    }
+  }
+
   test("frame reader handles multi-byte varint lengths and clean EOF") {
     val payload = Array.fill[Byte](300)(42) // length needs 2 varint bytes
     val bos = new java.io.ByteArrayOutputStream()
