@@ -189,6 +189,19 @@ object LandingIngest {
       .partitionBy("p_batch")
       .parquet(outDir)
 
+  /** Consumer-side read of a landed table: the user-facing rows
+    * without the sink's bookkeeping partition columns — `p_batch`
+    * (idempotence key, always present) and `e` (the drain-incarnation
+    * epoch `ServerMain` adds under `data/e=<k>/`, present only for
+    * server-landed dirs). Partition discovery still prunes on them
+    * when a caller filters before this drop; after it, consumers see
+    * one logical table regardless of how many incarnations landed it.
+    */
+  def readLanded(spark: SparkSession, outDir: String): DataFrame = {
+    val df = spark.read.parquet(outDir)
+    df.drop(Seq("p_batch", "e").filter(df.columns.contains): _*)
+  }
+
   /** Part consolidation for the landed raw table — the MergeTree
     * background-merge analog for data parts (RollupSink.compact is
     * the summing variant): every p_batch part is rewritten into one

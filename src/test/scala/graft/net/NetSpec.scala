@@ -437,9 +437,12 @@ class NetSpec extends SparkSpec {
             (0 until 16).map(body)) == BatchResult.Ok)
         }
         drains.values.foreach(_.processAllAvailable())
-        val landed = spark.read.parquet(dir.resolve("land/data").toString)
+        val landed = graft.streaming.LandingIngest.readLanded(
+          spark, dir.resolve("land/data").toString)
         assert(landed.count() == 16)
         assert(landed.columns.contains("value"))
+        // bookkeeping partitions (epoch + batch id) are dropped
+        assert(!landed.columns.contains("e") && !landed.columns.contains("p_batch"))
       } finally drains.values.foreach(_.stop())
     } finally {
       server.stop()

@@ -1,0 +1,21 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** One-off plan eyeball for the bench's current top-cost queries —
+  * prints executed plans to stderr for manual audit; asserts only
+  * the absence of the global anti-patterns (cartesian products,
+  * nested-loop joins) so it stays a regression net.
+  */
+class ExplainAudit extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("top-cost queries contain no cartesian/nested-loop operators") {
+    Seq("q03" -> Relational.q03, "q24" -> Pipeline.q24,
+        "q30" -> Pipeline.q30, "q59" -> Events.q59).foreach { case (n, q) =>
+      val p = q.fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$n has a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$n has a nested loop:\n$p")
+    }
+  }
+}
