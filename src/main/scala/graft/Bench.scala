@@ -121,10 +121,24 @@ object Bench {
       if (sinceGc > 15.0) { System.gc(); sinceGc = 0.0 }
       q.name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The harness records only the last ~2000 chars of stdout. The
+    // verbose record (full query names, ns-precision doubles) grew
+    // past that at 63 queries and every BENCH_r04-r08 line arrived
+    // decapitated — unparseable. The one stdout line therefore uses
+    // the unique qNN prefixes and ms precision (~15 bytes/query); the
+    // full-name table goes to stderr for humans.
+    val prefixes = results.map { case (k, _) => k.takeWhile(_ != '_') }
+    require(prefixes.distinct.size == prefixes.size,
+      "query number prefixes must stay unique — the bench record keys on them")
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    results.foreach { case (k, v) =>
+      System.err.println(f"[bench] $k%-32s ${v * 1000}%10.1f ms")
+    }
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val fs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = r3(results.map(_._2).sum)
     // Ingest throughput (rows/s through split→decode→bind→transcode→
     // parquet land) against the reference's 10k-100k rows/s/writer
     // envelope. Reported as an extra key; skipped under BENCH_ONLY.
@@ -133,7 +147,7 @@ object Bench {
       else try {
         val (rows, sec) = IngestBench.run(spark, rows = 1000000L)
         val rps = (rows / sec).toLong
-        s""","ingest":{"rows":$rows,"sec":$sec,"rows_per_sec":$rps}"""
+        s""","ingest":{"rows":$rows,"sec":${math.rint(sec * 1000) / 1000},"rows_per_sec":$rps}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ingest bench failed: ${e.getMessage}")
         ""
@@ -145,7 +159,7 @@ object Bench {
       else try {
         val (rows, sec) = WireBench.run(rows = 262144)
         val rps = (rows / sec).toLong
-        s""","wire_ingest":{"rows":$rows,"sec":$sec,"rows_per_sec":$rps}"""
+        s""","wire_ingest":{"rows":$rows,"sec":${math.rint(sec * 1000) / 1000},"rows_per_sec":$rps}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] wire bench failed: ${e.getMessage}")
         ""
