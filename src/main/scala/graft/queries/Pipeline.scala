@@ -792,6 +792,72 @@ object Pipeline {
       ORDER BY lang"""))
   }
 
+  /** Sequence packing — the concat-and-chunk step that turns a
+    * filtered corpus into fixed-size training sequences: documents are
+    * concatenated per language in doc_id order and cut at absolute
+    * `chunkTokens` boundaries (docs spanning a boundary are split;
+    * the standard packing discipline for autoregressive pretraining —
+    * next-fit-without-split is NOT used at scale precisely because its
+    * running-sum-with-reset is inherently sequential). Every per-doc
+    * quantity derives from the inclusive running token total: first
+    * chunk floor((running−n)/C), last chunk floor((running−1)/C) —
+    * so the whole operator is one OrderedScan.runningTotal (bucket-
+    * decomposed, langs × buckets parallelism, no serial per-lang
+    * window) plus exact integer arithmetic, differentially verifiable
+    * to the row.
+    */
+  val q67 = {
+    val chunkTokens = 2048L
+    Q(
+      "q67_pack_chunks",
+      (spark, dir) => {
+        val ws = TextOps.words(col("text"))
+        val docs = graft.operators.FanOut(Tables(spark, dir, "documents"))
+          .select(col("doc_id"), col("lang"), size(ws).cast("long").as("n_tokens"))
+        val packed = graft.operators.OrderedScan.runningTotal(docs,
+            key = col("lang"), ord = Seq(col("doc_id")),
+            value = col("n_tokens"), bucket = floor(col("doc_id") / 500),
+            as = "running")
+          // `div` (integer division), not `/`: long `/` routes through
+          // double, which is only exact below 2^53 — fine at harness
+          // scale, a silent precision cliff at corpus scale
+          .withColumn("first_chunk",
+            expr(s"(running - n_tokens) div $chunkTokens"))
+          .withColumn("last_chunk", expr(s"(running - 1) div $chunkTokens"))
+        packed.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            expr(s"(sum(n_tokens) - 1) div $chunkTokens + 1")
+              .as("n_chunks"),
+            sum(when(col("last_chunk") =!= col("first_chunk"), 1L)
+              .otherwise(0L)).as("n_split_docs"),
+            max(col("last_chunk") - col("first_chunk") + 1).as("max_span"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""
+      WITH d AS (SELECT doc_id, lang,
+                   len(string_split(text, ' '))::BIGINT AS n_tokens
+                 FROM documents),
+      r AS (SELECT lang, n_tokens,
+              SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS running
+            FROM d),
+      c AS (SELECT lang, n_tokens, running,
+              (running - n_tokens) // $chunkTokens AS first_chunk,
+              (running - 1) // $chunkTokens AS last_chunk
+            FROM r)
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST((SUM(n_tokens) - 1) // $chunkTokens + 1 AS BIGINT)
+               AS n_chunks,
+             CAST(SUM(CASE WHEN last_chunk <> first_chunk THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_split_docs,
+             CAST(MAX(last_chunk - first_chunk + 1) AS BIGINT) AS max_span
+      FROM c
+      GROUP BY lang
+      ORDER BY lang"""))
+  }
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
-    q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66)
+    q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67)
 }
