@@ -83,6 +83,45 @@ object TextOps extends Serializable {
     m
   }
 
+  /** Non-overlapping w-word chunks WITH multiplicity — the unit of
+    * cross-document span dedup (the C4/RefinedWeb "remove spans that
+    * also appear in another document" discipline). Unlike
+    * [[shingles]] (overlapping, distinct — a similarity SET), a doc's
+    * chunk list keeps every occurrence: a span repeated inside one doc
+    * and shared with another counts once per occurrence. Trailing
+    * words short of a full chunk are dropped.
+    */
+  def chunks(ws: Column, w: Int): Column =
+    // same short-doc guard as [[shingles]]: sequence(0, -1) descends
+    when(size(ws) >= w,
+      transform(sequence(lit(0), floor(size(ws) / w).cast("int") - 1), i =>
+        concat_ws(" ", (0 until w).map(k => element_at(ws, i * w + k + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** JVM kernel for [[chunks]]: identical output including order and
+    * multiplicity (PipelineSpec proves bit-equality). The HOF form
+    * evaluates interpreted per chunk — the same per-row cost cliff
+    * that moved [[shinglesKernel]] off Column expressions.
+    */
+  def chunksKernel(w: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (ws: Seq[String]) =>
+      if (ws == null) null
+      else {
+        val arr = ws.toArray
+        val n = arr.length / w
+        val out = new Array[String](n)
+        var i = 0
+        while (i < n) {
+          val sb = new java.lang.StringBuilder(arr(i * w))
+          var k = 1
+          while (k < w) { sb.append(' ').append(arr(i * w + k)); k += 1 }
+          out(i) = sb.toString
+          i += 1
+        }
+        out
+      }
+    }
+
   /** JVM kernel: ALL five marker counts in one pass over the token
     * array. The Column form is an interpreted HOF that [[langId]]
     * evaluated 5x per row — the q26/q27 hot spot in BENCH_r04

@@ -858,6 +858,220 @@ object Pipeline {
       ORDER BY lang"""))
   }
 
+  /** Per-source frequency capping — the "at most K documents per
+    * domain" filter (the CommonCrawl per-domain cap that stops a few
+    * crawl-heavy sites from dominating the training mix). Keeps the K
+    * lowest-doc_id docs per source, deterministically. The rank is a
+    * running COUNT per source in doc_id order — one
+    * OrderedScan.runningTotal with value 1 (bucket-decomposed,
+    * sources × buckets parallelism), NOT a per-source row_number
+    * window, which would serialize each source's full history onto
+    * one task (20 sources ⇒ 20 tasks on any cluster).
+    */
+  val q68 = {
+    val cap = 15
+    Q(
+      "q68_source_cap",
+      (spark, dir) => {
+        val docs = graft.operators.FanOut(Tables(spark, dir, "documents"))
+          .select(col("doc_id"), col("source"),
+            size(TextOps.words(col("text"))).cast("long").as("n_tokens"))
+        graft.operators.OrderedScan.runningTotal(docs,
+            key = col("source"), ord = Seq(col("doc_id")),
+            value = lit(1L), bucket = floor(col("doc_id") / 500),
+            as = "rk")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("rk") <= cap, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("rk") <= cap, col("n_tokens")).otherwise(0L))
+              .as("kept_tokens"),
+            max(when(col("rk") <= cap, col("doc_id"))).as("last_kept"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+      WITH r AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' '))::BIGINT AS n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+        FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN rk <= $cap THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             CAST(SUM(CASE WHEN rk <= $cap THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS kept_tokens,
+             MAX(CASE WHEN rk <= $cap THEN doc_id END) AS last_kept
+      FROM r
+      GROUP BY source
+      ORDER BY source"""))
+  }
+
+  /** Deterministic weighted mixture sampling — the per-language
+    * up/down-sampling step that turns a raw corpus into a training
+    * mix (e.g. keep all English, half the German, a quarter of the
+    * French). Membership is an md5 bucket of the doc id against the
+    * language's rate — the q54 discipline: stable under reruns,
+    * insertion order, partitioning, and cluster size, and
+    * recomputable by any engine, unlike `.sample()`. Pure map-side;
+    * the per-lang aggregate is the only shuffle. Realized rates are
+    * ONE double division of exact longs at the end.
+    */
+  val q69 = {
+    val rates = Seq("en" -> 100, "de" -> 50, "es" -> 50, "fr" -> 25, "zh" -> 25)
+    Q(
+      "q69_mixture_sample",
+      (spark, dir) => {
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("long") % 100
+        val rate = rates.foldRight(lit(0): org.apache.spark.sql.Column) {
+          case ((l, r), els) => when(col("lang") === l, lit(r)).otherwise(els)
+        }
+        graft.operators.FanOut(Tables(spark, dir, "documents"))
+          .select(col("lang"),
+            size(TextOps.words(col("text"))).cast("long").as("n_tokens"),
+            (bucket < rate).as("in_mix"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("in_mix"), 1L).otherwise(0L)).as("n_sampled"),
+            sum(when(col("in_mix"), col("n_tokens")).otherwise(0L))
+              .as("sampled_tokens"))
+          .withColumn("realized",
+            col("n_sampled").cast("double") / col("n_docs"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""
+      WITH b AS (
+        SELECT lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 100 AS bucket,
+               len(string_split(text, ' '))::BIGINT AS n_tokens
+        FROM documents),
+      r AS (
+        SELECT lang, n_tokens, bucket,
+               CASE ${rates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+                 .mkString(" ")} ELSE 0 END AS rate
+        FROM b)
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+             CAST(SUM(CASE WHEN bucket < rate THEN n_tokens ELSE 0 END)
+               AS BIGINT) AS sampled_tokens,
+             CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS realized
+      FROM r
+      GROUP BY lang
+      ORDER BY lang"""))
+  }
+
+  /** Per-language vocabulary top-K — the corpus term-frequency rank a
+    * tokenizer/vocab build starts from, stopwords excluded. Exact
+    * integer counts with a deterministic count-desc/word-asc tiebreak
+    * (no idf doubles — ln() ulps differ across engines and would
+    * poison the hash compare). Plan shape: partial-agg collapse on
+    * (lang, word), then the q56 two-level top-N — top-K per
+    * (lang, word-hash-bucket), provably a superset of the per-lang
+    * top-K, then rank the ≤ K×32 survivors. Never a per-lang window
+    * over the full vocabulary histogram.
+    */
+  val q70 = {
+    val k = 5
+    val stop = TextOps.stopwords.head._2 // the "en" markers double as the stoplist
+    Q(
+      "q70_vocab_topk",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = graft.operators.FanOut(Tables(spark, dir, "documents"))
+          .select(col("lang"),
+            explode(TextOps.words(col("text"))).as("word"))
+          .filter(!col("word").isin(stop.map(_.asInstanceOf[Any]): _*))
+          .groupBy(col("lang"), col("word"))
+          .agg(count(lit(1)).as("cnt"))
+        val w1 = Window.partitionBy(col("lang"), pmod(xxhash64(col("word")), lit(32)))
+          .orderBy(col("cnt").desc, col("word").asc)
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("cnt").desc, col("word").asc)
+        counts.withColumn("r1", row_number().over(w1)).filter(col("r1") <= k)
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+          .select(col("lang"), col("rk").cast("long").as("rk"),
+            col("word"), col("cnt"))
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some(s"""
+      WITH t AS (SELECT lang, UNNEST(string_split(text, ' ')) AS word
+                 FROM documents),
+      c AS (SELECT lang, word, COUNT(*) AS cnt FROM t
+            WHERE word NOT IN (${stop.map(s => s"'$s'").mkString(",")})
+            GROUP BY lang, word),
+      r AS (SELECT lang, word, cnt,
+              ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY cnt DESC, word) AS rk
+            FROM c)
+      SELECT lang, rk, word, CAST(cnt AS BIGINT) AS cnt
+      FROM r WHERE rk <= $k
+      ORDER BY lang, rk"""))
+  }
+
+  /** Cross-document span dedup — the C4/RefinedWeb "drop spans that
+    * also occur in another document" signal, over non-overlapping
+    * 3-word chunks WITH multiplicity (q66 is within-doc repetition;
+    * q65 is train-vs-bench containment; this is corpus-internal span
+    * sharing). A span is shared when it appears in ≥2 distinct docs —
+    * detected as min(doc_id) ≠ max(doc_id) per span: one partial-agg
+    * pass, no count-distinct expansion. The shared-span dictionary
+    * broadcasts into a left-semi probe of the chunk stream (the q65
+    * shape; corpora whose shared-span set outgrows the driver flip to
+    * the same-shape shuffle semi-join). Exact strings throughout —
+    * no hashing — so the whole operator is differentially verified.
+    */
+  val q71 = {
+    val w = 3
+    Q(
+      "q71_span_dedup",
+      (spark, dir) => {
+        val docs = Tables(spark, dir, "documents")
+        val ch = graft.operators.FanOut(docs)
+          .select(col("doc_id"), col("lang"),
+            explode(TextOps.chunksKernel(w)(TextOps.words(col("text"))))
+              .as("span"))
+        val shared = ch.groupBy(col("span"))
+          .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+          .filter(col("lo") =!= col("hi"))
+          .select(col("span"))
+        val perdoc = ch.join(broadcast(shared), Seq("span"), "left_semi")
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("shared_occ"))
+        val perLang = perdoc.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs_shared"),
+            sum(col("shared_occ")).as("shared_occurrences"))
+        docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+          .join(perLang, Seq("lang"), "left_outer")
+          .select(col("lang"), col("n_docs"),
+            coalesce(col("n_docs_shared"), lit(0L)).as("n_docs_shared"),
+            coalesce(col("shared_occurrences"), lit(0L))
+              .as("shared_occurrences"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""
+      WITH wd AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+                  FROM documents),
+      ch AS (SELECT doc_id, lang,
+               list_aggregate(ws[(i-1)*$w+1:(i-1)*$w+$w], 'string_agg', ' ')
+                 AS span
+             FROM wd, UNNEST(range(1, len(ws)//$w + 1)) AS t(i)),
+      shared AS (SELECT span FROM ch GROUP BY span
+                 HAVING MIN(doc_id) <> MAX(doc_id)),
+      hit AS (SELECT ch.doc_id, ch.lang FROM ch JOIN shared USING (span)),
+      perdoc AS (SELECT doc_id, lang, COUNT(*) AS shared_occ
+                 FROM hit GROUP BY doc_id, lang)
+      SELECT wd.lang, COUNT(*) AS n_docs,
+             CAST(COUNT(perdoc.doc_id) AS BIGINT) AS n_docs_shared,
+             CAST(COALESCE(SUM(perdoc.shared_occ), 0) AS BIGINT)
+               AS shared_occurrences
+      FROM wd LEFT JOIN perdoc ON wd.doc_id = perdoc.doc_id
+      GROUP BY wd.lang
+      ORDER BY wd.lang"""))
+  }
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
-    q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67)
+    q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
+    q68, q69, q70, q71)
 }

@@ -71,6 +71,19 @@ class PipelineSpec extends SparkSpec {
       .collect()
     shc.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
       "shingle kernel diverges"))
+    // chunks: kernel vs Column form — order, multiplicity, and the
+    // short-doc / dropped-tail edges (synthetic rows cover len < w,
+    // len % w ∈ {0, 1, 2})
+    import spark.implicits._
+    val edge = Seq("a b", "a b c", "a b c d", "a b c d e f g",
+      "x x x x x x").toDF("text")
+    Seq(docs.limit(100), edge).foreach { d =>
+      d.select(TextOps.chunks(TextOps.words(col("text")), 3).as("ref"),
+          TextOps.chunksKernel(3)(TextOps.words(col("text"))).as("fast"))
+        .collect()
+        .foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
+          "chunks kernel diverges"))
+    }
     // MinHash band keys: Column spec vs UDF kernel vs native Expression
     graft.functions.GraftFunctions.register(spark)
     val sh = docs.limit(100).select(col("doc_id"),
