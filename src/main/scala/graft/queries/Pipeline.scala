@@ -1071,7 +1071,60 @@ object Pipeline {
       ORDER BY wd.lang"""))
   }
 
+  /** Fixed-size stratified sampling — exactly K docs per language
+    * (fewer iff the stratum is smaller), the eval-set / human-review
+    * draw every pipeline needs. Where q69 samples at a RATE (output
+    * size varies with the corpus), this draws a fixed COUNT. The draw
+    * is the K lexicographically-smallest md5(doc_id) values per
+    * stratum — deterministic, engine-recomputable, unbiased w.r.t.
+    * any document attribute. No global or per-stratum sort: rank is a
+    * running count over hash order via OrderedScan.runningTotal,
+    * bucket = first hex digit (16 buckets/stratum, monotone in the
+    * hash — hex chars 0-9a-f sort identically in ASCII and by value).
+    */
+  val q72 = {
+    val k = 25
+    Q(
+      "q72_stratified_sample",
+      (spark, dir) => {
+        val docs = graft.operators.FanOut(Tables(spark, dir, "documents"))
+          .select(col("lang"), col("doc_id"),
+            size(TextOps.words(col("text"))).cast("long").as("n_tokens"),
+            md5(col("doc_id").cast("string")).as("h"))
+        graft.operators.OrderedScan.runningTotal(docs,
+            key = col("lang"), ord = Seq(col("h"), col("doc_id")),
+            value = lit(1L),
+            bucket = conv(substring(col("h"), 1, 1), 16, 10).cast("long"),
+            as = "rk")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("rk") <= k, 1L).otherwise(0L)).as("n_sampled"),
+            sum(when(col("rk") <= k, col("n_tokens")).otherwise(0L))
+              .as("sampled_tokens"),
+            max(when(col("rk") <= k, col("h"))).as("threshold_hash"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""
+      WITH h AS (
+        SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+               len(string_split(text, ' '))::BIGINT AS n_tokens
+        FROM documents),
+      r AS (
+        SELECT lang, h, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+        FROM h)
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN rk <= $k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+             CAST(SUM(CASE WHEN rk <= $k THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS sampled_tokens,
+             MAX(CASE WHEN rk <= $k THEN h END) AS threshold_hash
+      FROM r
+      GROUP BY lang
+      ORDER BY lang"""))
+  }
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
-    q68, q69, q70, q71)
+    q68, q69, q70, q71, q72)
 }

@@ -110,4 +110,47 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"corpus side must not shuffle into a sort-merge join:\n$p")
   }
+
+  test("q68/q69: mix operators never serialize a stratum onto one task") {
+    // q68's rank windows must all carry the bucket alongside source
+    // (the OrderedScan decomposition); a bare partitionBy(source)
+    // would put each source's full history on a single task.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val windows = try {
+      Pipeline.q68.fn(spark, sf).queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    assert(windows.nonEmpty)
+    // the heavy per-row window must carry the bucket alongside the
+    // stratum; only the stitch window — fed one summary row per
+    // (source, bucket) — may partition by the stratum alone (the q56
+    // discipline)
+    assert(windows.exists(_.partitionSpec.length > 1),
+      s"expected a (source, bucket) running window: " +
+        windows.map(_.partitionSpec).mkString("; "))
+    // q69 is map-side only: no join, no window, one aggregate exchange
+    val p69 = plan(Pipeline.q69)
+    assert(!p69.contains("Join") && !p69.contains("Window"),
+      s"mixture sampling must be a pure scan+agg:\n$p69")
+  }
+
+  test("q70: heavy vocab window partitions by (lang, bucket), not lang alone") {
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val windows = try {
+      Pipeline.q70.fn(spark, sf).queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    assert(windows.exists(_.partitionSpec.length > 1),
+      "expected the candidate window to partition by (lang, word-bucket)")
+  }
+
+  test("q71: shared-span probe is a broadcast semi join, chunk stream never sort-merges") {
+    val p = plan(Pipeline.q71)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"shared-span dictionary should broadcast into a left-semi probe:\n$p")
+  }
 }
