@@ -1124,7 +1124,97 @@ object Pipeline {
       ORDER BY lang"""))
   }
 
+  /** Per-label embedding centroids — the class-prototype computation
+    * under clustering, retrieval calibration, and drift monitoring.
+    * Plan shape: posexplode → (label, dim) partial sums — the same
+    * distributed update step Similarity.trainCentroids uses inside
+    * k-means, here surfaced as an oracle-checked query. Components go
+    * through floor(x·1e6) fixed point (the q57 discipline: float→
+    * double is exact, the double multiply and floor agree across
+    * engines), so every sum is an exact integer and the centroid is
+    * ONE double division at the end.
+    */
+  val q73 = Q(
+    "q73_label_centroids",
+    (spark, dir) => {
+      val x = graft.operators.FanOut(Tables(spark, dir, "embeddings"))
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("pos0", "v")))
+        .select(col("label"), (col("pos0") + 1).as("pos"),
+          floor(col("v").cast("double") * 1e6).cast("long").as("fp"))
+      x.groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("fp")).as("s"))
+        .select(col("label").cast("long").as("label"),
+          col("pos").cast("long").as("pos"), col("n"),
+          (col("s").cast("double") / (col("n") * lit(1e6))).as("centroid"))
+        .orderBy(col("label"), col("pos"))
+    },
+    Some("""
+      WITH x AS (
+        SELECT label, pos,
+               CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 1e6) AS BIGINT)
+                 AS fp
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(pos))
+      SELECT CAST(label AS BIGINT) AS label, pos, COUNT(*) AS n,
+             CAST(SUM(fp) AS DOUBLE) / (COUNT(*) * 1e6) AS centroid
+      FROM x
+      GROUP BY label, pos
+      ORDER BY label, pos"""))
+
+  /** Per-label coherence — the mean pairwise cosine within each label
+    * (embeddings are unit-norm, so pairwise dot IS cosine), the
+    * cluster-quality / label-noise signal over n·(n−1)/2 pairs
+    * computed WITHOUT any pairwise work: Σ_pairs u·v =
+    * (|Σv|² − Σ|v|²)/2, so the whole statistic derives from the same
+    * (label, dim) partial sums as q73. Fixed-point components keep
+    * every sum an exact integer (decimal accumulators — per-dim sums
+    * square past int64 at corpus scale); the two final double
+    * divisions are the only rounding, identical across engines.
+    */
+  val q74 = Q(
+    "q74_label_coherence",
+    (spark, dir) => {
+      val x = graft.operators.FanOut(Tables(spark, dir, "embeddings"))
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("pos0", "v")))
+        .select(col("label"), col("pos0").as("pos"),
+          floor(col("v").cast("double") * 1e6).cast("long").as("fp"))
+      val d = x.groupBy(col("label"), col("pos"))
+        .agg(sum(col("fp").cast("decimal(38,0)")).as("s"),
+          sum((col("fp") * col("fp")).cast("decimal(38,0)")).as("q"),
+          count(lit(1)).as("nrows"))
+      d.groupBy(col("label"))
+        .agg(sum(col("s") * col("s")).cast("double").as("sum_s2"),
+          sum(col("q")).cast("double").as("sum_q"),
+          max(col("nrows")).as("n"))
+        .select(col("label").cast("long").as("label"), col("n"),
+          (col("sum_q") / (col("n") * lit(1e12))).as("mean_norm2"),
+          ((col("sum_s2") - col("sum_q")) /
+            (col("n").cast("double") * (col("n") - 1) * lit(1e12)))
+            .as("mean_pair_cos"))
+        .orderBy(col("label"))
+    },
+    Some("""
+      WITH x AS (
+        SELECT label, pos,
+               CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 1e6) AS BIGINT)
+                 AS fp
+        FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(pos)),
+      d AS (
+        SELECT label, pos, SUM(fp) AS s, SUM(fp*fp) AS q, COUNT(*) AS nrows
+        FROM x GROUP BY label, pos),
+      l AS (
+        SELECT label, CAST(SUM(s*s) AS DOUBLE) AS sum_s2,
+               CAST(SUM(q) AS DOUBLE) AS sum_q, MAX(nrows) AS n
+        FROM d GROUP BY label)
+      SELECT CAST(label AS BIGINT) AS label, n,
+             sum_q / (n * 1e12) AS mean_norm2,
+             (sum_s2 - sum_q) / (CAST(n AS DOUBLE) * (n-1) * 1e12)
+               AS mean_pair_cos
+      FROM l
+      ORDER BY label"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
-    q68, q69, q70, q71, q72)
+    q68, q69, q70, q71, q72, q73, q74)
 }
