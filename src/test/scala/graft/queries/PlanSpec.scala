@@ -153,4 +153,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
       s"shared-span dictionary should broadcast into a left-semi probe:\n$p")
   }
+
+  test("q72: stratified draw's rank window carries the hash bucket") {
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val windows = try {
+      Pipeline.q72.fn(spark, sf).queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    assert(windows.exists(_.partitionSpec.length > 1),
+      "expected a (lang, hex-bucket) running window, not a bare per-lang sort")
+  }
+
+  test("q73/q74: embedding statistics are scan+agg — no join, no window") {
+    Seq(Pipeline.q73, Pipeline.q74).foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("Window"),
+        s"${q.name} must stay a pure explode+aggregate pipeline:\n$p")
+    }
+  }
 }
