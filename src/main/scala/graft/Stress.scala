@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-loop scale harness (not part of the driver contract): measures
+  * how the heavy pipeline operators scale when the corpus grows N×,
+  * validating the §9 claim that every candidate-generation shape is
+  * linear in rows (bucket joins, never all-pairs).
+  *
+  * The N× corpus is sf0.1 replicated with (a) shifted doc ids and
+  * (b) a per-replica suffix welded onto every word — so replicas are
+  * NOT near-duplicates of each other (cross-replica Jaccard = 0) and
+  * the workload keeps its per-replica dup density instead of gaining
+  * artificial mult² pair inflation. A near-linear wall-clock ratio at
+  * 10× is the empirical signature that the shuffle volume is
+  * rows × small-constant; a superlinear one flags an all-pairs leak.
+  *
+  * Usage: scripts/run.sh graft.Stress [sfDir] [mult]
+  */
+object Stress {
+  private def timed[A](name: String, rows1x: Long)(f: => DataFrame): Unit = {
+    val t0 = System.nanoTime()
+    val n = f.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"$name%-28s ${sec}%8.2f s  out=$n%8d  (1x out=$rows1x)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.pipeline.{Dedup, TextOps}
+
+    var corpusBlockIds = Set.empty[Int]
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    // weld a replica tag onto every word: doc structure and
+    // within-replica dup density survive, cross-replica overlap dies
+    def replica(i: Int): DataFrame = base
+      .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+      .withColumn("text",
+        if (i == 0) col("text")
+        else regexp_replace(col("text"), "(\\S+)", "$1q" + i))
+    val big = (0 until mult).map(replica).reduce(_ union _)
+      .repartition(32)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBig = big.count()
+    corpusBlockIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val n1 = base.count()
+    println(s"corpus: ${n1} docs -> ${nBig} docs (${mult}x), " +
+      s"expect ~linear wall-clock if candidate generation is bucketed")
+
+    // Bench's between-queries discipline: drop the result cache and
+    // any persisted/checkpointed blocks an op left behind, then GC —
+    // without this, earlier ops' pinned blocks and the GC regime
+    // dominate later measurements (ngram measured 11-54 s at 1x for
+    // a 2.5 s query purely from accumulated state)
+    def release(spark2: SparkSession): Unit = {
+      graft.pipeline.Similarity.releaseResult()
+      spark2.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !corpusBlockIds(id) }
+        .values.foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
+
+    def run(tag: String, docs: DataFrame): Unit = {
+      val sp = docs.sparkSession
+      val t0 = System.nanoTime()
+      val exact = Dedup.exact(docs, "text", "doc_id").count()
+      release(sp)
+      val t1 = System.nanoTime()
+      val pairs = Dedup.minhashNearDups(docs, "text", "doc_id", 0.5)
+      val np = pairs.count()
+      val t2 = System.nanoTime()
+      val cc = Dedup.connectedComponents(pairs, "a", "b").count()
+      release(sp)
+      val t3 = System.nanoTime()
+      // q37's production parameters (0.6 / trigram); bigrams at 0.5
+      // are a categorically denser candidate workload
+      val ng = Dedup.ngramJaccardNearDups(docs, "text", "doc_id",
+        threshold = 0.6, n = 3).count()
+      release(sp)
+      val t4 = System.nanoTime()
+      val spans = {
+        val ch = docs.select(col("doc_id"),
+            explode(TextOps.chunksKernel(3)(TextOps.words(col("text"))))
+              .as("span"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val shared = ch.groupBy(col("span"))
+          .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+          .filter(col("lo") =!= col("hi")).select(col("span"))
+        val out = ch.join(broadcast(shared), Seq("span"), "left_semi").count()
+        ch.unpersist(blocking = false)
+        out
+      }
+      val t5 = System.nanoTime()
+      def s(a: Long, b: Long) = f"${(b - a) / 1e9}%7.2f"
+      println(f"$tag%-4s exact=${s(t0, t1)}s minhash=${s(t1, t2)}s " +
+        f"cc=${s(t2, t3)}s ngram=${s(t3, t4)}s span=${s(t4, t5)}s " +
+        f"[pairs=$np cc=$cc ngram=$ng sharedOcc=$spans exact=$exact]")
+    }
+
+    // warm both code paths on the small corpus first so the 1x
+    // measurement isn't codegen, then measure 1x and Nx
+    run("warm", base.limit(500))
+    run("1x", base)
+    run(s"${mult}x", big)
+    spark.stop()
+  }
+}
