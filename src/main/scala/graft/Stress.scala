@@ -112,6 +112,43 @@ object Stress {
     run("warm", base.limit(500))
     run("1x", base)
     run(s"${mult}x", big)
+
+    // similarity side: embeddings replicated with shifted ids and a
+    // per-replica component ROTATION — unit norm survives, buckets
+    // and cells redistribute, so the ANN workload grows honestly
+    import graft.pipeline.Similarity
+    val ebase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def erep(i: Int): DataFrame = ebase
+      .withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+      .withColumn("embedding",
+        if (i == 0) col("embedding")
+        else concat(slice(col("embedding"), i + 1, 64 - i),
+          slice(col("embedding"), 1, i)))
+    val ebig = (0 until mult).map(erep).reduce(_ union _)
+      .repartition(32)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpusBlockIds ++= spark.sparkContext.getPersistentRDDs.keySet
+    println(s"embeddings: ${ebase.count()} -> ${ebig.count()} (${mult}x)")
+
+    def runSim(tag: String, emb: DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      // the query set stays FIXED as the corpus grows (ids < 20 exist
+      // only in replica 0) — the actual retrieval-at-scale scenario
+      val ann = Similarity.annTopK(emb, "vec_id", "embedding",
+        _ < 20, k = 5).count()
+      release(spark)
+      val t1 = System.nanoTime()
+      val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        _ < 20, k = 5).count()
+      release(spark)
+      val t2 = System.nanoTime()
+      def s(a: Long, b: Long) = f"${(b - a) / 1e9}%7.2f"
+      println(f"$tag%-4s ann=${s(t0, t1)}s ivf=${s(t1, t2)}s " +
+        f"[ann=$ann ivf=$ivf]")
+    }
+    runSim("warm", ebase.limit(200))
+    runSim("1x", ebase)
+    runSim(s"${mult}x", ebig)
     spark.stop()
   }
 }
