@@ -36,6 +36,25 @@ object Dedup extends Serializable {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .drop("digest")
 
+  /** Incremental exact dedup — the production ingest-time workflow:
+    * dedup an incoming batch against an already-landed corpus without
+    * ever rescanning corpus BODIES. The history side reduces to its
+    * distinct digest set (at scale: a digest table maintained
+    * incrementally and bucketed on digest, making this join
+    * exchange-free — operators/Shuffle's seam); the incoming batch
+    * first collapses within itself (lowest id wins, q21 semantics),
+    * then anti-joins history digests. Shuffle volume is digests only,
+    * 32 bytes/row regardless of document size.
+    */
+  def incrementalExact(history: DataFrame, incoming: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val hist = history.select(sha2(col(textCol), 256).as("digest")).distinct()
+    incoming.groupBy(sha2(col(textCol), 256).as("digest"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .join(hist, Seq("digest"), "left_anti")
+      .drop("digest")
+  }
+
   /** MinHash parameters: k = bands × rowsPerBand signature slots.
     * b=32, r=4 puts the LSH S-curve threshold at (1/32)^(1/4) ≈ 0.42,
     * comfortably below the 0.5 verification threshold → near-perfect

@@ -1221,7 +1221,35 @@ object Pipeline {
       FROM l
       ORDER BY label"""))
 
+  /** Incremental exact dedup — the ingest-time "dedup today's crawl
+    * against the landed corpus" workflow (q21 is the one-shot batch
+    * form). History = doc_id % 3 ≠ 0, incoming = doc_id % 3 = 0;
+    * the incoming batch collapses within itself (lowest id wins),
+    * then anti-joins the history DIGEST set — document bodies never
+    * shuffle, and at scale the history digest table is maintained
+    * incrementally and bucketed so the anti join is exchange-free.
+    */
+  val q75 = Q(
+    "q75_incremental_dedup",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      Dedup.incrementalExact(
+          docs.filter(col("doc_id") % 3 =!= 0),
+          docs.filter(col("doc_id") % 3 === 0),
+          "text", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH inc AS (
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies, text
+        FROM documents WHERE doc_id % 3 = 0 GROUP BY text)
+      SELECT doc_id, n_copies
+      FROM inc
+      WHERE NOT EXISTS (SELECT 1 FROM documents h
+                        WHERE h.doc_id % 3 <> 0 AND h.text = inc.text)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
-    q68, q69, q70, q71, q72, q73, q74)
+    q68, q69, q70, q71, q72, q73, q74, q75)
 }
