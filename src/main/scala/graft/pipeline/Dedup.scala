@@ -173,6 +173,49 @@ object Dedup extends Serializable {
     Similarity.materializeAndRelease(verified, Seq(sh, buckets))
   }
 
+  /** Incremental MinHash near-dup — the ingest-time twin of
+    * [[minhashNearDups]]: flag incoming docs that near-duplicate the
+    * already-landed corpus. Both sides compute band keys map-side;
+    * the join is incoming-bands ⋈ history-bands on (band, bucket) —
+    * at scale the history band index is a table maintained
+    * incrementally (append new docs' bands per batch) and bucketed on
+    * (band, bucket), so only the incoming batch shuffles. Candidates
+    * verify on exact shingle sets. Returns one row per matched
+    * incoming doc: (id, n_matches, best_jaccard).
+    */
+  def incrementalMinhash(history: DataFrame, incoming: DataFrame,
+      textCol: String, idCol: String, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(history.sparkSession)
+    def prep(df: DataFrame) = graft.operators.FanOut(df)
+      .select(col(idCol).as("id"),
+        TextOps.shinglesKernel()(TextOps.words(col(textCol))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def bands(sh: DataFrame) = sh
+      .select(col("id"),
+        posexplode(call_function("graft_minhash_bands", col("sh")))
+          .as(Seq("band", "bucket")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val shH = prep(history); val shI = prep(incoming)
+    val bH = bands(shH); val bI = bands(shI)
+    bH.count(); bI.count()
+    val pairs = bI.as("x")
+      .join(bH.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket"))
+      .select(col("x.id").as("id"), col("y.id").as("hid"))
+      .distinct()
+    val verified = pairs
+      .join(shI.select(col("id"), col("sh").as("sh_i")), "id")
+      .join(shH.select(col("id").as("hid"), col("sh").as("sh_h")), "hid")
+      .select(col("id"),
+        jaccardKernel(col("sh_i"), col("sh_h")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_matches"), max(col("jaccard")).as("best_jaccard"))
+    Similarity.materializeAndRelease(verified, Seq(shH, shI, bH, bI))
+  }
+
   /** Exact Jaccard of two already-distinct string arrays — identical
     * to size(array_intersect)/size(array_union) on distinct inputs
     * (int-derived division, bit-exact across engines).

@@ -1249,7 +1249,46 @@ object Pipeline {
                         WHERE h.doc_id % 3 <> 0 AND h.text = inc.text)
       ORDER BY doc_id"""))
 
+  /** Incremental near-dup — q75's MinHash twin: flag incoming docs
+    * (doc_id % 3 = 0) that near-duplicate the landed corpus at
+    * Jaccard ≥ 0.5. Incoming band keys probe the history band index
+    * (incrementally maintained and bucketed at scale — only the
+    * incoming batch shuffles); candidates verify on exact shingle
+    * sets. The oracle recomputes the exact cross-side all-pairs
+    * Jaccard via the shared-shingle join, so recall is differentially
+    * proven, not assumed.
+    */
+  val q76 = Q(
+    "q76_incremental_neardup",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      Dedup.incrementalMinhash(
+          docs.filter(col("doc_id") % 3 =!= 0),
+          docs.filter(col("doc_id") % 3 === 0),
+          "text", "doc_id", threshold = 0.5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)),
+      pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+                FROM sh x JOIN sh y ON x.s = y.s
+                WHERE x.doc_id % 3 = 0 AND y.doc_id % 3 <> 0
+                GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      j AS (SELECT a, inter*1.0/(sa.n + sb.n - inter) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.5)
+      SELECT a AS doc_id, COUNT(*) AS n_matches, MAX(jaccard) AS best_jaccard
+      FROM j
+      GROUP BY a
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
-    q68, q69, q70, q71, q72, q73, q74, q75)
+    q68, q69, q70, q71, q72, q73, q74, q75, q76)
 }

@@ -23,6 +23,20 @@ class PipelineSpec extends SparkSpec {
     assert(rows(1) == Seq.empty) // shorter than n → empty, not garbage
   }
 
+  test("incremental dedup: history hit dropped, batch collapses, novel kept") {
+    val history = Seq((1L, "seen before"), (2L, "other doc")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "seen before"),   // exact history dup → dropped
+      (11L, "fresh one"),     // novel, duplicated within batch
+      (12L, "fresh one"),     //   → collapses to id 11, n_copies 2
+      (13L, "unique new")     // novel singleton
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalExact(history, incoming, "text", "doc_id")
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(kept.toSeq == Seq((11L, 2L), (13L, 1L)))
+  }
+
   test("minhash signature similarity estimates Jaccard") {
     // two strings sharing ~half their shingles
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
