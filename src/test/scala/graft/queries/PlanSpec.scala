@@ -173,4 +173,17 @@ class PlanSpec extends SparkSpec {
         s"${q.name} must stay a pure explode+aggregate pipeline:\n$p")
     }
   }
+
+  test("q75/q76: incremental dedup joins are hash joins, never nested loops") {
+    Seq(Pipeline.q75, Pipeline.q76).foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"${q.name} must join on keys (digest / band-bucket):\n$p")
+    }
+    // q75's history side must reduce to digests before the anti join —
+    // an anti join against raw documents would ship bodies
+    val p75 = plan(Pipeline.q75)
+    assert(p75.contains("LeftAnti"), s"expected a left-anti probe:\n$p75")
+  }
 }
