@@ -37,6 +37,30 @@ class PipelineSpec extends SparkSpec {
     assert(kept.toSeq == Seq((11L, 2L), (13L, 1L)))
   }
 
+  test("incremental dedup == one-shot dedup restricted to novel incoming (seeded random)") {
+    // invariant: incrementalExact(h, i) keeps exactly the q21-canonical
+    // incoming docs whose text has NO copy in history — i.e. run
+    // exact() on the union, keep rows whose canonical lives in the
+    // incoming side AND whose text never appears in history
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 3) {
+      val texts = (0 until 12).map(i => s"text body $i")
+      val rows = (0 until 120).map { i =>
+        (i.toLong, texts(rnd.nextInt(texts.length)),
+          rnd.nextInt(3) == 0) // ~1/3 incoming
+      }
+      val df = rows.toDF("doc_id", "text", "inc")
+      val (h, i) = (df.filter(!col("inc")), df.filter(col("inc")))
+      val got = Dedup.incrementalExact(h, i, "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val histTexts = rows.filter(!_._3).map(_._2).toSet
+      val expect = rows.filter(_._3).filterNot(r => histTexts(r._2))
+        .groupBy(_._2).values
+        .map(g => (g.map(_._1).min, g.size.toLong)).toSet
+      assert(got == expect, s"trial $trial: $got != $expect")
+    }
+  }
+
   test("minhash signature similarity estimates Jaccard") {
     // two strings sharing ~half their shingles
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
