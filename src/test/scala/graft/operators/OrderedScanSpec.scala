@@ -29,6 +29,31 @@ class OrderedScanSpec extends SparkSpec {
     }
   }
 
+  test("runningTotal == single window with MULTI-column order (q72's hash-order shape)") {
+    // ord = (hash-like string, tiebreak id), bucket monotone in the
+    // FIRST order column only — the stratified-draw decomposition
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 300).map { i =>
+      (s"k${rnd.nextInt(4)}", f"${rnd.nextInt(64)}%02x", i.toLong, rnd.nextInt(9) + 1L)
+    }
+    val df = rows.toDF("key", "h", "tb", "v")
+    val ref = df.withColumn("rk",
+      sum(col("v")).over(Window.partitionBy(col("key"))
+        .orderBy(col("h"), col("tb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    for (width <- Seq(1, 4, 16)) {
+      // bucket = leading hex chunk: monotone in h (fixed-width hex)
+      val got = OrderedScan.runningTotal(df, col("key"),
+        Seq(col("h"), col("tb")), col("v"),
+        floor(conv(col("h"), 16, 10) / width), "rk")
+      assert(ref.select("key", "tb", "rk")
+        .exceptAll(got.select("key", "tb", "rk")).isEmpty &&
+        got.count() == ref.count(),
+        s"multi-ord runningTotal diverges at bucket width $width")
+    }
+  }
+
   test("laggedHead == single-window lag (events, incl. duplicate order keys)") {
     val ev = Tables(spark, sf, "events")
       .select(col("event_type"), col("event_id"), col("ts_ns"))
