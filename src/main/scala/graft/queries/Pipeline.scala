@@ -1288,7 +1288,47 @@ object Pipeline {
       GROUP BY a
       ORDER BY doc_id"""))
 
+  /** Table statistics — the ANALYZE / system.columns analog: per
+    * column, row/null/exact-distinct counts and min/max, from ONE
+    * scan producing ONE aggregate row (unpivoted driver-side — a
+    * 6-value row per column, never a per-column rescan). min/max
+    * render as strings so every column fits one schema; documents'
+    * columns are int64/string, where string rendering is
+    * deterministic across engines.
+    */
+  val q77 = Q(
+    "q77_table_stats",
+    (spark, dir) =>
+      graft.operators.Analyze.stats(Tables(spark, dir, "documents"),
+        Seq("doc_id", "lang", "n_chars", "source", "text"))
+        .orderBy(col("column")),
+    Some("""
+      WITH s AS (
+        SELECT 'doc_id' AS "column", COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(doc_id) AS n_null,
+               COUNT(DISTINCT doc_id) AS n_distinct,
+               CAST(MIN(doc_id) AS VARCHAR) AS min,
+               CAST(MAX(doc_id) AS VARCHAR) AS max FROM documents
+        UNION ALL
+        SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+               COUNT(DISTINCT lang),
+               MIN(lang), MAX(lang) FROM documents
+        UNION ALL
+        SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+               COUNT(DISTINCT n_chars),
+               CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+        FROM documents
+        UNION ALL
+        SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+               COUNT(DISTINCT source),
+               MIN(source), MAX(source) FROM documents
+        UNION ALL
+        SELECT 'text', COUNT(*), COUNT(*) - COUNT(text),
+               COUNT(DISTINCT text),
+               MIN(text), MAX(text) FROM documents)
+      SELECT * FROM s ORDER BY "column""""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
-    q68, q69, q70, q71, q72, q73, q74, q75, q76)
+    q68, q69, q70, q71, q72, q73, q74, q75, q76, q77)
 }
