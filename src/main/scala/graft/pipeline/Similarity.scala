@@ -340,6 +340,49 @@ object Similarity extends Serializable {
         col("nid").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** kNN label propagation — classify each query vector by majority
+    * vote of its `k` nearest labeled corpus vectors (cosine), the
+    * cheap quality-classifier / weak-labeling step of a training-data
+    * pipeline (label noise audit, pseudo-labeling an unlabeled crawl
+    * slice from a labeled seed set).
+    *
+    * Same scan shape as [[bruteForceTopK]]: the query side broadcasts,
+    * the labeled corpus is scanned ONCE with no shuffle of its
+    * vectors; only (query × k) tiny vote rows shuffle into the
+    * aggregate. Vote ties break to the label holding the nearer
+    * neighbor (min rank — integer-deterministic given the rank order,
+    * which ties on neighbor id like every top-k here).
+    *
+    * Returns (query_id, pred_label, votes, best_rank) — one row per
+    * query. All-integer outputs: nothing float crosses the aggregate,
+    * so the oracle reproduces it exactly.
+    */
+  def knnClassify(corpusDf: DataFrame, queriesDf: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpusDf.sparkSession)
+    val corpus = corpusDf.select(col(idCol).as("nid"),
+        col(labelCol).as("nlabel"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", sqrt(call_function("graft_dot", col("cv"), col("cv"))))
+    val queries = withNorm(queriesDf, idCol, vecCol, "qid", "qv", "qn")
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), col("nlabel"),
+        cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    val voted = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col("qid"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"), min(col("rank")).as("best_rank"))
+    val pick = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("best_rank").asc)
+    voted.withColumn("_rk", row_number().over(pick))
+      .filter(col("_rk") === 1)
+      .select(col("qid").as("query_id"), col("nlabel").as("pred_label"),
+        col("votes"), col("best_rank"))
+  }
+
   /** Primitive-array dot — same left-to-right IEEE accumulation as
     * [[dot]]/[[dotKernel]].
     */

@@ -207,6 +207,70 @@ object TextOps extends Serializable {
       least(stopRatio * 10.0, lit(1.0)) * 0.5
   }
 
+  /** Whole-word alternation pattern for blocklist scrubbing — the
+    * PII-redaction / banned-term-removal machinery (emails, phones,
+    * profanity lists, …): the term list compiles ONCE into a single
+    * `\b(t1|t2|…)\b` regex that `regexp_replace` / `regexp_count`
+    * evaluate inside whole-stage codegen — no UDF, no per-term pass.
+    * Terms are regex-quoted so a literal list can never inject
+    * metacharacters. `\b` is ASCII word-boundary in both Java regex
+    * and RE2, so the oracle recomputes the identical scrub.
+    */
+  def scrubPattern(terms: Seq[String]): String =
+    terms.map(java.util.regex.Pattern.quote)
+      // Pattern.quote emits \Q…\E which RE2 (the oracle's engine)
+      // also honors; the alternation itself is shared syntax
+      .mkString("\\b(", "|", ")\\b")
+
+  /** Occurrences of any blocklist term (multiplicity-weighted). */
+  def scrubHits(text: Column, terms: Seq[String]): Column =
+    regexp_count(text, lit(scrubPattern(terms)))
+
+  /** Text with every blocklist term replaced by `repl`. */
+  def scrubText(text: Column, terms: Seq[String], repl: String): Column =
+    regexp_replace(text, scrubPattern(terms), repl)
+
+  /** Overlapping sliding-window chunks — the training-sequence cutter:
+    * windows of `w` words starting every `s` words (s < w ⇒ overlap =
+    * context carried across chunk boundaries, the standard LLM
+    * pretraining / RAG-indexing split). One chunk starts at every
+    * position 0, s, 2s, … < len(ws); the final chunks may be shorter
+    * than `w`. Unlike [[chunks]] (non-overlapping, exact multiples
+    * only) no word is ever dropped. Column form is the executable
+    * spec; the hot path is [[slidingChunksKernel]].
+    */
+  def slidingChunks(ws: Column, w: Int, s: Int): Column =
+    when(size(ws) > 0,
+      transform(sequence(lit(0), floor((size(ws) - 1) / s).cast("int")), i =>
+        concat_ws(" ", slice(ws, i * s + lit(1), lit(w)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** JVM kernel for [[slidingChunks]]: identical output including
+    * order and tail handling (PipelineSpec proves bit-equality). The
+    * HOF form pays interpreted slice+concat per window.
+    */
+  def slidingChunksKernel(w: Int, s: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (ws: Seq[String]) =>
+      if (ws == null) null
+      else if (ws.isEmpty) Array.empty[String]
+      else {
+        val arr = ws.toArray
+        val n = (arr.length - 1) / s + 1
+        val out = new Array[String](n)
+        var i = 0
+        while (i < n) {
+          val from = i * s
+          val until = math.min(from + w, arr.length)
+          val sb = new java.lang.StringBuilder(arr(from))
+          var k = from + 1
+          while (k < until) { sb.append(' ').append(arr(k)); k += 1 }
+          out(i) = sb.toString
+          i += 1
+        }
+        out
+      }
+    }
+
   /** Per-word integer code used by the rolling-hash fingerprint:
     * first-codepoint * 31 + length. `ascii` (Spark) and `unicode`
     * (DuckDB) both return the first codepoint.

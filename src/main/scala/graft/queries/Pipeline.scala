@@ -1328,7 +1328,257 @@ object Pipeline {
                MIN(text), MAX(text) FROM documents)
       SELECT * FROM s ORDER BY "column""""))
 
+  /** Blocklist scrub — the PII-redaction machinery (the term list
+    * stands in for email/phone/profanity patterns, chosen from the
+    * synthetic corpus's vocabulary so the scrub actually fires): ONE
+    * compiled whole-word alternation evaluated by codegen'd
+    * regexp_count / regexp_replace — no UDF, no per-term pass. The
+    * md5 of every scrubbed text folds into per-source min/max, so the
+    * oracle differentially verifies the redacted CONTENT, not just
+    * the hit counts.
+    */
+  val q78 = {
+    val terms = Seq("customer", "vector", "merge")
+    val repl = "[REDACTED]"
+    val pat = TextOps.scrubPattern(terms)
+    Q(
+      "q78_blocklist_scrub",
+      (spark, dir) => {
+        val scrubbed = TextOps.scrubText(col("text"), terms, repl)
+        Tables(spark, dir, "documents")
+          .select(col("source"),
+            TextOps.scrubHits(col("text"), terms).as("hits"),
+            md5(scrubbed).as("h"),
+            (length(col("text")) - length(scrubbed)).cast("long")
+              .as("delta"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("hits") > 0, 1L).otherwise(0L)).as("docs_hit"),
+            sum(col("hits").cast("long")).as("total_hits"),
+            sum(col("delta")).as("chars_delta"),
+            min(col("h")).as("min_h"),
+            max(col("h")).as("max_h"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+      WITH s AS (
+        SELECT source,
+               len(regexp_extract_all(text, '$pat')) AS hits,
+               md5(regexp_replace(text, '$pat', '$repl', 'g')) AS h,
+               len(text) - len(regexp_replace(text, '$pat', '$repl', 'g'))
+                 AS delta
+        FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_hit,
+             CAST(SUM(hits) AS BIGINT) AS total_hits,
+             CAST(SUM(delta) AS BIGINT) AS chars_delta,
+             MIN(h) AS min_h, MAX(h) AS max_h
+      FROM s
+      GROUP BY source
+      ORDER BY source"""))
+  }
+
+  /** Overlapping sliding-window chunking — the training-sequence /
+    * RAG-index cutter (w-word windows every s words, s < w ⇒ overlap
+    * carries context across boundaries; tail chunks run short rather
+    * than dropping words). Chunk md5s fold into per-language min/max
+    * so chunk CONTENT is differentially verified, like q78.
+    */
+  val q79 = {
+    val w = 8
+    val s = 5
+    Q(
+      "q79_sliding_chunks",
+      (spark, dir) =>
+        graft.operators.FanOut(Tables(spark, dir, "documents"))
+          .select(col("lang"),
+            explode(TextOps.slidingChunksKernel(w, s)(
+              TextOps.words(col("text")))).as("chunk"))
+          .select(col("lang"),
+            size(split(col("chunk"), " ")).cast("long").as("n_words"),
+            md5(col("chunk")).as("h"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(col("n_words")).as("chunk_words"),
+            sum(when(col("n_words") === w, 1L).otherwise(0L))
+              .as("full_chunks"),
+            min(col("h")).as("min_h"),
+            max(col("h")).as("max_h"))
+          .orderBy(col("lang")),
+      Some(s"""
+      WITH wd AS (SELECT lang, string_split(text, ' ') AS ws
+                  FROM documents),
+      ch AS (SELECT lang,
+               list_aggregate(ws[(i-1)*$s+1:(i-1)*$s+$w], 'string_agg', ' ')
+                 AS chunk
+             FROM wd, UNNEST(range(1, (len(ws)-1)//$s + 2)) AS t(i)),
+      m AS (SELECT lang, len(string_split(chunk, ' '))::BIGINT AS n_words,
+              md5(chunk) AS h
+            FROM ch)
+      SELECT lang, COUNT(*) AS n_chunks,
+             CAST(SUM(n_words) AS BIGINT) AS chunk_words,
+             CAST(SUM(CASE WHEN n_words = $w THEN 1 ELSE 0 END) AS BIGINT)
+               AS full_chunks,
+             MIN(h) AS min_h, MAX(h) AS max_h
+      FROM m
+      GROUP BY lang
+      ORDER BY lang"""))
+  }
+
+  /** kNN label propagation — pseudo-label the held-out slice
+    * (vec_id % 10 = 0) from the labeled remainder by majority vote of
+    * the 5 nearest cosine neighbors; the weak-labeling / label-noise
+    * audit step of a training-data pipeline. Query side broadcasts,
+    * corpus scans once (the q23 shape); the vote aggregate ships only
+    * (query × k) integer rows, and every output column is integral,
+    * so the whole classifier is oracle-exact end to end.
+    */
+  val q80 = Q(
+    "q80_knn_label",
+    (spark, dir) => {
+      val emb = Tables(spark, dir, "embeddings")
+      Similarity.knnClassify(
+          emb.filter(col("vec_id") % 10 =!= 0),
+          emb.filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", "label", k = 5)
+        .select(col("query_id"), col("pred_label").cast("long").as("pred_label"),
+          col("votes"), col("best_rank").cast("long").as("best_rank"))
+        .orderBy(col("query_id"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      q AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+      c AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+      s AS (SELECT q.vec_id AS qid, c.vec_id AS nid, c.label AS nlabel,
+              list_dot_product(q.v, c.v) /
+                (sqrt(list_dot_product(q.v, q.v)) *
+                 sqrt(list_dot_product(c.v, c.v))) AS cos
+            FROM q JOIN c ON c.vec_id <> q.vec_id),
+      r AS (SELECT qid, nid, nlabel,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY cos DESC, nid) AS rn
+            FROM s),
+      v AS (SELECT qid, nlabel, COUNT(*) AS votes, MIN(rn) AS best_rank
+            FROM r WHERE rn <= 5 GROUP BY qid, nlabel),
+      p AS (SELECT qid, nlabel, votes, best_rank,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY votes DESC, best_rank) AS pk
+            FROM v)
+      SELECT qid AS query_id, CAST(nlabel AS BIGINT) AS pred_label,
+             votes, best_rank
+      FROM p WHERE pk = 1
+      ORDER BY query_id"""))
+
+  /** Deterministic global shuffle + shard packing — the
+    * training-data-order step: every epoch's order must be
+    * reproducible from a seed alone, so the order is md5(seed:doc_id)
+    * (engine-recomputable, unbiased w.r.t. any document attribute)
+    * and shard = rank div perShard. No global sort: rank is the q72
+    * bucket-decomposed running count (16-way by first hex digit —
+    * at cluster scale the bucket widens to more hex digits), so the
+    * "shuffle" is two partial-agg passes and a summary-level stitch.
+    */
+  val q81 = {
+    val perShard = 64
+    Q(
+      "q81_shuffle_shard",
+      (spark, dir) => {
+        val docs = graft.operators.FanOut(Tables(spark, dir, "documents"))
+          .select(col("doc_id"),
+            size(TextOps.words(col("text"))).cast("long").as("n_tokens"),
+            md5(concat(lit("shard:"), col("doc_id").cast("string"))).as("h"))
+        graft.operators.OrderedScan.runningTotal(docs,
+            key = lit(1), ord = Seq(col("h"), col("doc_id")),
+            value = lit(1L),
+            bucket = conv(substring(col("h"), 1, 1), 16, 10).cast("long"),
+            as = "rk")
+          .withColumn("shard",
+            floor((col("rk") - 1).cast("double") / perShard).cast("long"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("shard_tokens"),
+            min(col("h")).as("first_h"),
+            max(col("h")).as("last_h"))
+          .orderBy(col("shard"))
+      },
+      Some(s"""
+      WITH h AS (
+        SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+               md5('shard:' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents),
+      r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rk FROM h)
+      SELECT CAST((rk-1)//$perShard AS BIGINT) AS shard,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+             MIN(h) AS first_h, MAX(h) AS last_h
+      FROM r
+      GROUP BY 1
+      ORDER BY shard"""))
+  }
+
+  /** Per-source distinctive terms — TF-IDF with the linear-idf
+    * variant score = tf · N / df, which keeps the score a single
+    * exact-integer multiply and ONE IEEE division (identical bits in
+    * both engines — a log-based idf would hang cross-engine equality
+    * on libm rounding). Where q70 ranks raw per-language counts,
+    * this cross-normalizes by corpus-wide document frequency: the
+    * "what is peculiar to this source" signal used for source-level
+    * quality triage. df is an exact distinct count of (word, doc)
+    * pairs; everything shuffles as (token, count) rows, never bodies.
+    */
+  val q82 = {
+    val k = 3
+    Q(
+      "q82_tfidf_terms",
+      (spark, dir) => {
+        val docs = Tables(spark, dir, "documents")
+        val n = docs.agg(count(lit(1)).as("n_total"))
+        val tok = graft.operators.FanOut(docs)
+          .select(col("source"), col("doc_id"),
+            explode(TextOps.words(col("text"))).as("word"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tf = tok.groupBy(col("source"), col("word"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tok.select(col("doc_id"), col("word")).distinct()
+          .groupBy(col("word")).agg(count(lit(1)).as("df"))
+        val scored = tf.join(dfreq, "word").crossJoin(broadcast(n))
+          .withColumn("score",
+            col("tf").cast("double") * col("n_total").cast("double") /
+              col("df").cast("double"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("score").desc, col("word").asc)
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+          .select(col("source"), col("rk").cast("long").as("rk"),
+            col("word"), col("tf"), col("df"),
+            round(col("score"), 6).as("score"))
+          .orderBy(col("source"), col("rk"))
+      },
+      Some(s"""
+      WITH tok AS (SELECT source, doc_id,
+                     UNNEST(string_split(text, ' ')) AS word
+                   FROM documents),
+      tf AS (SELECT source, word, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      dfreq AS (SELECT word, COUNT(*) AS df
+                FROM (SELECT DISTINCT doc_id, word FROM tok) GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_total FROM documents),
+      sc AS (SELECT source, word, tf, df,
+               CAST(tf AS DOUBLE) * CAST(n_total AS DOUBLE) /
+                 CAST(df AS DOUBLE) AS score
+             FROM tf JOIN dfreq USING (word) CROSS JOIN n),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY score DESC, word) AS rk
+            FROM sc)
+      SELECT source, rk, word, tf, df, ROUND(score, 6) AS score
+      FROM r WHERE rk <= $k
+      ORDER BY source, rk"""))
+  }
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
-    q68, q69, q70, q71, q72, q73, q74, q75, q76, q77)
+    q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
+    q81, q82)
 }

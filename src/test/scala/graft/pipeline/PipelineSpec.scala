@@ -101,6 +101,147 @@ class PipelineSpec extends SparkSpec {
     assert(found.exceptAll(truth).isEmpty, "verification let a false pair through")
   }
 
+  test("sliding chunks: coverage, overlap, tails; kernel bit-identical to spec") {
+    // hand-checked shape: 7 words, w=3, s=2 → starts 0,2,4,6; last
+    // chunks run short instead of dropping words
+    val rows = Seq("a b c d e f g").toDF("text")
+      .select(TextOps.slidingChunks(TextOps.words(col("text")), 3, 2).as("ch"))
+      .collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("a b c", "c d e", "e f g", "g"))
+    // every word position is covered by at least one chunk, and the
+    // kernel matches the Column spec exactly (order + tails) on the
+    // corpus and the edge rows (empty doc, len < w, len == w)
+    val edge = Seq("", "a", "a b", "a b c", "a b c d e").toDF("text")
+    Seq(docs.limit(100), edge).foreach { d =>
+      d.select(
+          TextOps.slidingChunks(TextOps.words(col("text")), 8, 5).as("ref"),
+          TextOps.slidingChunksKernel(8, 5)(TextOps.words(col("text")))
+            .as("fast"))
+        .collect()
+        .foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
+          "sliding-chunk kernel diverges"))
+    }
+    // reconstruction: with s <= w, stitching each chunk's first s
+    // words (plus the last chunk's remainder) rebuilds the document
+    val doc = (1 to 23).map(i => s"t$i").mkString(" ")
+    val chunks = Seq(doc).toDF("text")
+      .select(TextOps.slidingChunksKernel(8, 5)(TextOps.words(col("text")))
+        .as("ch")).collect()(0).getSeq[String](0)
+    val rebuilt = (chunks.init.map(_.split(" ").take(5).mkString(" ")) :+
+      chunks.last).mkString(" ")
+    assert(rebuilt == doc, "sliding chunks lost or duplicated words")
+  }
+
+  test("blocklist scrub: counts and redaction match the word-level spec") {
+    val terms = Seq("customer", "vector", "merge")
+    val naiveHits = udf { (s: String) =>
+      s.split(" ").count(terms.contains(_)) }
+    val naiveScrub = udf { (s: String) =>
+      s.split(" ").map(w => if (terms.contains(w)) "[X]" else w)
+        .mkString(" ") }
+    // corpus words are space-separated, so the regex \b scrub must
+    // agree exactly with the word-split spec
+    val d = docs.limit(200).select(col("text"),
+      TextOps.scrubHits(col("text"), terms).as("hits"),
+      naiveHits(col("text")).as("hits_spec"),
+      TextOps.scrubText(col("text"), terms, "[X]").as("scrubbed"),
+      naiveScrub(col("text")).as("scrubbed_spec"))
+    d.collect().foreach { r =>
+      assert(r.getAs[Int]("hits") == r.getAs[Int]("hits_spec"),
+        "scrub hit count diverges from word-level spec")
+      assert(r.getAs[String]("scrubbed") == r.getAs[String]("scrubbed_spec"),
+        "scrubbed text diverges from word-level spec")
+    }
+    // substrings must NOT match: "customers" is not "customer"
+    val sub = Seq("customers merge mergers vectorize vector").toDF("text")
+      .select(TextOps.scrubHits(col("text"), terms).as("h"))
+      .collect()(0).getInt(0)
+    assert(sub == 2, s"whole-word boundary violated: $sub hits, want 2")
+  }
+
+  test("knn classify: majority wins, ties break to the nearer neighbor") {
+    // 2-d unit vectors: queries at 0° pick among corpus at ±small
+    // angles. q1 (id 0): three label-1 neighbors beat two closer
+    // label-2s. q2 (id 100): 2-2 vote tie between labels 1 and 2 →
+    // label 2 holds the single nearest neighbor and must win.
+    def v(deg: Double) = Array(math.cos(math.toRadians(deg)),
+      math.sin(math.toRadians(deg)))
+    val corpus = Seq(
+      (1L, 1, v(8)), (2L, 1, v(9)), (3L, 1, v(10)),
+      (4L, 2, v(1)), (5L, 2, v(2)),
+      (11L, 1, v(30)), (12L, 1, v(31)),
+      (13L, 2, v(29)), (14L, 2, v(32)),
+      (15L, 3, v(80))
+    ).toDF("vec_id", "label", "embedding")
+    val queries = Seq(
+      (0L, 0, v(5)),    // k=5 votes: labels {2,2,1,1,1} → 1 by majority
+      (100L, 0, v(29.4))// k=4 → {2(rank1),1,1,2} tie → 2 (best_rank 1)
+    ).toDF("vec_id", "label", "embedding")
+    val got5 = Similarity.knnClassify(
+        corpus.filter(col("vec_id") < 10), queries.filter(col("vec_id") === 0),
+        "vec_id", "embedding", "label", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got5 == Seq((0L, 1, 3L)), s"majority vote wrong: ${got5.toList}")
+    val got4 = Similarity.knnClassify(
+        corpus.filter(col("vec_id") >= 10), queries.filter(col("vec_id") === 100L),
+        "vec_id", "embedding", "label", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got4 == Seq((100L, 2, 2L)), s"tie-break wrong: ${got4.toList}")
+  }
+
+  test("shuffle-shard: a permutation — every doc in exactly one shard, sizes exact") {
+    val perShard = 64
+    val d = graft.operators.FanOut(docs)
+      .select(col("doc_id"),
+        md5(concat(lit("shard:"), col("doc_id").cast("string"))).as("h"))
+    val ranked = graft.operators.OrderedScan.runningTotal(d,
+        key = lit(1), ord = Seq(col("h"), col("doc_id")), value = lit(1L),
+        bucket = conv(substring(col("h"), 1, 1), 16, 10).cast("long"),
+        as = "rk")
+      .withColumn("shard",
+        floor((col("rk") - 1).cast("double") / perShard).cast("long"))
+    val n = docs.count()
+    // ranks are exactly 1..n (a permutation), so shards partition the
+    // corpus: all full except possibly the last
+    assert(ranked.select("rk").distinct().count() == n)
+    assert(ranked.agg(min("rk"), max("rk")).collect()(0).toSeq ==
+      Seq(1L, n))
+    val sizes = ranked.groupBy("shard").count()
+      .orderBy("shard").collect().map(_.getLong(1))
+    assert(sizes.init.forall(_ == perShard),
+      s"non-final shard not full: ${sizes.toList}")
+    assert(sizes.last == (if (n % perShard == 0) perShard else n % perShard))
+    // determinism: same seed → same assignment on re-run
+    val again = graft.operators.OrderedScan.runningTotal(d,
+        key = lit(1), ord = Seq(col("h"), col("doc_id")), value = lit(1L),
+        bucket = conv(substring(col("h"), 1, 1), 16, 10).cast("long"),
+        as = "rk")
+    assert(ranked.select("doc_id", "rk").exceptAll(
+      again.select("doc_id", "rk")).isEmpty)
+  }
+
+  test("tf-idf linear-idf: hand-computed toy corpus") {
+    // 4 docs, 2 sources. "rare" occurs twice but only in doc 1 (df=1);
+    // "common" is everywhere (df=4); "x" is in both s2 docs (df=2):
+    // score(rare@s1) = 2*4/1 = 8 > x@s2 = 2*4/2 = 4 > common = 2*4/4 = 2
+    val d = Seq(
+      (1L, "s1", "rare rare common"), (2L, "s1", "common y"),
+      (3L, "s2", "common x"), (4L, "s2", "common x")
+    ).toDF("doc_id", "source", "text")
+    val tok = d.select(col("source"), col("doc_id"),
+      explode(TextOps.words(col("text"))).as("word"))
+    val tf = tok.groupBy("source", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "word")
+      .withColumn("score", col("tf").cast("double") * 4.0 / col("df").cast("double"))
+      .collect().map(r => ((r.getAs[String]("source"), r.getAs[String]("word")),
+        r.getAs[Double]("score"))).toMap
+    assert(scored(("s1", "rare")) == 8.0)
+    assert(scored(("s1", "common")) == 2.0)
+    assert(scored(("s2", "x")) == 4.0)
+  }
+
   test("kernels are bit-identical to their Column-expression specs") {
     // shingles: kernel vs Column form, including distinct order
     val shc = docs.limit(100).select(
