@@ -173,12 +173,44 @@ object Bench {
         System.err.println(s"[bench] wire bench failed: ${e.getMessage}")
         ""
       }
+    // Z-order skipping ratio, archived as a number (VERDICT r4 #8):
+    // row groups a reader must touch for q63's secondary-dimension
+    // slice (user_id ∈ [100,200]) under the z-order layout vs a plain
+    // time-sorted layout at the SAME file/row-group budget. Untimed —
+    // this is a layout property, not query work. 64 KB groups give
+    // ~hundreds of groups from sf0.1 so the ratio has resolution; the
+    // production default (128 MB) skips whole files instead.
+    val zorderJson =
+      if (only.isDefined) ""
+      else try {
+        import org.apache.spark.sql.functions._
+        val ev = graft.Tables(spark, sfDir, "events")
+          .select(col("event_id"), col("user_id"), col("ts_ns"), col("value"))
+        val base = java.nio.file.Files.createTempDirectory("graft-zbench-")
+        val (zDir, tDir) = (s"$base/z", s"$base/t")
+        graft.sources.ZOrderLayout.write(ev,
+          expr("ts_ns div 86400000000000"), col("user_id"), zDir,
+          rowGroupBytes = 64 * 1024)
+        ev.repartitionByRange(8, col("ts_ns"))
+          .sortWithinPartitions(col("ts_ns"))
+          .write.mode("overwrite")
+          .option("parquet.block.size", (64 * 1024).toLong).parquet(tDir)
+        val (zc, zt) = graft.sources.ZOrderLayout
+          .candidateGroups(zDir, "user_id", 100L, 200L)
+        val (tc, tt) = graft.sources.ZOrderLayout
+          .candidateGroups(tDir, "user_id", 100L, 200L)
+        graft.streaming.Parts.deleteTree(base)
+        s""","zorder":{"z":$zc,"z_total":$zt,"t":$tc,"t_total":$tt}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] zorder measure failed: ${e.getMessage}")
+        ""
+      }
     // The one stdout line; "failed" lets downstream consumers tell a
     // healthy total from one with crashed queries (ADVICE r2). sfDir
     // is escaped so a quote/backslash in the env var can't break the
     // record's JSON validity.
     val sfJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs$ingestJson$wireJson,"sf":"$sfJson"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs$ingestJson$wireJson$zorderJson,"sf":"$sfJson"}""")
     spark.stop()
   }
 }

@@ -36,6 +36,31 @@ object Verify {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+    // ANN recall, recorded IN the correctness dump (VERDICT r4 #7):
+    // q30 (LSH) and q38 (IVF) are rows-only for the driver because no
+    // SQL oracle can express them — but both run the same query set
+    // and k as q23's exact top-k, so recall@k against the exact dump
+    // from THIS run is a checked property, not just a ScalaTest floor.
+    // Floors match SimilaritySpec (LSH >= 0.45, IVF >= 0.30).
+    try {
+      def pairs(name: String): Set[(Long, Long)] =
+        spark.read.parquet(s"$outDir/$name")
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairs("q23_cosine_topk")
+      val rec = Seq(
+        ("q30_ann_topk", 0.45), ("q38_ivf_topk", 0.30)).map {
+        case (name, floor) =>
+          val r = (pairs(name) & exact).size.toDouble / exact.size
+          if (r < floor)
+            System.err.println(f"[verify] $name recall $r%.3f BELOW floor $floor")
+          s""""$name": {"recall": ${math.rint(r * 1000) / 1000}, "floor": $floor, "pass": ${r >= floor}}"""
+      }
+      Files.writeString(Paths.get(s"$outDir/recall.json"),
+        rec.mkString("{", ",", "}"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] recall check failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

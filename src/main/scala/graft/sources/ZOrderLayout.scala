@@ -82,6 +82,40 @@ object ZOrderLayout {
     outDir
   }
 
+  /** Row groups whose [min,max] footer stats for `column` intersect
+    * [lo, hi] — the measurable form of the skipping claim: a reader
+    * with predicate `column BETWEEN lo AND hi` must open exactly the
+    * candidate groups. Returns (candidates, total). Shared by
+    * ZOrderSpec's assertion and Bench's archived skipping ratio.
+    */
+  def candidateGroups(dir: String, column: String, lo: Long, hi: Long): (Int, Int) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val files = try listing.iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    finally listing.close()
+    var total = 0
+    var candidates = 0
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toString), conf))
+      try {
+        reader.getFooter.getBlocks.asScala.foreach { block =>
+          total += 1
+          val stats = block.getColumns.asScala
+            .find(_.getPath.toDotString == column).get.getStatistics
+          val (mn, mx) = (stats.genericGetMin.asInstanceOf[Number].longValue(),
+            stats.genericGetMax.asInstanceOf[Number].longValue())
+          if (mn <= hi && mx >= lo) candidates += 1
+        }
+      } finally reader.close()
+    }
+    (candidates, total)
+  }
+
   // one z-ordered copy per (source dir) per JVM, like
   // PartitionedLayout.events
   private val layouts = scala.collection.concurrent.TrieMap.empty[String, String]

@@ -1,14 +1,9 @@
 package graft.sources
 
 import graft.{SparkSpec, Tables}
-import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.functions._
 
-import java.nio.file.{Files, Paths}
-import scala.jdk.CollectionConverters._
+import java.nio.file.Files
 
 /** ZOrderLayout: morton code correctness, layout invariance (same
   * query answers from any layout), and the actual skipping claim —
@@ -39,30 +34,8 @@ class ZOrderSpec extends SparkSpec {
   }
 
   /** Row groups whose [min,max] user_id stats intersect [lo, hi]. */
-  private def candidateGroups(dir: String, lo: Long, hi: Long): (Int, Int) = {
-    val conf = new Configuration()
-    val listing = Files.list(Paths.get(dir))
-    val files = try listing.iterator().asScala
-      .filter(_.toString.endsWith(".parquet")).toSeq
-    finally listing.close()
-    var total = 0
-    var candidates = 0
-    files.foreach { f =>
-      val reader = ParquetFileReader.open(
-        HadoopInputFile.fromPath(new HPath(f.toString), conf))
-      try {
-        reader.getFooter.getBlocks.asScala.foreach { block =>
-          total += 1
-          val stats = block.getColumns.asScala
-            .find(_.getPath.toDotString == "user_id").get.getStatistics
-          val (mn, mx) = (stats.genericGetMin.asInstanceOf[Number].longValue(),
-            stats.genericGetMax.asInstanceOf[Number].longValue())
-          if (mn <= hi && mx >= lo) candidates += 1
-        }
-      } finally reader.close()
-    }
-    (candidates, total)
-  }
+  private def candidateGroups(dir: String, lo: Long, hi: Long): (Int, Int) =
+    ZOrderLayout.candidateGroups(dir, "user_id", lo, hi)
 
   test("z-order skips more row groups than a time sort on the user dimension") {
     val ev = Tables(spark, "/root/testdata/sf0.1", "events")
