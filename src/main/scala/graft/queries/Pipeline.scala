@@ -1547,10 +1547,19 @@ object Pipeline {
           .withColumn("score",
             col("tf").cast("double") * col("n_total").cast("double") /
               col("df").cast("double"))
+        // two-level top-K (the q56/q70 discipline): per-(source,
+        // word-bucket) candidates first, so no source's whole
+        // vocabulary ever lands on one task; the final window ranks
+        // sources × buckets × k candidate rows only
+        val w1 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"), pmod(xxhash64(col("word")), lit(32)))
+          .orderBy(col("score").desc, col("word").asc)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("source"))
           .orderBy(col("score").desc, col("word").asc)
-        scored.withColumn("rk", row_number().over(w))
+        scored.withColumn("r1", row_number().over(w1))
+          .filter(col("r1") <= k)
+          .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= k)
           .select(col("source"), col("rk").cast("long").as("rk"),
             col("word"), col("tf"), col("df"),

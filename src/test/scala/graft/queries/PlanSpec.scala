@@ -174,6 +174,62 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q78: blocklist scrub is a pure scan+agg — regex stays in codegen") {
+    val p = plan(Pipeline.q78)
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"scrub must be map-side + one aggregate exchange:\n$p")
+    assert(!p.contains("ScalaUDF"),
+      s"scrub must compile to native regexp expressions, not a UDF:\n$p")
+  }
+
+  test("q80: knn scores via broadcast of the query side — corpus never sort-merges") {
+    val p = plan(Pipeline.q80)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected the scoring cross join to broadcast the query side:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus vectors must not shuffle for the scoring scan:\n$p")
+  }
+
+  test("q81: shard rank window carries the hash bucket — no global sort") {
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (windows, sorts) = try {
+      val exec = Pipeline.q81.fn(spark, sf).queryExecution.executedPlan
+      (exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }, exec.collect {
+        case s: org.apache.spark.sql.execution.SortExec if s.global => s
+      })
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    // key = lit(1) constant-folds out of every partitionSpec, so the
+    // heavy within-window must still carry the hex bucket (length 1 —
+    // the bucket alone), and only the stitch window — fed one summary
+    // row per bucket — may run unpartitioned
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "expected the running-count window to carry the hex bucket")
+    assert(windows.count(_.partitionSpec.isEmpty) <= 1,
+      "more than one unpartitioned window — the decomposition degenerated")
+    // the only global sort allowed is the final ~n/perShard-row
+    // presentation orderBy, never one over document rows
+    assert(sorts.forall(_.child.output.exists(_.name == "shard")),
+      "global sort over pre-aggregate rows — the shuffle-shard must not globally sort documents")
+  }
+
+  test("q82: tf-idf ranks two-level and joins on keys — no vocabulary serialization") {
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (windows, p) = try {
+      val exec = Pipeline.q82.fn(spark, sf).queryExecution.executedPlan
+      (exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }, exec.toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    assert(windows.exists(_.partitionSpec.length > 1),
+      "expected a (source, word-bucket) candidate window")
+    assert(!p.contains("CartesianProduct"),
+      s"tf⋈df must hash-join on word; N joins as a 1-row broadcast:\n$p")
+  }
+
   test("q75/q76: incremental dedup joins are hash joins, never nested loops") {
     Seq(Pipeline.q75, Pipeline.q76).foreach { q =>
       val p = plan(q)
