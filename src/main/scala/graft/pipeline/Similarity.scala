@@ -383,6 +383,65 @@ object Similarity extends Serializable {
         col("votes"), col("best_rank"))
   }
 
+  /** Per-vector int8 quantization stats — the storage-compression
+    * step (FAISS SQ8 / vector-DB int8 columns): code_i =
+    * floor(v_i · 127/max|v|), 4x smaller than float32. The query
+    * surface reports reconstruction error, so the whole transform is
+    * oracle-checked: every per-dim squared error goes through
+    * floor(err²·1e12) fixed point (the q73 discipline — float→double
+    * is exact and each multiply/divide/floor is one IEEE op both
+    * engines round identically), so sums are exact integers and MSE
+    * is ONE double division at the end.
+    *
+    * Column-expression spec; [[quantStatsKernel]] is the identical
+    * hot path (PipelineSpec proves bit-equality). Returns a struct
+    * (fe = Σ_dim floor(err²·1e12), dim, maxq = max |code|): codes
+    * live in [-128, 127] — exactly int8's range (the negative extreme
+    * floors to -128 when 127/mx rounds up), so maxq ≤ 128 IS the
+    * no-escape guarantee. A zero vector quantizes to zeros with zero
+    * error.
+    */
+  def quantStats(vd: Column): Column = {
+    val mx = array_max(transform(vd, x => abs(x)))
+    val scale = lit(127.0) / mx
+    def code(x: Column): Column = floor(x * scale)
+    def err(x: Column): Column = x - code(x) / scale
+    when(mx === lit(0.0) || isnull(mx),
+      struct(lit(0L).as("fe"), size(vd).as("dim"), lit(0L).as("maxq")))
+      .otherwise(struct(
+        aggregate(vd, lit(0L),
+          (acc, x) => acc +
+            floor(err(x) * err(x) * lit(1e12)).cast("long")).as("fe"),
+        size(vd).as("dim"),
+        array_max(transform(vd, x => abs(code(x)).cast("long"))).as("maxq")))
+  }
+
+  /** JVM kernel for [[quantStats]] — same IEEE operation order per
+    * element, minus the interpreted HOF cost.
+    */
+  val quantStatsKernel: UserDefinedFunction =
+    udf { (vd: Seq[Double]) =>
+      if (vd == null) null
+      else {
+        var mx = 0.0
+        vd.foreach(x => { val a = math.abs(x); if (a > mx) mx = a })
+        if (mx == 0.0) (0L, vd.length, 0L)
+        else {
+          val scale = 127.0 / mx
+          var fe = 0L
+          var maxq = 0L
+          vd.foreach { x =>
+            val c = math.floor(x * scale)
+            val e = x - c / scale
+            fe += math.floor(e * e * 1e12).toLong
+            val a = math.abs(c).toLong
+            if (a > maxq) maxq = a
+          }
+          (fe, vd.length, maxq)
+        }
+      }
+    }
+
   /** Primitive-array dot — same left-to-right IEEE accumulation as
     * [[dot]]/[[dotKernel]].
     */

@@ -1586,8 +1586,62 @@ object Pipeline {
       ORDER BY source, rk"""))
   }
 
+  /** Int8 embedding quantization error — the storage-compression
+    * audit (4x smaller vectors; code = floor(v·127/max|v|)). Per-dim
+    * squared errors go through floor(err²·1e12) fixed point so every
+    * per-label sum is an exact integer; MSE and the max-|code| ≤ 127
+    * no-clipping bound are the operator's acceptance numbers. The
+    * oracle replays the identical IEEE operation sequence, so the
+    * whole quantizer — not just its row count — is differentially
+    * verified.
+    */
+  val q83 = Q(
+    "q83_quantize_error",
+    (spark, dir) =>
+      graft.operators.FanOut(Tables(spark, dir, "embeddings"))
+        .select(col("label"),
+          Similarity.quantStatsKernel(col("embedding").cast("array<double>"))
+            .as("s"))
+        .select(col("label"), col("s._1").as("fe"),
+          col("s._2").cast("long").as("dim"), col("s._3").as("maxq"))
+        .groupBy(col("label"))
+        .agg(sum(col("dim")).as("n_components"),
+          sum(col("fe")).as("sum_fe"),
+          max(col("maxq")).as("max_code"))
+        .select(col("label").cast("long").as("label"),
+          col("n_components"), col("sum_fe"),
+          (col("sum_fe").cast("double") /
+            (col("n_components").cast("double") * lit(1e12))).as("mse"),
+          col("max_code"))
+        .orderBy(col("label")),
+    Some("""
+      WITH v AS (SELECT label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+                 FROM embeddings),
+      s AS (SELECT label, vd,
+              list_max(list_transform(vd, x -> abs(x))) AS mx
+            FROM v),
+      d AS (SELECT label, mx, 127.0/mx AS scale, vd[i] AS x
+            FROM s, UNNEST(range(1, len(vd)+1)) AS t(i)),
+      e AS (SELECT label,
+              CASE WHEN mx = 0 THEN 0
+                   ELSE CAST(FLOOR((x - FLOOR(x*scale)/scale) *
+                                   (x - FLOOR(x*scale)/scale) * 1e12)
+                             AS BIGINT) END AS fe,
+              CASE WHEN mx = 0 THEN 0
+                   ELSE CAST(ABS(FLOOR(x*scale)) AS BIGINT) END AS q
+            FROM d)
+      SELECT CAST(label AS BIGINT) AS label,
+             COUNT(*) AS n_components,
+             CAST(SUM(fe) AS BIGINT) AS sum_fe,
+             CAST(SUM(fe) AS DOUBLE) / (COUNT(*) * 1e12) AS mse,
+             MAX(q) AS max_code
+      FROM e
+      GROUP BY label
+      ORDER BY label"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82)
+    q81, q82, q83)
 }

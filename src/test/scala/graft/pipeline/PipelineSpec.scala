@@ -220,6 +220,36 @@ class PipelineSpec extends SparkSpec {
       again.select("doc_id", "rk")).isEmpty)
   }
 
+  test("int8 quantization: kernel bit-identical to spec; codes never clip") {
+    // corpus vectors + edges: zero vector (zero error by definition),
+    // single-component, sign-asymmetric
+    val edge = Seq(
+      Seq(0.0, 0.0, 0.0), Seq(1.0), Seq(-0.5, 0.25, 0.125)
+    ).toDF("v").select(col("v").cast("array<double>").as("v"))
+    val corp = emb.select(col("embedding").cast("array<double>").as("v"))
+    Seq(corp, edge).foreach { d =>
+      d.select(Similarity.quantStats(col("v")).as("ref"),
+          Similarity.quantStatsKernel(col("v")).as("fast"))
+        .collect().foreach { r =>
+          val (a, b) = (r.getStruct(0), r.getStruct(1))
+          assert(a.getLong(0) == b.getLong(0), "fixed-point error sum diverges")
+          assert(a.getInt(1) == b.getInt(1), "dim diverges")
+          assert(a.getLong(2) == b.getLong(2), "max |code| diverges")
+        }
+    }
+    // codes stay inside int8: [-128, 127] (the negative extreme may
+    // floor to -128 when 127/mx rounds up — still representable)
+    val maxq = corp.select(Similarity.quantStatsKernel(col("v")).as("s"))
+      .agg(max(col("s._3"))).collect()(0).getLong(0)
+    assert(maxq <= 128L, s"quantized code escaped int8: $maxq")
+    // error bound: e <= 1/scale = mx/127 per dim; for unit-norm rows
+    // mse must come out tiny but nonzero
+    val zeroErr = Seq(Seq(0.0, 0.0)).toDF("v")
+      .select(Similarity.quantStatsKernel(col("v").cast("array<double>")).as("s"))
+      .collect()(0).getStruct(0)
+    assert(zeroErr.getLong(0) == 0L && zeroErr.getLong(2) == 0L)
+  }
+
   test("tf-idf linear-idf: hand-computed toy corpus") {
     // 4 docs, 2 sources. "rare" occurs twice but only in doc 1 (df=1);
     // "common" is everywhere (df=4); "x" is in both s2 docs (df=2):
