@@ -107,11 +107,53 @@ object Stress {
         f"[pairs=$np cc=$cc ngram=$ng sharedOcc=$spans exact=$exact]")
     }
 
+    // corpus-prep side: chunking/scrub are map-side (must be ~linear
+    // in rows with zero shuffle growth), shard rank is the bucketed
+    // running count, tf-idf shuffles (token, count) rows only
+    def runPrep(tag: String, docs: DataFrame): Unit = {
+      val terms = Seq("customer", "vector", "merge")
+      val t0 = System.nanoTime()
+      val ch = docs.select(explode(TextOps.slidingChunksKernel(8, 5)(
+        TextOps.words(col("text")))).as("c")).count()
+      release(spark)
+      val t1 = System.nanoTime()
+      val sc = docs.select(TextOps.scrubHits(col("text"), terms).as("h"))
+        .agg(sum(col("h"))).collect()(0).getLong(0)
+      release(spark)
+      val t2 = System.nanoTime()
+      val sh = graft.operators.OrderedScan.runningTotal(
+          docs.select(col("doc_id"),
+            md5(concat(lit("shard:"), col("doc_id").cast("string"))).as("h")),
+          key = lit(1), ord = Seq(col("h"), col("doc_id")), value = lit(1L),
+          bucket = conv(substring(col("h"), 1, 1), 16, 10).cast("long"),
+          as = "rk").count()
+      release(spark)
+      val t3 = System.nanoTime()
+      val tfidf = {
+        val tok = docs.select(col("source"), col("doc_id"),
+          explode(TextOps.words(col("text"))).as("word"))
+        val tf = tok.groupBy(col("source"), col("word"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tok.select(col("doc_id"), col("word")).distinct()
+          .groupBy(col("word")).agg(count(lit(1)).as("df"))
+        tf.join(dfreq, "word").count()
+      }
+      release(spark)
+      val t4 = System.nanoTime()
+      def s(a: Long, b: Long) = f"${(b - a) / 1e9}%7.2f"
+      println(f"$tag%-4s chunks=${s(t0, t1)}s scrub=${s(t1, t2)}s " +
+        f"shard=${s(t2, t3)}s tfidf=${s(t3, t4)}s " +
+        f"[chunks=$ch hits=$sc ranks=$sh tfrows=$tfidf]")
+    }
+
     // warm both code paths on the small corpus first so the 1x
     // measurement isn't codegen, then measure 1x and Nx
     run("warm", base.limit(500))
     run("1x", base)
     run(s"${mult}x", big)
+    runPrep("warm", base.limit(500))
+    runPrep("1x", base)
+    runPrep(s"${mult}x", big)
 
     // similarity side: embeddings replicated with shifted ids and a
     // per-replica component ROTATION — unit norm survives, buckets
@@ -142,9 +184,23 @@ object Stress {
         _ < 20, k = 5).count()
       release(spark)
       val t2 = System.nanoTime()
+      // fixed 20-query set against the growing labeled corpus — knn
+      // must scale as one corpus scan, like ann/ivf
+      val knn = Similarity.knnClassify(
+        emb.filter(col("vec_id") >= 20), emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", "label", k = 5).count()
+      release(spark)
+      val t3 = System.nanoTime()
+      // quantization is pure map-side: linear or bust
+      val qn = emb.select(Similarity.quantStatsKernel(
+          col("embedding").cast("array<double>")).as("s"))
+        .agg(sum(col("s._1"))).collect()(0).getLong(0)
+      release(spark)
+      val t4 = System.nanoTime()
       def s(a: Long, b: Long) = f"${(b - a) / 1e9}%7.2f"
       println(f"$tag%-4s ann=${s(t0, t1)}s ivf=${s(t1, t2)}s " +
-        f"[ann=$ann ivf=$ivf]")
+        f"knn=${s(t2, t3)}s quant=${s(t3, t4)}s " +
+        f"[ann=$ann ivf=$ivf knn=$knn feSum=$qn]")
     }
     runSim("warm", ebase.limit(200))
     runSim("1x", ebase)
