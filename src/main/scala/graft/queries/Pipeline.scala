@@ -1640,8 +1640,210 @@ object Pipeline {
       GROUP BY label
       ORDER BY label"""))
 
+  /** Deterministic distributed k-means — Lloyd with integer-exact
+    * distances (per-dim floor(err²·1e12) summed as integers — argmin
+    * is absolute, ties to the smaller cluster id) and exact-rational
+    * centroid updates (q73 fixed point, one division per component).
+    * Every step is engine-recomputable, so DuckDB REPLAYS the full
+    * 2-round iteration — init, two updates, three assignments — and
+    * the per-cluster memberships and distance sums must match
+    * exactly. The SQL twin of `Similarity.trainCentroids` (whose
+    * double accumulation only a Spark twin can replay); shuffle
+    * volume is k·dim summary rows per round, vectors never move.
+    */
+  val q84 = {
+    val k = 8
+    // d ≤ 4e12 per member ⇒ int64 sum_d is safe to ~2M rows/cluster;
+    // beyond that the aggregate flips to decimal (q74 discipline)
+    Q(
+      "q84_kmeans",
+      (spark, dir) =>
+        Similarity.deterministicKMeans(Tables(spark, dir, "embeddings"),
+            "vec_id", "embedding", k = k, rounds = 2)
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n"),
+            min(col("id")).as("min_vec"),
+            max(col("id")).as("max_vec"),
+            sum(col("dist_fp")).as("sum_d"))
+          .orderBy(col("cluster")),
+      Some(s"""
+      WITH v AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+                 FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, vd AS c FROM v ORDER BY vec_id LIMIT $k),
+      d1 AS (SELECT v.vec_id, v.vd, c.cid,
+               list_sum(list_transform(range(1, len(v.vd)+1),
+                 i -> CAST(FLOOR((v.vd[i]-c.c[i])*(v.vd[i]-c.c[i])*1e12)
+                           AS BIGINT))) AS d
+             FROM v, c0 c),
+      a1 AS (SELECT vec_id, vd, cid, d FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY d, cid) AS rn
+               FROM d1) WHERE rn = 1),
+      c1 AS (SELECT cid, list(cval ORDER BY pos) AS c FROM (
+               SELECT cid, pos,
+                 CAST(SUM(CAST(FLOOR(vd[pos]*1e6) AS BIGINT)) AS DOUBLE) /
+                   (COUNT(*)*1e6) AS cval
+               FROM a1, UNNEST(range(1, len(vd)+1)) AS t(pos)
+               GROUP BY cid, pos)
+             GROUP BY cid),
+      d2 AS (SELECT v.vec_id, v.vd, c.cid,
+               list_sum(list_transform(range(1, len(v.vd)+1),
+                 i -> CAST(FLOOR((v.vd[i]-c.c[i])*(v.vd[i]-c.c[i])*1e12)
+                           AS BIGINT))) AS d
+             FROM v, c1 c),
+      a2 AS (SELECT vec_id, vd, cid, d FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY d, cid) AS rn
+               FROM d2) WHERE rn = 1),
+      c2 AS (SELECT cid, list(cval ORDER BY pos) AS c FROM (
+               SELECT cid, pos,
+                 CAST(SUM(CAST(FLOOR(vd[pos]*1e6) AS BIGINT)) AS DOUBLE) /
+                   (COUNT(*)*1e6) AS cval
+               FROM a2, UNNEST(range(1, len(vd)+1)) AS t(pos)
+               GROUP BY cid, pos)
+             GROUP BY cid),
+      d3 AS (SELECT v.vec_id, v.vd, c.cid,
+               list_sum(list_transform(range(1, len(v.vd)+1),
+                 i -> CAST(FLOOR((v.vd[i]-c.c[i])*(v.vd[i]-c.c[i])*1e12)
+                           AS BIGINT))) AS d
+             FROM v, c2 c),
+      a3 AS (SELECT vec_id, cid, d FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY d, cid) AS rn
+               FROM d3) WHERE rn = 1)
+      SELECT CAST(cid AS BIGINT) AS cluster, COUNT(*) AS n,
+             MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec,
+             CAST(SUM(d) AS BIGINT) AS sum_d
+      FROM a3
+      GROUP BY cid
+      ORDER BY cluster"""))
+  }
+
+  /** Semantic dedup (SemDeDup) — near-duplicate pruning bucketed by
+    * k-means cluster: candidate pairs form ONLY within a cluster (the
+    * published SemDeDup approximation, and the reason the quadratic
+    * never materializes at scale — cluster sizes bound it), pairs at
+    * cosine ≥ 0.45 collapse via connected components, min-id
+    * survives. Because q84's clustering is deterministic, the oracle
+    * replays the ENTIRE composition — Lloyd, within-cluster cosine
+    * pairs, recursive-CTE closure — so even the approximation's exact
+    * output is differentially verified.
+    */
+  val q85 = Q(
+    "q85_semantic_dedup",
+    (spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
+      val emb = Tables(spark, dir, "embeddings")
+      val asg = Similarity.deterministicKMeans(emb, "vec_id", "embedding",
+          k = 8, rounds = 2)
+        .select(col("id").as("vec_id"), col("cluster"))
+      val vecs = emb.join(asg, "vec_id")
+        .select(col("vec_id"), col("cluster"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+      val x = vecs.select(col("cluster"), col("vec_id").as("a"),
+        col("v").as("va"), col("nrm").as("na"))
+      val y = vecs.select(col("cluster"), col("vec_id").as("b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      val pairs = x.join(y, Seq("cluster")).filter(col("a") < col("b"))
+        .filter(call_function("graft_dot", col("va"), col("vb")) /
+          (col("na") * col("nb")) >= 0.45)
+        .select(col("cluster"), col("a"), col("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val drops = Dedup.connectedComponents(pairs, "a", "b")
+        .filter(col("node") =!= col("canon"))
+        .join(asg.withColumnRenamed("vec_id", "node"), "node")
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n_dropped"))
+      val pc = pairs.groupBy(col("cluster")).agg(count(lit(1)).as("n_pairs"))
+      asg.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+        .join(pc, Seq("cluster"), "left_outer")
+        .join(drops, Seq("cluster"), "left_outer")
+        .select(col("cluster"), col("n"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (col("n") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+        .orderBy(col("cluster"))
+    },
+    Some("""
+      WITH RECURSIVE
+      v AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+            FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, vd AS c FROM v ORDER BY vec_id LIMIT 8),
+      d1 AS (SELECT v.vec_id, v.vd, c.cid,
+               list_sum(list_transform(range(1, len(v.vd)+1),
+                 i -> CAST(FLOOR((v.vd[i]-c.c[i])*(v.vd[i]-c.c[i])*1e12)
+                           AS BIGINT))) AS d
+             FROM v, c0 c),
+      a1 AS (SELECT vec_id, vd, cid FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY d, cid) AS rn
+               FROM d1) WHERE rn = 1),
+      c1 AS (SELECT cid, list(cval ORDER BY pos) AS c FROM (
+               SELECT cid, pos,
+                 CAST(SUM(CAST(FLOOR(vd[pos]*1e6) AS BIGINT)) AS DOUBLE) /
+                   (COUNT(*)*1e6) AS cval
+               FROM a1, UNNEST(range(1, len(vd)+1)) AS t(pos)
+               GROUP BY cid, pos)
+             GROUP BY cid),
+      d2 AS (SELECT v.vec_id, v.vd, c.cid,
+               list_sum(list_transform(range(1, len(v.vd)+1),
+                 i -> CAST(FLOOR((v.vd[i]-c.c[i])*(v.vd[i]-c.c[i])*1e12)
+                           AS BIGINT))) AS d
+             FROM v, c1 c),
+      a2 AS (SELECT vec_id, vd, cid FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY d, cid) AS rn
+               FROM d2) WHERE rn = 1),
+      c2 AS (SELECT cid, list(cval ORDER BY pos) AS c FROM (
+               SELECT cid, pos,
+                 CAST(SUM(CAST(FLOOR(vd[pos]*1e6) AS BIGINT)) AS DOUBLE) /
+                   (COUNT(*)*1e6) AS cval
+               FROM a2, UNNEST(range(1, len(vd)+1)) AS t(pos)
+               GROUP BY cid, pos)
+             GROUP BY cid),
+      d3 AS (SELECT v.vec_id, c.cid,
+               list_sum(list_transform(range(1, len(v.vd)+1),
+                 i -> CAST(FLOOR((v.vd[i]-c.c[i])*(v.vd[i]-c.c[i])*1e12)
+                           AS BIGINT))) AS d
+             FROM v, c2 c),
+      a3 AS (SELECT vec_id, cid FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY d, cid) AS rn
+               FROM d3) WHERE rn = 1),
+      e0 AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      p AS (SELECT x.cid, x.vec_id AS a, y.vec_id AS b
+            FROM a3 x JOIN a3 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+            JOIN e0 ea ON ea.vec_id = x.vec_id
+            JOIN e0 eb ON eb.vec_id = y.vec_id
+            WHERE list_dot_product(ea.ev, eb.ev) /
+                    (sqrt(list_dot_product(ea.ev, ea.ev)) *
+                     sqrt(list_dot_product(eb.ev, eb.ev))) >= 0.45),
+      ed AS (SELECT a AS u, b AS w FROM p UNION SELECT b, a FROM p),
+      reach(node, lab) AS (
+        SELECT DISTINCT u, u FROM ed
+        UNION
+        SELECT ed.w, r.lab FROM reach r JOIN ed ON ed.u = r.node),
+      canon AS (SELECT node, MIN(lab) AS canon FROM reach GROUP BY node),
+      drops AS (SELECT a3.cid, COUNT(*) AS n_dropped
+                FROM canon JOIN a3 ON a3.vec_id = canon.node
+                WHERE canon.canon <> canon.node
+                GROUP BY a3.cid),
+      pc AS (SELECT cid, COUNT(*) AS n_pairs FROM p GROUP BY cid)
+      SELECT CAST(a3.cid AS BIGINT) AS cluster, COUNT(*) AS n,
+             CAST(COALESCE(MAX(pc.n_pairs), 0) AS BIGINT) AS n_pairs,
+             CAST(COALESCE(MAX(drops.n_dropped), 0) AS BIGINT) AS n_dropped,
+             COUNT(*) - CAST(COALESCE(MAX(drops.n_dropped), 0) AS BIGINT)
+               AS n_kept
+      FROM a3
+      LEFT JOIN pc ON pc.cid = a3.cid
+      LEFT JOIN drops ON drops.cid = a3.cid
+      GROUP BY a3.cid
+      ORDER BY cluster"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83)
+    q81, q82, q83, q84, q85)
 }

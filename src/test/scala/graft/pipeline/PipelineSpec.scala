@@ -250,6 +250,29 @@ class PipelineSpec extends SparkSpec {
     assert(zeroErr.getLong(0) == 0L && zeroErr.getLong(2) == 0L)
   }
 
+  test("deterministic k-means: partitions the input, reruns bit-identical, argmin holds") {
+    val asg = Similarity.deterministicKMeans(emb, "vec_id", "embedding",
+      k = 4, rounds = 2)
+    val rows = asg.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every vector appears exactly once; clusters are among the init ids
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.length == emb.count())
+    assert(rows.map(_._2).distinct.forall(_ < 4))
+    // rerun → identical assignment (the whole point of the fixed-point
+    // discipline)
+    val again = Similarity.deterministicKMeans(emb, "vec_id", "embedding",
+      k = 4, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // more rounds never increase the total assigned distance (Lloyd
+    // monotonicity, in exact integer arithmetic)
+    val d2 = rows.map(_._3).sum
+    val d3 = Similarity.deterministicKMeans(emb, "vec_id", "embedding",
+      k = 4, rounds = 3)
+      .collect().map(_.getLong(2)).sum
+    assert(d3 <= d2, s"assigned distance rose with a round: $d2 -> $d3")
+  }
+
   test("tf-idf linear-idf: hand-computed toy corpus") {
     // 4 docs, 2 sources. "rare" occurs twice but only in doc 1 (df=1);
     // "common" is everywhere (df=4); "x" is in both s2 docs (df=2):

@@ -230,6 +230,19 @@ class PlanSpec extends SparkSpec {
       s"tf⋈df must hash-join on word; N joins as a 1-row broadcast:\n$p")
   }
 
+  test("q84: k-means result is scan+agg — centroids ride the closure, vectors never join") {
+    val p = plan(Pipeline.q84)
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"assignment must be a map-side kernel + one aggregate:\n$p")
+  }
+
+  test("q85: within-cluster pair join is keyed — never a cartesian over vectors") {
+    val p = plan(Pipeline.q85)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"semantic-dedup pairs must hash-join on the cluster key:\n$p")
+  }
+
   test("q75/q76: incremental dedup joins are hash joins, never nested loops") {
     Seq(Pipeline.q75, Pipeline.q76).foreach { q =>
       val p = plan(q)
