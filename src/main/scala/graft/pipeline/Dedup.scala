@@ -55,6 +55,37 @@ object Dedup extends Serializable {
       .drop("digest")
   }
 
+  /** [[incrementalExact]] with a Bloom pre-filter — the at-scale
+    * accelerant: the history digest set folds into a fixed-size Bloom
+    * filter (built distributed via treeAggregate, ~1.2 MB at fpp 1%
+    * per million digests) that broadcasts to every task, so the
+    * typical incoming row — novel text — resolves with ZERO shuffle.
+    * Only Bloom POSITIVES (true dups + fpp false positives) reach the
+    * exact anti-join, which removes the false positives, so the
+    * output is IDENTICAL to [[incrementalExact]] by construction —
+    * same driver oracle, no approximation in the result. At 100 TB
+    * the anti-join probe side shrinks from |incoming| to
+    * |dups| + fpp·|incoming|.
+    */
+  def incrementalExactBloom(history: DataFrame, incoming: DataFrame,
+      textCol: String, idCol: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val spark = history.sparkSession
+    val hist = history.select(sha2(col(textCol), 256).as("digest")).distinct()
+    val bf = hist.stat.bloomFilter("digest", expectedItems, fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((d: String) => bc.value.mightContainString(d))
+    val collapsed = incoming
+      .groupBy(sha2(col(textCol), 256).as("digest"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+    // novel-by-bloom rows pass straight through; only positives pay
+    // the exact probe that scrubs the false positives
+    collapsed.filter(!mightContain(col("digest")))
+      .unionAll(collapsed.filter(mightContain(col("digest")))
+        .join(hist, Seq("digest"), "left_anti"))
+      .drop("digest")
+  }
+
   /** MinHash parameters: k = bands × rowsPerBand signature slots.
     * b=32, r=4 puts the LSH S-curve threshold at (1/32)^(1/4) ≈ 0.42,
     * comfortably below the 0.5 verification threshold → near-perfect

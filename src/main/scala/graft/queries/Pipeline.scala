@@ -1842,8 +1842,36 @@ object Pipeline {
       GROUP BY a3.cid
       ORDER BY cluster"""))
 
+  /** Bloom-accelerated incremental dedup — q75 with the history
+    * digest set folded into a broadcast Bloom filter, so a typical
+    * (novel) incoming row resolves with zero shuffle and only Bloom
+    * positives pay the exact anti-join that scrubs false positives.
+    * The OUTPUT is identical to q75 by construction — same oracle —
+    * which is the point: the scale path changes the plan, never the
+    * result.
+    */
+  val q86 = Q(
+    "q86_bloom_incremental",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      Dedup.incrementalExactBloom(
+          docs.filter(col("doc_id") % 3 =!= 0),
+          docs.filter(col("doc_id") % 3 === 0),
+          "text", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH inc AS (
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies, text
+        FROM documents WHERE doc_id % 3 = 0 GROUP BY text)
+      SELECT doc_id, n_copies
+      FROM inc
+      WHERE NOT EXISTS (SELECT 1 FROM documents h
+                        WHERE h.doc_id % 3 <> 0 AND h.text = inc.text)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85)
+    q81, q82, q83, q84, q85, q86)
 }

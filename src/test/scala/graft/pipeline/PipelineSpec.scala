@@ -58,6 +58,14 @@ class PipelineSpec extends SparkSpec {
         .groupBy(_._2).values
         .map(g => (g.map(_._1).min, g.size.toLong)).toSet
       assert(got == expect, s"trial $trial: $got != $expect")
+      // the Bloom-accelerated path must be output-identical — false
+      // positives scrubbed by the exact probe, false negatives
+      // impossible. A deliberately tiny/high-fpp filter stresses the
+      // positive path
+      val bloom = Dedup.incrementalExactBloom(h, i, "text", "doc_id",
+          expectedItems = 16L, fpp = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(bloom == expect, s"trial $trial bloom: $bloom != $expect")
     }
   }
 
