@@ -179,4 +179,26 @@ object WindowedStats {
       dedupCols: Seq[String], watermarkDelay: String): DataFrame =
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(dedupCols)
+
+  /** Streaming incremental dedup — the live half of q75/q86: dedup
+    * the crawl AS IT LANDS against the already-landed corpus. Two
+    * stages, both bounded-state: (1) within-stream collapse via
+    * watermarked dropDuplicates (first ARRIVAL wins — the streaming
+    * analog of batch min-id, which has no meaning before all ids have
+    * arrived); (2) a stream-static LEFT ANTI join against the history
+    * digest table — static side re-read per micro-batch, so a
+    * compaction/refresh of the digest table is picked up without
+    * restarting the query (at scale: the q86 Bloom front-end cuts the
+    * probe before this join the same way). Bodies never enter state:
+    * both stages key on the 32-byte sha256 digest.
+    */
+  def incrementalDedupStream(incoming: DataFrame, history: DataFrame,
+      textCol: String, tsCol: String, watermarkDelay: String): DataFrame = {
+    val hist = history.select(sha2(col(textCol), 256).as("digest")).distinct()
+    incoming.withColumn("digest", sha2(col(textCol), 256))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("digest"))
+      .join(hist, Seq("digest"), "left_anti")
+      .drop("digest")
+  }
 }

@@ -394,6 +394,15 @@ class PipelineSpec extends SparkSpec {
         Dedup.simhashKernel(TextOps.words(col("text"))).as("fast"))
       .collect()
     sims.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // sliding chunks under the same adversarial tokens (multi-byte
+    // codepoints, digits, emoji) — stride > 1 and stride == window
+    Seq((5, 3), (4, 4), (3, 1)).foreach { case (w, s) =>
+      df.select(TextOps.slidingChunks(TextOps.words(col("text")), w, s).as("ref"),
+          TextOps.slidingChunksKernel(w, s)(TextOps.words(col("text"))).as("fast"))
+        .collect()
+        .foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"sliding kernel diverges at w=$w s=$s"))
+    }
   }
 
   test("dot: ragged or null inputs yield NULL in all three forms") {
