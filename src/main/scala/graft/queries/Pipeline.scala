@@ -1870,8 +1870,62 @@ object Pipeline {
                         WHERE h.doc_id % 3 <> 0 AND h.text = inc.text)
       ORDER BY doc_id"""))
 
+  /** Class-balanced resampling — downsample every label to the
+    * MINORITY class size (the classifier-training-prep step that
+    * stops majority labels from dominating the loss). The draw is
+    * q72's deterministic device — the m smallest md5(vec_id) per
+    * label, rank via the bucket-decomposed running count — with m
+    * itself data-dependent: min over per-label counts, a 1-row
+    * broadcast. Unbiased w.r.t. any vector attribute and
+    * engine-recomputable, so the oracle checks the exact draw.
+    */
+  val q87 = Q(
+    "q87_balanced_sample",
+    (spark, dir) => {
+      val emb = graft.operators.FanOut(Tables(spark, dir, "embeddings"))
+        .select(col("label"), col("vec_id"),
+          md5(col("vec_id").cast("string")).as("h"))
+      val m = emb.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+        .agg(min(col("cnt")).as("m"))
+      graft.operators.OrderedScan.runningTotal(emb,
+          key = col("label"), ord = Seq(col("h"), col("vec_id")),
+          value = lit(1L),
+          bucket = conv(substring(col("h"), 1, 1), 16, 10).cast("long"),
+          as = "rk")
+        .crossJoin(broadcast(m))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("rk") <= col("m"), 1L).otherwise(0L)).as("n_kept"),
+          min(when(col("rk") <= col("m"), col("vec_id"))).as("kept_min_vec"),
+          max(when(col("rk") <= col("m"), col("vec_id"))).as("kept_max_vec"),
+          max(when(col("rk") <= col("m"), col("h"))).as("threshold_hash"))
+        .select(col("label").cast("long").as("label"), col("n"),
+          col("n_kept"), col("kept_min_vec"), col("kept_max_vec"),
+          col("threshold_hash"))
+        .orderBy(col("label"))
+    },
+    Some("""
+      WITH e AS (SELECT label, vec_id,
+                   md5(CAST(vec_id AS VARCHAR)) AS h
+                 FROM embeddings),
+      m AS (SELECT MIN(cnt) AS m FROM (
+              SELECT COUNT(*) AS cnt FROM e GROUP BY label)),
+      r AS (SELECT label, vec_id, h,
+              ROW_NUMBER() OVER (PARTITION BY label
+                                 ORDER BY h, vec_id) AS rk
+            FROM e)
+      SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN rk <= m THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             MIN(CASE WHEN rk <= m THEN vec_id END) AS kept_min_vec,
+             MAX(CASE WHEN rk <= m THEN vec_id END) AS kept_max_vec,
+             MAX(CASE WHEN rk <= m THEN h END) AS threshold_hash
+      FROM r CROSS JOIN m
+      GROUP BY label
+      ORDER BY label"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86)
+    q81, q82, q83, q84, q85, q86, q87)
 }
