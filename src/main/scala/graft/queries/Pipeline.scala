@@ -1924,8 +1924,84 @@ object Pipeline {
       GROUP BY label
       ORDER BY label"""))
 
+  /** Leakage-safe train/val/test split — q54's hash split applied to
+    * the near-dup CLUSTER, not the document: every member of a
+    * connected near-dup family hashes on the family's canonical id,
+    * so no near-duplicate pair can straddle train and test (the
+    * contamination mode a per-doc split invites: a test doc's
+    * near-copy in train). Composition: MinHash-LSH pairs → connected
+    * components → md5(canon) bucket; the oracle replays all three
+    * stages including the recursive closure.
+    */
+  val q88 = {
+    val buckets = 20
+    Q(
+      "q88_cluster_split",
+      (spark, dir) => {
+        val docs = Tables(spark, dir, "documents")
+        val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
+          threshold = 0.5)
+        val canon = Dedup.connectedComponents(pairs, "a", "b")
+          .withColumnRenamed("node", "doc_id")
+        val withCanon = docs
+          .select(col("doc_id"),
+            size(TextOps.words(col("text"))).cast("long").as("n_tokens"))
+          .join(canon, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("canon"), col("doc_id")).as("canon"))
+        val bucket = conv(substring(md5(col("canon").cast("string")), 1, 8),
+          16, 10).cast("long") % buckets
+        val split = when(bucket < buckets - 2, "train")
+          .when(bucket === buckets - 2, "val").otherwise("test")
+        withCanon.withColumn("split", split)
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("canon")).as("n_clusters"),
+            sum(col("n_tokens")).as("n_tokens"))
+          .orderBy(col("split"))
+      },
+      Some(s"""
+      WITH RECURSIVE
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)),
+      cand AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+               FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+               GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      pairs AS (
+        SELECT a, b FROM cand
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.5),
+      e AS (SELECT a AS u, b AS v FROM pairs
+            UNION SELECT b, a FROM pairs),
+      reach(node, lab) AS (
+        SELECT DISTINCT u, u FROM e
+        UNION
+        SELECT e.v, r.lab FROM reach r JOIN e ON e.u = r.node),
+      cn AS (SELECT node AS doc_id, MIN(lab) AS canon FROM reach
+             GROUP BY node),
+      d AS (SELECT w.doc_id, len(ws)::BIGINT AS n_tokens,
+              COALESCE(cn.canon, w.doc_id) AS canon
+            FROM w LEFT JOIN cn ON cn.doc_id = w.doc_id),
+      b AS (SELECT canon, n_tokens,
+              ('0x' || substr(md5(CAST(canon AS VARCHAR)), 1, 8))::BIGINT
+                % $buckets AS bucket
+            FROM d)
+      SELECT CASE WHEN bucket < ${buckets - 2} THEN 'train'
+                  WHEN bucket = ${buckets - 2} THEN 'val'
+                  ELSE 'test' END AS split,
+             COUNT(*) AS n_docs,
+             COUNT(DISTINCT canon) AS n_clusters,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM b
+      GROUP BY 1
+      ORDER BY split"""))
+  }
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87)
+    q81, q82, q83, q84, q85, q86, q87, q88)
 }
