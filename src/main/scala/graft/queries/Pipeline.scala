@@ -2000,8 +2000,69 @@ object Pipeline {
       ORDER BY split"""))
   }
 
+  /** Truncated-embedding retrieval audit (the Matryoshka question:
+    * can we store/search the first 16 of 64 dims and keep the
+    * ranking?) — overlap@5 between the full-dimension exact top-k
+    * and the same query's top-k over prefix-truncated vectors. Both
+    * rankings are exact brute force (the q23 shape — broadcast
+    * queries, one corpus scan each), so overlap is an integer and the
+    * whole audit is oracle-exact. The decision number a pipeline
+    * needs before flipping its vector store to truncated+requantized
+    * storage.
+    */
+  val q89 = {
+    val dPrefix = 16
+    Q(
+      "q89_truncation_audit",
+      (spark, dir) => {
+        val emb = Tables(spark, dir, "embeddings")
+        val full = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          _ < 20, k = 5).select(col("query_id"), col("neighbor_id"))
+        val truncated = emb.select(col("vec_id"),
+          slice(col("embedding"), 1, dPrefix).as("embedding"))
+        val trunc = Similarity.bruteForceTopK(truncated, "vec_id",
+          "embedding", _ < 20, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        full.join(trunc, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("overlap5"))
+          .join(full.select(col("query_id")).distinct(),
+            Seq("query_id"), "right_outer")
+          .select(col("query_id"),
+            coalesce(col("overlap5"), lit(0L)).as("overlap5"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      et AS (SELECT vec_id, (embedding[1:$dPrefix])::DOUBLE[] AS v
+             FROM embeddings),
+      q AS (SELECT * FROM e WHERE vec_id < 20),
+      qt AS (SELECT * FROM et WHERE vec_id < 20),
+      sf AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
+               list_dot_product(q.v, e.v) /
+                 (sqrt(list_dot_product(q.v, q.v)) *
+                  sqrt(list_dot_product(e.v, e.v))) AS cos
+             FROM q JOIN e ON e.vec_id <> q.vec_id),
+      rf AS (SELECT qid, nid FROM (
+               SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, nid) AS rn FROM sf) WHERE rn <= 5),
+      st AS (SELECT qt.vec_id AS qid, et.vec_id AS nid,
+               list_dot_product(qt.v, et.v) /
+                 (sqrt(list_dot_product(qt.v, qt.v)) *
+                  sqrt(list_dot_product(et.v, et.v))) AS cos
+             FROM qt JOIN et ON et.vec_id <> qt.vec_id),
+      rt AS (SELECT qid, nid FROM (
+               SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, nid) AS rn FROM st) WHERE rn <= 5)
+      SELECT rf.qid AS query_id,
+             CAST(COUNT(rt.nid) AS BIGINT) AS overlap5
+      FROM rf LEFT JOIN rt ON rt.qid = rf.qid AND rt.nid = rf.nid
+      GROUP BY rf.qid
+      ORDER BY query_id"""))
+  }
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87, q88)
+    q81, q82, q83, q84, q85, q86, q87, q88, q89)
 }
