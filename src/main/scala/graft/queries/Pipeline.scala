@@ -2061,8 +2061,67 @@ object Pipeline {
       ORDER BY query_id"""))
   }
 
+  /** Per-language length-floor filter — drop the shortest quartile of
+    * each language (the C4-style "too short to be prose" triage),
+    * with the threshold defined as a DISCRETE percentile: the n_chars
+    * value at 1-based rank (n−1) div 4 + 1 in (n_chars, doc_id)
+    * order. A rank-based threshold is an actual data value — pure
+    * integer arithmetic end to end, where an interpolated quantile
+    * would hang the ≥-comparison on last-ulp FP agreement. Rank via
+    * the OrderedScan decomposition (bucket = n_chars div 64, monotone
+    * in the order — never a bare per-lang window); ties at the
+    * threshold are kept.
+    */
+  val q90 = Q(
+    "q90_length_floor",
+    (spark, dir) => {
+      val docs = graft.operators.FanOut(Tables(spark, dir, "documents"))
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+      val ranked = graft.operators.OrderedScan.runningTotal(docs,
+        key = col("lang"), ord = Seq(col("n_chars"), col("doc_id")),
+        value = lit(1L),
+        bucket = floor(col("n_chars") / 64).cast("long"),
+        as = "rk")
+      val thr = ranked.groupBy(col("lang").as("_l"))
+        .agg(count(lit(1)).as("_n"))
+        .join(ranked.select(col("lang").as("_l"), col("rk"), col("n_chars")),
+          Seq("_l"))
+        .filter(col("rk") === expr("(_n - 1) div 4 + 1"))
+        .select(col("_l"), col("n_chars").as("thr"))
+      docs.join(broadcast(thr), docs("lang") === col("_l"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          max(col("thr")).as("threshold"),
+          sum(when(col("n_chars") >= col("thr"), 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(when(col("n_chars") < col("thr"), 1L).otherwise(0L))
+            .as("n_dropped"),
+          sum(when(col("n_chars") >= col("thr"), col("n_chars"))
+            .otherwise(0L)).as("kept_chars"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH d AS (SELECT lang, doc_id, n_chars FROM documents),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                         ORDER BY n_chars, doc_id) AS rk,
+              COUNT(*) OVER (PARTITION BY lang) AS cnt
+            FROM d),
+      t AS (SELECT lang, MAX(CASE WHEN rk = (cnt-1)//4 + 1
+                                  THEN n_chars END) AS thr
+            FROM r GROUP BY lang)
+      SELECT d.lang, COUNT(*) AS n, MAX(t.thr) AS threshold,
+             CAST(SUM(CASE WHEN d.n_chars >= t.thr THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN d.n_chars < t.thr THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dropped,
+             CAST(SUM(CASE WHEN d.n_chars >= t.thr THEN d.n_chars
+                           ELSE 0 END) AS BIGINT) AS kept_chars
+      FROM d JOIN t ON d.lang = t.lang
+      GROUP BY d.lang
+      ORDER BY d.lang"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87, q88, q89)
+    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
 }
