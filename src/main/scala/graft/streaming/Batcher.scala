@@ -89,7 +89,12 @@ final class Batcher(
       sink(t, msgs) match {
         case RowBuffer.Ok => return Right(())
         case RowBuffer.TooBig => return Left(DroppedTooBig) // non-retryable
-        case RowBuffer.Full =>
+        // Full and TooManyInFlight are both transient backpressure —
+        // the reference client retries TOO_MANY_IN_FLIGHT exactly like
+        // FULL (client/client.go:158-170); before this arm a
+        // permit-limited sink crashed the delivery loop with a
+        // MatchError instead of backing off
+        case RowBuffer.Full | RowBuffer.TooManyInFlight =>
           if (attemptsLeft == 0) return Left(RetriesExhausted)
           if (attemptsLeft > 0) attemptsLeft -= 1
           // -1: retry forever; sleep between attempts so a full sink

@@ -88,6 +88,17 @@ class BatcherSpec extends AnyFunSuite {
     assert(calls == 3)
   }
 
+  test("TooManyInFlight backs off and retries like Full") {
+    var calls = 0
+    val b = new Batcher(10,
+      (_, _) => { calls += 1
+        if (calls < 3) RowBuffer.TooManyInFlight else RowBuffer.Ok },
+      retryTimes = 5)
+    b.writeBatch("t", Seq(msg(1)))
+    assert(b.flush() == Map("t" -> Right(())))
+    assert(calls == 3)
+  }
+
   test("TooBig is non-retryable") {
     var calls = 0
     val b = new Batcher(10, (_, _) => { calls += 1; RowBuffer.TooBig },
