@@ -32,3 +32,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+// Surface the details behind the rolled-up "N deprecations / feature
+// warnings" notices so real issues (like the Batcher match gap) don't
+// hide behind them.
+scalacOptions ++= Seq("-deprecation", "-feature")

@@ -134,17 +134,7 @@ object ServerConfig {
 final class BristleServer(configPath: Path,
     metrics: Metrics = Metrics.default) {
 
-  /** One landing drain a runner should keep alive: the queue to read,
-    * the message schema to decode, and the table's sink settings. Only
-    * built for tables with a `landing_dir`, which must have exactly
-    * ONE bound message type — the queue holds raw bodies, so a shared
-    * table would make them indistinguishable at decode time (the
-    * reference buffers *prepared rows*, which is why it can merge
-    * types; our decode runs in the Spark drain).
-    */
-  final case class DrainPlan(queueName: String, msgType: String,
-      message: PMessage, binding: graft.bind.Binding,
-      table: ServerConfig.TableConf)
+  import BristleServer.DrainPlan
 
   @volatile private var conf = ServerConfig.load(configPath)
   @volatile private var targetsNow = Map.empty[String, IngestServer.Target]
@@ -297,4 +287,19 @@ final class BristleServer(configPath: Path,
     ingest.stop()
     debug.foreach(_.stop())
   }
+}
+
+object BristleServer {
+  /** One landing drain a runner should keep alive: the queue to read,
+    * the message schema to decode, and the table's sink settings. Only
+    * built for tables with a `landing_dir`, which must have exactly
+    * ONE bound message type — the queue holds raw bodies, so a shared
+    * table would make them indistinguishable at decode time (the
+    * reference buffers *prepared rows*, which is why it can merge
+    * types; our decode runs in the Spark drain). Companion-scoped so
+    * the type carries no outer-instance reference.
+    */
+  final case class DrainPlan(queueName: String, msgType: String,
+      message: PMessage, binding: graft.bind.Binding,
+      table: ServerConfig.TableConf)
 }

@@ -40,7 +40,7 @@ object Shuffle {
     require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
       "inputs must not already have a _salt column")
     val saltedFact = fact.withColumn("_salt",
-      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(salts)).cast("int"))
+      pmod(xxhash64(struct(fact.columns.toIndexedSeq.map(col): _*)), lit(salts)).cast("int"))
     val saltedDim = dim.withColumn("_salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")

@@ -105,8 +105,9 @@ object ZOrderLayout {
       try {
         reader.getFooter.getBlocks.asScala.foreach { block =>
           total += 1
-          val stats = block.getColumns.asScala
-            .find(_.getPath.toDotString == column).get.getStatistics
+          val stats: org.apache.parquet.column.statistics.Statistics[_] =
+            block.getColumns.asScala
+              .find(_.getPath.toDotString == column).get.getStatistics
           val (mn, mx) = (stats.genericGetMin.asInstanceOf[Number].longValue(),
             stats.genericGetMax.asInstanceOf[Number].longValue())
           if (mn <= hi && mx >= lo) candidates += 1

@@ -148,11 +148,11 @@ object WindowedStats {
       before: String, after: String, leftPrefix: String = "l_",
       rightPrefix: String = "r_"): DataFrame = {
     val l = left.withWatermark(tsCol, watermarkDelay)
-      .select(col(key) +: left.columns.filter(_ != key)
+      .select(col(key) +: left.columns.toIndexedSeq.filter(_ != key)
         .map(c => col(c).as(s"$leftPrefix$c")): _*)
     val r = right.withWatermark(tsCol, watermarkDelay)
       .select(col(key).as(s"$rightPrefix$key") +:
-        right.columns.filter(_ != key)
+        right.columns.toIndexedSeq.filter(_ != key)
           .map(c => col(c).as(s"$rightPrefix$c")): _*)
     l.join(r,
       col(key) === col(s"$rightPrefix$key") &&
