@@ -19,12 +19,6 @@ import org.apache.spark.sql.functions._
   * Usage: scripts/run.sh graft.Stress [sfDir] [mult]
   */
 object Stress {
-  private def timed[A](name: String, rows1x: Long)(f: => DataFrame): Unit = {
-    val t0 = System.nanoTime()
-    val n = f.count()
-    val sec = (System.nanoTime() - t0) / 1e9
-    println(f"$name%-28s ${sec}%8.2f s  out=$n%8d  (1x out=$rows1x)")
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -24,7 +24,12 @@ object ForwardJson {
         "usage: graft.net.ForwardJson <host:port> <messageType> <descriptor.pb> [batchSize]")
       sys.exit(2)
     }
-    val Array(host, port) = args(0).split(":", 2)
+    val hostPort = args(0).split(":", 2)
+    if (hostPort.length != 2) {
+      System.err.println(s"[forward-json] bad address '${args(0)}' — want host:port")
+      sys.exit(2)
+    }
+    val (host, port) = (hostPort(0), hostPort(1))
     val msgType = args(1)
     val messages = DescriptorSet.loadFile(Paths.get(args(2)))
     val message = messages.getOrElse(msgType, {

@@ -294,7 +294,6 @@ object Similarity extends Serializable {
       queryPred: Column => Column, k: Int, nlist: Int = 16,
       nprobe: Int = 4, trainIters: Int = 3): DataFrame = {
     val spark = emb.sparkSession
-    import spark.implicits._
     // Deterministic init = the nlist lowest-id vectors, fetched via
     // orderBy+limit (TakeOrderedAndProject — a per-partition top-N +
     // driver merge, NOT a global sort). Training then runs on the

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.bind.{ChColumn, SchemaBinder}
-import graft.proto.{PField, PMessage, PType, ProtoRows, Wire}
+import graft.proto.{PMessage, ProtoRows, Wire}
 import org.apache.spark.sql.functions._
 
 import java.nio.file.Files
@@ -141,7 +141,7 @@ object TranscodeE2E {
     Some {
       val rows = fixtures.map { f =>
         def s(x: String) = "'" + x.replace("'", "''") + "'"
-        Seq(s(f.name), f.typeCode, f.tsMillis, f.value,
+        Seq[Any](s(f.name), f.typeCode, f.tsMillis, f.value,
           s(f.tags.map(_._1).mkString(",")),
           s(f.tags.map(_._2).mkString(",")),
           s(f.labels.mkString(","))).mkString("(", ", ", ")")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, StandardCopyOption}
 import java.util.concurrent.atomic.AtomicLong
 
 /** Streaming ingest (D1-D5), file-landing flavor — the
@@ -106,7 +106,6 @@ object LandingIngest {
       landingDir: String, outDir: String, checkpointDir: String,
       numWriters: Int = 2, flushIntervalMs: Long = 1000,
       availableNow: Boolean = false): StreamingQuery = {
-    import spark.implicits._
     val frames = spark.readStream
       .format("binaryFile")
       .option("pathGlobFilter", "*.bin")

@@ -39,7 +39,7 @@ class ShuffleSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
     // the salt actually spreads rows: >1 distinct salt per hot key
     val spread = orders.withColumn("_salt",
-        pmod(xxhash64(struct(orders.columns.map(col): _*)), lit(7)))
+        pmod(xxhash64(struct(orders.columns.toIndexedSeq.map(col): _*)), lit(7)))
       .groupBy("o_custkey").agg(countDistinct("_salt").as("n"))
       .agg(max("n")).collect()(0).getLong(0)
     assert(spread > 1, "salt never spread any key")

@@ -35,8 +35,8 @@ class CardinalitySpec extends SparkSpec {
   }
 
   test("estimates are deterministic across evaluations") {
-    val a = corpus.agg(approx_count_distinct(col("user_id"), 0.02)).head.getLong(0)
-    val b = corpus.agg(approx_count_distinct(col("user_id"), 0.02)).head.getLong(0)
+    val a = corpus.agg(approx_count_distinct(col("user_id"), 0.02)).head().getLong(0)
+    val b = corpus.agg(approx_count_distinct(col("user_id"), 0.02)).head().getLong(0)
     assert(a == b)
   }
 }

@@ -25,7 +25,7 @@ class FrequentItemsSpec extends SparkSpec {
         .otherwise(col("id") % 997).as("user_id"))
     val sketchBytes = df.agg(
       count_min_sketch(col("user_id"), lit(eps), lit(conf), lit(42))
-        .as("cms")).head.getAs[Array[Byte]](0)
+        .as("cms")).head().getAs[Array[Byte]](0)
     val cms = CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(sketchBytes))
 
