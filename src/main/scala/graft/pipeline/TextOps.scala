@@ -245,30 +245,35 @@ object TextOps extends Serializable {
         concat_ws(" ", slice(ws, i * s + lit(1), lit(w)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Pure form of the sliding chunker — the function the kernel wraps
+    * and KernelPropertiesSpec drives generatively.
+    */
+  def slidingChunksJvm(ws: Seq[String], w: Int, s: Int): Array[String] =
+    if (ws.isEmpty) Array.empty[String]
+    else {
+      val arr = ws.toArray
+      val n = (arr.length - 1) / s + 1
+      val out = new Array[String](n)
+      var i = 0
+      while (i < n) {
+        val from = i * s
+        val until = math.min(from + w, arr.length)
+        val sb = new java.lang.StringBuilder(arr(from))
+        var k = from + 1
+        while (k < until) { sb.append(' ').append(arr(k)); k += 1 }
+        out(i) = sb.toString
+        i += 1
+      }
+      out
+    }
+
   /** JVM kernel for [[slidingChunks]]: identical output including
     * order and tail handling (PipelineSpec proves bit-equality). The
     * HOF form pays interpreted slice+concat per window.
     */
   def slidingChunksKernel(w: Int, s: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (ws: Seq[String]) =>
-      if (ws == null) null
-      else if (ws.isEmpty) Array.empty[String]
-      else {
-        val arr = ws.toArray
-        val n = (arr.length - 1) / s + 1
-        val out = new Array[String](n)
-        var i = 0
-        while (i < n) {
-          val from = i * s
-          val until = math.min(from + w, arr.length)
-          val sb = new java.lang.StringBuilder(arr(from))
-          var k = from + 1
-          while (k < until) { sb.append(' ').append(arr(k)); k += 1 }
-          out(i) = sb.toString
-          i += 1
-        }
-        out
-      }
+      if (ws == null) null else slidingChunksJvm(ws, w, s)
     }
 
   /** Per-word integer code used by the rolling-hash fingerprint:
