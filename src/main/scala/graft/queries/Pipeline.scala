@@ -2120,8 +2120,81 @@ object Pipeline {
       GROUP BY d.lang
       ORDER BY d.lang"""))
 
+  /** Corpus drift monitor — χ² homogeneity between two corpus slices
+    * (here the doc_id parity halves standing in for "last crawl" vs
+    * "this crawl") over quality-score deciles. χ² instead of the
+    * usual PSI on purpose: PSI's log hangs cross-engine equality on
+    * libm rounding, while every χ² term is integer counts → one
+    * subtraction, one square, one division — IEEE-identical in both
+    * engines. Shape: two map-side bucket aggregations + a 1-row
+    * totals broadcast; nothing but (bucket, count) rows ever shuffle.
+    */
+  val q91 = Q(
+    "q91_drift_chi2",
+    (spark, dir) => {
+      val ws = TextOps.words(col("text"))
+      val b = least(floor(TextOps.qualityScoreFast(ws) * 10), lit(9.0))
+        .cast("long")
+      val docs = graft.operators.FanOut(Tables(spark, dir, "documents"))
+        .select(col("doc_id"), b.as("bucket"),
+          (col("doc_id") % 2).as("half"))
+      val counts = docs.groupBy(col("bucket"))
+        .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_old"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_new"))
+      val tot = counts.agg(sum(col("n_old")).as("t_old"),
+        sum(col("n_new")).as("t_new"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_old"), col("n_new"),
+          round({
+            val g = (col("t_old") + col("t_new")).cast("double")
+            val rowTot = (col("n_old") + col("n_new")).cast("double")
+            val eo = rowTot * col("t_old").cast("double") / g
+            val en = rowTot * col("t_new").cast("double") / g
+            val dO = col("n_old").cast("double") - eo
+            val dN = col("n_new").cast("double") - en
+            dO * dO / eo + dN * dN / en
+          }, 6).as("chi2_contrib"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, doc_id % 2 AS half,
+               CAST(LEAST(FLOOR((
+                 least(len(string_split(text, ' '))/100.0, 1.0) * 0.5 +
+                 least((len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the','a','of','and','to','in','is','on','that','it')))::DOUBLE
+                       / len(string_split(text, ' '))) * 10.0, 1.0) * 0.5
+               ) * 10), 9.0) AS BIGINT) AS bucket
+        FROM documents),
+      c AS (SELECT bucket,
+              SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_old,
+              SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_new
+            FROM d GROUP BY bucket),
+      t AS (SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new FROM c)
+      SELECT bucket, CAST(n_old AS BIGINT) AS n_old,
+             CAST(n_new AS BIGINT) AS n_new,
+             ROUND(
+               (CAST(n_old AS DOUBLE) -
+                  CAST(n_old + n_new AS DOUBLE) * CAST(t_old AS DOUBLE) /
+                    CAST(t_old + t_new AS DOUBLE)) *
+               (CAST(n_old AS DOUBLE) -
+                  CAST(n_old + n_new AS DOUBLE) * CAST(t_old AS DOUBLE) /
+                    CAST(t_old + t_new AS DOUBLE)) /
+               (CAST(n_old + n_new AS DOUBLE) * CAST(t_old AS DOUBLE) /
+                  CAST(t_old + t_new AS DOUBLE)) +
+               (CAST(n_new AS DOUBLE) -
+                  CAST(n_old + n_new AS DOUBLE) * CAST(t_new AS DOUBLE) /
+                    CAST(t_old + t_new AS DOUBLE)) *
+               (CAST(n_new AS DOUBLE) -
+                  CAST(n_old + n_new AS DOUBLE) * CAST(t_new AS DOUBLE) /
+                    CAST(t_old + t_new AS DOUBLE)) /
+               (CAST(n_old + n_new AS DOUBLE) * CAST(t_new AS DOUBLE) /
+                  CAST(t_old + t_new AS DOUBLE)), 6) AS chi2_contrib
+      FROM c CROSS JOIN t
+      ORDER BY bucket"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
+    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
 }
