@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   *      connected components, keep each cluster's canonical doc)
   *   3. quality + language filters
   *   4. benchmark decontamination (5-gram containment vs a held-out set)
-  *   5. per-language weighted mixture sampling (md5-bucket, reproducible)
-  *   6. sequence packing stats (2048-token chunks, split-doc counts)
+  *   5. blocklist scrub (the PII-redaction machinery)
+  *   6. per-language weighted mixture sampling (md5-bucket, reproducible)
+  *   7. sequence packing stats (2048-token chunks, split-doc counts)
+  *   8. seeded shuffle-shard manifest (reproducible epoch order)
   *
   * Usage: scripts/run.sh graft.PrepareCorpus [sfDir]
   */
@@ -72,7 +74,16 @@ object PrepareCorpus {
     val clean = scored.join(contaminated, Seq("doc_id"), "left_anti")
     stage("4 decontaminated", clean.count())
 
-    // 5. per-language mixture (md5 bucket < rate — reproducible).
+    // 5. blocklist scrub — redact flagged terms in place (the PII
+    // machinery; the term list stands in for email/phone patterns)
+    val terms = Seq("customer", "vector")
+    val scrubbed = clean
+      .withColumn("text", TextOps.scrubText(col("text"), terms, "[REDACTED]"))
+    val hits = clean.select(TextOps.scrubHits(col("text"), terms).as("h"))
+      .agg(sum(col("h"))).collect()(0).getLong(0)
+    println(f"5 scrubbed${""}%-24s $hits%8d term hits redacted")
+
+    // 6. per-language mixture (md5 bucket < rate — reproducible).
     // Rates key on the LABELED language: the synthetic corpus is
     // English-vocabulary text under every label, so content lang-ID
     // (step 3's "und" guard) predicts "en" throughout — exactly what
@@ -81,10 +92,10 @@ object PrepareCorpus {
       16, 10).cast("long") % 100
     val rate = when(col("lang") === "en", 100)
       .when(col("lang").isin("de", "es"), 50).otherwise(25)
-    val mixed = clean.filter(bucket < rate)
-    stage("5 mixture-sampled", mixed.count())
+    val mixed = scrubbed.filter(bucket < rate)
+    stage("6 mixture-sampled", mixed.count())
 
-    // 6. packing stats: 2048-token chunks per language
+    // 7. packing stats: 2048-token chunks per language
     val packed = graft.operators.OrderedScan.runningTotal(
         mixed.select(col("doc_id"), col("lang"),
           size(ws).cast("long").as("n_tokens")),
@@ -95,10 +106,22 @@ object PrepareCorpus {
       .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("tokens"),
         expr("(sum(n_tokens) - 1) div 2048 + 1").as("chunks"))
       .orderBy(col("lang"))
-    println("6 packed:")
+    println("7 packed:")
     packed.collect().foreach(r =>
       println(f"   ${r.getString(0)}%-4s docs=${r.getLong(1)}%6d " +
         f"tokens=${r.getLong(2)}%8d chunks=${r.getLong(3)}%6d"))
+
+    // 8. reproducible epoch order: seeded hash rank → fixed-size
+    // shards (the q81 shape) — the manifest a trainer would read
+    val manifest = graft.operators.OrderedScan.runningTotal(
+        mixed.select(col("doc_id"),
+          md5(concat(lit("epoch0:"), col("doc_id").cast("string"))).as("h")),
+        key = lit(1), ord = Seq(col("h"), col("doc_id")), value = lit(1L),
+        bucket = conv(substring(col("h"), 1, 1), 16, 10).cast("long"),
+        as = "rk")
+      .withColumn("shard", expr("(rk - 1) div 64"))
+      .groupBy(col("shard")).agg(count(lit(1)).as("docs"))
+    println(f"8 sharded${""}%-25s ${manifest.count()}%8d shards of <=64 docs")
     spark.stop()
   }
 }
