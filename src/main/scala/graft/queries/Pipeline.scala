@@ -2193,8 +2193,120 @@ object Pipeline {
       FROM c CROSS JOIN t
       ORDER BY bucket"""))
 
+  /** Vocabulary growth curve (the Heaps-law audit a tokenizer build
+    * runs before committing to a vocab size): per ingestion-order
+    * slice, the token volume, the NEW token types first seen in that
+    * slice, and the cumulative vocabulary. A flattening curve says
+    * the corpus has stopped contributing new types; a linear one says
+    * keep crawling. The corpus is cut into a FIXED 20 slices (slice
+    * width derived from max(doc_id) via a 1-row broadcast), so the
+    * one serial construct — the cumulative sum — runs over a ≤20-row
+    * aggregate at ANY corpus size; the only real shuffle is the
+    * first-seen groupBy(token), the same wordcount shape as q70.
+    * All exact longs end to end.
+    */
+  val q92 = {
+    val nb = 20
+    Q(
+      "q92_vocab_growth",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = graft.operators.FanOut(Tables(spark, dir, "documents"))
+          .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+        // ceil((max+1)/nb) as floor((max+nb)/nb) — pure integer math,
+        // so Spark and DuckDB agree bucket-for-bucket
+        val bsz = docs.agg(
+          floor((max(col("doc_id")) + nb) / nb).cast("long").as("bsz"))
+        val tok = docs.crossJoin(broadcast(bsz))
+          .select(expr("doc_id div bsz").as("bucket"),
+            explode(col("ws")).as("tok"))
+        val occ = tok.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_tokens"))
+        val firstSeen = tok.groupBy(col("tok"))
+          .agg(min(col("bucket")).as("bucket"))
+        val newTypes = firstSeen.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("new_types"))
+        occ.join(newTypes, Seq("bucket"), "left")
+          .select(col("bucket"), col("n_tokens"),
+            coalesce(col("new_types"), lit(0L)).as("new_types"))
+          // bounded by construction: ≤ nb rows reach this window
+          .withColumn("vocab",
+            sum(col("new_types")).over(Window.orderBy(col("bucket"))))
+          .orderBy(col("bucket"))
+      },
+      Some(s"""
+      WITH m AS (SELECT (MAX(doc_id) + $nb) // $nb AS bsz FROM documents),
+      tok AS (SELECT d.doc_id // m.bsz AS bucket, t.tok
+              FROM documents d, m, UNNEST(string_split(d.text, ' ')) AS t(tok)),
+      occ AS (SELECT bucket, COUNT(*) AS n_tokens FROM tok GROUP BY bucket),
+      f AS (SELECT tok, MIN(bucket) AS bucket FROM tok GROUP BY tok),
+      nt AS (SELECT bucket, COUNT(*) AS new_types FROM f GROUP BY bucket)
+      SELECT occ.bucket, occ.n_tokens,
+             COALESCE(nt.new_types, 0) AS new_types,
+             CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY occ.bucket)
+                  AS BIGINT) AS vocab
+      FROM occ LEFT JOIN nt USING (bucket)
+      ORDER BY bucket"""))
+  }
+
+  /** Cross-source contamination matrix — for every source pair, how
+    * many distinct word 8-grams they share, and the containment ratio
+    * shared / min(|A|, |B|). The mixture-design forensic: a high-
+    * containment pair means two "independent" sources are mirroring
+    * each other and their mixture weights double-count. Shape: one
+    * rows×shingles distinct (the q65 decontaminate shape), then a
+    * self-equi-join on the shingle key — per-shingle fan-out is
+    * bounded by the source count (a corpus has tens of sources, not
+    * millions), so the join never amplifies. Source sizes broadcast.
+    * Counts are exact longs; the one double is a round(…, 6) ratio of
+    * two longs, IEEE-identical across engines.
+    */
+  val q93 = {
+    val n = 8
+    Q(
+      "q93_source_overlap",
+      (spark, dir) => {
+        val sh = graft.operators.FanOut(Tables(spark, dir, "documents"))
+          .select(col("source"),
+            explode(TextOps.shinglesKernel(n)(TextOps.words(col("text"))))
+              .as("s"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val a = sh.select(col("source").as("source_a"), col("s"))
+        val b = sh.select(col("source").as("source_b"), col("s"))
+        a.join(b, Seq("s"))
+          .filter(col("source_a") < col("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .join(broadcast(sizes.select(col("source").as("source_a"),
+            col("n").as("na"))), Seq("source_a"))
+          .join(broadcast(sizes.select(col("source").as("source_b"),
+            col("n").as("nb"))), Seq("source_b"))
+          .select(col("source_a"), col("source_b"), col("n_shared"),
+            round(col("n_shared").cast("double") /
+              least(col("na"), col("nb")).cast("double"), 6)
+              .as("containment"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some(s"""
+      WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+      sh AS (SELECT DISTINCT source,
+               list_aggregate(ws[i:i+${n - 1}], 'string_agg', ' ') AS s
+             FROM w, UNNEST(range(1, len(ws)-${n - 2})) AS t(i)),
+      sz AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source)
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_shared,
+             ROUND(COUNT(*)::DOUBLE / LEAST(za.n, zb.n), 6) AS containment
+      FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      JOIN sz za ON za.source = a.source
+      JOIN sz zb ON zb.source = b.source
+      GROUP BY a.source, b.source, za.n, zb.n
+      ORDER BY source_a, source_b"""))
+  }
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
+    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93)
 }

@@ -522,4 +522,41 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(preds.toSeq == Seq("en", "es", "und"))
   }
+
+  test("vocab growth: monotone, totals reconcile, bucket count bounded") {
+    val rows = graft.queries.Pipeline.q92.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length <= 20, "fixed-slice contract: never more than 20 rows")
+    assert(rows.map(_._1).sameElements(rows.map(_._1).sorted))
+    // vocab is the running sum of new_types and never decreases
+    val runningVocab = rows.map(_._3).scanLeft(0L)(_ + _).tail
+    assert(rows.map(_._4).sameElements(runningVocab))
+    // final vocab == corpus-wide distinct token count, computed independently
+    val distinctTokens = docs
+      .select(explode(TextOps.words(col("text"))).as("t"))
+      .distinct().count()
+    assert(rows.last._4 == distinctTokens)
+    // token volume reconciles against a direct per-corpus count
+    val totalTokens = docs
+      .select(sum(size(TextOps.words(col("text")))).cast("long")).head().getLong(0)
+    assert(rows.map(_._2).sum == totalTokens)
+  }
+
+  test("source overlap: ordered pairs, containment in (0,1], counts exact") {
+    val rows = graft.queries.Pipeline.q93.fn(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty, "sf0.001 corpus has cross-source 8-gram overlap")
+    assert(rows.forall { case (a, b, _, _) => a < b }, "pairs are ordered once")
+    assert(rows.forall { case (_, _, n, c) => n >= 1 && c > 0.0 && c <= 1.0 })
+    // independent recompute of one pair: intersect the two distinct-shingle
+    // sets directly and compare the count
+    val (sa, sb, nShared, _) = rows.head
+    val shingleSet = (s: String) => docs.filter(col("source") === s)
+      .select(explode(TextOps.shinglesKernel(8)(TextOps.words(col("text"))))
+        .as("sh"))
+      .distinct()
+    val direct = shingleSet(sa).intersect(shingleSet(sb)).count()
+    assert(nShared == direct, s"pair ($sa,$sb): q93=$nShared direct=$direct")
+  }
 }

@@ -255,4 +255,13 @@ class PlanSpec extends SparkSpec {
     val p75 = plan(Pipeline.q75)
     assert(p75.contains("LeftAnti"), s"expected a left-anti probe:\n$p75")
   }
+
+  test("q93: shingle self-join is keyed; source sizes broadcast") {
+    val p = plan(Pipeline.q93)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must equi-join on the shingle key:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-source size frames must broadcast:\n$p")
+  }
 }
