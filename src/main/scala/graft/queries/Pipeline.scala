@@ -2305,8 +2305,63 @@ object Pipeline {
       ORDER BY source_a, source_b"""))
   }
 
+  /** Label-noise audit (confident-learning lite) — for a deterministic
+    * audit slice (vec_id ≡ 0 mod 5), does each vector's own label agree
+    * with the majority label of its 5 nearest neighbors in the full
+    * corpus? The label-error triage a labeled training set gets before
+    * fine-tuning: a high disagreement rate flags either noisy labels
+    * or labels the geometry doesn't support. Composes q80's classifier
+    * (query side broadcast, corpus scanned once, only integer vote
+    * rows shuffle) with a keyed join back to the audited labels; every
+    * output column is integral → oracle-exact end to end. The audit
+    * slice is the scale lever: at 100 TB you audit a hash sample, not
+    * the corpus, and the slice predicate is the knob.
+    */
+  val q94 = Q(
+    "q94_label_noise",
+    (spark, dir) => {
+      val emb = Tables(spark, dir, "embeddings")
+      val audit = emb.filter(col("vec_id") % 5 === 0)
+      Similarity.knnClassify(emb, audit, "vec_id", "embedding", "label",
+          k = 5)
+        .join(audit.select(col("vec_id").as("query_id"),
+          col("label").cast("long").as("label")), Seq("query_id"))
+        .select(col("query_id").as("vec_id"), col("label"),
+          col("pred_label").cast("long").as("pred_label"), col("votes"),
+          when(col("pred_label").cast("long") === col("label"), 1L)
+            .otherwise(0L).as("agree"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      q AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+      s AS (SELECT q.vec_id AS qid, q.label AS qlabel,
+              c.vec_id AS nid, c.label AS nlabel,
+              list_dot_product(q.v, c.v) /
+                (sqrt(list_dot_product(q.v, q.v)) *
+                 sqrt(list_dot_product(c.v, c.v))) AS cos
+            FROM q JOIN e c ON c.vec_id <> q.vec_id),
+      r AS (SELECT qid, qlabel, nid, nlabel,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY cos DESC, nid) AS rn
+            FROM s),
+      v AS (SELECT qid, qlabel, nlabel, COUNT(*) AS votes,
+              MIN(rn) AS best_rank
+            FROM r WHERE rn <= 5 GROUP BY qid, qlabel, nlabel),
+      p AS (SELECT qid, qlabel, nlabel, votes,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY votes DESC, best_rank) AS pk
+            FROM v)
+      SELECT qid AS vec_id, CAST(qlabel AS BIGINT) AS label,
+             CAST(nlabel AS BIGINT) AS pred_label, votes,
+             CAST(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END AS BIGINT)
+               AS agree
+      FROM p WHERE pk = 1
+      ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93)
+    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94)
 }

@@ -559,4 +559,16 @@ class PipelineSpec extends SparkSpec {
     val direct = shingleSet(sa).intersect(shingleSet(sb)).count()
     assert(nShared == direct, s"pair ($sa,$sb): q93=$nShared direct=$direct")
   }
+
+  test("label noise audit: one verdict per audited vector, flags consistent") {
+    val rows = graft.queries.Pipeline.q94.fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val audited = emb.filter(col("vec_id") % 5 === 0).count()
+    assert(rows.length == audited, "every audited vector gets a verdict")
+    assert(rows.forall { case (id, _, _, _, _) => id % 5 == 0 })
+    assert(rows.forall { case (_, _, _, v, _) => v >= 1 && v <= 5 })
+    assert(rows.forall { case (_, l, p, _, a) => a == (if (l == p) 1 else 0) })
+  }
 }
