@@ -134,10 +134,42 @@ object Stress {
       }
       release(spark)
       val t4 = System.nanoTime()
+      // q92 shape: ONE wordcount-shuffle (first-seen bucket per token)
+      // then aggregates bounded at 20 rows — vocab itself grows ~Nx
+      // under replica salting, so this measures the shuffle honestly
+      val vocab = {
+        val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val bsz = math.max((mx + 20L) / 20L, 1L)
+        docs.select(expr(s"doc_id div $bsz").as("bucket"),
+            explode(TextOps.words(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(min(col("bucket")).as("b"))
+          .groupBy(col("b")).agg(count(lit(1))).count()
+      }
+      release(spark)
+      val t5 = System.nanoTime()
+      // q93 shape: distinct (source, shingle) self-equi-join — fan-out
+      // per shingle stays bounded by the 20 sources at any Nx
+      val overlap = {
+        val sh = docs.select(col("source"),
+            explode(TextOps.shinglesKernel(8)(TextOps.words(col("text"))))
+              .as("s"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val a = sh.select(col("source").as("sa"), col("s"))
+        val b = sh.select(col("source").as("sb"), col("s"))
+        val out = a.join(b, Seq("s")).filter(col("sa") < col("sb"))
+          .groupBy(col("sa"), col("sb")).agg(count(lit(1))).count()
+        sh.unpersist(blocking = false)
+        out
+      }
+      release(spark)
+      val t6 = System.nanoTime()
       def s(a: Long, b: Long) = f"${(b - a) / 1e9}%7.2f"
       println(f"$tag%-4s chunks=${s(t0, t1)}s scrub=${s(t1, t2)}s " +
-        f"shard=${s(t2, t3)}s tfidf=${s(t3, t4)}s " +
-        f"[chunks=$ch hits=$sc ranks=$sh tfrows=$tfidf]")
+        f"shard=${s(t2, t3)}s tfidf=${s(t3, t4)}s vocab=${s(t4, t5)}s " +
+        f"overlap=${s(t5, t6)}s " +
+        f"[chunks=$ch hits=$sc ranks=$sh tfrows=$tfidf vocabBuckets=$vocab " +
+        f"pairs=$overlap]")
     }
 
     // warm both code paths on the small corpus first so the 1x
