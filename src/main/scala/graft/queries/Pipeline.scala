@@ -2360,8 +2360,68 @@ object Pipeline {
       FROM p WHERE pk = 1
       ORDER BY vec_id"""))
 
+  /** Dedup attrition by source — after a near-dup collapse (q55's
+    * MinHash pairs → connected components → min-id survivor), how many
+    * docs and how much character volume does each source LOSE? The
+    * number a mixture design needs immediately after dedup: if one
+    * source is 40% redundant, its pre-dedup mixture weight overstates
+    * its real contribution. Non-canonical cluster members join back to
+    * `documents` (the dropped set is tiny → broadcast) and fold into
+    * per-source exact integer sums. Oracle replays pairs + recursive
+    * closure + the attrition aggregate end to end.
+    */
+  val q95 = Q(
+    "q95_dedup_attrition",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
+        threshold = 0.5)
+      val dropped = Dedup.connectedComponents(pairs, "a", "b")
+        .filter(col("node") =!= col("canon"))
+        .select(col("node").as("doc_id"), lit(1L).as("is_dropped"))
+      docs.select(col("source"), col("doc_id"), col("n_chars"))
+        .join(broadcast(dropped), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"),
+          sum(when(col("is_dropped").isNotNull, col("n_chars"))
+            .otherwise(0L)).as("dropped_chars"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH RECURSIVE
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)),
+      cand AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+               FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+               GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      pairs AS (
+        SELECT a, b FROM cand
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.5),
+      e AS (SELECT a AS u, b AS v FROM pairs
+            UNION SELECT b, a FROM pairs),
+      reach(node, lab) AS (
+        SELECT DISTINCT u, u FROM e
+        UNION
+        SELECT e.v, r.lab FROM reach r JOIN e ON e.u = r.node),
+      canon AS (SELECT node, MIN(lab) AS canon_id FROM reach GROUP BY node),
+      dropped AS (SELECT node AS doc_id FROM canon WHERE node <> canon_id)
+      SELECT d.source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dropped,
+             CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN d.n_chars
+                           ELSE 0 END) AS BIGINT) AS dropped_chars
+      FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+      GROUP BY d.source
+      ORDER BY d.source"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94)
+    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
+    q95)
 }

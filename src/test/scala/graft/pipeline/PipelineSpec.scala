@@ -571,4 +571,18 @@ class PipelineSpec extends SparkSpec {
     assert(rows.forall { case (_, _, _, v, _) => v >= 1 && v <= 5 })
     assert(rows.forall { case (_, l, p, _, a) => a == (if (l == p) 1 else 0) })
   }
+
+  test("dedup attrition: per-source drops reconcile with the q55 clusters") {
+    val rows = graft.queries.Pipeline.q95.fn(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).sum == docs.count(), "every doc is attributed")
+    assert(rows.forall { case (_, n, d, _) => d >= 0 && d <= n })
+    // total drops == non-canonical cluster members, computed independently
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.5)
+    val expectedDrops = Dedup.connectedComponents(pairs, "a", "b")
+      .filter(col("node") =!= col("canon")).count()
+    assert(rows.map(_._3).sum == expectedDrops)
+    // a source with zero drops contributes zero dropped chars
+    assert(rows.forall { case (_, _, d, ch) => d > 0 || ch == 0 })
+  }
 }
