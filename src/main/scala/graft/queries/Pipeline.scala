@@ -2419,9 +2419,73 @@ object Pipeline {
       GROUP BY d.source
       ORDER BY d.source"""))
 
+  /** BM25 keyword retrieval — the lexical complement of the vector
+    * search surface (q23/q30/q38): score every document holding any
+    * query term with BM25 (k1=1.2, b=0.75) and return the top 10.
+    * Shape: the inverted-index plan — explode → term semi-filter →
+    * (doc, term) tf aggregate; df and the corpus stats ride 1-row/
+    * tiny broadcasts; top-10 is TakeOrderedAndProject, never a global
+    * sort. Determinism discipline: the idf is the Robertson
+    * (N−df+0.5)/(df+0.5) WITHOUT the log wrapper (libm ulps differ
+    * across engines; the rank order for fixed N is unchanged), every
+    * FP constant appears as the same decimal literal in both engines
+    * (a Scala-side k1+1 could const-fold to a different double than
+    * parsing "2.2"), each per-term score is one fixed chain of IEEE
+    * ops, and the per-doc sum goes through dsum so addition order
+    * can't differ.
+    */
+  val q96 = {
+    val terms = Seq("customer", "vector", "merge")
+    Q(
+      "q96_bm25_topk",
+      (spark, dir) => {
+        val d = graft.operators.FanOut(Tables(spark, dir, "documents"))
+          .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+        val st = d.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+        val tot = st.agg(count(lit(1)).as("n"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+        val tf = d.select(col("doc_id"), explode(col("ws")).as("tok"))
+          .filter(col("tok").isin(terms.map(_.asInstanceOf[Any]): _*))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val idf = (col("n").cast("double") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))
+        val ratio = (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+            (col("dl") / col("avgdl"))))
+        tf.join(broadcast(dfq), "tok")
+          .join(st, "doc_id")
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), (idf * ratio).as("s"))
+          .groupBy(col("doc_id")).agg(dsum(col("s")).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(10)
+      },
+      Some(s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+      st AS (SELECT doc_id, len(ws) AS dl FROM d),
+      tot AS (SELECT COUNT(*) AS n,
+                CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM st),
+      tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+             FROM (SELECT doc_id, t.tok FROM d, UNNEST(ws) AS t(tok))
+             WHERE tok IN (${terms.map("'" + _ + "'").mkString(", ")})
+             GROUP BY 1, 2),
+      dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      sc AS (SELECT tf.doc_id,
+               ((CAST(tot.n AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5)) *
+               ((tf.tf * 2.2) /
+                (tf.tf + 1.2 * (0.25 + 0.75 * (st.dl / tot.avgdl)))) AS s
+             FROM tf JOIN dfq USING (tok) JOIN st USING (doc_id)
+             CROSS JOIN tot),
+      agg AS (SELECT doc_id, ${oSum("s")} AS score
+              FROM sc GROUP BY doc_id)
+      SELECT doc_id, score FROM agg
+      ORDER BY score DESC, doc_id LIMIT 10"""))
+  }
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95)
+    q95, q96)
 }

@@ -585,4 +585,19 @@ class PipelineSpec extends SparkSpec {
     // a source with zero drops contributes zero dropped chars
     assert(rows.forall { case (_, _, d, ch) => d > 0 || ch == 0 })
   }
+
+  test("bm25: top-10 positive, descending, and every hit holds a query term") {
+    val rows = graft.queries.Pipeline.q96.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length == 10)
+    assert(rows.forall(_._2 > 0.0))
+    assert(rows.map(_._2).sliding(2).forall(w => w(0) >= w(1)))
+    val terms = Seq("customer", "vector", "merge")
+    val holders = docs
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("t"))
+      .filter(col("t").isin(terms.map(_.asInstanceOf[Any]): _*))
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => holders(r._1)))
+  }
 }

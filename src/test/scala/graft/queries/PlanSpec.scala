@@ -256,6 +256,14 @@ class PlanSpec extends SparkSpec {
     assert(p75.contains("LeftAnti"), s"expected a left-anti probe:\n$p75")
   }
 
+  test("q96: bm25 top-10 is TakeOrderedAndProject with broadcast stats") {
+    val p = plan(Pipeline.q96)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"df/corpus-stats joins must broadcast:\n$p")
+  }
+
   test("q93: shingle self-join is keyed; source sizes broadcast") {
     val p = plan(Pipeline.q93)
     assert(!p.contains("CartesianProduct") &&
