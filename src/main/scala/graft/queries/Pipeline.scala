@@ -2434,33 +2434,34 @@ object Pipeline {
     * ops, and the per-doc sum goes through dsum so addition order
     * can't differ.
     */
-  val q96 = {
-    val terms = Seq("customer", "vector", "merge")
-    Q(
-      "q96_bm25_topk",
-      (spark, dir) => {
-        val d = graft.operators.FanOut(Tables(spark, dir, "documents"))
-          .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
-        val st = d.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
-        val tot = st.agg(count(lit(1)).as("n"),
-          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-        val tf = d.select(col("doc_id"), explode(col("ws")).as("tok"))
-          .filter(col("tok").isin(terms.map(_.asInstanceOf[Any]): _*))
-          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-        val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        val idf = (col("n").cast("double") - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5))
-        val ratio = (col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
-            (col("dl") / col("avgdl"))))
-        tf.join(broadcast(dfq), "tok")
-          .join(st, "doc_id")
-          .crossJoin(broadcast(tot))
-          .select(col("doc_id"), (idf * ratio).as("s"))
-          .groupBy(col("doc_id")).agg(dsum(col("s")).as("score"))
-          .orderBy(col("score").desc, col("doc_id")).limit(10)
-      },
-      Some(s"""
+  /** BM25 score frame (doc_id, score) shared by q96/q97 — see q96's
+    * scaladoc for the determinism discipline.
+    */
+  private def bm25Scores(spark: org.apache.spark.sql.SparkSession,
+      dir: String, terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val d = graft.operators.FanOut(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+    val st = d.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    val tot = st.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = d.select(col("doc_id"), explode(col("ws")).as("tok"))
+      .filter(col("tok").isin(terms.map(_.asInstanceOf[Any]): _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val idf = (col("n").cast("double") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5))
+    val ratio = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+        (col("dl") / col("avgdl"))))
+    tf.join(broadcast(dfq), "tok")
+      .join(st, "doc_id")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), (idf * ratio).as("s"))
+      .groupBy(col("doc_id")).agg(dsum(col("s")).as("score"))
+  }
+
+  /** The q96/q97 BM25 oracle CTE prefix, ending in agg(doc_id, score). */
+  private def bm25OracleCtes(terms: Seq[String]): String = s"""
       WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
                  FROM documents),
       st AS (SELECT doc_id, len(ws) AS dl FROM d),
@@ -2478,14 +2479,81 @@ object Pipeline {
              FROM tf JOIN dfq USING (tok) JOIN st USING (doc_id)
              CROSS JOIN tot),
       agg AS (SELECT doc_id, ${oSum("s")} AS score
-              FROM sc GROUP BY doc_id)
+              FROM sc GROUP BY doc_id)"""
+
+  val q96 = {
+    val terms = Seq("customer", "vector", "merge")
+    Q(
+      "q96_bm25_topk",
+      (spark, dir) =>
+        bm25Scores(spark, dir, terms)
+          .orderBy(col("score").desc, col("doc_id")).limit(10),
+      Some(s"""${bm25OracleCtes(terms)}
       SELECT doc_id, score FROM agg
       ORDER BY score DESC, doc_id LIMIT 10"""))
+  }
+
+  /** Hybrid retrieval — reciprocal-rank fusion of the lexical (q96
+    * BM25) and vector (q23 cosine) rankings, the standard fusion a
+    * modern retrieval stack runs when neither signal alone suffices.
+    * RRF(d) = Σ_legs 1/(60 + rank_leg(d)) over the legs that returned
+    * d in their top-50 — rank arithmetic only, so fusion adds just
+    * TWO IEEE divisions and one addition per doc in a fixed order
+    * (the scores of the legs never mix, which is RRF's whole point
+    * and also what makes it cross-engine exact). Each leg's top-50 is
+    * TakeOrderedAndProject; the rank windows run over ≤50 rows.
+    */
+  val q97 = {
+    val terms = Seq("customer", "vector", "merge")
+    Q(
+      "q97_hybrid_rrf",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val lexTop = bm25Scores(spark, dir, terms)
+          .orderBy(col("score").desc, col("doc_id")).limit(50)
+          .select(col("doc_id"),
+            row_number().over(Window.orderBy(col("score").desc,
+              col("doc_id"))).cast("long").as("lex_rank"))
+        val emb = Tables(spark, dir, "embeddings")
+        val vecTop = Similarity.bruteForceTopK(emb,
+            emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+          .select(col("neighbor_id").as("doc_id"),
+            col("rank").cast("long").as("vec_rank"))
+        lexTop.join(vecTop, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+            (coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+             coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
+              .as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      },
+      Some(s"""${bm25OracleCtes(terms)},
+      lex AS (SELECT doc_id,
+                CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                     AS BIGINT) AS lex_rank
+              FROM agg ORDER BY score DESC, doc_id LIMIT 50),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      qv AS (SELECT * FROM e WHERE vec_id = 0),
+      cs AS (SELECT c.vec_id AS nid,
+               list_dot_product(qv.v, c.v) /
+                 (sqrt(list_dot_product(qv.v, qv.v)) *
+                  sqrt(list_dot_product(c.v, c.v))) AS cos
+             FROM e c, qv WHERE c.vec_id <> 0),
+      vec AS (SELECT nid AS doc_id,
+                CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, nid)
+                     AS BIGINT) AS vec_rank
+              FROM cs ORDER BY cos DESC, nid LIMIT 50),
+      f AS (SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+              lex_rank, vec_rank
+            FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+      SELECT doc_id, lex_rank, vec_rank,
+             COALESCE(1.0 / (60 + lex_rank), 0.0) +
+             COALESCE(1.0 / (60 + vec_rank), 0.0) AS rrf
+      FROM f ORDER BY rrf DESC, doc_id LIMIT 10"""))
   }
 
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95, q96)
+    q95, q96, q97)
 }

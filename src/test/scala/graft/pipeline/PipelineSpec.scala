@@ -600,4 +600,19 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(rows.forall(r => holders(r._1)))
   }
+
+  test("hybrid rrf: fusion arithmetic reconciles with the leg ranks") {
+    val rows = graft.queries.Pipeline.q97.fn(spark, sf).collect()
+    assert(rows.length == 10)
+    val rrfs = rows.map { r =>
+      val lex = if (r.isNullAt(1)) 0.0 else 1.0 / (60 + r.getLong(1))
+      val vec = if (r.isNullAt(2)) 0.0 else 1.0 / (60 + r.getLong(2))
+      val expected = lex + vec
+      assert(r.getDouble(3) == expected,
+        s"doc ${r.getLong(0)}: rrf ${r.getDouble(3)} != $expected")
+      assert(!(r.isNullAt(1) && r.isNullAt(2)), "a hit must come from a leg")
+      r.getDouble(3)
+    }
+    assert(rrfs.sliding(2).forall(w => w(0) >= w(1)))
+  }
 }
