@@ -11,13 +11,15 @@ class ExplainAudit extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   test("top-cost queries contain no cartesian/nested-loop operators") {
-    // q80 is deliberately absent: its scoring join IS a broadcast
-    // nested loop (tiny query side × corpus scan), pinned in PlanSpec
+    // q80/q94/q96/q97 are deliberately absent: their scoring joins /
+    // 1-row stat rides ARE broadcast nested loops (tiny side × corpus
+    // scan), pinned in PlanSpec
     Seq("q03" -> Relational.q03, "q24" -> Pipeline.q24,
         "q30" -> Pipeline.q30, "q59" -> Events.q59,
         "q37" -> Pipeline.q37, "q55" -> Pipeline.q55,
         "q76" -> Pipeline.q76, "q85" -> Pipeline.q85,
-        "q88" -> Pipeline.q88).foreach { case (n, q) =>
+        "q88" -> Pipeline.q88, "q93" -> Pipeline.q93,
+        "q95" -> Pipeline.q95).foreach { case (n, q) =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$n has a cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$n has a nested loop:\n$p")
