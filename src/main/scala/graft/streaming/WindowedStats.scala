@@ -37,6 +37,47 @@ object WindowedStats {
       .select(col("w.start").as("w_start"), col(keyCol),
         col("n"), col("sum_value"))
 
+  /** Streaming corpus drift monitor — the finishing fold of q91's χ²
+    * homogeneity test run live: feed [[windowedCounts]] (keyed on a
+    * bucket column, e.g. quality deciles) through a memory/foreachBatch
+    * sink, then fold the FINALIZED (w_start, bucket, n) rows against a
+    * static reference histogram `(bucket, ref_n)` — "did the crawl
+    * change shape under me" as a per-window number. Expected counts
+    * are the reference PROPORTIONS scaled to each window's total, so
+    * windows of any size compare against the same reference shape, and
+    * zero-count buckets contribute their full expectation (a vanished
+    * decile must raise the alarm, not dodge it). The fold runs on
+    * windows × buckets rows — tiny at any corpus rate; per-bucket
+    * χ² terms are the q91 IEEE chain over integer counts and the
+    * per-window sum goes through the decimal accumulator so it cannot
+    * depend on partitioning.
+    */
+  def chi2Drift(windowCounts: DataFrame, reference: DataFrame): DataFrame = {
+    val wc = windowCounts.select(col("w_start"), col("bucket"), col("n"))
+    val refTot = reference.agg(sum(col("ref_n")).cast("double")
+      .as("ref_total"))
+    // rename the aggregate's key so the (windows × ref-buckets) grid
+    // shares no attribute with the probe side of the left join below
+    val wTot = wc.groupBy(col("w_start")).agg(sum(col("n")).as("w_total"))
+      .select(col("w_start").as("_w"), col("w_total"))
+    val grid = wTot.crossJoin(broadcast(
+        reference.select(col("bucket").as("_b"), col("ref_n"))))
+      .crossJoin(broadcast(refTot))
+    val joined = grid
+      .join(wc, grid("_w") === wc("w_start") && grid("_b") === wc("bucket"),
+        "left")
+      .select(col("_w").as("w_start"), col("_b").as("bucket"),
+        coalesce(col("n"), lit(0L)).as("n0"),
+        col("w_total"), col("ref_n"), col("ref_total"))
+    val e = col("w_total").cast("double") *
+      (col("ref_n").cast("double") / col("ref_total"))
+    val d = col("n0").cast("double") - e
+    joined.withColumn("contrib", d * d / e)
+      .groupBy(col("w_start"))
+      .agg(graft.queries.dsum(col("contrib")).as("chi2"),
+        count(lit(1)).as("n_buckets"))
+  }
+
   final case class Running(n: Long, total: Double, max: Double)
   final case class KeyStats(key: String, n: Long, total: Double, max: Double)
 

@@ -140,4 +140,45 @@ class WindowedStatsSpec extends SparkSpec {
       assert(b.getLong(1) == 1L && b.getDouble(3) == 10.0)
     } finally q.stop()
   }
+
+  test("chi2 drift monitor: matching window scores 0, skewed window alarms") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    // append mode: a window emits only once the watermark finalizes it
+    val q = WindowedStats.windowedCounts(
+        ms.toDF().toDF("ts", "bucket", "value"),
+        "ts", "bucket", windowLen = "10 minutes", watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("drift").outputMode("append")
+      .start()
+    try {
+      // window 10:00: 10 rows of each bucket — exactly the reference shape
+      val even = (0 until 10).flatMap(i => Seq(
+        (ts(f"2024-01-01 10:00:${i}%02d"), 0L, 0.0),
+        (ts(f"2024-01-01 10:01:${i}%02d"), 1L, 0.0)))
+      // window 10:10: all 20 rows in bucket 0 — maximal skew
+      val skew = (0 until 20).map(i => (ts(f"2024-01-01 10:10:${i}%02d"), 0L, 0.0))
+      ms.addData(even ++ skew: _*)
+      q.processAllAvailable()
+      // push the watermark past both windows so append finalizes them
+      ms.addData((ts("2024-01-01 10:40:00"), 0L, 0.0))
+      q.processAllAvailable()
+      val finalized = spark.table("drift")
+      assert(finalized.filter($"w_start" < ts("2024-01-01 10:20:00"))
+        .count() == 3, "both windows must be finalized (3 bucket rows)")
+
+      val ref = Seq((0L, 50L), (1L, 50L)).toDF("bucket", "ref_n")
+      val chi2 = WindowedStats.chi2Drift(
+          finalized.filter($"w_start" < ts("2024-01-01 10:20:00")), ref)
+        .collect().map(r => (r.getTimestamp(0), r.getDouble(1), r.getLong(2)))
+        .sortBy(_._1.getTime)
+      assert(chi2.length == 2)
+      // matching shape: E = 10/10, observed 10/10 → χ² exactly 0
+      assert(chi2(0)._2 == 0.0, s"matched window must score 0: ${chi2(0)}")
+      // skew: E = 10/10, observed 20/0 → (10²/10) + (10²/10) = 20 exactly
+      assert(chi2(1)._2 == 20.0, s"skewed window must score 20: ${chi2(1)}")
+      // the vanished bucket was counted (zero-count buckets contribute)
+      assert(chi2.forall(_._3 == 2L))
+    } finally q.stop()
+  }
 }
