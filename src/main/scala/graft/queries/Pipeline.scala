@@ -2551,9 +2551,66 @@ object Pipeline {
       FROM f ORDER BY rrf DESC, doc_id LIMIT 10"""))
   }
 
+  /** Token-budget allocation — the "how many epochs of each source
+    * fill the budget" arithmetic a mixture design ends with: a char
+    * budget (half the corpus) is split across sources proportionally
+    * to their DISTINCT trigram counts (an information-content proxy —
+    * a redundant source earns less budget than its raw size suggests),
+    * then each target divides into whole epochs + a partial remainder.
+    * Every number is an exact integer: targets are floor((B·d)/Σd) in
+    * int64 (the 100 TB path lifts the product to decimal/int128),
+    * epochs/remainder are integer div/mod. The only real shuffle is
+    * the distinct-shingle count; the allocation itself runs on a
+    * sources-sized frame.
+    */
+  val q98 = Q(
+    "q98_token_budget",
+    (spark, dir) => {
+      val docs = graft.operators.FanOut(Tables(spark, dir, "documents"))
+      val dsh = docs.select(col("source"),
+          explode(TextOps.shinglesKernel(3)(TextOps.words(col("text"))))
+            .as("s"))
+        .distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("distinct_shingles"))
+      val chars = docs.groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("chars"))
+      val budget = chars.agg(expr("sum(chars) div 2").as("b"))
+      val dTot = dsh.agg(sum(col("distinct_shingles")).as("dsumall"))
+      chars.join(dsh, "source")
+        .crossJoin(broadcast(budget)).crossJoin(broadcast(dTot))
+        .withColumn("target_chars",
+          expr("(b * distinct_shingles) div dsumall"))
+        .select(col("source"), col("chars"), col("distinct_shingles"),
+          col("target_chars"),
+          expr("target_chars div chars").as("epochs"),
+          expr("target_chars % chars").as("partial_chars"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH w AS (SELECT source, string_split(text, ' ') AS ws
+                 FROM documents),
+      sh AS (SELECT DISTINCT source, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)),
+      d AS (SELECT source, COUNT(*) AS distinct_shingles
+            FROM sh GROUP BY source),
+      c AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars
+            FROM documents GROUP BY source),
+      t AS (SELECT CAST(SUM(chars) // 2 AS BIGINT) AS b FROM c),
+      dt AS (SELECT CAST(SUM(distinct_shingles) AS BIGINT) AS dsumall
+             FROM d)
+      SELECT c.source, c.chars, d.distinct_shingles,
+             CAST((t.b * d.distinct_shingles) // dt.dsumall AS BIGINT)
+               AS target_chars,
+             CAST(((t.b * d.distinct_shingles) // dt.dsumall) // c.chars
+               AS BIGINT) AS epochs,
+             CAST(((t.b * d.distinct_shingles) // dt.dsumall) % c.chars
+               AS BIGINT) AS partial_chars
+      FROM c JOIN d USING (source) CROSS JOIN t CROSS JOIN dt
+      ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95, q96, q97)
+    q95, q96, q97, q98)
 }
