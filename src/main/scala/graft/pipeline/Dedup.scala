@@ -66,13 +66,28 @@ object Dedup extends Serializable {
     * same driver oracle, no approximation in the result. At 100 TB
     * the anti-join probe side shrinks from |incoming| to
     * |dups| + fpp·|incoming|.
+    *
+    * Sizing: by default (`expectedItems = 0`) the filter is sized
+    * from the MEASURED history digest cardinality, so fpp holds at
+    * ANY history size — a fixed default would silently saturate
+    * (fpp→1) once history outgrew it, degrading the zero-shuffle
+    * path back to a full anti-join with no correctness signal.
+    * Callers that maintain incremental history stats pass
+    * `expectedItems > 0` to skip the count. The digest set is
+    * persisted so the count, the filter build, and the anti-join
+    * share ONE distinct-shuffle instead of recomputing it per
+    * consumer (Bench/Verify release leftover caches between queries).
     */
   def incrementalExactBloom(history: DataFrame, incoming: DataFrame,
       textCol: String, idCol: String,
-      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
     val spark = history.sparkSession
     val hist = history.select(sha2(col(textCol), 256).as("digest")).distinct()
-    val bf = hist.stat.bloomFilter("digest", expectedItems, fpp)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val items =
+      if (expectedItems > 0L) expectedItems
+      else math.max(1L, hist.count())
+    val bf = hist.stat.bloomFilter("digest", items, fpp)
     val bc = spark.sparkContext.broadcast(bf)
     val mightContain = udf((d: String) => bc.value.mightContainString(d))
     val collapsed = incoming

@@ -352,34 +352,57 @@ object Similarity extends Serializable {
     * neighbor (min rank — integer-deterministic given the rank order,
     * which ties on neighbor id like every top-k here).
     *
+    * Broadcast contract: the query side is NOT assumed tiny — callers
+    * pass corpus slices (q80/q94 pass 10–20% of all embeddings), and
+    * an unbounded broadcast of a corpus fraction is the q95 failure
+    * class. The query side is counted, and when it exceeds
+    * `maxBroadcastRows` it is processed in ⌈n/max⌉ deterministic
+    * chunks (qid mod chunks), each chunk broadcast against its own
+    * corpus scan and the disjoint results unioned — per-join
+    * broadcast stays bounded at the price of chunks× corpus scans,
+    * the honest trade once the query side outgrows executor memory
+    * (a truly large query side belongs on the bucketed ANN path,
+    * [[annTopK]]/[[ivfTopK]]). Output is identical for any chunk
+    * count: the per-qid windows and votes never cross chunks.
+    *
     * Returns (query_id, pred_label, votes, best_rank) — one row per
     * query. All-integer outputs: nothing float crosses the aggregate,
     * so the oracle reproduces it exactly.
     */
   def knnClassify(corpusDf: DataFrame, queriesDf: DataFrame,
-      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, labelCol: String, k: Int,
+      maxBroadcastRows: Long = 262144L): DataFrame = {
     graft.functions.GraftFunctions.register(corpusDf.sparkSession)
     val corpus = corpusDf.select(col(idCol).as("nid"),
         col(labelCol).as("nlabel"),
         col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", sqrt(call_function("graft_dot", col("cv"), col("cv"))))
     val queries = withNorm(queriesDf, idCol, vecCol, "qid", "qv", "qn")
-    val scored = corpus.crossJoin(broadcast(queries))
-      .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), col("nlabel"),
-        cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("cos"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid").asc)
-    val voted = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .groupBy(col("qid"), col("nlabel"))
-      .agg(count(lit(1)).as("votes"), min(col("rank")).as("best_rank"))
-    val pick = Window.partitionBy(col("qid"))
-      .orderBy(col("votes").desc, col("best_rank").asc)
-    voted.withColumn("_rk", row_number().over(pick))
-      .filter(col("_rk") === 1)
-      .select(col("qid").as("query_id"), col("nlabel").as("pred_label"),
-        col("votes"), col("best_rank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nq = queries.count()
+    val chunks = math.max(1L, (nq + maxBroadcastRows - 1) / maxBroadcastRows).toInt
+    def leg(qs: DataFrame): DataFrame = {
+      val scored = corpus.crossJoin(broadcast(qs))
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"), col("nlabel"),
+          cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("cos"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid").asc)
+      val voted = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .groupBy(col("qid"), col("nlabel"))
+        .agg(count(lit(1)).as("votes"), min(col("rank")).as("best_rank"))
+      val pick = Window.partitionBy(col("qid"))
+        .orderBy(col("votes").desc, col("best_rank").asc)
+      voted.withColumn("_rk", row_number().over(pick))
+        .filter(col("_rk") === 1)
+        .select(col("qid").as("query_id"), col("nlabel").as("pred_label"),
+          col("votes"), col("best_rank"))
+    }
+    if (chunks == 1) leg(queries)
+    else (0 until chunks)
+      .map(i => leg(queries.filter(pmod(col("qid"), lit(chunks)) === i)))
+      .reduce(_ unionAll _)
   }
 
   /** Per-vector int8 quantization stats — the storage-compression
@@ -461,6 +484,19 @@ object Similarity extends Serializable {
     * the final assignment (id, cluster, dist_fp) against the
     * last-round centroids.
     */
+  /** SemDeDup's scale knob: k grows with the corpus so cluster size
+    * stays ≈ `targetClusterSize` and the within-cluster pair join is
+    * O(n · targetClusterSize), NEVER O(n²/k-fixed). A fixed k means a
+    * 100× corpus makes each cluster 100× bigger and the pair stage
+    * 10,000× heavier — deriving k = ⌈n / target⌉ is what the SemDeDup
+    * paper's "cluster sizes bound the quadratic" actually requires.
+    * Floor of 8 keeps tiny fixtures from degenerating to one cluster
+    * per Lloyd tie-break. Mirrored verbatim in the q85 oracle SQL
+    * (GREATEST(8, CEIL(COUNT(*)/target))).
+    */
+  def semDeDupK(n: Long, targetClusterSize: Long = 128L): Int =
+    math.max(8L, (n + targetClusterSize - 1) / targetClusterSize).toInt
+
   def deterministicKMeans(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, rounds: Int): DataFrame = {
     val spark = emb.sparkSession

@@ -1725,18 +1725,25 @@ object Pipeline {
     * published SemDeDup approximation, and the reason the quadratic
     * never materializes at scale — cluster sizes bound it), pairs at
     * cosine ≥ 0.45 collapse via connected components, min-id
-    * survives. Because q84's clustering is deterministic, the oracle
-    * replays the ENTIRE composition — Lloyd, within-cluster cosine
-    * pairs, recursive-CTE closure — so even the approximation's exact
-    * output is differentially verified.
+    * survives. k is NOT fixed: it derives from corpus size via
+    * [[Similarity.semDeDupK]] (k = max(8, ⌈n/128⌉)) so cluster sizes
+    * stay ≈128 and the pair stage is O(n·128) at ANY corpus scale —
+    * the bound the published approximation actually promises. The
+    * oracle computes the SAME k from COUNT(*) and replays the ENTIRE
+    * composition — Lloyd, within-cluster cosine pairs, recursive-CTE
+    * closure — so even the approximation's exact output is
+    * differentially verified (at sf0.1's 2000 vectors k=16, so the
+    * derivation itself is differentially exercised, not just the
+    * floor).
     */
   val q85 = Q(
     "q85_semantic_dedup",
     (spark, dir) => {
       graft.functions.GraftFunctions.register(spark)
       val emb = Tables(spark, dir, "embeddings")
+      val k = Similarity.semDeDupK(emb.count())
       val asg = Similarity.deterministicKMeans(emb, "vec_id", "embedding",
-          k = 8, rounds = 2)
+          k = k, rounds = 2)
         .select(col("id").as("vec_id"), col("cluster"))
       val vecs = emb.join(asg, "vec_id")
         .select(col("vec_id"), col("cluster"),
@@ -1770,7 +1777,12 @@ object Pipeline {
       v AS (SELECT vec_id,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
             FROM embeddings),
-      c0 AS (SELECT vec_id AS cid, vd AS c FROM v ORDER BY vec_id LIMIT 8),
+      kk AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*)/128.0) AS BIGINT)) AS k
+             FROM v),
+      c0 AS (SELECT vec_id AS cid, vd AS c FROM (
+               SELECT vec_id, vd,
+                 ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM v)
+             WHERE rn <= (SELECT k FROM kk)),
       d1 AS (SELECT v.vec_id, v.vd, c.cid,
                list_sum(list_transform(range(1, len(v.vd)+1),
                  i -> CAST(FLOOR((v.vd[i]-c.c[i])*(v.vd[i]-c.c[i])*1e12)
@@ -2366,9 +2378,13 @@ object Pipeline {
     * number a mixture design needs immediately after dedup: if one
     * source is 40% redundant, its pre-dedup mixture weight overstates
     * its real contribution. Non-canonical cluster members join back to
-    * `documents` (the dropped set is tiny → broadcast) and fold into
-    * per-source exact integer sums. Oracle replays pairs + recursive
-    * closure + the attrition aggregate end to end.
+    * `documents` on doc_id as a plain keyed left join — NO broadcast
+    * hint: the dropped set is O(duplicate-fraction of corpus) (this
+    * query exists precisely because a source can be 40% redundant), so
+    * at scale it must shuffle-join; AQE still broadcasts it at runtime
+    * when it measures genuinely small. Results fold into per-source
+    * exact integer sums. Oracle replays pairs + recursive closure +
+    * the attrition aggregate end to end.
     */
   val q95 = Q(
     "q95_dedup_attrition",
@@ -2380,7 +2396,7 @@ object Pipeline {
         .filter(col("node") =!= col("canon"))
         .select(col("node").as("doc_id"), lit(1L).as("is_dropped"))
       docs.select(col("source"), col("doc_id"), col("n_chars"))
-        .join(broadcast(dropped), Seq("doc_id"), "left")
+        .join(dropped, Seq("doc_id"), "left")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"),

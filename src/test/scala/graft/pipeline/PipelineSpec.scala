@@ -197,6 +197,24 @@ class PipelineSpec extends SparkSpec {
     assert(got4 == Seq((100L, 2, 2L)), s"tie-break wrong: ${got4.toList}")
   }
 
+  test("knn classify: chunked broadcast (maxBroadcastRows) is output-invariant") {
+    // the broadcast-budget contract: forcing many tiny chunks must
+    // reproduce the single-broadcast answer row-for-row, because the
+    // per-qid windows/votes never cross chunks
+    val emb = Tables(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") % 7 === 0)
+    def run(budget: Long) = Similarity.knnClassify(
+        emb, queries, "vec_id", "embedding", "label", k = 5,
+        maxBroadcastRows = budget)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+      .sortBy(_._1).toSeq
+    val one = run(Long.MaxValue) // single broadcast
+    val many = run(16L)          // ⌈n/16⌉ chunks
+    assert(one.nonEmpty && one == many,
+      s"chunked knn diverged: ${one.take(3)} vs ${many.take(3)}")
+  }
+
   test("shuffle-shard: a permutation — every doc in exactly one shard, sizes exact") {
     val perShard = 64
     val d = graft.operators.FanOut(docs)
