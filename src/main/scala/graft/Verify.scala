@@ -40,12 +40,14 @@ object Verify {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
-    // ANN recall, recorded IN the correctness dump (VERDICT r4 #7):
-    // q30 (LSH) and q38 (IVF) are rows-only for the driver because no
-    // SQL oracle can express them — but both run the same query set
-    // and k as q23's exact top-k, so recall@k against the exact dump
-    // from THIS run is a checked property, not just a ScalaTest floor.
-    // Floors match SimilaritySpec (LSH >= 0.45, IVF >= 0.30).
+    // ANN recall, recorded IN the correctness dump (VERDICT r4 #7).
+    // q30 (LSH) and q38 (IVF) are now ALSO fully oracle-checked (the
+    // hyperplanes embed as exact decimal literals; the IVF quantizer
+    // is the integer-exact Lloyd core DuckDB replays) — recall here
+    // is the complementary QUALITY gate: the hash proves both engines
+    // agree on the approximate answer, recall@k vs q23's exact dump
+    // from THIS run proves the approximation is any good.
+    // Floors match PipelineSpec (LSH >= 0.45, IVF >= 0.30).
     try {
       def pairs(name: String): Set[(Long, Long)] =
         spark.read.parquet(s"$outDir/$name")

@@ -137,6 +137,23 @@ object Similarity extends Serializable {
   private def planeOf(p: Int, d: Int): Double =
     if (d < 1024) planeCache(p)(d) else planeComponentJvm(p, d)
 
+  /** The hyperplane components as SQL `VALUES (p, d, w), …` literals,
+    * for the q30 oracle: every component is n/1e6 for an integer n in
+    * [-1e6, 1e6], so its shortest 6-decimal rendering parses back to
+    * the IDENTICAL double in any engine (the decimal is within
+    * half-ulp of the quotient both printing and parsing round to).
+    * The planes are algorithm PARAMETERS — sharing them with the
+    * oracle is the same move as sharing the 0.45 threshold; the
+    * oracle still computes projections, buckets, probing, and rerank
+    * independently.
+    */
+  def planesSqlValues(maxDim: Int = 64): String =
+    (0 until HyperBits).flatMap(p => (0 until maxDim).map { d =>
+      val w = String.format(java.util.Locale.ROOT, "%.6f",
+        Double.box(planeOf(p, d)))
+      s"($p,$d,$w)"
+    }).mkString(",")
+
   /** JVM kernel for [[lshBucket]]: identical projections and sign
     * bits (PipelineSpec proves equality), one pass per plane. A null
     * vector yields NULL like the Column form (whose aggregate over a
@@ -234,93 +251,41 @@ object Similarity extends Serializable {
   }
 
   /** IVF (inverted-file) approximate top-k — the other standard scale
-    * path next to [[annTopK]]'s hyperplane LSH: a k-means-trained
-    * coarse quantizer ([[trainCentroids]]) partitions the corpus into
-    * nlist cells; queries probe only the nprobe nearest cells and
-    * exact-rerank the candidates. Shuffle volume is corpus x 1 per
-    * training round + corpus x 1 (cell assignment) + queries x nprobe,
-    * never corpus x queries.
+    * path next to [[annTopK]]'s hyperplane LSH: a Lloyd-trained
+    * coarse quantizer ([[lloydCentroids]] — the same integer-exact
+    * discipline as [[deterministicKMeans]], so an independent SQL
+    * engine can replay the training bit-for-bit) partitions the
+    * corpus into nlist cells; queries probe the nprobe nearest cells
+    * (by the same fixed-point distance, ties to the smaller cell id)
+    * and exact-rerank the candidates. Shuffle volume is corpus×1 per
+    * training round + corpus×1 (cell assignment) + queries×nprobe,
+    * never corpus×queries. Because every stage — init, updates, cell
+    * argmin, probe ranking, cosine rerank — is engine-recomputable,
+    * the q38 oracle hash-checks the FULL approximate result, not just
+    * its recall.
     */
-  /** Deterministic k-means (Lloyd) training for the IVF coarse
-    * quantizer: init = the nlist lowest-id vectors, then `iters`
-    * rounds of distributed assign (broadcast centroids, map-side
-    * nearest-cell) + element-wise mean update (explode to (cell, dim)
-    * partial sums — the rows x dim shuffle shape that scales to any
-    * corpus; only nlist x dim aggregates reach the driver). Ties and
-    * empty cells resolve deterministically (lowest index / keep old
-    * centroid), so the trained quantizer is reproducible.
-    */
-  def trainCentroids(vecs: DataFrame, vecCol: String, nlist: Int,
-      iters: Int = 3, init: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
-    val spark = vecs.sparkSession
-    var cents = init.getOrElse(
-      vecs.select(col(vecCol).cast("array<double>").as("v"))
-        .limit(nlist).collect().map(_.getSeq[Double](0).toArray))
-    for (_ <- 0 until iters) {
-      val frozen = cents
-      val norms = frozen.map(c => math.sqrt(dotJvm(c, c)))
-      val bc = spark.sparkContext.broadcast((frozen, norms))
-      val nearest = udf { (v: Seq[Double]) =>
-        val (cs, ns) = bc.value
-        val va = v.toArray
-        val nv = math.sqrt(dotJvm(va, va))
-        var best = 0
-        var bestCos = Double.MinValue
-        var i = 0
-        while (i < cs.length) {
-          val c = dotJvm(va, cs(i)) / (nv * ns(i))
-          if (c > bestCos) { bestCos = c; best = i }
-          i += 1
-        }
-        best
-      }
-      val stats = vecs.select(col(vecCol).cast("array<double>").as("v"))
-        .withColumn("cell", nearest(col("v")))
-        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("dim"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val next = frozen.map(_.clone())
-      stats.foreach { r =>
-        val (cell, dim) = (r.getInt(0), r.getInt(1))
-        next(cell)(dim) = r.getDouble(2) / r.getLong(3)
-      }
-      cents = next
-    }
-    cents
-  }
-
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column => Column, k: Int, nlist: Int = 16,
-      nprobe: Int = 4, trainIters: Int = 3): DataFrame = {
+      nprobe: Int = 4, rounds: Int = 2): DataFrame = {
     val spark = emb.sparkSession
-    // Deterministic init = the nlist lowest-id vectors, fetched via
-    // orderBy+limit (TakeOrderedAndProject — a per-partition top-N +
-    // driver merge, NOT a global sort). Training then runs on the
-    // UNSORTED persisted projection: Lloyd assignment is order-free,
-    // and the r4 shape (passing the sorted frame into training)
-    // replayed a full corpus sort once per round — three avoidable
-    // global sorts at 100 TB.
+    // Train on the UNSORTED persisted projection (init's orderBy is a
+    // TakeOrderedAndProject inside lloydCentroids — never a global
+    // sort of the corpus; the r4 shape that passed a sorted frame
+    // into training replayed a full corpus sort once per round).
     val base = emb
       .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"))
+        col(vecCol).cast("array<double>").as("vd"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val init = base.orderBy(col("id")).limit(nlist)
-      .collect().map(_.getSeq[Double](1).toArray)
-    val cents = trainCentroids(base, "v", nlist, trainIters, Some(init))
+    val cents = lloydCentroids(base, nlist, rounds)
     base.unpersist(blocking = false)
-    val centNorms = cents.map(c => math.sqrt(dotJvm(c, c)))
-    val bc = spark.sparkContext.broadcast((cents, centNorms))
-
-    def cellsOf(v: Seq[Double], m: Int): Array[Int] = {
-      val (cs, ns) = bc.value
-      val va = v.toArray
-      val nv = math.sqrt(dotJvm(va, va))
-      cs.indices.map(i => (dotJvm(va, cs(i)) / (nv * ns(i)), i))
-        .sortBy { case (c, i) => (-c, i) }.take(m).map(_._2).toArray
+    val bc = spark.sparkContext.broadcast(cents)
+    def cellsOf(vd: Seq[Double], m: Int): Array[Long] = {
+      val cs = bc.value
+      cs.map { case (cid, c) => (distFpJvm(vd, c), cid) }
+        .sortBy(identity).take(m).map(_._2)
     }
-    val assignCell = udf((v: Seq[Double]) => cellsOf(v, 1)(0))
-    val probeCells = udf((v: Seq[Double]) => cellsOf(v, nprobe))
+    val assignCell = udf((vd: Seq[Double]) => cellsOf(vd, 1)(0))
+    val probeCells = udf((vd: Seq[Double]) => cellsOf(vd, nprobe))
 
     val corpus = withNorm(emb, idCol, vecCol, "nid", "cv", "cn")
       .withColumn("cell", assignCell(col("cv")))
@@ -465,10 +430,8 @@ object Similarity extends Serializable {
     }
 
   /** Deterministic distributed k-means (Lloyd), built so EVERY step
-    * is engine-recomputable — the first fully differentially-testable
-    * clustering here (trainCentroids, the IVF coarse quantizer, is
-    * deterministic but uses double accumulation, so only its Spark
-    * twin can replay it; this variant an independent SQL engine can):
+    * is engine-recomputable — an independent SQL engine replays it
+    * exactly (q84/q85/q38 all do):
     *
     *  - init: the k smallest-id vectors; cluster ids = those vec ids
     *  - distance: Σ_dim floor((v_i−c_i)²·1e12) — per-element floors
@@ -478,10 +441,11 @@ object Similarity extends Serializable {
     *    integer sums, ONE IEEE division (the q73 discipline)
     *
     * Per round: one map-side assignment scan (centroids broadcast —
-    * k·dim doubles, the same bounded-by-contract driver state as
-    * trainCentroids) + one (cluster, dim) partial-sum aggregate.
-    * Shuffle volume = k·dim rows per round, never vectors. Returns
-    * the final assignment (id, cluster, dist_fp) against the
+    * k·dim doubles, bounded-by-contract driver state) + one
+    * (cluster, dim) partial-sum aggregate. Shuffle volume = k·dim
+    * rows per round, never vectors. [[lloydCentroids]] is the
+    * training core (also the IVF coarse quantizer); this wrapper
+    * returns the final assignment (id, cluster, dist_fp) against the
     * last-round centroids.
     */
   /** SemDeDup's scale knob: k grows with the corpus so cluster size
@@ -497,44 +461,66 @@ object Similarity extends Serializable {
   def semDeDupK(n: Long, targetClusterSize: Long = 128L): Int =
     math.max(8L, (n + targetClusterSize - 1) / targetClusterSize).toInt
 
-  def deterministicKMeans(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, rounds: Int): DataFrame = {
-    val spark = emb.sparkSession
+  /** Integer-exact per-centroid squared distance:
+    * Σ_dim floor((v_i−c_i)²·1e12) — the order-free fixed-point metric
+    * every Lloyd consumer here shares (assignment, IVF cell choice,
+    * IVF probe ranking), so SQL replays of any of them agree with the
+    * JVM bit-for-bit.
+    */
+  private def distFpJvm(vd: Seq[Double], c: Array[Double]): Long = {
+    var d = 0L
+    var i = 0
+    val n = math.min(c.length, vd.length)
+    while (i < n) {
+      val e = vd(i) - c(i)
+      d += math.floor(e * e * 1e12).toLong
+      i += 1
+    }
+    d
+  }
+
+  /** One integer-exact Lloyd assignment pass of `v` (columns id, vd)
+    * against broadcast `cents`: argmin of [[distFpJvm]], ties to the
+    * smaller cluster id. Returns (id, vd, cluster, dist_fp).
+    */
+  private def lloydAssign(v: DataFrame,
+      cents: Array[(Long, Array[Double])]): DataFrame = {
+    val bc = v.sparkSession.sparkContext.broadcast(cents)
+    val assignKernel = udf { (vd: Seq[Double]) =>
+      val cs = bc.value
+      var bestC = -1L
+      var bestD = Long.MaxValue
+      cs.foreach { case (cid, c) =>
+        val d = distFpJvm(vd, c)
+        if (d < bestD || (d == bestD && cid < bestC)) { bestD = d; bestC = cid }
+      }
+      (bestC, bestD)
+    }
+    v.select(col("id"), col("vd"), assignKernel(col("vd")).as("a"))
+      .select(col("id"), col("vd"), col("a._1").as("cluster"),
+        col("a._2").as("dist_fp"))
+  }
+
+  /** `rounds` integer-exact Lloyd updates over `v` (columns id: long,
+    * vd: array<double>, persisted by the caller): init = the k
+    * smallest-id vectors (cluster ids = those vector ids), each round
+    * one assignment scan + one (cluster, dim) exact-integer partial
+    * sum, new centroid component = Σfloor(v_i·1e6)/(n·1e6) — ONE IEEE
+    * division (the q73 discipline). Clusters that go empty drop out
+    * (same on the SQL side: GROUP BY loses them). Returns the final
+    * centroids, sorted by cluster id.
+    */
+  def lloydCentroids(v: DataFrame, k: Int,
+      rounds: Int): Array[(Long, Array[Double])] = {
+    val spark = v.sparkSession
     import spark.implicits._
-    val v = graft.operators.FanOut(emb)
-      .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("vd"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // init: k smallest ids — TakeOrderedAndProject, not a global sort
     var cents: Array[(Long, Array[Double])] = v.orderBy(col("id")).limit(k)
       .as[(Long, Array[Double])].collect()
-    def assigned: DataFrame = {
-      val bc = spark.sparkContext.broadcast(cents)
-      val assignKernel = udf { (vd: Seq[Double]) =>
-        val cs = bc.value
-        var bestC = -1L
-        var bestD = Long.MaxValue
-        cs.foreach { case (cid, c) =>
-          var d = 0L
-          var i = 0
-          val n = math.min(c.length, vd.length)
-          while (i < n) {
-            val e = vd(i) - c(i)
-            d += math.floor(e * e * 1e12).toLong
-            i += 1
-          }
-          if (d < bestD || (d == bestD && cid < bestC)) { bestD = d; bestC = cid }
-        }
-        (bestC, bestD)
-      }
-      v.select(col("id"), col("vd"), assignKernel(col("vd")).as("a"))
-        .select(col("id"), col("vd"), col("a._1").as("cluster"),
-          col("a._2").as("dist_fp"))
-    }
     for (_ <- 1 to rounds) {
       // (cluster, dim) exact integer partial sums → k·dim rows to the
       // driver (bounded by contract), ONE division each
-      cents = assigned
+      cents = lloydAssign(v, cents)
         .select(col("cluster"), posexplode(col("vd")).as(Seq("pos", "x")))
         .groupBy(col("cluster"), col("pos"))
         .agg(sum(floor(col("x") * 1e6).cast("long")).as("s"),
@@ -550,10 +536,20 @@ object Similarity extends Serializable {
         }
         .toArray.sortBy(_._1)
     }
+    cents
+  }
+
+  def deterministicKMeans(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    val v = graft.operators.FanOut(emb)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = lloydCentroids(v, k, rounds)
     // the cache stays until the caller's harness releases leftovers
     // (Bench/Verify do so between queries) — the final assignment
     // scan is this plan's consumer
-    assigned.select(col("id"), col("cluster"), col("dist_fp"))
+    lloydAssign(v, cents).select(col("id"), col("cluster"), col("dist_fp"))
   }
 
   /** Primitive-array dot — same left-to-right IEEE accumulation as

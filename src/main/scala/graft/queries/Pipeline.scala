@@ -230,9 +230,17 @@ object Pipeline {
       ORDER BY doc_id"""))
 
   /** LSH-bucketed approximate top-k (the 100 TB similarity path):
-    * hyperplane sign buckets + 1-bit multiprobe, exact re-rank of
-    * candidates. Approximate ⇒ no SQL oracle; recall vs brute force
-    * is pinned by SimilaritySpec.
+    * hyperplane sign buckets + multiprobe (≤3 bit flips), exact
+    * re-rank of candidates. Approximate does NOT mean unverifiable:
+    * the hyperplanes are deterministic parameters (xxhash64-derived,
+    * every component n/1e6 — embedded in the oracle as exact decimal
+    * literals via [[Similarity.planesSqlValues]]), so DuckDB replays
+    * the ENTIRE path — projections (same left-to-right double
+    * accumulation as the q23 cosine, which already hash-matches),
+    * sign buckets, the 93 probe masks (bit_count ≤ 3 of 8), the
+    * bucket join, and the exact cosine rerank — and the full result
+    * hash-checks like any exact query. Recall vs brute force is
+    * additionally pinned by PipelineSpec and recorded in recall.json.
     */
   val q30 = Q(
     "q30_ann_topk",
@@ -240,7 +248,36 @@ object Pipeline {
       Similarity.annTopK(Tables(spark, dir, "embeddings"),
         "vec_id", "embedding", _ < 20, k = 5)
         .orderBy(col("query_id"), col("rank")),
-    None)
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      pl(p, d, w) AS (VALUES ${Similarity.planesSqlValues()}),
+      pv AS (SELECT p, list(w ORDER BY d) AS wl FROM pl GROUP BY p),
+      proj AS (SELECT e.vec_id, pv.p, list_dot_product(e.v, pv.wl) AS pr
+               FROM e, pv),
+      bkt AS (SELECT vec_id,
+                CAST(SUM(CASE WHEN pr >= 0 THEN (1::BIGINT << p)
+                              ELSE 0 END) AS BIGINT) AS bucket
+              FROM proj GROUP BY vec_id),
+      msk AS (SELECT m FROM range(0, 256) t(m) WHERE bit_count(m) <= 3),
+      qb AS (SELECT vec_id AS qid, xor(bucket, m) AS bucket
+             FROM bkt, msk WHERE vec_id < 20),
+      cand AS (SELECT qb.qid, c.vec_id AS nid
+               FROM qb JOIN bkt c ON c.bucket = qb.bucket
+               WHERE c.vec_id <> qb.qid),
+      s AS (SELECT cand.qid, cand.nid,
+              list_dot_product(q.v, n.v) /
+                (sqrt(list_dot_product(q.v, q.v)) *
+                 sqrt(list_dot_product(n.v, n.v))) AS cos
+            FROM cand JOIN e q ON q.vec_id = cand.qid
+                      JOIN e n ON n.vec_id = cand.nid),
+      r AS (SELECT qid, nid, cos,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY cos DESC, nid) AS rn
+            FROM s)
+      SELECT qid AS query_id, rn::INT AS rank, nid AS neighbor_id,
+             ROUND(cos, 6) AS cosine
+      FROM r WHERE rn <= 5
+      ORDER BY query_id, rank"""))
 
   /** SimHash near-dup pairs (hamming <= 3 of 60 bits) via pigeonhole
     * chunk bucketing. The md5-derived token hash is computable in both
@@ -359,8 +396,15 @@ object Pipeline {
 
   /** IVF approximate top-k (the second 100 TB similarity path next to
     * q30's hyperplane LSH): coarse-quantizer cells + nprobe probing,
-    * exact re-rank of cell candidates. Approximate ⇒ no SQL oracle;
-    * recall vs brute force is pinned by PipelineSpec.
+    * exact re-rank of cell candidates. Approximate does NOT mean
+    * unverifiable: the quantizer is the integer-exact Lloyd core
+    * (Similarity.lloydCentroids — the q84/q85 discipline), so DuckDB
+    * replays the ENTIRE path — init (16 smallest-id vectors), two
+    * fixed-point update rounds, the corpus cell argmin, the nprobe=4
+    * probe ranking (both tie-broken on (distance, cell id)), and the
+    * exact cosine rerank — and the full result hash-checks like any
+    * exact query. Recall vs brute force is additionally pinned by
+    * PipelineSpec and recorded in recall.json.
     */
   val q38 = Q(
     "q38_ivf_topk",
@@ -368,7 +412,77 @@ object Pipeline {
       Similarity.ivfTopK(Tables(spark, dir, "embeddings"),
         "vec_id", "embedding", _ < 20, k = 5)
         .orderBy(col("query_id"), col("rank")),
-    None)
+    Some("""
+      WITH v AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+            FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, vd AS c FROM (
+               SELECT vec_id, vd,
+                 ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM v)
+             WHERE rn <= 16),
+      d1 AS (SELECT v.vec_id, v.vd, c.cid,
+               list_sum(list_transform(range(1, len(v.vd)+1),
+                 i -> CAST(FLOOR((v.vd[i]-c.c[i])*(v.vd[i]-c.c[i])*1e12)
+                           AS BIGINT))) AS d
+             FROM v, c0 c),
+      a1 AS (SELECT vec_id, vd, cid FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY d, cid) AS rn
+               FROM d1) WHERE rn = 1),
+      c1 AS (SELECT cid, list(cval ORDER BY pos) AS c FROM (
+               SELECT cid, pos,
+                 CAST(SUM(CAST(FLOOR(vd[pos]*1e6) AS BIGINT)) AS DOUBLE) /
+                   (COUNT(*)*1e6) AS cval
+               FROM a1, UNNEST(range(1, len(vd)+1)) AS t(pos)
+               GROUP BY cid, pos)
+             GROUP BY cid),
+      d2 AS (SELECT v.vec_id, v.vd, c.cid,
+               list_sum(list_transform(range(1, len(v.vd)+1),
+                 i -> CAST(FLOOR((v.vd[i]-c.c[i])*(v.vd[i]-c.c[i])*1e12)
+                           AS BIGINT))) AS d
+             FROM v, c1 c),
+      a2 AS (SELECT vec_id, vd, cid FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY d, cid) AS rn
+               FROM d2) WHERE rn = 1),
+      c2 AS (SELECT cid, list(cval ORDER BY pos) AS c FROM (
+               SELECT cid, pos,
+                 CAST(SUM(CAST(FLOOR(vd[pos]*1e6) AS BIGINT)) AS DOUBLE) /
+                   (COUNT(*)*1e6) AS cval
+               FROM a2, UNNEST(range(1, len(vd)+1)) AS t(pos)
+               GROUP BY cid, pos)
+             GROUP BY cid),
+      d3 AS (SELECT v.vec_id, c.cid,
+               list_sum(list_transform(range(1, len(v.vd)+1),
+                 i -> CAST(FLOOR((v.vd[i]-c.c[i])*(v.vd[i]-c.c[i])*1e12)
+                           AS BIGINT))) AS d
+             FROM v, c2 c),
+      a3 AS (SELECT vec_id, cid FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY d, cid) AS rn
+               FROM d3) WHERE rn = 1),
+      qp AS (SELECT vec_id AS qid, cid FROM (
+               SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY d, cid) AS rn
+               FROM d3 WHERE vec_id < 20) WHERE rn <= 4),
+      cand AS (SELECT qp.qid, a3.vec_id AS nid
+               FROM qp JOIN a3 ON a3.cid = qp.cid
+               WHERE a3.vec_id <> qp.qid),
+      s AS (SELECT cand.qid, cand.nid,
+              list_dot_product(q.vd, n.vd) /
+                (sqrt(list_dot_product(q.vd, q.vd)) *
+                 sqrt(list_dot_product(n.vd, n.vd))) AS cos
+            FROM cand JOIN v q ON q.vec_id = cand.qid
+                      JOIN v n ON n.vec_id = cand.nid),
+      r AS (SELECT qid, nid, cos,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY cos DESC, nid) AS rn
+            FROM s)
+      SELECT qid AS query_id, rn::INT AS rank, nid AS neighbor_id,
+             ROUND(cos, 6) AS cosine
+      FROM r WHERE rn <= 5
+      ORDER BY query_id, rank"""))
 
   /** Multimodal resize stage (media schema → media schema): stride
     * byte-downsample to <= 64 bytes, then re-extract features from the
@@ -1134,7 +1248,7 @@ object Pipeline {
   /** Per-label embedding centroids — the class-prototype computation
     * under clustering, retrieval calibration, and drift monitoring.
     * Plan shape: posexplode → (label, dim) partial sums — the same
-    * distributed update step Similarity.trainCentroids uses inside
+    * distributed update step Similarity.lloydCentroids uses inside
     * k-means, here surfaced as an oracle-checked query. Components go
     * through floor(x·1e6) fixed point (the q57 discipline: float→
     * double is exact, the double multiply and floor agree across
@@ -1647,9 +1761,9 @@ object Pipeline {
     * Every step is engine-recomputable, so DuckDB REPLAYS the full
     * 2-round iteration — init, two updates, three assignments — and
     * the per-cluster memberships and distance sums must match
-    * exactly. The SQL twin of `Similarity.trainCentroids` (whose
-    * double accumulation only a Spark twin can replay); shuffle
-    * volume is k·dim summary rows per round, vectors never move.
+    * exactly. The same `Similarity.lloydCentroids` core also trains
+    * the q38 IVF quantizer; shuffle volume is k·dim summary rows per
+    * round, vectors never move.
     */
   val q84 = {
     val k = 8
