@@ -1,0 +1,149 @@
+package graft.streaming
+
+import java.sql.{Connection, DriverManager, PreparedStatement}
+import java.util.concurrent.ArrayBlockingQueue
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Transactional batch INSERT sink over plain JDBC — the executable
+  * analog of the reference's ClickHouse writer (SURVEY §2 D5;
+  * semantics from `clickhouse_table_writer.go:115-149` and the query
+  * generator `clickhouse_table.go:87-111`):
+  *
+  *  - one cached `INSERT INTO t (c…) VALUES (?…)` per table, built
+  *    once from the column list
+  *  - one transaction per batch: prepare, exec per row, commit — a
+  *    failing row aborts the whole batch (rollback, NO partial rows)
+  *  - commit failure DISCARDS the connection instead of returning it
+  *    to the pool (the reference closes the conn because its driver
+  *    leaks it otherwise); any other failure rolls back and releases
+  *  - idempotent replay: each batch carries a `batch_key`; the tx
+  *    deletes the key's prior rows before inserting, so re-delivering
+  *    a batch (streaming retry, foreachBatch replay after a crash)
+  *    converges to exactly-once OUTPUT without engine support
+  *
+  * The pool is deliberately tiny and explicit (get / release /
+  * discard) to make the discard-on-commit-error path testable — the
+  * unit suite (JdbcSinkSpec) drives it against embedded Derby, a real
+  * transactional SQL engine, with a proxied Connection whose commit
+  * throws to pin the discard branch.
+  *
+  * Scale shape: the Spark entry point writes per PARTITION with its
+  * own connection and (batchId, partitionId) idempotence key — the
+  * unit of atomicity is the partition batch, exactly the reference's
+  * per-writer batch, and no executor ever routes rows through the
+  * driver.
+  */
+object JdbcSink {
+
+  /** `INSERT INTO t (c1,…) VALUES (?,…)` — mirror of the reference's
+    * cached insert query (clickhouse_table.go:87-111), built once and
+    * reused for every batch.
+    */
+  def insertSql(table: String, cols: Seq[String]): String =
+    s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+
+  /** Minimal blocking connection pool with an explicit discard path.
+    * `size` connections are created lazily; `discard` closes the conn
+    * and allows a fresh replacement (the reference's pool just drops
+    * the closed conn — `GetConn` dials anew).
+    */
+  final class Pool(size: Int, connect: () => Connection) {
+    def this(url: String, size: Int) =
+      this(size, () => DriverManager.getConnection(url))
+    private val idle = new ArrayBlockingQueue[Connection](size)
+    private var created = 0
+    @volatile var discarded = 0 // observability for tests/metrics
+
+    def get(): Connection = {
+      val pooled = idle.poll()
+      if (pooled != null) pooled
+      else synchronized {
+        if (created < size) { created += 1; connect() }
+        else idle.take()
+      }
+    }
+    def release(c: Connection): Unit = idle.put(c)
+    def discard(c: Connection): Unit = {
+      try c.close() catch { case _: Exception => () }
+      synchronized { created -= 1 }
+      discarded += 1
+    }
+    def close(): Unit = synchronized {
+      var c = idle.poll()
+      while (c != null) { try c.close() catch { case _: Exception => () }; c = idle.poll() }
+      created = 0
+    }
+  }
+
+  /** One batch, one transaction. Returns normally only if the batch
+    * is durably committed; throws after rollback (no partial rows) on
+    * any row error, and after DISCARDING the connection on a commit
+    * error. `batchKey` makes redelivery idempotent: the same tx that
+    * inserts the rows first deletes the key's previous rows.
+    */
+  def writeBatch(pool: Pool, table: String, cols: Seq[String],
+      batchKey: String, rows: Iterator[Seq[Any]],
+      keyCol: String = "batch_key"): Int = {
+    val conn = pool.get()
+    var committed = false
+    var n = 0
+    try {
+      conn.setAutoCommit(false)
+      val del = conn.prepareStatement(s"DELETE FROM $table WHERE $keyCol = ?")
+      try { del.setString(1, batchKey); del.executeUpdate() } finally del.close()
+      val stmt: PreparedStatement =
+        conn.prepareStatement(insertSql(table, keyCol +: cols))
+      try {
+        rows.foreach { row =>
+          stmt.setString(1, batchKey)
+          var i = 0
+          while (i < row.length) {
+            stmt.setObject(i + 2, row(i).asInstanceOf[AnyRef])
+            i += 1
+          }
+          stmt.executeUpdate()
+          n += 1
+        }
+      } finally stmt.close()
+      try {
+        conn.commit()
+        committed = true
+      } catch {
+        case e: Exception =>
+          // reference parity: clickhouse-go leaks the conn on commit
+          // error, so the writer closes it instead of releasing
+          pool.discard(conn)
+          throw e
+      }
+      pool.release(conn)
+      n
+    } catch {
+      case e: Exception if !committed =>
+        if (!conn.isClosed) {
+          try conn.rollback() catch { case _: Exception => () }
+          pool.release(conn)
+        }
+        throw e
+    }
+  }
+
+  /** foreachBatch-shaped Spark entry: lands `df` into `table` with
+    * one connection + one tx PER PARTITION and idempotence key
+    * `"<batchId>:<partitionId>"`. Executors dial `url` directly —
+    * rows never visit the driver. Column order is the DataFrame's.
+    */
+  def sinkBatch(df: DataFrame, batchId: Long, url: String,
+      table: String): Unit = {
+    val cols = df.columns.toSeq
+    df.rdd.foreachPartition { (it: Iterator[Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val pool = new Pool(url, 1)
+      try {
+        writeBatch(pool, table, cols, s"$batchId:$pid",
+          it.map(_.toSeq))
+        ()
+      } finally pool.close()
+    }
+  }
+}
