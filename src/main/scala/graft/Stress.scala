@@ -16,13 +16,17 @@ import org.apache.spark.sql.functions._
   * 10× is the empirical signature that the shuffle volume is
   * rows × small-constant; a superlinear one flags an all-pairs leak.
   *
-  * Usage: scripts/run.sh graft.Stress [sfDir] [mult]
+  * Usage: scripts/run.sh graft.Stress [sfDir] [mult] [stages]
+  * where stages is a csv subset of dedup,prep,sim,forensics
+  * (default: all).
   */
 object Stress {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    val stages = args.lift(2).map(_.split(",").toSet)
+      .getOrElse(Set("dedup", "prep", "sim", "forensics"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -174,12 +178,16 @@ object Stress {
 
     // warm both code paths on the small corpus first so the 1x
     // measurement isn't codegen, then measure 1x and Nx
-    run("warm", base.limit(500))
-    run("1x", base)
-    run(s"${mult}x", big)
-    runPrep("warm", base.limit(500))
-    runPrep("1x", base)
-    runPrep(s"${mult}x", big)
+    if (stages("dedup")) {
+      run("warm", base.limit(500))
+      run("1x", base)
+      run(s"${mult}x", big)
+    }
+    if (stages("prep")) {
+      runPrep("warm", base.limit(500))
+      runPrep("1x", base)
+      runPrep(s"${mult}x", big)
+    }
 
     // similarity side: embeddings replicated with shifted ids and a
     // per-replica component ROTATION — unit norm survives, buckets
@@ -228,9 +236,125 @@ object Stress {
         f"knn=${s(t2, t3)}s quant=${s(t3, t4)}s " +
         f"[ann=$ann ivf=$ivf knn=$knn feSum=$qn]")
     }
-    runSim("warm", ebase.limit(200))
-    runSim("1x", ebase)
-    runSim(s"${mult}x", ebig)
+    if (stages("sim")) {
+      runSim("warm", ebase.limit(200))
+      runSim("1x", ebase)
+      runSim(s"${mult}x", ebig)
+    }
+
+    // forensics/retrieval shapes (q85/q94-q98): the round-9/10 query
+    // surface. Queries and audit BUDGETS stay fixed as the corpus
+    // grows — the production posture (you audit a fixed sample and
+    // retrieve for a fixed query, however big the corpus) — while
+    // candidate generation must scale as bucketed corpus×1 passes.
+    def runForensics(tag: String, docs: DataFrame, emb: DataFrame,
+        m: Int): Unit = {
+      import graft.pipeline.Similarity
+      import graft.queries.Pipeline
+      val terms = Seq("customer", "vector", "merge")
+      val t0 = System.nanoTime()
+      // q95 shape: LSH pairs → CC non-canonical set → plain keyed
+      // left join back to docs (NO broadcast hint) → per-source sums
+      val attr = {
+        val pairs = Dedup.minhashNearDups(docs, "text", "doc_id", 0.5)
+        val dropped = Dedup.connectedComponents(pairs, "a", "b")
+          .filter(col("node") =!= col("canon"))
+          .select(col("node").as("doc_id"), lit(1L).as("is_dropped"))
+        docs.select(col("source"), col("doc_id"), col("n_chars"))
+          .join(dropped, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(sum(coalesce(col("is_dropped"), lit(0L))).as("nd"))
+          .agg(sum(col("nd"))).collect()(0).getLong(0)
+      }
+      release(spark)
+      val t1 = System.nanoTime()
+      // q96 shape: the production inverted-index BM25 top-10
+      val bm = Pipeline.bm25ScoresOf(docs, terms)
+        .orderBy(col("score").desc, col("doc_id")).limit(10).count()
+      release(spark)
+      val t2 = System.nanoTime()
+      // q97 shape: RRF fusion of the BM25 leg and a 1-query cosine leg
+      val rrf = {
+        import org.apache.spark.sql.expressions.Window
+        val lexTop = Pipeline.bm25ScoresOf(docs, terms)
+          .orderBy(col("score").desc, col("doc_id")).limit(50)
+          .select(col("doc_id"), row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id")))
+            .cast("long").as("lex_rank"))
+        val vecTop = Similarity.bruteForceTopK(emb,
+            emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+          .select(col("neighbor_id").as("doc_id"),
+            col("rank").cast("long").as("vec_rank"))
+        lexTop.join(vecTop, Seq("doc_id"), "full_outer")
+          .select((coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
+            .as("rrf"))
+          .orderBy(col("rrf").desc).limit(10).count()
+      }
+      release(spark)
+      val t3 = System.nanoTime()
+      // q94 shape: kNN label audit with a FIXED audit budget — the
+      // modulus scales with the corpus so the audited sample stays
+      // ~constant (the scaladoc'd 100 TB knob), corpus side scans once
+      val noise = {
+        val audit = emb.filter(col("vec_id") % lit(5L * m) === 0)
+        Similarity.knnClassify(emb, audit, "vec_id", "embedding",
+          "label", k = 5).count()
+      }
+      release(spark)
+      val t4 = System.nanoTime()
+      // q85 shape: SemDeDup with DERIVED k (k = max(8, ceil(n/128)) —
+      // cluster sizes, and so the within-cluster pair stage, stay
+      // bounded as the corpus grows; fixed k=8 was the r9 scale flaw)
+      val sem = {
+        graft.functions.GraftFunctions.register(spark)
+        val n = emb.count()
+        val k = Similarity.semDeDupK(n)
+        val asg = Similarity.deterministicKMeans(emb, "vec_id",
+            "embedding", k = k, rounds = 2)
+          .select(col("id").as("vec_id"), col("cluster"))
+        val vecs = emb.join(asg, "vec_id")
+          .select(col("cluster"), col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm",
+            sqrt(call_function("graft_dot", col("v"), col("v"))))
+        val x = vecs.select(col("cluster"), col("vec_id").as("a"),
+          col("v").as("va"), col("nrm").as("na"))
+        val y = vecs.select(col("cluster"), col("vec_id").as("b"),
+          col("v").as("vb"), col("nrm").as("nb"))
+        x.join(y, Seq("cluster")).filter(col("a") < col("b"))
+          .filter(call_function("graft_dot", col("va"), col("vb")) /
+            (col("na") * col("nb")) >= 0.45)
+          .count()
+      }
+      release(spark)
+      val t5 = System.nanoTime()
+      // q98 shape: per-source distinct-shingle counts (the only real
+      // shuffle) + the sources-sized budget allocation
+      val budget = {
+        val dsh = docs.select(col("source"),
+            explode(TextOps.shinglesKernel(3)(TextOps.words(col("text"))))
+              .as("s"))
+          .distinct()
+          .groupBy(col("source")).agg(count(lit(1)).as("d"))
+        val chars = docs.groupBy(col("source"))
+          .agg(sum(col("n_chars")).as("chars"))
+        chars.join(dsh, "source").count()
+      }
+      release(spark)
+      val t6 = System.nanoTime()
+      def s(a: Long, b: Long) = f"${(b - a) / 1e9}%7.2f"
+      println(f"$tag%-4s attrition=${s(t0, t1)}s bm25=${s(t1, t2)}s " +
+        f"rrf=${s(t2, t3)}s labelnoise=${s(t3, t4)}s semdedup=${s(t4, t5)}s " +
+        f"budget=${s(t5, t6)}s " +
+        f"[dropped=$attr bm=$bm rrf=$rrf audited=$noise semPairs=$sem " +
+        f"srcs=$budget]")
+    }
+    if (stages("forensics")) {
+      runForensics("warm", base.limit(500), ebase.limit(200), 1)
+      runForensics("1x", base, ebase, 1)
+      runForensics(s"${mult}x", big, ebig, mult)
+    }
     spark.stop()
   }
 }

@@ -2568,8 +2568,16 @@ object Pipeline {
     * scaladoc for the determinism discipline.
     */
   private def bm25Scores(spark: org.apache.spark.sql.SparkSession,
-      dir: String, terms: Seq[String]): org.apache.spark.sql.DataFrame = {
-    val d = graft.operators.FanOut(Tables(spark, dir, "documents"))
+      dir: String, terms: Seq[String]): org.apache.spark.sql.DataFrame =
+    bm25ScoresOf(Tables(spark, dir, "documents"), terms)
+
+  /** [[q96]]'s inverted-index plan over an arbitrary documents frame —
+    * split out so the Stress harness measures the PRODUCTION code path
+    * at N× corpus, not a reimplementation.
+    */
+  private[graft] def bm25ScoresOf(docs: org.apache.spark.sql.DataFrame,
+      terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val d = graft.operators.FanOut(docs)
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
     val st = d.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
     val tot = st.agg(count(lit(1)).as("n"),

@@ -129,4 +129,25 @@ class JdbcSinkSpec extends SparkSpec {
     JdbcSink.sinkBatch(df2, batchId = 4L, url, "t_spark")
     assert(countRows("t_spark") === 41L)
   }
+
+  test("writeStream.foreachBatch lands micro-batches transactionally") {
+    freshTable("t_stream")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val sq = ms.toDF().toDF("doc_id", "body").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        JdbcSink.sinkBatch(df, id, url, "t_stream")
+      }
+      .start()
+    try {
+      ms.addData((1L, "a"), (2L, "b"))
+      sq.processAllAvailable()
+      assert(countRows("t_stream") === 2L)
+      ms.addData((3L, "c"))
+      sq.processAllAvailable()
+      assert(countRows("t_stream") === 3L)
+    } finally sq.stop()
+  }
 }
