@@ -43,6 +43,37 @@ object JdbcSink {
   def insertSql(table: String, cols: Seq[String]): String =
     s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
 
+  /** ANSI-ish DDL for a scalar Spark schema (+ the batch_key column),
+    * for creating the landing table on engines like Derby/Postgres.
+    * Array columns are deliberately rejected here: their SQL mapping
+    * is driver-specific (ClickHouse's JDBC driver takes them straight
+    * through setObject; ANSI engines need a serialization the caller
+    * must choose) — the one remaining dialect seam of the D5 path.
+    */
+  def ddlFor(table: String, schema: org.apache.spark.sql.types.StructType,
+      keyCol: String = "batch_key"): String = {
+    import org.apache.spark.sql.types._
+    def sqlType(dt: DataType): String = dt match {
+      case LongType => "BIGINT"
+      case IntegerType => "INTEGER"
+      case ShortType => "SMALLINT"
+      case ByteType => "SMALLINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "REAL"
+      case BooleanType => "BOOLEAN"
+      case StringType => "VARCHAR(4096)"
+      case BinaryType => "BLOB"
+      case TimestampType => "TIMESTAMP"
+      case DateType => "DATE"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case other => throw new IllegalArgumentException(
+        s"no generic JDBC mapping for $other — dialect-specific (see scaladoc)")
+    }
+    val cols = schema.fields.map(f =>
+      s"${f.name} ${sqlType(f.dataType)}${if (f.nullable) "" else " NOT NULL"}")
+    s"CREATE TABLE $table ($keyCol VARCHAR(64) NOT NULL, ${cols.mkString(", ")})"
+  }
+
   /** Minimal blocking connection pool with an explicit discard path.
     * `size` connections are created lazily; `discard` closes the conn
     * and allows a fresh replacement (the reference's pool just drops

@@ -100,12 +100,18 @@ object LandingIngest {
     * projection → parquet append. `flushIntervalMs` maps the
     * reference's writer flush_interval to Trigger.ProcessingTime;
     * `availableNow` processes the current backlog then stops (used by
-    * the synchronous driver query and tests).
+    * the synchronous driver query and tests). A custom `sink`
+    * replaces the parquet foreachBatch body — the JDBC landing flavor
+    * passes `(df, id) => JdbcSink.sinkBatch(df, id, url, table)` to
+    * land the SAME decoded/transcoded stream into a SQL engine with
+    * the reference's transactional INSERT semantics (JdbcSinkSpec
+    * runs it end to end against Derby).
     */
   def start(spark: SparkSession, message: PMessage, binding: Binding,
       landingDir: String, outDir: String, checkpointDir: String,
       numWriters: Int = 2, flushIntervalMs: Long = 1000,
-      availableNow: Boolean = false): StreamingQuery = {
+      availableNow: Boolean = false,
+      sink: Option[(DataFrame, Long) => Unit] = None): StreamingQuery = {
     val frames = spark.readStream
       .format("binaryFile")
       .option("pathGlobFilter", "*.bin")
@@ -121,9 +127,9 @@ object LandingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(if (availableNow) Trigger.AvailableNow()
                else Trigger.ProcessingTime(flushIntervalMs))
-      .foreachBatch { (df: DataFrame, batchId: Long) =>
+      .foreachBatch(sink.getOrElse { (df: DataFrame, batchId: Long) =>
         sinkBatch(df, batchId, outDir, numWriters)
-      }
+      })
       .start()
   }
 

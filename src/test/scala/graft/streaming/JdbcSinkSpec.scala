@@ -150,4 +150,56 @@ class JdbcSinkSpec extends SparkSpec {
       assert(countRows("t_stream") === 3L)
     } finally sq.stop()
   }
+
+  test("full ingest pipeline lands into a SQL engine: shim admission → " +
+      "streaming transcode → JDBC tx sink") {
+    // The reference's actual topology with a real SQL engine at the
+    // end: framed proto batches through RowBuffer admission, the
+    // streaming decode/bind/transcode, then LandingIngest.start's
+    // sink override pointing at JdbcSink instead of parquet. Scalar
+    // projection only — array columns are the documented dialect seam
+    // (ClickHouse JDBC takes them; Derby has no ARRAY type).
+    import graft.bind.SchemaBinder
+    import graft.proto.ProtoRows
+    import graft.queries.TranscodeE2E
+    val binding = SchemaBinder.bind(TranscodeE2E.message, TranscodeE2E.table)
+    val scalarCols = Seq("name", "type", "timestamp", "value")
+    val expected = binding.transcode(ProtoRows.decodeFramed(
+        spark.createDataset(TranscodeE2E.frames)(
+          org.apache.spark.sql.Encoders.BINARY), TranscodeE2E.message))
+      .selectExpr(scalarCols: _*)
+    withConn { c =>
+      val st = c.createStatement()
+      try st.execute("DROP TABLE t_e2e") catch { case _: SQLException => () }
+      st.execute(JdbcSink.ddlFor("t_e2e", expected.schema))
+      st.close()
+    }
+    val base = java.nio.file.Files.createTempDirectory("jdbc-e2e-")
+    val shim = new LandingIngest.IngestShim(base.resolve("landing"),
+      maxBufferSize = 1000, onFull = RowBuffer.Block)
+    TranscodeE2E.fixtures.grouped(8).foreach { g =>
+      assert(shim.writeBatch(g.map(f =>
+        ProtoRows.encodeValues(TranscodeE2E.message, f.protoValues)))
+        == RowBuffer.Ok)
+    }
+    shim.flushAll()
+    val sq = LandingIngest.start(spark, TranscodeE2E.message, binding,
+      base.resolve("landing").toString, outDir = "",
+      base.resolve("ckpt").toString, availableNow = true,
+      sink = Some((df, id) => JdbcSink.sinkBatch(
+        df.selectExpr(scalarCols: _*), id, url, "t_e2e")))
+    sq.awaitTermination()
+    assert(countRows("t_e2e") === expected.count())
+    // value-level check: per-name sums match the batch transcode
+    val landed = withConn { c =>
+      val rs = c.createStatement().executeQuery(
+        "SELECT name, SUM(value) FROM t_e2e GROUP BY name")
+      val b = scala.collection.mutable.Map.empty[String, Double]
+      while (rs.next()) b(rs.getString(1)) = rs.getDouble(2)
+      b.toMap
+    }
+    val batch = expected.groupBy("name").sum("value").collect()
+      .map(r => r.getString(0) -> r.getAs[Number](1).doubleValue).toMap
+    assert(landed === batch)
+  }
 }
