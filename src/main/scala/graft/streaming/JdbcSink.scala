@@ -90,7 +90,9 @@ object JdbcSink {
       val pooled = idle.poll()
       if (pooled != null) pooled
       else synchronized {
-        if (created < size) { created += 1; connect() }
+        // count the slot only after connect() succeeds — a failed
+        // dial must not leak capacity
+        if (created < size) { val c = connect(); created += 1; c }
         else idle.take()
       }
     }
@@ -163,6 +165,11 @@ object JdbcSink {
     * one connection + one tx PER PARTITION and idempotence key
     * `"<batchId>:<partitionId>"`. Executors dial `url` directly —
     * rows never visit the driver. Column order is the DataFrame's.
+    * Replay safety assumes attempts of one partition run serially
+    * (Spark's default — speculation off); with speculation on, give
+    * the table a (batch_key, row-key) primary key so the loser's
+    * duplicate insert aborts its own tx (the reference relies on the
+    * same whole-batch-abort behavior).
     */
   def sinkBatch(df: DataFrame, batchId: Long, url: String,
       table: String): Unit = {

@@ -11,9 +11,9 @@ class ExplainAudit extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   test("top-cost queries contain no cartesian/nested-loop operators") {
-    // q80/q94/q96/q97 are deliberately absent: their scoring joins /
-    // 1-row stat rides ARE broadcast nested loops (tiny side × corpus
-    // scan), pinned in PlanSpec
+    // q80/q94/q96/q97/q98 are deliberately absent: their scoring
+    // joins / 1-row stat rides ARE broadcast nested loops (tiny side
+    // × corpus scan), pinned in PlanSpec
     Seq("q03" -> Relational.q03, "q24" -> Pipeline.q24,
         "q30" -> Pipeline.q30, "q59" -> Events.q59,
         "q37" -> Pipeline.q37, "q55" -> Pipeline.q55,
