@@ -14,6 +14,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // co-tenant load is the #1 confound in archived records (r9's
+    // total read 119 s loaded vs 90 s quiet) — sample the 1-min load
+    // BEFORE the run (afterwards it just measures this bench) so a
+    // reader can judge the capture's trustworthiness
+    val loadAtStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -210,7 +216,9 @@ object Bench {
     // is escaped so a quote/backslash in the env var can't break the
     // record's JSON validity.
     val sfJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs$ingestJson$wireJson$zorderJson,"sf":"$sfJson"}""")
+    val loadJson =
+      if (loadAtStart >= 0) f""","load1":$loadAtStart%.2f""" else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs$ingestJson$wireJson$zorderJson$loadJson,"sf":"$sfJson"}""")
     spark.stop()
   }
 }
