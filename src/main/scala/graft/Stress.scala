@@ -94,7 +94,7 @@ object Stress {
         val shared = ch.groupBy(col("span"))
           .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
           .filter(col("lo") =!= col("hi")).select(col("span"))
-        val out = ch.join(broadcast(shared), Seq("span"), "left_semi").count()
+        val out = ch.join(shared, Seq("span"), "left_semi").count()
         ch.unpersist(blocking = false)
         out
       }

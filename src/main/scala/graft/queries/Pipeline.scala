@@ -1134,10 +1134,12 @@ object Pipeline {
     * sharing). A span is shared when it appears in ≥2 distinct docs —
     * detected as min(doc_id) ≠ max(doc_id) per span: one partial-agg
     * pass, no count-distinct expansion. The shared-span dictionary
-    * broadcasts into a left-semi probe of the chunk stream (the q65
-    * shape; corpora whose shared-span set outgrows the driver flip to
-    * the same-shape shuffle semi-join). Exact strings throughout —
-    * no hashing — so the whole operator is differentially verified.
+    * left-semi-joins the chunk stream as a PLAIN keyed join — no
+    * broadcast hint, because the shared-span set is O(duplicated-span
+    * volume of the corpus), not a dimension table (the q95 lesson);
+    * AQE still broadcasts it at runtime when it measures small.
+    * Exact strings throughout — no hashing — so the whole operator
+    * is differentially verified.
     */
   val q71 = {
     val w = 3
@@ -1157,7 +1159,7 @@ object Pipeline {
           .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
           .filter(col("lo") =!= col("hi"))
           .select(col("span"))
-        val perdoc = ch.join(broadcast(shared), Seq("span"), "left_semi")
+        val perdoc = ch.join(shared, Seq("span"), "left_semi")
           .groupBy(col("doc_id"), col("lang"))
           .agg(count(lit(1)).as("shared_occ"))
         val perLang = perdoc.groupBy(col("lang"))
