@@ -455,11 +455,18 @@ object Similarity extends Serializable {
     * 10,000× heavier — deriving k = ⌈n / target⌉ is what the SemDeDup
     * paper's "cluster sizes bound the quadratic" actually requires.
     * Floor of 8 keeps tiny fixtures from degenerating to one cluster
-    * per Lloyd tie-break. Mirrored verbatim in the q85 oracle SQL
-    * (GREATEST(8, CEIL(COUNT(*)/target))).
+    * per Lloyd tie-break; cap of 2^16 bounds the flat quantizer's
+    * driver/broadcast state (k·dim ≈ 34 MB at dim 64) — corpora past
+    * k·target ≈ 8.4M vectors keep the ceiling and accept
+    * proportionally larger clusters, and the real cure at that scale
+    * is a two-level (coarse×fine) quantizer trained per coarse cell,
+    * which composes from these same parts ([[ivfTopK]] is the coarse
+    * half). Mirrored verbatim in the q85 oracle SQL
+    * (LEAST(65536, GREATEST(8, CEIL(COUNT(*)/target)))).
     */
   def semDeDupK(n: Long, targetClusterSize: Long = 128L): Int =
-    math.max(8L, (n + targetClusterSize - 1) / targetClusterSize).toInt
+    math.min(65536L,
+      math.max(8L, (n + targetClusterSize - 1) / targetClusterSize)).toInt
 
   /** Integer-exact per-centroid squared distance:
     * Σ_dim floor((v_i−c_i)²·1e12) — the order-free fixed-point metric

@@ -1842,8 +1842,10 @@ object Pipeline {
     * never materializes at scale — cluster sizes bound it), pairs at
     * cosine ≥ 0.45 collapse via connected components, min-id
     * survives. k is NOT fixed: it derives from corpus size via
-    * [[Similarity.semDeDupK]] (k = max(8, ⌈n/128⌉)) so cluster sizes
-    * stay ≈128 and the pair stage is O(n·128) at ANY corpus scale —
+    * [[Similarity.semDeDupK]] (k = min(2^16, max(8, ⌈n/128⌉)) — the
+    * cap bounds the quantizer's driver state, see semDeDupK) so
+    * cluster sizes stay ≈128 and the pair stage is O(n·128) at any
+    * corpus scale below the cap —
     * the bound the published approximation actually promises. The
     * oracle computes the SAME k from COUNT(*) and replays the ENTIRE
     * composition — Lloyd, within-cluster cosine pairs, recursive-CTE
@@ -1893,7 +1895,8 @@ object Pipeline {
       v AS (SELECT vec_id,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
             FROM embeddings),
-      kk AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*)/128.0) AS BIGINT)) AS k
+      kk AS (SELECT LEAST(65536, GREATEST(8,
+               CAST(CEIL(COUNT(*)/128.0) AS BIGINT))) AS k
              FROM v),
       c0 AS (SELECT vec_id AS cid, vd AS c FROM (
                SELECT vec_id, vd,

@@ -197,6 +197,15 @@ class PipelineSpec extends SparkSpec {
     assert(got4 == Seq((100L, 2, 2L)), s"tie-break wrong: ${got4.toList}")
   }
 
+  test("semDeDupK: floor for fixtures, linear region, driver-state cap") {
+    assert(Similarity.semDeDupK(0) == 8)
+    assert(Similarity.semDeDupK(1000) == 8)     // floor
+    assert(Similarity.semDeDupK(2000) == 16)    // sf0.1: derivation live
+    assert(Similarity.semDeDupK(1280000) == 10000) // linear: ceil(n/128)
+    assert(Similarity.semDeDupK(128L * 65536) == 65536) // at the cap
+    assert(Similarity.semDeDupK(100_000_000_000L) == 65536) // capped
+  }
+
   test("knn classify: chunked broadcast (maxBroadcastRows) is output-invariant") {
     // the broadcast-budget contract: forcing many tiny chunks must
     // reproduce the single-broadcast answer row-for-row, because the
