@@ -267,7 +267,6 @@ object Similarity extends Serializable {
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column => Column, k: Int, nlist: Int = 16,
       nprobe: Int = 4, rounds: Int = 2): DataFrame = {
-    val spark = emb.sparkSession
     // Train on the UNSORTED persisted projection (init's orderBy is a
     // TakeOrderedAndProject inside lloydCentroids — never a global
     // sort of the corpus; the r4 shape that passed a sorted frame
@@ -278,6 +277,49 @@ object Similarity extends Serializable {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = lloydCentroids(base, nlist, rounds)
     base.unpersist(blocking = false)
+    ivfSearch(emb, emb.filter(queryPred(col(idCol))), cents,
+      idCol, vecCol, k, nprobe)
+  }
+
+  /** Incremental IVF — the ANN member of the incremental family
+    * (exact q75/q86, MinHash q76): a NEW batch arrives against an
+    * already-indexed corpus, and queries search the merged index
+    * WITHOUT retraining. The quantizer trains on HISTORY only
+    * (production: it was trained when the index was built; a batch
+    * arrival changes nothing), the batch's vectors get a map-side
+    * cell assignment against the broadcast centroids, and queries
+    * probe nprobe cells over history ∪ batch. Nothing about history
+    * reshuffles on batch arrival — its cell assignment is the stored
+    * inverted index at scale (recomputed here only because the
+    * harness is stateless), and the probe join broadcasts query probe
+    * rows against the corpus scan, so corpus shuffle volume on a new
+    * batch is ZERO. Fully oracle-checkable like q38: train CTEs
+    * restrict to history, assignment covers the union.
+    */
+  def ivfAppendTopK(history: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, queryPred: Column => Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, rounds: Int = 2): DataFrame = {
+    val hbase = history
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = lloydCentroids(hbase, nlist, rounds)
+    hbase.unpersist(blocking = false)
+    val corpus = history.select(col(idCol), col(vecCol))
+      .unionAll(batch.select(col(idCol), col(vecCol)))
+    ivfSearch(corpus, batch.filter(queryPred(col(idCol))), cents,
+      idCol, vecCol, k, nprobe)
+  }
+
+  /** Shared IVF search tail: map-side cell assignment of the corpus
+    * against broadcast centroids, query probes (nprobe cells, ranked
+    * by the same fixed-point distance, ties to the smaller cell id),
+    * exact cosine rerank, top-k per query.
+    */
+  private def ivfSearch(corpusDf: DataFrame, queriesDf: DataFrame,
+      cents: Array[(Long, Array[Double])], idCol: String, vecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val spark = corpusDf.sparkSession
     val bc = spark.sparkContext.broadcast(cents)
     def cellsOf(vd: Seq[Double], m: Int): Array[Long] = {
       val cs = bc.value
@@ -287,10 +329,9 @@ object Similarity extends Serializable {
     val assignCell = udf((vd: Seq[Double]) => cellsOf(vd, 1)(0))
     val probeCells = udf((vd: Seq[Double]) => cellsOf(vd, nprobe))
 
-    val corpus = withNorm(emb, idCol, vecCol, "nid", "cv", "cn")
+    val corpus = withNorm(corpusDf, idCol, vecCol, "nid", "cv", "cn")
       .withColumn("cell", assignCell(col("cv")))
-    val queries = withNorm(emb.filter(queryPred(col(idCol))),
-      idCol, vecCol, "qid", "qv", "qn")
+    val queries = withNorm(queriesDf, idCol, vecCol, "qid", "qv", "qn")
       .withColumn("cell", explode(probeCells(col("qv"))))
     val scored = corpus.join(broadcast(queries), "cell")
       .filter(col("nid") =!= col("qid"))

@@ -2751,9 +2751,104 @@ object Pipeline {
       FROM c JOIN d USING (source) CROSS JOIN t CROSS JOIN dt
       ORDER BY source"""))
 
+  /** Incremental IVF — the ANN member of the incremental family
+    * (q75/q86 exact, q76 MinHash): a new batch (doc-split convention
+    * of q75/q76: id % 3 = 0) arrives against the already-indexed
+    * history; the quantizer trained on HISTORY only (no retraining on
+    * batch arrival), the batch gets a map-side cell assignment, and
+    * batch queries probe the merged index. Corpus shuffle volume on
+    * batch arrival is zero — history's assignment is the stored
+    * inverted index at scale. Like q38, every stage is integer-exact
+    * or fixed-order IEEE, so DuckDB replays training (on history),
+    * the union assignment, probe ranking, and rerank in full.
+    */
+  val q99 = Q(
+    "q99_incremental_ivf",
+    (spark, dir) => {
+      val emb = Tables(spark, dir, "embeddings")
+      Similarity.ivfAppendTopK(
+        emb.filter(col("vec_id") % 3 =!= 0),
+        emb.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", _ < 30, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH v AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+            FROM embeddings),
+      h AS (SELECT * FROM v WHERE vec_id % 3 <> 0),
+      c0 AS (SELECT vec_id AS cid, vd AS c FROM (
+               SELECT vec_id, vd,
+                 ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM h)
+             WHERE rn <= 16),
+      d1 AS (SELECT h.vec_id, h.vd, c.cid,
+               list_sum(list_transform(range(1, len(h.vd)+1),
+                 i -> CAST(FLOOR((h.vd[i]-c.c[i])*(h.vd[i]-c.c[i])*1e12)
+                           AS BIGINT))) AS d
+             FROM h, c0 c),
+      a1 AS (SELECT vec_id, vd, cid FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY d, cid) AS rn
+               FROM d1) WHERE rn = 1),
+      c1 AS (SELECT cid, list(cval ORDER BY pos) AS c FROM (
+               SELECT cid, pos,
+                 CAST(SUM(CAST(FLOOR(vd[pos]*1e6) AS BIGINT)) AS DOUBLE) /
+                   (COUNT(*)*1e6) AS cval
+               FROM a1, UNNEST(range(1, len(vd)+1)) AS t(pos)
+               GROUP BY cid, pos)
+             GROUP BY cid),
+      d2 AS (SELECT h.vec_id, h.vd, c.cid,
+               list_sum(list_transform(range(1, len(h.vd)+1),
+                 i -> CAST(FLOOR((h.vd[i]-c.c[i])*(h.vd[i]-c.c[i])*1e12)
+                           AS BIGINT))) AS d
+             FROM h, c1 c),
+      a2 AS (SELECT vec_id, vd, cid FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY d, cid) AS rn
+               FROM d2) WHERE rn = 1),
+      c2 AS (SELECT cid, list(cval ORDER BY pos) AS c FROM (
+               SELECT cid, pos,
+                 CAST(SUM(CAST(FLOOR(vd[pos]*1e6) AS BIGINT)) AS DOUBLE) /
+                   (COUNT(*)*1e6) AS cval
+               FROM a2, UNNEST(range(1, len(vd)+1)) AS t(pos)
+               GROUP BY cid, pos)
+             GROUP BY cid),
+      d3 AS (SELECT v.vec_id, c.cid,
+               list_sum(list_transform(range(1, len(v.vd)+1),
+                 i -> CAST(FLOOR((v.vd[i]-c.c[i])*(v.vd[i]-c.c[i])*1e12)
+                           AS BIGINT))) AS d
+             FROM v, c2 c),
+      a3 AS (SELECT vec_id, cid FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY d, cid) AS rn
+               FROM d3) WHERE rn = 1),
+      qp AS (SELECT vec_id AS qid, cid FROM (
+               SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY d, cid) AS rn
+               FROM d3 WHERE vec_id % 3 = 0 AND vec_id < 30)
+             WHERE rn <= 4),
+      cand AS (SELECT qp.qid, a3.vec_id AS nid
+               FROM qp JOIN a3 ON a3.cid = qp.cid
+               WHERE a3.vec_id <> qp.qid),
+      s AS (SELECT cand.qid, cand.nid,
+              list_dot_product(q.vd, n.vd) /
+                (sqrt(list_dot_product(q.vd, q.vd)) *
+                 sqrt(list_dot_product(n.vd, n.vd))) AS cos
+            FROM cand JOIN v q ON q.vec_id = cand.qid
+                      JOIN v n ON n.vec_id = cand.nid),
+      r AS (SELECT qid, nid, cos,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY cos DESC, nid) AS rn
+            FROM s)
+      SELECT qid AS query_id, rn::INT AS rank, nid AS neighbor_id,
+             ROUND(cos, 6) AS cosine
+      FROM r WHERE rn <= 5
+      ORDER BY query_id, rank"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95, q96, q97, q98)
+    q95, q96, q97, q98, q99)
 }

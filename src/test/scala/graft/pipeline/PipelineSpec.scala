@@ -493,6 +493,27 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.30, s"IVF recall@5 $recall below floor")
   }
 
+  test("incremental ivf: history-trained index over the merged corpus " +
+      "holds the recall floor and sees batch rows") {
+    val history = emb.filter(col("vec_id") % 3 =!= 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    val inc = Similarity.ivfAppendTopK(history, batch,
+      "vec_id", "embedding", _ < 30, 5)
+    val got = inc.select("query_id", "neighbor_id")
+    // brute force over the SAME merged corpus and query set
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      id => id % 3 === 0 && id < 30, 5)
+      .select("query_id", "neighbor_id")
+    val recall = bf.intersect(got).count().toDouble / bf.count()
+    assert(recall >= 0.30, s"incremental IVF recall@5 $recall below floor")
+    // the merged index must actually surface BATCH members as
+    // neighbors (the index didn't silently search history only)
+    assert(inc.filter(col("neighbor_id") % 3 === 0).count() > 0)
+    // and every query got a full top-5
+    assert(inc.groupBy(col("query_id")).count()
+      .filter(col("count") =!= 5).count() == 0)
+  }
+
   test("ann top-k: recall@5 >= 0.45 vs brute force") {
     val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 20, 5)
       .select("query_id", "neighbor_id")
