@@ -216,8 +216,13 @@ object Bench {
     // is escaped so a quote/backslash in the env var can't break the
     // record's JSON validity.
     val sfJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
+    // Locale.ROOT: the f-interpolator uses the default locale, and a
+    // comma-decimal locale would corrupt the JSON record
     val loadJson =
-      if (loadAtStart >= 0) f""","load1":$loadAtStart%.2f""" else ""
+      if (loadAtStart >= 0)
+        s""","load1":${String.format(java.util.Locale.ROOT, "%.2f",
+          Double.box(loadAtStart))}"""
+      else ""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs$ingestJson$wireJson$zorderJson$loadJson,"sf":"$sfJson"}""")
     spark.stop()
   }

@@ -253,44 +253,19 @@ object Stress {
       import graft.queries.Pipeline
       val terms = Seq("customer", "vector", "merge")
       val t0 = System.nanoTime()
-      // q95 shape: LSH pairs → CC non-canonical set → plain keyed
-      // left join back to docs (NO broadcast hint) → per-source sums
-      val attr = {
-        val pairs = Dedup.minhashNearDups(docs, "text", "doc_id", 0.5)
-        val dropped = Dedup.connectedComponents(pairs, "a", "b")
-          .filter(col("node") =!= col("canon"))
-          .select(col("node").as("doc_id"), lit(1L).as("is_dropped"))
-        docs.select(col("source"), col("doc_id"), col("n_chars"))
-          .join(dropped, Seq("doc_id"), "left")
-          .groupBy(col("source"))
-          .agg(sum(coalesce(col("is_dropped"), lit(0L))).as("nd"))
-          .agg(sum(col("nd"))).collect()(0).getLong(0)
-      }
+      // q95: the production attrition plan (LSH pairs → CC → plain
+      // keyed left join back to docs → per-source sums)
+      val attr = Pipeline.attritionOf(docs)
+        .agg(sum(col("n_dropped"))).collect()(0).getLong(0)
       release(spark)
       val t1 = System.nanoTime()
-      // q96 shape: the production inverted-index BM25 top-10
+      // q96: the production inverted-index BM25 top-10
       val bm = Pipeline.bm25ScoresOf(docs, terms)
         .orderBy(col("score").desc, col("doc_id")).limit(10).count()
       release(spark)
       val t2 = System.nanoTime()
-      // q97 shape: RRF fusion of the BM25 leg and a 1-query cosine leg
-      val rrf = {
-        import org.apache.spark.sql.expressions.Window
-        val lexTop = Pipeline.bm25ScoresOf(docs, terms)
-          .orderBy(col("score").desc, col("doc_id")).limit(50)
-          .select(col("doc_id"), row_number().over(
-            Window.orderBy(col("score").desc, col("doc_id")))
-            .cast("long").as("lex_rank"))
-        val vecTop = Similarity.bruteForceTopK(emb,
-            emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
-          .select(col("neighbor_id").as("doc_id"),
-            col("rank").cast("long").as("vec_rank"))
-        lexTop.join(vecTop, Seq("doc_id"), "full_outer")
-          .select((coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
-            .as("rrf"))
-          .orderBy(col("rrf").desc).limit(10).count()
-      }
+      // q97: the production RRF fusion (BM25 leg + 1-query cosine leg)
+      val rrf = Pipeline.rrfFuseOf(docs, emb, terms).count()
       release(spark)
       val t3 = System.nanoTime()
       // q94 shape: kNN label audit with a FIXED audit budget — the
@@ -303,44 +278,19 @@ object Stress {
       }
       release(spark)
       val t4 = System.nanoTime()
-      // q85 shape: SemDeDup with DERIVED k (k = max(8, ceil(n/128)) —
-      // cluster sizes, and so the within-cluster pair stage, stay
-      // bounded as the corpus grows; fixed k=8 was the r9 scale flaw)
+      // q85: the production SemDeDup assignment + pair stage (derived
+      // k = min(2^16, max(8, ceil(n/128))) — cluster sizes, and so the
+      // within-cluster pair stage, stay bounded as the corpus grows;
+      // fixed k=8 was the r9 scale flaw)
       val sem = {
-        graft.functions.GraftFunctions.register(spark)
-        val n = emb.count()
-        val k = Similarity.semDeDupK(n)
-        val asg = Similarity.deterministicKMeans(emb, "vec_id",
-            "embedding", k = k, rounds = 2)
-          .select(col("id").as("vec_id"), col("cluster"))
-        val vecs = emb.join(asg, "vec_id")
-          .select(col("cluster"), col("vec_id"),
-            col("embedding").cast("array<double>").as("v"))
-          .withColumn("nrm",
-            sqrt(call_function("graft_dot", col("v"), col("v"))))
-        val x = vecs.select(col("cluster"), col("vec_id").as("a"),
-          col("v").as("va"), col("nrm").as("na"))
-        val y = vecs.select(col("cluster"), col("vec_id").as("b"),
-          col("v").as("vb"), col("nrm").as("nb"))
-        x.join(y, Seq("cluster")).filter(col("a") < col("b"))
-          .filter(call_function("graft_dot", col("va"), col("vb")) /
-            (col("na") * col("nb")) >= 0.45)
-          .count()
+        val (_, pairs) = Pipeline.semDeDupPairs(emb)
+        pairs.count()
       }
       release(spark)
       val t5 = System.nanoTime()
-      // q98 shape: per-source distinct-shingle counts (the only real
-      // shuffle) + the sources-sized budget allocation
-      val budget = {
-        val dsh = docs.select(col("source"),
-            explode(TextOps.shinglesKernel(3)(TextOps.words(col("text"))))
-              .as("s"))
-          .distinct()
-          .groupBy(col("source")).agg(count(lit(1)).as("d"))
-        val chars = docs.groupBy(col("source"))
-          .agg(sum(col("n_chars")).as("chars"))
-        chars.join(dsh, "source").count()
-      }
+      // q98: the production token-budget allocation (the distinct-
+      // shingle count is the only real shuffle)
+      val budget = Pipeline.tokenBudgetOf(docs).count()
       release(spark)
       val t6 = System.nanoTime()
       def s(a: Long, b: Long) = f"${(b - a) / 1e9}%7.2f"

@@ -226,28 +226,44 @@ object Similarity extends Serializable {
     * Candidates are verified with exact cosine and ranked per query.
     * At scale the bucket join replaces the corpus scan per query —
     * shuffle volume is corpus × 1 and queries × (HyperBits+1).
+    *
+    * Broadcast contract (the [[knnClassify]] discipline): the query
+    * side broadcasts ×93 probe rows, so it is counted and processed
+    * in deterministic hash chunks past `maxBroadcastRows` — bounded
+    * broadcast at the price of chunks× corpus scans; per-qid windows
+    * never cross chunks, so output is chunk-count-invariant.
     */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column => Column, k: Int): DataFrame = {
+      queryPred: Column => Column, k: Int,
+      maxBroadcastRows: Long = 262144L): DataFrame = {
     val corpus = withNorm(emb, idCol, vecCol, "nid", "cv", "cn")
       .withColumn("bucket", lshBucketKernel(col("cv")))
-    val queries = withNorm(emb.filter(queryPred(col(idCol))),
+    val qbase = withNorm(emb.filter(queryPred(col(idCol))),
       idCol, vecCol, "qid", "qv", "qn")
-      .withColumn("bucket",
+    val nq = qbase.count()
+    val chunks =
+      math.max(1L, (nq + maxBroadcastRows - 1) / maxBroadcastRows).toInt
+    def leg(qs: DataFrame): DataFrame = {
+      val queries = qs.withColumn("bucket",
         explode(probeBuckets(lshBucketKernel(col("qv")))))
-    // no dedup needed: a corpus vector sits in exactly ONE bucket and
-    // the probe masks are distinct, so each (qid, nid) matches at most
-    // once — a distinct here would be a pure extra shuffle
-    val scored = corpus.join(broadcast(queries), "bucket")
-      .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"),
-        cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("cos"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid").as("query_id"), col("rank"),
-        col("nid").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+      // no dedup needed: a corpus vector sits in exactly ONE bucket
+      // and the probe masks are distinct, so each (qid, nid) matches
+      // at most once — a distinct here would be a pure extra shuffle
+      val scored = corpus.join(broadcast(queries), "bucket")
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("cos"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid").as("query_id"), col("rank"),
+          col("nid").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+    }
+    if (chunks == 1) leg(qbase)
+    else (0 until chunks)
+      .map(i => leg(qbase.filter(chunkOf(col("qid"), chunks) === i)))
+      .reduce(_ unionAll _)
   }
 
   /** IVF (inverted-file) approximate top-k — the other standard scale
@@ -266,7 +282,8 @@ object Similarity extends Serializable {
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column => Column, k: Int, nlist: Int = 16,
-      nprobe: Int = 4, rounds: Int = 2): DataFrame = {
+      nprobe: Int = 4, rounds: Int = 2,
+      maxBroadcastRows: Long = 262144L): DataFrame = {
     // Train on the UNSORTED persisted projection (init's orderBy is a
     // TakeOrderedAndProject inside lloydCentroids — never a global
     // sort of the corpus; the r4 shape that passed a sorted frame
@@ -278,7 +295,7 @@ object Similarity extends Serializable {
     val cents = lloydCentroids(base, nlist, rounds)
     base.unpersist(blocking = false)
     ivfSearch(emb, emb.filter(queryPred(col(idCol))), cents,
-      idCol, vecCol, k, nprobe)
+      idCol, vecCol, k, nprobe, maxBroadcastRows)
   }
 
   /** Incremental IVF — the ANN member of the incremental family
@@ -298,7 +315,8 @@ object Similarity extends Serializable {
     */
   def ivfAppendTopK(history: DataFrame, batch: DataFrame, idCol: String,
       vecCol: String, queryPred: Column => Column, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, rounds: Int = 2): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, rounds: Int = 2,
+      maxBroadcastRows: Long = 262144L): DataFrame = {
     val hbase = history
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("vd"))
@@ -308,17 +326,19 @@ object Similarity extends Serializable {
     val corpus = history.select(col(idCol), col(vecCol))
       .unionAll(batch.select(col(idCol), col(vecCol)))
     ivfSearch(corpus, batch.filter(queryPred(col(idCol))), cents,
-      idCol, vecCol, k, nprobe)
+      idCol, vecCol, k, nprobe, maxBroadcastRows)
   }
 
   /** Shared IVF search tail: map-side cell assignment of the corpus
     * against broadcast centroids, query probes (nprobe cells, ranked
     * by the same fixed-point distance, ties to the smaller cell id),
-    * exact cosine rerank, top-k per query.
+    * exact cosine rerank, top-k per query. Query side counted and
+    * hash-chunked past `maxBroadcastRows` (the [[knnClassify]]
+    * broadcast discipline; output chunk-count-invariant).
     */
   private def ivfSearch(corpusDf: DataFrame, queriesDf: DataFrame,
       cents: Array[(Long, Array[Double])], idCol: String, vecCol: String,
-      k: Int, nprobe: Int): DataFrame = {
+      k: Int, nprobe: Int, maxBroadcastRows: Long = 262144L): DataFrame = {
     val spark = corpusDf.sparkSession
     val bc = spark.sparkContext.broadcast(cents)
     def cellsOf(vd: Seq[Double], m: Int): Array[Long] = {
@@ -331,18 +351,27 @@ object Similarity extends Serializable {
 
     val corpus = withNorm(corpusDf, idCol, vecCol, "nid", "cv", "cn")
       .withColumn("cell", assignCell(col("cv")))
-    val queries = withNorm(queriesDf, idCol, vecCol, "qid", "qv", "qn")
-      .withColumn("cell", explode(probeCells(col("qv"))))
-    val scored = corpus.join(broadcast(queries), "cell")
-      .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"),
-        cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("cos"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid").as("query_id"), col("rank"),
-        col("nid").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+    val qbase = withNorm(queriesDf, idCol, vecCol, "qid", "qv", "qn")
+    val nq = qbase.count()
+    val chunks =
+      math.max(1L, (nq + maxBroadcastRows - 1) / maxBroadcastRows).toInt
+    def leg(qs: DataFrame): DataFrame = {
+      val queries = qs.withColumn("cell", explode(probeCells(col("qv"))))
+      val scored = corpus.join(broadcast(queries), "cell")
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("cos"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid").as("query_id"), col("rank"),
+          col("nid").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+    }
+    if (chunks == 1) leg(qbase)
+    else (0 until chunks)
+      .map(i => leg(qbase.filter(chunkOf(col("qid"), chunks) === i)))
+      .reduce(_ unionAll _)
   }
 
   /** kNN label propagation — classify each query vector by majority
@@ -367,9 +396,11 @@ object Similarity extends Serializable {
     * corpus scan and the disjoint results unioned — per-join
     * broadcast stays bounded at the price of chunks× corpus scans,
     * the honest trade once the query side outgrows executor memory
-    * (a truly large query side belongs on the bucketed ANN path,
-    * [[annTopK]]/[[ivfTopK]]). Output is identical for any chunk
-    * count: the per-qid windows and votes never cross chunks.
+    * (a truly large query side belongs on the bucketed ANN path —
+    * [[annTopK]]/[[ivfTopK]] carry the SAME maxBroadcastRows budget,
+    * with far smaller per-chunk scans since the bucket join prunes
+    * candidates). Output is identical for any chunk count: the
+    * per-qid windows and votes never cross chunks.
     *
     * Returns (query_id, pred_label, votes, best_rank) — one row per
     * query. All-integer outputs: nothing float crosses the aggregate,
@@ -407,9 +438,21 @@ object Similarity extends Serializable {
     }
     if (chunks == 1) leg(queries)
     else (0 until chunks)
-      .map(i => leg(queries.filter(pmod(col("qid"), lit(chunks)) === i)))
+      .map(i => leg(queries.filter(chunkOf(col("qid"), chunks) === i)))
       .reduce(_ unionAll _)
   }
+
+  /** Chunk assignment for the broadcast-budget split: HASH the id
+    * before the modulus. Raw id residues look uniform but collapse
+    * for the arithmetic-progression query sets the documented callers
+    * pass (q94/Stress select by `vec_id % m == 0`, so every qid
+    * shares residues and `pmod(qid, chunks)` can land ALL queries in
+    * one chunk — re-creating the unbounded broadcast the budget
+    * exists to prevent). xxhash64 is deterministic, so the split —
+    * and therefore the output — stays reproducible.
+    */
+  private[graft] def chunkOf(qid: Column, chunks: Int): Column =
+    pmod(xxhash64(qid), lit(chunks))
 
   /** Per-vector int8 quantization stats — the storage-compression
     * step (FAISS SQ8 / vector-DB int8 columns): code_i =

@@ -1854,28 +1854,39 @@ object Pipeline {
     * derivation itself is differentially exercised, not just the
     * floor).
     */
+  /** [[q85]]'s assignment + within-cluster pair stage over an
+    * arbitrary embeddings frame (derived k) — split out so Stress
+    * measures the PRODUCTION code path at N× corpus. Returns
+    * (asg = (vec_id, cluster), pairs = (cluster, a, b) persisted).
+    */
+  private[graft] def semDeDupPairs(emb: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val k = Similarity.semDeDupK(emb.count())
+    val asg = Similarity.deterministicKMeans(emb, "vec_id", "embedding",
+        k = k, rounds = 2)
+      .select(col("id").as("vec_id"), col("cluster"))
+    val vecs = emb.join(asg, "vec_id")
+      .select(col("vec_id"), col("cluster"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+    val x = vecs.select(col("cluster"), col("vec_id").as("a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val y = vecs.select(col("cluster"), col("vec_id").as("b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = x.join(y, Seq("cluster")).filter(col("a") < col("b"))
+      .filter(call_function("graft_dot", col("va"), col("vb")) /
+        (col("na") * col("nb")) >= 0.45)
+      .select(col("cluster"), col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (asg, pairs)
+  }
+
   val q85 = Q(
     "q85_semantic_dedup",
     (spark, dir) => {
-      graft.functions.GraftFunctions.register(spark)
       val emb = Tables(spark, dir, "embeddings")
-      val k = Similarity.semDeDupK(emb.count())
-      val asg = Similarity.deterministicKMeans(emb, "vec_id", "embedding",
-          k = k, rounds = 2)
-        .select(col("id").as("vec_id"), col("cluster"))
-      val vecs = emb.join(asg, "vec_id")
-        .select(col("vec_id"), col("cluster"),
-          col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
-      val x = vecs.select(col("cluster"), col("vec_id").as("a"),
-        col("v").as("va"), col("nrm").as("na"))
-      val y = vecs.select(col("cluster"), col("vec_id").as("b"),
-        col("v").as("vb"), col("nrm").as("nb"))
-      val pairs = x.join(y, Seq("cluster")).filter(col("a") < col("b"))
-        .filter(call_function("graft_dot", col("va"), col("vb")) /
-          (col("na") * col("nb")) >= 0.45)
-        .select(col("cluster"), col("a"), col("b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (asg, pairs) = semDeDupPairs(emb)
       val drops = Dedup.connectedComponents(pairs, "a", "b")
         .filter(col("node") =!= col("canon"))
         .join(asg.withColumnRenamed("vec_id", "node"), "node")
@@ -2505,24 +2516,29 @@ object Pipeline {
     * exact integer sums. Oracle replays pairs + recursive closure +
     * the attrition aggregate end to end.
     */
+  /** [[q95]]'s plan over an arbitrary documents frame — split out so
+    * Stress measures the PRODUCTION code path at N× corpus.
+    */
+  private[graft] def attritionOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
+      threshold = 0.5)
+    val dropped = Dedup.connectedComponents(pairs, "a", "b")
+      .filter(col("node") =!= col("canon"))
+      .select(col("node").as("doc_id"), lit(1L).as("is_dropped"))
+    docs.select(col("source"), col("doc_id"), col("n_chars"))
+      .join(dropped, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"),
+        sum(when(col("is_dropped").isNotNull, col("n_chars"))
+          .otherwise(0L)).as("dropped_chars"))
+      .orderBy(col("source"))
+  }
+
   val q95 = Q(
     "q95_dedup_attrition",
-    (spark, dir) => {
-      val docs = Tables(spark, dir, "documents")
-      val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
-        threshold = 0.5)
-      val dropped = Dedup.connectedComponents(pairs, "a", "b")
-        .filter(col("node") =!= col("canon"))
-        .select(col("node").as("doc_id"), lit(1L).as("is_dropped"))
-      docs.select(col("source"), col("doc_id"), col("n_chars"))
-        .join(dropped, Seq("doc_id"), "left")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"),
-          sum(when(col("is_dropped").isNotNull, col("n_chars"))
-            .otherwise(0L)).as("dropped_chars"))
-        .orderBy(col("source"))
-    },
+    (spark, dir) => attritionOf(Tables(spark, dir, "documents")),
     Some("""
       WITH RECURSIVE
       w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -2646,29 +2662,36 @@ object Pipeline {
     * and also what makes it cross-engine exact). Each leg's top-50 is
     * TakeOrderedAndProject; the rank windows run over ≤50 rows.
     */
+  /** [[q97]]'s fusion plan over arbitrary frames — split out so
+    * Stress measures the PRODUCTION code path at N× corpus.
+    */
+  private[graft] def rrfFuseOf(docs: org.apache.spark.sql.DataFrame,
+      emb: org.apache.spark.sql.DataFrame, terms: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lexTop = bm25ScoresOf(docs, terms)
+      .orderBy(col("score").desc, col("doc_id")).limit(50)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("score").desc,
+          col("doc_id"))).cast("long").as("lex_rank"))
+    val vecTop = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+      .select(col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("vec_rank"))
+    lexTop.join(vecTop, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+        (coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+         coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+  }
+
   val q97 = {
     val terms = Seq("customer", "vector", "merge")
     Q(
       "q97_hybrid_rrf",
-      (spark, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val lexTop = bm25Scores(spark, dir, terms)
-          .orderBy(col("score").desc, col("doc_id")).limit(50)
-          .select(col("doc_id"),
-            row_number().over(Window.orderBy(col("score").desc,
-              col("doc_id"))).cast("long").as("lex_rank"))
-        val emb = Tables(spark, dir, "embeddings")
-        val vecTop = Similarity.bruteForceTopK(emb,
-            emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
-          .select(col("neighbor_id").as("doc_id"),
-            col("rank").cast("long").as("vec_rank"))
-        lexTop.join(vecTop, Seq("doc_id"), "full_outer")
-          .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
-            (coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
-             coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
-              .as("rrf"))
-          .orderBy(col("rrf").desc, col("doc_id")).limit(10)
-      },
+      (spark, dir) => rrfFuseOf(Tables(spark, dir, "documents"),
+        Tables(spark, dir, "embeddings"), terms),
       Some(s"""${bm25OracleCtes(terms)},
       lex AS (SELECT doc_id,
                 CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
@@ -2706,29 +2729,35 @@ object Pipeline {
     * the distinct-shingle count; the allocation itself runs on a
     * sources-sized frame.
     */
+  /** [[q98]]'s plan over an arbitrary documents frame — split out so
+    * Stress measures the PRODUCTION code path at N× corpus.
+    */
+  private[graft] def tokenBudgetOf(docsIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = graft.operators.FanOut(docsIn)
+    val dsh = docs.select(col("source"),
+        explode(TextOps.shinglesKernel(3)(TextOps.words(col("text"))))
+          .as("s"))
+      .distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("distinct_shingles"))
+    val chars = docs.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("chars"))
+    val budget = chars.agg(expr("sum(chars) div 2").as("b"))
+    val dTot = dsh.agg(sum(col("distinct_shingles")).as("dsumall"))
+    chars.join(dsh, "source")
+      .crossJoin(broadcast(budget)).crossJoin(broadcast(dTot))
+      .withColumn("target_chars",
+        expr("(b * distinct_shingles) div dsumall"))
+      .select(col("source"), col("chars"), col("distinct_shingles"),
+        col("target_chars"),
+        expr("target_chars div chars").as("epochs"),
+        expr("target_chars % chars").as("partial_chars"))
+      .orderBy(col("source"))
+  }
+
   val q98 = Q(
     "q98_token_budget",
-    (spark, dir) => {
-      val docs = graft.operators.FanOut(Tables(spark, dir, "documents"))
-      val dsh = docs.select(col("source"),
-          explode(TextOps.shinglesKernel(3)(TextOps.words(col("text"))))
-            .as("s"))
-        .distinct()
-        .groupBy(col("source")).agg(count(lit(1)).as("distinct_shingles"))
-      val chars = docs.groupBy(col("source"))
-        .agg(sum(col("n_chars")).as("chars"))
-      val budget = chars.agg(expr("sum(chars) div 2").as("b"))
-      val dTot = dsh.agg(sum(col("distinct_shingles")).as("dsumall"))
-      chars.join(dsh, "source")
-        .crossJoin(broadcast(budget)).crossJoin(broadcast(dTot))
-        .withColumn("target_chars",
-          expr("(b * distinct_shingles) div dsumall"))
-        .select(col("source"), col("chars"), col("distinct_shingles"),
-          col("target_chars"),
-          expr("target_chars div chars").as("epochs"),
-          expr("target_chars % chars").as("partial_chars"))
-        .orderBy(col("source"))
-    },
+    (spark, dir) => tokenBudgetOf(Tables(spark, dir, "documents")),
     Some("""
       WITH w AS (SELECT source, string_split(text, ' ') AS ws
                  FROM documents),

@@ -86,15 +86,24 @@ object JdbcSink {
     private var created = 0
     @volatile var discarded = 0 // observability for tests/metrics
 
+    /** Never blocks while holding the monitor (a waiter parked inside
+      * `synchronized` would deadlock discard()/close(), which need
+      * it), and re-checks dial capacity periodically so capacity freed
+      * by a discard() is re-dialed by whoever is waiting.
+      */
     def get(): Connection = {
-      val pooled = idle.poll()
-      if (pooled != null) pooled
-      else synchronized {
-        // count the slot only after connect() succeeds — a failed
-        // dial must not leak capacity
-        if (created < size) { val c = connect(); created += 1; c }
-        else idle.take()
+      var c: Connection = idle.poll()
+      while (c == null) {
+        val dialed = synchronized {
+          // count the slot only after connect() succeeds — a failed
+          // dial must not leak capacity
+          if (created < size) { val cc = connect(); created += 1; Some(cc) }
+          else None
+        }
+        c = dialed.getOrElse(
+          idle.poll(100, java.util.concurrent.TimeUnit.MILLISECONDS))
       }
+      c
     }
     def release(c: Connection): Unit = idle.put(c)
     def discard(c: Connection): Unit = {

@@ -206,6 +206,37 @@ class PipelineSpec extends SparkSpec {
     assert(Similarity.semDeDupK(100_000_000_000L) == 65536) // capped
   }
 
+  test("ann/ivf chunked broadcast (maxBroadcastRows) is output-invariant") {
+    // forcing many tiny chunks must reproduce the single-broadcast
+    // answer row-for-row — per-qid windows never cross chunks
+    val one = Similarity.annTopK(emb, "vec_id", "embedding", _ < 20, 5)
+    val many = Similarity.annTopK(emb, "vec_id", "embedding", _ < 20, 5,
+      maxBroadcastRows = 3L)
+    assert(one.exceptAll(many).isEmpty && many.exceptAll(one).isEmpty,
+      "annTopK differs under chunking")
+    val oneIvf = Similarity.ivfTopK(emb, "vec_id", "embedding", _ < 20, 5)
+    val manyIvf = Similarity.ivfTopK(emb, "vec_id", "embedding", _ < 20, 5,
+      maxBroadcastRows = 3L)
+    assert(oneIvf.exceptAll(manyIvf).isEmpty &&
+      manyIvf.exceptAll(oneIvf).isEmpty,
+      "ivfTopK differs under chunking")
+  }
+
+  test("knn chunk split spreads arithmetic-progression query ids") {
+    // the q94/Stress query sets are residue classes (vec_id % m == 0);
+    // a raw pmod(qid, chunks) split collapses them into one chunk
+    // (the unbounded broadcast returns) — the hash split must spread
+    // them across every chunk
+    import spark.implicits._
+    val ids = (0L until 10000L by 5L).toDF("qid") // all multiples of 5
+    val spread = ids
+      .select(Similarity.chunkOf(col("qid"), 5).as("c"))
+      .groupBy(col("c")).count().collect()
+    assert(spread.length == 5, s"only ${spread.length}/5 chunks populated")
+    val counts = spread.map(_.getLong(1))
+    assert(counts.min > 200, s"badly skewed chunk split: ${counts.toList}")
+  }
+
   test("knn classify: chunked broadcast (maxBroadcastRows) is output-invariant") {
     // the broadcast-budget contract: forcing many tiny chunks must
     // reproduce the single-broadcast answer row-for-row, because the

@@ -114,6 +114,29 @@ class JdbcSinkSpec extends SparkSpec {
     pool.close()
   }
 
+  test("a waiter blocked on an exhausted pool survives a concurrent " +
+      "discard: no deadlock, fresh re-dial") {
+    // get() must never park while holding the pool monitor —
+    // discard() needs it — and a waiter must pick up the capacity a
+    // discard frees by re-dialing
+    var dials = 0
+    val pool = new JdbcSink.Pool(1, () => {
+      dials += 1; DriverManager.getConnection(url)
+    })
+    val held = pool.get()
+    val got = new java.util.concurrent.CompletableFuture[Connection]()
+    val waiter = new Thread(() => got.complete(pool.get()))
+    waiter.start()
+    Thread.sleep(150) // waiter is parked on the exhausted pool
+    pool.discard(held) // frees capacity without an idle.put
+    val c = got.get(5, java.util.concurrent.TimeUnit.SECONDS)
+    assert(c != null && !c.isClosed)
+    assert(dials === 2, "waiter must re-dial the discarded capacity")
+    waiter.join()
+    pool.release(c)
+    pool.close()
+  }
+
   test("foreachBatch path: partitions land concurrently, replay converges") {
     freshTable("t_spark")
     import spark.implicits._
