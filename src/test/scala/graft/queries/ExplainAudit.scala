@@ -19,7 +19,7 @@ class ExplainAudit extends SparkSpec {
         "q37" -> Pipeline.q37, "q55" -> Pipeline.q55,
         "q76" -> Pipeline.q76, "q85" -> Pipeline.q85,
         "q88" -> Pipeline.q88, "q93" -> Pipeline.q93,
-        "q95" -> Pipeline.q95).foreach { case (n, q) =>
+        "q95" -> Pipeline.q95, "q99" -> Pipeline.q99).foreach { case (n, q) =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$n has a cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$n has a nested loop:\n$p")
