@@ -206,6 +206,22 @@ class PipelineSpec extends SparkSpec {
     assert(Similarity.semDeDupK(100_000_000_000L) == 65536) // capped
   }
 
+  test("q30's plane SQL literals survive the print->parse round-trip") {
+    // the q30 oracle's soundness rests on every hyperplane component
+    // rendering to a 6-decimal literal that parses back to the
+    // IDENTICAL double in any engine: re-printing the parsed value
+    // must reproduce the literal exactly, for all 8x64 components
+    val tuples = Similarity.planesSqlValues()
+      .split("\\),\\(").map(_.stripPrefix("(").stripSuffix(")"))
+    assert(tuples.length == 8 * 64)
+    tuples.foreach { t =>
+      val w = t.split(",")(2)
+      val back = String.format(java.util.Locale.ROOT, "%.6f",
+        Double.box(w.toDouble))
+      assert(back == w, s"literal $w reparses to $back")
+    }
+  }
+
   test("ann/ivf chunked broadcast (maxBroadcastRows) is output-invariant") {
     // forcing many tiny chunks must reproduce the single-broadcast
     // answer row-for-row — per-qid windows never cross chunks
