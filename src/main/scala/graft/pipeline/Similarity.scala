@@ -336,7 +336,7 @@ object Similarity extends Serializable {
     * hash-chunked past `maxBroadcastRows` (the [[knnClassify]]
     * broadcast discipline; output chunk-count-invariant).
     */
-  private def ivfSearch(corpusDf: DataFrame, queriesDf: DataFrame,
+  private[graft] def ivfSearch(corpusDf: DataFrame, queriesDf: DataFrame,
       cents: Array[(Long, Array[Double])], idCol: String, vecCol: String,
       k: Int, nprobe: Int, maxBroadcastRows: Long = 262144L): DataFrame = {
     val spark = corpusDf.sparkSession
