@@ -47,10 +47,17 @@ final case class ServerConfig(
     catalogs: Seq[ServerConfig.CatalogConf])
 
 object ServerConfig {
+  /** `jdbcUrl` (config `jdbc_url`) redirects the table's drain to the
+    * transactional JDBC sink (the reference's actual landing shape —
+    * INSERTs into a SQL engine) instead of parquet; `landing_dir`
+    * stays required for the stream's checkpoint. `jdbc_table`
+    * defaults to the table name.
+    */
   final case class TableConf(name: String, capacity: Int,
       onFull: RowBuffer.OnFull, messages: Seq[String], columns: Seq[ChColumn],
       landingDir: Option[String] = None, flushIntervalMs: Int = 1000,
-      writers: Int = 2)
+      writers: Int = 2, jdbcUrl: Option[String] = None,
+      jdbcTable: Option[String] = None)
   final case class CatalogConf(name: String, tables: Seq[TableConf])
 
   private val mapper = new ObjectMapper()
@@ -92,7 +99,9 @@ object ServerConfig {
               cols,
               opt(t, "landing_dir").map(_.asText),
               opt(t, "flush_interval").map(_.asInt).getOrElse(1000),
-              opt(t, "writers").map(_.asInt).getOrElse(2))
+              opt(t, "writers").map(_.asInt).getOrElse(2),
+              opt(t, "jdbc_url").map(_.asText),
+              opt(t, "jdbc_table").map(_.asText))
           }
         CatalogConf(
           opt(c, "name").map(_.asText).getOrElse("default"),

@@ -74,7 +74,12 @@ object ServerMain {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.ProcessingTime(d.table.flushIntervalMs.toLong))
         .foreachBatch { (df: DataFrame, batchId: Long) =>
-          LandingIngest.sinkBatch(df, batchId, out, d.table.writers)
+          d.table.jdbcUrl match {
+            case Some(url) => graft.streaming.JdbcSink.sinkBatch(
+              df, batchId, url, d.table.jdbcTable.getOrElse(d.table.name))
+            case None =>
+              LandingIngest.sinkBatch(df, batchId, out, d.table.writers)
+          }
         }
         .queryName(s"drain-${d.queueName}")
         .start()

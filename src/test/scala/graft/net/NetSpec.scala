@@ -450,6 +450,92 @@ class NetSpec extends SparkSpec {
     }
   }
 
+  test("jdbc_url drain: server lands into a SQL engine instead of parquet") {
+    // the reference's ACTUAL landing shape (transactional INSERTs into
+    // a SQL engine), config-reachable: a table with jdbc_url drains
+    // through JdbcSink; landing_dir keeps only the checkpoint. Flat
+    // column list — the sink schema IS the projection, so the drain
+    // frame is scalar and Derby-landable (arrays = the dialect seam).
+    val url = "jdbc:derby:memory:netjdbc;create=true"
+    val dir = Files.createTempDirectory("netspec-jdbc-")
+    // hand-encoded FileDescriptorSet for an all-scalar message (the
+    // binder's reference-parity strictness requires EVERY message
+    // field bound to a sink column, so ExampleMessage's map can't
+    // project away): FlatMetric { string name = 1; int64 value = 2; }
+    val desc = dir.resolve("flat.desc")
+    Files.write(desc, {
+      def ld(tag: Int, bytes: Array[Byte]): Array[Byte] = {
+        val w = new Wire.Writer
+        w.writeTag(tag, 2); w.writeBytes(bytes); w.toBytes
+      }
+      def str(tag: Int, s: String): Array[Byte] = ld(tag, s.getBytes("UTF-8"))
+      def vi(tag: Int, v: Long): Array[Byte] = {
+        val w = new Wire.Writer
+        w.writeTag(tag, 0); w.writeVarint(v); w.toBytes
+      }
+      // FieldDescriptorProto: name=1 number=3 label=4(OPTIONAL=1) type=5
+      val f1 = str(1, "name") ++ vi(3, 1) ++ vi(4, 1) ++ vi(5, 9) // string
+      val f2 = str(1, "value") ++ vi(3, 2) ++ vi(4, 1) ++ vi(5, 3) // int64
+      // DescriptorProto: name=1 field=2; FileDescriptorProto: name=1
+      // message_type=4; FileDescriptorSet: file=1
+      val msg = str(1, "FlatMetric") ++ ld(2, f1) ++ ld(2, f2)
+      ld(1, str(1, "flat.proto") ++ ld(4, msg))
+    })
+    val flatMsg = graft.proto.DescriptorSet.loadFile(desc)("FlatMetric")
+    val cfg = dir.resolve("config.json")
+    Files.write(cfg,
+      s"""{
+         |  "ingest": {"bind_port": 0},
+         |  "proto_descriptor_paths": ["$desc"],
+         |  "catalogs": [{"name": "landing", "tables": {
+         |    "flat_sql": {"capacity": 256, "on_full": "block",
+         |      "messages": ["FlatMetric"],
+         |      "columns": [{"name": "name", "type": "String"},
+         |                  {"name": "value", "type": "Int64"}],
+         |      "landing_dir": "${dir.resolve("land")}",
+         |      "flush_interval": 100,
+         |      "jdbc_url": "$url", "jdbc_table": "t_drain"}
+         |  }}]
+         |}""".stripMargin.getBytes("UTF-8"))
+    val server = new BristleServer(cfg, new Metrics).start()
+    try {
+      // create the Derby target from the drain's own schema
+      val d = server.drains.head
+      val schema = d.binding.transcode(ProtoRows.decode(
+        spark.emptyDataset(org.apache.spark.sql.Encoders.BINARY),
+        d.message)).schema
+      val conn = java.sql.DriverManager.getConnection(url)
+      try conn.createStatement().execute(
+        graft.streaming.JdbcSink.ddlFor("t_drain", schema))
+      finally conn.close()
+
+      val drains = ServerMain.startDrains(spark, server)
+      try {
+        withClient(server.ingest.boundPort) { client =>
+          client.registerType("FlatMetric")
+          assert(client.writeBatch("FlatMetric",
+            (0 until 16).map(i => ProtoRows.encodeValues(flatMsg,
+              Seq(s"m$i", i.toLong)))) == BatchResult.Ok)
+        }
+        drains.values.foreach(_.processAllAvailable())
+        val c2 = java.sql.DriverManager.getConnection(url)
+        try {
+          val rs = c2.createStatement()
+            .executeQuery("SELECT COUNT(*), COUNT(DISTINCT batch_key) FROM t_drain")
+          rs.next()
+          assert(rs.getLong(1) == 16, "all acked rows landed in SQL")
+          assert(rs.getLong(2) >= 1)
+          // nothing was ALSO landed as parquet
+          assert(!Files.exists(dir.resolve("land").resolve("data")) ||
+            Files.list(dir.resolve("land").resolve("data")).count() == 0)
+        } finally c2.close()
+      } finally drains.values.foreach(_.stop())
+    } finally {
+      server.stop()
+      server.queues.keys.foreach(QueueSource.drop)
+    }
+  }
+
   // ---- full path through Spark -------------------------------------
 
   test("q64: socket → queue → stream → transcode lands the fixture rows") {
