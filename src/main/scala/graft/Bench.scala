@@ -97,7 +97,7 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // "ingest" / "wire_ingest" are pseudo-names selecting the two
     // throughput benches, so they can be iterated on in isolation too
-    val pseudo = Set("ingest", "wire_ingest")
+    val pseudo = Set("ingest", "wire_ingest", "jdbc_ingest")
     only.foreach { s =>
       val unknown = s -- SparkEntry.registry.map(_.name).toSet -- pseudo
       if (unknown.nonEmpty) // a typo must not look like a healthy tiny run
@@ -179,6 +179,36 @@ object Bench {
         System.err.println(s"[bench] wire bench failed: ${e.getMessage}")
         ""
       }
+    // Transactional JDBC landing throughput — the closest
+    // apples-to-apples number against the reference's 10k-100k
+    // rows/s-per-writer ClickHouse envelope: the SAME transcoded rows
+    // through JdbcSink's tx-per-partition prepared-INSERT path into
+    // embedded Derby (a real transactional SQL engine, in-JVM).
+    val jdbcJson =
+      if (only.exists(!_.contains("jdbc_ingest"))) ""
+      else try {
+        import org.apache.spark.sql.functions._
+        val url = "jdbc:derby:memory:benchjdbc;create=true"
+        val n = 65536L
+        val df = spark.range(n).select(col("id").as("doc_id"),
+          concat(lit("body-"), col("id")).as("body")).repartition(8)
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          try conn.createStatement().execute("DROP TABLE t_bench")
+          catch { case _: java.sql.SQLException => () }
+          conn.createStatement().execute(
+            graft.streaming.JdbcSink.ddlFor("t_bench", df.schema))
+        } finally conn.close()
+        df.count() // materialize the input outside the timed window
+        val t0 = System.nanoTime()
+        graft.streaming.JdbcSink.sinkBatch(df, 0L, url, "t_bench")
+        val sec = (System.nanoTime() - t0) / 1e9
+        val rps = (n / sec).toLong
+        s""","jdbc_ingest":{"rows":$n,"sec":${math.rint(sec * 1000) / 1000},"rows_per_sec":$rps}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] jdbc bench failed: ${e.getMessage}")
+        ""
+      }
     // Z-order skipping ratio, archived as a number (VERDICT r4 #8):
     // row groups a reader must touch for q63's secondary-dimension
     // slice (user_id ∈ [100,200]) under the z-order layout vs a plain
@@ -223,7 +253,7 @@ object Bench {
         s""","load1":${String.format(java.util.Locale.ROOT, "%.2f",
           Double.box(loadAtStart))}"""
       else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs$ingestJson$wireJson$zorderJson$loadJson,"sf":"$sfJson"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs$ingestJson$wireJson$jdbcJson$zorderJson$loadJson,"sf":"$sfJson"}""")
     spark.stop()
   }
 }
