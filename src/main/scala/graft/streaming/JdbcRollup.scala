@@ -134,8 +134,12 @@ object JdbcRollup {
 
   /** foreachBatch entry: aggregate the micro-batch per key (the
     * distributed half — map-side combine + one keyed shuffle), then
-    * apply the small partial frame through one connection/tx with
-    * batch key `batchId`.
+    * apply each post-shuffle PARTITION of the partial frame through
+    * its own connection/tx with ledger key `"<batchId>:<pid>"` — the
+    * same unit of atomicity/replay as [[JdbcSink.sinkBatch]], and no
+    * single-task funnel when the rollup cardinality is large (the
+    * groupBy hash-partitions keys, so partitions apply disjoint key
+    * sets and never contend on rows).
     */
   def sinkBatch(df: DataFrame, batchId: Long, url: String, table: String,
       keys: Seq[String], values: Seq[String]): Unit = {
@@ -144,10 +148,12 @@ object JdbcRollup {
         values.map(c => sum(col(c)).as(s"sum_$c")): _*)
       .select((keys ++ ("n" +: values.map(v => s"sum_$v"))).map(col): _*)
     val (ks, vs) = (keys, values)
-    partial.coalesce(1).rdd.foreachPartition { it =>
+    partial.rdd.foreachPartition { it =>
       if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
         val pool = new JdbcSink.Pool(url, 1)
-        try applyBatch(pool, table, ks, vs, batchId.toString, it.map(_.toSeq))
+        try applyBatch(pool, table, ks, vs, s"$batchId:$pid",
+          it.map(_.toSeq))
         finally pool.close()
       }
     }
