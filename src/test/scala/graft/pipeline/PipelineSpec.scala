@@ -197,6 +197,45 @@ class PipelineSpec extends SparkSpec {
     assert(got4 == Seq((100L, 2, 2L)), s"tie-break wrong: ${got4.toList}")
   }
 
+  test("lloydCentroids matches an independent in-memory Lloyd exactly") {
+    // the shared training core now backs q38/q84/q85/q99 — guard the
+    // fixed-point spec (floor((v-c)^2*1e12) argmin, ties to smaller
+    // cluster id; update = sum(floor(v*1e6)) / (n*1e6), empty clusters
+    // drop) against a straightforward reimplementation on random data
+    import spark.implicits._
+    val rnd = new scala.util.Random(421)
+    val (n, dim, k, rounds) = (40, 6, 5, 3)
+    val data = (0 until n).map(i =>
+      (i.toLong, Seq.fill(dim)(math.rint(rnd.nextDouble() * 2000 - 1000) / 1000)))
+    val got = Similarity.lloydCentroids(data.toDF("id", "vd"), k, rounds)
+
+    def distFp(v: Seq[Double], c: Array[Double]): Long =
+      (0 until math.min(v.length, c.length)).map { i =>
+        val e = v(i) - c(i); math.floor(e * e * 1e12).toLong
+      }.sum
+    var cents: Seq[(Long, Array[Double])] =
+      data.sortBy(_._1).take(k).map { case (id, v) => (id, v.toArray) }
+    for (_ <- 1 to rounds) {
+      cents = data
+        .map { case (_, v) =>
+          (cents.minBy { case (cid, c) => (distFp(v, c), cid) }._1, v) }
+        .groupBy(_._1).toSeq
+        .map { case (cid, vs) =>
+          cid -> (0 until dim).map { p =>
+            vs.map(x => math.floor(x._2(p) * 1e6).toLong).sum.toDouble /
+              (vs.size * 1e6)
+          }.toArray
+        }
+        .sortBy(_._1)
+    }
+    assert(got.map(_._1).toSeq == cents.map(_._1),
+      "cluster ids / survivors differ")
+    got.zip(cents).foreach { case ((gid, gc), (eid, ec)) =>
+      assert(gid == eid && gc.sameElements(ec),
+        s"centroid $gid differs: ${gc.toList} vs ${ec.toList}")
+    }
+  }
+
   test("semDeDupK: floor for fixtures, linear region, driver-state cap") {
     assert(Similarity.semDeDupK(0) == 8)
     assert(Similarity.semDeDupK(1000) == 8)     // floor
