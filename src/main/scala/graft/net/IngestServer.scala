@@ -1,12 +1,10 @@
 package graft.net
 
 import graft.net.ControlProto._
-import graft.proto.{PMessage, ProtoRows, Wire}
+import graft.proto.PMessage
 import graft.sources.QueueSource
-import graft.streaming.RowBuffer
-
 import java.net.{ServerSocket, Socket, SocketException}
-import java.util.concurrent.{ConcurrentHashMap, Executors, Semaphore, TimeUnit}
+import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
 import java.util.concurrent.atomic.AtomicBoolean
 import scala.util.control.NonFatal
 
@@ -77,6 +75,12 @@ final class IngestServer(
   metrics.help("graft_ingest_connections_open", "Open ingest connections")
   metrics.gauge("graft_ingest_connections_open")(conns.size.toDouble)
 
+  /** The transport-agnostic admission core; shared with the gRPC
+    * transport so both speak identical semantics.
+    */
+  val engine = new IngestEngine(targets, maxInFlight, backoffHighWater,
+    backoffMs, metrics, pool)
+
   def boundPort: Int = listener.getLocalPort
 
   def start(): this.type = {
@@ -121,37 +125,11 @@ final class IngestServer(
     }
   }
 
-  /** `writePayload` (`ingest_service.go:79-107`): resolve, decode each
-    * body, admit the batch; first failing stage is the result.
-    */
-  private def writePayload(p: Payload): Int = {
-    val reg = targets()
-    reg.get(p.msgType) match {
-      case None => BatchResult.UnkMessage
-      case Some(t) =>
-        try p.bodies.foreach(ProtoRows.decodeValues(t.message, _))
-        catch { case _: Wire.MalformedProto => return BatchResult.DecodeErr }
-        t.queue.writeBatch(p.bodies) match {
-          case RowBuffer.Ok =>
-            metrics.add("graft_ingest_rows_total", p.bodies.size.toLong,
-              "type" -> p.msgType)
-            BatchResult.Ok
-          case RowBuffer.Full => BatchResult.Full
-          case RowBuffer.TooBig => BatchResult.TooBig
-          case _ => BatchResult.TranscodeErr
-        }
-    }
-  }
-
   private def serveUnary(in: java.io.InputStream,
       out: java.io.OutputStream): Unit =
     readFrame(in).foreach { frame =>
       val req = decodeWriteBatchRequest(frame)
-      // first non-OK payload aborts the request (reference :110-115)
-      val status = req.payloads.iterator.map(writePayload)
-        .find(_ != BatchResult.Ok).getOrElse(BatchResult.Ok)
-      metrics.inc("graft_ingest_batches_total",
-        "rpc" -> "unary", "result" -> BatchResult.name(status))
+      val status = engine.unaryWriteBatch(req, rpc = "unary")
       writeFrame(out, encode(ServerWriteBatchResult(0, status)))
       if (status == BatchResult.Ok)
         writeFrame(out,
@@ -160,81 +138,16 @@ final class IngestServer(
 
   private def serveStreaming(in: java.io.InputStream,
       rawOut: java.io.OutputStream): Unit = {
-    val sem = new Semaphore(maxInFlight)
-    val typeIds = scala.collection.mutable.Map.empty[Int, String]
-    var nextTypeId = 0
     val sendLock = new Object
-    var lastBackoffUntil = 0L
-    def send(m: ServerMessage): Unit = sendLock.synchronized {
+    val session = new engine.Session(m => sendLock.synchronized {
       writeFrame(rawOut, encode(m))
-    }
-
-    def maybeBackoff(): Unit = {
-      val now = System.currentTimeMillis()
-      val pressured = targets().collect {
-        case (name, t)
-            if t.queue.endSeq - t.queue.firstSeq >=
-              (t.queue.capacity * backoffHighWater).toLong => name
-      }.toSeq.sorted
-      if (pressured.nonEmpty) sendLock.synchronized {
-        if (now >= lastBackoffUntil) { // one push per deadline window
-          lastBackoffUntil = now + backoffMs
-          writeFrame(rawOut, encode(ServerBackoff(now + backoffMs, pressured)))
-          metrics.inc("graft_ingest_backoff_sent_total")
-        }
-      }
-    }
-
-    def handleBatch(wb: ClientWriteBatch): Unit = {
-      val resolved = wb.typeName.orElse(wb.typeId.flatMap { id =>
-        typeIds.synchronized(typeIds.get(id))
-      })
-      val result = resolved match {
-        case None => BatchResult.UnkMessage
-        case Some(name) =>
-          // data is a varint-framed body blob (the ConsumeBytes loop,
-          // reference :152-177); a torn frame is DECODE_ERR for the
-          // whole batch, same as an unmarshal failure
-          try writePayload(Payload(name, Wire.splitFrames(wb.data)))
-          catch { case _: Wire.MalformedProto => BatchResult.DecodeErr }
-      }
-      metrics.inc("graft_ingest_batches_total",
-        "rpc" -> "streaming", "result" -> BatchResult.name(result))
-      send(ServerWriteBatchResult(wb.id, result))
-      maybeBackoff()
-    }
-
+    })
     var open = true
     while (open) readFrame(in) match {
       case None => open = false
-      case Some(frame) => decodeClientMessage(frame) match {
-        case rt: ClientRegisterType =>
-          if (rt.descriptor.nonEmpty) {
-            // dynamic registration is ErrUnsupported (reference :181)
-            open = false
-          } else {
-            val id = typeIds.synchronized {
-              nextTypeId += 1
-              typeIds(nextTypeId) = rt.msgType
-              nextTypeId
-            }
-            send(ServerIdentifyType(rt.msgType, id))
-          }
-        case _: ClientUpdateDefault => open = false // ErrUnsupported (:228)
-        case wb: ClientWriteBatch =>
-          if (!sem.tryAcquire()) {
-            metrics.inc("graft_ingest_batches_total", "rpc" -> "streaming",
-              "result" -> BatchResult.name(BatchResult.TooManyInFlightBatches))
-            send(ServerWriteBatchResult(wb.id,
-              BatchResult.TooManyInFlightBatches))
-          } else pool.submit[Unit] { () =>
-            try handleBatch(wb) finally sem.release()
-          }
-      }
+      case Some(frame) => open = session.handle(decodeClientMessage(frame))
     }
-    // a closing stream lets in-flight batch writes finish (their acks
-    // may or may not reach the departing client, same as gRPC)
-    sem.tryAcquire(maxInFlight, 2, TimeUnit.SECONDS)
+    session.drain()
   }
 
   def stop(): Unit = {
