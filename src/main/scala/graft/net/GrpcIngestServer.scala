@@ -1,0 +1,309 @@
+package graft.net
+
+import graft.net.ControlProto._
+
+import io.netty.bootstrap.ServerBootstrap
+import io.netty.buffer.Unpooled
+import io.netty.channel._
+import io.netty.channel.nio.NioIoHandler
+import io.netty.channel.socket.SocketChannel
+import io.netty.channel.socket.nio.NioServerSocketChannel
+import io.netty.handler.codec.http.{HttpServerCodec, HttpServerUpgradeHandler}
+import io.netty.handler.codec.http2._
+import io.netty.util.AsciiString
+
+import java.net.InetSocketAddress
+import java.util.concurrent.TimeUnit
+import scala.util.control.NonFatal
+
+/** The reference's ACTUAL transport: gRPC over HTTP/2 cleartext
+  * (`ingest_service.go:37-74` serves `bristle.BristleIngestService`
+  * via grpc-go). This server speaks the same protocol for real — a
+  * stock bristle client using insecure credentials (prior-knowledge
+  * h2c, grpc-go's cleartext mode) connects and runs both RPCs — built
+  * from the two halves a JVM deployment already has on the Spark
+  * classpath:
+  *
+  *  - HTTP/2 transport: netty's `codec-http2` (shipped in Spark's own
+  *    `jars/`), accepting BOTH connection styles — prior-knowledge
+  *    (the `PRI * HTTP/2.0` preface grpc-go sends) and the HTTP/1.1
+  *    `Upgrade: h2c` dance (what the JDK's `HttpClient` performs for
+  *    cleartext HTTP/2, used as the independent interop check in
+  *    GrpcSpec).
+  *  - gRPC protocol: hand-rolled in [[GrpcWire]] — length-prefixed
+  *    message framing, `application/grpc` content type, trailers
+  *    carrying `grpc-status`/`grpc-message` — per the published
+  *    PROTOCOL-HTTP2 spec.
+  *
+  * RPC semantics come from the SAME [[IngestEngine]] the socket
+  * transport drives, so admission behavior is identical by
+  * construction:
+  *  - `WriteBatch` (unary): OK → `WriteBatchResponse{acknowledged: 0,
+  *    dropped: 0}` — the reference's literal zeros
+  *    (`ingest_service.go:115-119`) — with `grpc-status: 0` trailers;
+  *    any non-OK payload → the grpc-go mapping of a plain error
+  *    return: a trailers-only response with `grpc-status: 2`
+  *    (UNKNOWN) and `grpc-message: "WriteBatch error code <RESULT>"`
+  *    (`:113`).
+  *  - `Streaming` (bidi): response headers up front, then
+  *    `StreamingServerMessage` frames (acks, identify, backoff) as
+  *    the session emits them; register-with-descriptor and
+  *    update-default end the stream with UNKNOWN, grpc-go's mapping
+  *    of `ErrUnsupported` (`:181,228`); client half-close drains
+  *    in-flight writes then closes with `grpc-status: 0`.
+  *
+  * Flow control: inbound DATA is consumed immediately into the
+  * per-stream [[GrpcWire.Framer]] (bounded upstream by the admission
+  * queues the engine writes into), and every consumed byte is
+  * returned to the peer via a stream WINDOW_UPDATE, so a pipelining
+  * client never stalls on a closed window. TLS is config-level in the
+  * reference (`config.go` credentials, off by default in
+  * `config.json`); this build serves h2c, the insecure-credentials
+  * parity mode.
+  */
+final class GrpcIngestServer(engine: IngestEngine, port: Int = 0,
+    metrics: Metrics = Metrics.default) {
+
+  import GrpcIngestServer._
+
+  private val group = new MultiThreadIoEventLoopGroup(NioIoHandler.newFactory())
+  @volatile private var serverChannel: Channel = _
+
+  metrics.help("graft_grpc_streams_total", "gRPC streams opened, by rpc")
+
+  def boundPort: Int =
+    serverChannel.localAddress().asInstanceOf[InetSocketAddress].getPort
+
+  def start(): this.type = {
+    val b = new ServerBootstrap()
+    b.group(group)
+      .channel(classOf[NioServerSocketChannel])
+      .childOption[java.lang.Boolean](ChannelOption.TCP_NODELAY, true)
+      .childHandler(new ChannelInitializer[SocketChannel] {
+        override def initChannel(ch: SocketChannel): Unit = {
+          val streamInit = new ChannelInitializer[Channel] {
+            override def initChannel(stream: Channel): Unit = {
+              stream.pipeline().addLast(new StreamHandler(engine, metrics))
+              ()
+            }
+          }
+          // Prior-knowledge path: frame codec + multiplexer directly.
+          val priorKnowledge = new ChannelInitializer[Channel] {
+            override def initChannel(c: Channel): Unit = {
+              c.pipeline().addLast(
+                Http2FrameCodecBuilder.forServer().build(),
+                new Http2MultiplexHandler(streamInit))
+              ()
+            }
+          }
+          // HTTP/1.1 Upgrade path (the JDK client's h2c handshake):
+          // the upgraded request replays as HTTP/2 stream 1.
+          val sourceCodec = new HttpServerCodec()
+          val upgradeFactory = new HttpServerUpgradeHandler.UpgradeCodecFactory {
+            override def newUpgradeCodec(protocol: CharSequence) =
+              if (AsciiString.contentEquals(
+                  Http2CodecUtil.HTTP_UPGRADE_PROTOCOL_NAME, protocol))
+                new Http2ServerUpgradeCodec(
+                  Http2FrameCodecBuilder.forServer().build(),
+                  new Http2MultiplexHandler(streamInit))
+              else null
+          }
+          val upgrade = new HttpServerUpgradeHandler(sourceCodec, upgradeFactory)
+          ch.pipeline().addLast(new CleartextHttp2ServerUpgradeHandler(
+            sourceCodec, upgrade, priorKnowledge))
+          ()
+        }
+      })
+    serverChannel = b.bind(port).syncUninterruptibly().channel()
+    this
+  }
+
+  def stop(): Unit = {
+    try {
+      if (serverChannel != null) serverChannel.close().syncUninterruptibly()
+    } catch { case NonFatal(_) => }
+    group.shutdownGracefully(0, 2, TimeUnit.SECONDS).syncUninterruptibly()
+    ()
+  }
+}
+
+object GrpcIngestServer {
+
+  private[net] val ServicePrefix = "/bristle.BristleIngestService/"
+  private[net] val ContentType = AsciiString.cached("application/grpc")
+  private[net] val GrpcStatus = AsciiString.cached("grpc-status")
+  private[net] val GrpcMessage = AsciiString.cached("grpc-message")
+
+  private def responseHeaders(): Http2Headers =
+    new DefaultHttp2Headers()
+      .status("200")
+      .set(AsciiString.cached("content-type"), ContentType)
+
+  private def trailers(status: Int, message: String = null): Http2Headers = {
+    val h = new DefaultHttp2Headers()
+      .setInt(GrpcStatus, status)
+    if (message != null)
+      h.set(GrpcMessage, GrpcWire.encodeMessage(message))
+    h
+  }
+
+  /** One handler per HTTP/2 stream (netty child channel = stream).
+    * The stream channel's event loop serializes all inbound frames;
+    * session acks write from pool threads via the channel, which
+    * netty marshals onto the loop — no extra locking needed.
+    */
+  private final class StreamHandler(engine: IngestEngine, metrics: Metrics)
+      extends ChannelInboundHandlerAdapter {
+
+    private val framer = new GrpcWire.Framer
+    private var unary = false
+    private var session: IngestEngine#Session = null // Streaming rpc only
+    private var done = false
+    private val unaryBody = Seq.newBuilder[Array[Byte]]
+
+    private def sendTrailersOnly(ctx: ChannelHandlerContext, status: Int,
+        message: String): Unit = {
+      // grpc's Trailers-Only response: the error rides the initial
+      // (and only) HEADERS frame, alongside :status/content-type
+      val h = trailers(status, message)
+        .status("200")
+        .set(AsciiString.cached("content-type"), ContentType)
+      ctx.writeAndFlush(new DefaultHttp2HeadersFrame(h, true))
+      done = true
+    }
+
+    private def sendMessageFrames(ch: Channel, payload: Array[Byte]): Unit = {
+      ch.writeAndFlush(new DefaultHttp2DataFrame(
+        Unpooled.wrappedBuffer(GrpcWire.frame(payload))))
+      ()
+    }
+
+    override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit =
+      msg match {
+        case h: Http2HeadersFrame => onHeaders(ctx, h)
+        case d: Http2DataFrame =>
+          try onData(ctx, d) finally d.release()
+        case _: Http2ResetFrame => done = true
+        case other => ctx.fireChannelRead(other); ()
+      }
+
+    private def onHeaders(ctx: ChannelHandlerContext,
+        h: Http2HeadersFrame): Unit = {
+      val path = if (h.headers().path() == null) "" else h.headers().path().toString
+      val method = if (h.headers().method() == null) "" else h.headers().method().toString
+      if (method != "POST") {
+        // the JDK client bootstraps its h2c connection with a GET —
+        // answer politely so the connection upgrade completes
+        ctx.writeAndFlush(new DefaultHttp2HeadersFrame(
+          new DefaultHttp2Headers().status("200"), true))
+        done = true
+        return
+      }
+      path match {
+        case p if p == ServicePrefix + "WriteBatch" =>
+          unary = true
+          metrics.inc("graft_grpc_streams_total", "rpc" -> "unary")
+          if (h.isEndStream) finishUnary(ctx) // empty request body
+        case p if p == ServicePrefix + "Streaming" =>
+          metrics.inc("graft_grpc_streams_total", "rpc" -> "streaming")
+          val ch = ctx.channel()
+          ctx.writeAndFlush(new DefaultHttp2HeadersFrame(responseHeaders()))
+          session = new engine.Session(m => sendMessageFrames(ch, encode(m)))
+          if (h.isEndStream) finishStreaming(ctx, session)
+        case other =>
+          sendTrailersOnly(ctx, GrpcWire.StatusUnimplemented,
+            s"unknown method $other")
+      }
+    }
+
+    private def onData(ctx: ChannelHandlerContext, d: Http2DataFrame): Unit = {
+      // return consumed flow-control bytes so the sender's window
+      // never closes (inbound is bounded by the admission queues, not
+      // by HTTP/2 backpressure)
+      val consumed = d.initialFlowControlledBytes()
+      if (consumed > 0)
+        ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(consumed))
+      if (done) return
+      val bytes = new Array[Byte](d.content().readableBytes())
+      d.content().readBytes(bytes)
+      val messages =
+        try framer.feed(bytes)
+        catch {
+          case e: GrpcWire.Unsupported =>
+            sendTrailersOnly(ctx, GrpcWire.StatusUnimplemented, e.getMessage)
+            return
+        }
+      if (unary) {
+        unaryBody ++= messages
+        if (d.isEndStream) finishUnary(ctx)
+      } else if (session != null) {
+        val unsupported = messages.exists { m =>
+          !session.handle(decodeClientMessage(m))
+        }
+        if (unsupported) {
+          // grpc-go maps the handler's ErrUnsupported return to
+          // UNKNOWN, ending the stream (reference :181,228)
+          ctx.writeAndFlush(new DefaultHttp2HeadersFrame(
+            trailers(GrpcWire.StatusUnknown, "unsupported operation"), true))
+          done = true
+        } else if (d.isEndStream) finishStreaming(ctx, session)
+      } // else: trailers already sent
+    }
+
+    private def finishUnary(ctx: ChannelHandlerContext): Unit = {
+      if (done) return
+      val messages = unaryBody.result()
+      if (messages.size != 1 || framer.pendingBytes > 0) {
+        sendTrailersOnly(ctx, GrpcWire.StatusInternal,
+          s"expected exactly one WriteBatchRequest message, got ${messages.size}")
+        return
+      }
+      val req = decodeWriteBatchRequest(messages.head)
+      val status = engine.unaryWriteBatch(req, rpc = "grpc_unary")
+      if (status != BatchResult.Ok) {
+        // the reference returns a plain error; grpc-go surfaces it as
+        // UNKNOWN with the formatted message (ingest_service.go:113)
+        sendTrailersOnly(ctx, GrpcWire.StatusUnknown,
+          GrpcWire.writeBatchErrorMessage(status))
+      } else {
+        ctx.write(new DefaultHttp2HeadersFrame(responseHeaders()))
+        ctx.write(new DefaultHttp2DataFrame(Unpooled.wrappedBuffer(
+          GrpcWire.frame(encode(WriteBatchResponse(0L, 0L))))))
+        ctx.writeAndFlush(new DefaultHttp2HeadersFrame(
+          trailers(GrpcWire.StatusOk), true))
+        done = true
+      }
+    }
+
+    private def finishStreaming(ctx: ChannelHandlerContext,
+        session: IngestEngine#Session): Unit = {
+      if (done) return
+      done = true
+      val ch = ctx.channel()
+      // half-close: let in-flight writes finish off the event loop,
+      // then close with OK — never block a netty thread on the drain
+      engine.poolExecute { () =>
+        session.drain()
+        ch.writeAndFlush(new DefaultHttp2HeadersFrame(
+          trailers(GrpcWire.StatusOk), true))
+        ()
+      }
+    }
+
+    override def channelInactive(ctx: ChannelHandlerContext): Unit = {
+      if (session != null && !done) session.drain()
+      ctx.fireChannelInactive()
+      ()
+    }
+
+    override def exceptionCaught(ctx: ChannelHandlerContext,
+        cause: Throwable): Unit = {
+      if (!done)
+        try sendTrailersOnly(ctx, GrpcWire.StatusInternal,
+          String.valueOf(cause.getMessage))
+        catch { case NonFatal(_) => }
+      ctx.close()
+      ()
+    }
+  }
+}

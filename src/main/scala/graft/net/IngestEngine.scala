@@ -28,6 +28,11 @@ final class IngestEngine(
     metrics: Metrics,
     pool: ExecutorService) {
 
+  /** Run `r` on the engine's worker pool (transports use this to get
+    * blocking work — e.g. a close-time drain — off their IO threads).
+    */
+  def poolExecute(r: Runnable): Unit = { pool.submit(r); () }
+
   /** `writePayload` (`ingest_service.go:79-107`): resolve, decode each
     * body, admit the batch; first failing stage is the result.
     */

@@ -1,0 +1,200 @@
+package graft.net
+
+import graft.net.ControlProto._
+import graft.proto.ProtoRows
+import graft.queries.TranscodeE2E
+import graft.sources.QueueSource
+import graft.streaming.RowBuffer
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.util.concurrent.Executors
+
+/** The real-gRPC transport ([[GrpcIngestServer]] /
+  * [[GrpcIngestClient]]): the same engine semantics as the socket
+  * transport (NetSpec), carried over actual HTTP/2.
+  *
+  * Interop is checked in both cleartext connection styles against an
+  * INDEPENDENT HTTP/2 implementation where possible:
+  *  - prior-knowledge h2c (what grpc-go's insecure mode sends) via
+  *    the netty-based client, and
+  *  - the HTTP/1.1 `Upgrade: h2c` dance via the JDK's own
+  *    `java.net.http.HttpClient` — a from-scratch HTTP/2 stack that
+  *    shares no code with netty, so a successful exchange pins our
+  *    frames/HPACK/flow-control behavior to the spec, not to netty's
+  *    own client half.
+  */
+class GrpcSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private def body(i: Int): Array[Byte] =
+    ProtoRows.encodeValues(TranscodeE2E.message,
+      TranscodeE2E.Fixture(i).protoValues)
+
+  private def targetFor(capacity: Int,
+      onFull: RowBuffer.OnFull = RowBuffer.Block,
+      qname: String = s"grpcspec-${System.nanoTime()}") = {
+    val q = QueueSource.create(qname, capacity, onFull)
+    (qname, q, Map("ExampleMessage" ->
+      IngestServer.Target(TranscodeE2E.message, q)))
+  }
+
+  private def withServer[A](targets: Map[String, IngestServer.Target],
+      maxInFlight: Int = 12, backoffHighWater: Double = 0.8)(
+      f: GrpcIngestServer => A): A = {
+    val pool = Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "grpcspec-engine"); t.setDaemon(true); t
+    })
+    val engine = new IngestEngine(() => targets, maxInFlight,
+      backoffHighWater, backoffMs = 250, new Metrics, pool)
+    val s = new GrpcIngestServer(engine, 0, new Metrics).start()
+    try f(s) finally { s.stop(); pool.shutdownNow(); () }
+  }
+
+  // ---- unary over prior-knowledge h2c (grpc-go's insecure mode) ----
+
+  test("gRPC unary WriteBatch: OK lands bodies, response is the reference's zeros") {
+    val (qn, q, targets) = targetFor(capacity = 64)
+    try withServer(targets) { srv =>
+      val bodies = (0 until 6).map(body)
+      val (status, resp) = GrpcIngestClient.unaryWriteBatch("127.0.0.1",
+        srv.boundPort, WriteBatchRequest("k", Seq(Payload("ExampleMessage", bodies))))
+      assert(status == BatchResult.Ok)
+      // the reference's literal zeros (ingest_service.go:115-119)
+      assert(resp.contains(WriteBatchResponse(0, 0)))
+      assert(q.endSeq - q.firstSeq == 6)
+      assert(q.slice(0, 6).map(_._2.toSeq) == bodies.map(_.toSeq))
+    } finally QueueSource.drop(qn)
+  }
+
+  test("gRPC unary non-OK: grpc-status UNKNOWN with the reference's error format") {
+    val (qn, q, targets) = targetFor(capacity = 64)
+    try withServer(targets) { srv =>
+      val (status, resp) = GrpcIngestClient.unaryWriteBatch("127.0.0.1",
+        srv.boundPort, WriteBatchRequest("k", Seq(Payload("no.Such", Seq(body(0))))))
+      assert(status == BatchResult.UnkMessage && resp.isEmpty)
+      assert(q.endSeq == q.firstSeq) // nothing admitted
+    } finally QueueSource.drop(qn)
+  }
+
+  // ---- the JDK's independent HTTP/2 stack over Upgrade: h2c --------
+
+  test("JDK HttpClient interop: h2c upgrade, then a real unary gRPC exchange") {
+    val (qn, q, targets) = targetFor(capacity = 64)
+    try withServer(targets) { srv =>
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val client = HttpClient.newBuilder()
+        .version(HttpClient.Version.HTTP_2).build()
+
+      // the JDK performs its h2c upgrade on this GET; HTTP_2 in the
+      // response version proves OUR 101 + settings exchange satisfied
+      // a foreign implementation
+      val bootstrap = client.send(
+        HttpRequest.newBuilder(URI.create(s"$base/")).GET().build(),
+        HttpResponse.BodyHandlers.discarding())
+      assert(bootstrap.version() == HttpClient.Version.HTTP_2)
+      assert(bootstrap.statusCode() == 200)
+
+      // unary WriteBatch as raw gRPC bytes on the multiplexed conn
+      val bodies = (0 until 4).map(body)
+      val reqBytes = GrpcWire.frame(encode(
+        WriteBatchRequest("k", Seq(Payload("ExampleMessage", bodies)))))
+      val ok = client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"$base/bristle.BristleIngestService/WriteBatch"))
+          .header("content-type", "application/grpc")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(reqBytes)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(ok.version() == HttpClient.Version.HTTP_2)
+      assert(ok.statusCode() == 200)
+      assert(ok.headers().firstValue("content-type").orElse("") == "application/grpc")
+      val messages = new GrpcWire.Framer().feed(ok.body())
+      assert(messages.size == 1)
+      assert(decodeWriteBatchResponse(messages.head) == WriteBatchResponse(0, 0))
+      assert(q.endSeq - q.firstSeq == 4)
+
+      // non-OK: a Trailers-Only response, so the JDK client sees
+      // grpc-status/grpc-message as plain response headers
+      val bad = client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"$base/bristle.BristleIngestService/WriteBatch"))
+          .header("content-type", "application/grpc")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(GrpcWire.frame(encode(
+            WriteBatchRequest("k", Seq(Payload("no.Such", Seq(body(0)))))))))
+          .build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(bad.statusCode() == 200) // gRPC errors ride trailers, not :status
+      assert(bad.headers().firstValue("grpc-status").orElse("") == "2")
+      val msg = GrpcWire.decodeMessage(
+        bad.headers().firstValue("grpc-message").orElse(""))
+      assert(msg == "WriteBatch error code UNK_MESSAGE")
+      assert(bad.body().isEmpty)
+    } finally QueueSource.drop(qn)
+  }
+
+  // ---- bidi Streaming RPC ------------------------------------------
+
+  test("gRPC streaming: register → type-id batches → queue holds bodies") {
+    val (qn, q, targets) = targetFor(capacity = 64)
+    try withServer(targets) { srv =>
+      val client = new GrpcIngestClient("127.0.0.1", srv.boundPort)
+      try {
+        val id = client.registerType("ExampleMessage")
+        assert(id == 1) // session ids start at 1 (ingest_service.go:190)
+        val bodies = (0 until 8).map(body)
+        assert(client.writeBatch("ExampleMessage", bodies) == BatchResult.Ok)
+        assert(client.writeBatch("ExampleMessage",
+          (8 until 12).map(body)) == BatchResult.Ok)
+        assert(q.endSeq - q.firstSeq == 12)
+        assert(q.slice(0, 12).map(_._2.toSeq) == (0 until 12).map(body(_).toSeq))
+      } finally client.close()
+    } finally QueueSource.drop(qn)
+  }
+
+  test("gRPC streaming rejections mirror the socket transport exactly") {
+    val (qn, q, targets) = targetFor(capacity = 4)
+    try withServer(targets) { srv =>
+      val client = new GrpcIngestClient("127.0.0.1", srv.boundPort)
+      try {
+        assert(client.writeBatch("no.Such", Seq(body(0)), retryTimes = 0) ==
+          BatchResult.UnkMessage)
+        assert(client.writeBatch("ExampleMessage",
+          Seq(Array[Byte](-1, -1, -1)), retryTimes = 0) == BatchResult.DecodeErr)
+        assert(client.writeBatch("ExampleMessage",
+          (0 until 5).map(body), retryTimes = 0) == BatchResult.TooBig)
+        assert(client.writeBatch("ExampleMessage",
+          (0 until 3).map(body), retryTimes = 0) == BatchResult.Ok)
+        assert(client.writeBatch("ExampleMessage",
+          (0 until 2).map(body), retryTimes = 0) == BatchResult.Full)
+        assert(q.endSeq - q.firstSeq == 3) // Block policy sheds nothing
+      } finally client.close()
+    } finally QueueSource.drop(qn)
+  }
+
+  test("gRPC streaming: zero permits → TOO_MANY_IN_FLIGHT_BATCHES") {
+    val (qn, _, targets) = targetFor(capacity = 64)
+    try withServer(targets, maxInFlight = 0) { srv =>
+      val client = new GrpcIngestClient("127.0.0.1", srv.boundPort)
+      try assert(client.writeBatch("ExampleMessage", Seq(body(0)),
+        retryTimes = 0) == BatchResult.TooManyInFlightBatches)
+      finally client.close()
+    } finally QueueSource.drop(qn)
+  }
+
+  test("gRPC streaming: server pushes backoff past high water; client honors it") {
+    val (qn, _, targets) = targetFor(capacity = 8, onFull = RowBuffer.DropOldest)
+    try withServer(targets, backoffHighWater = 0.5) { srv =>
+      val client = new GrpcIngestClient("127.0.0.1", srv.boundPort)
+      try {
+        // 6 rows in an 8-cap queue crosses the 0.5 high-water mark;
+        // the ack for this batch is followed by a ServerBackoff push
+        assert(client.writeBatch("ExampleMessage",
+          (0 until 6).map(body)) == BatchResult.Ok)
+        val deadline = System.currentTimeMillis() + 5000
+        while (!client.inBackoff && System.currentTimeMillis() < deadline)
+          Thread.sleep(5)
+        assert(client.inBackoff,
+          "client never saw the server's backoff push over gRPC")
+      } finally client.close()
+    } finally QueueSource.drop(qn)
+  }
+}
