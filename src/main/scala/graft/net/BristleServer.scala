@@ -41,6 +41,7 @@ import scala.util.control.NonFatal
 final case class ServerConfig(
     ingestPort: Int,
     maxInFlight: Int,
+    grpcPort: Option[Int],
     debugPort: Option[Int],
     descriptorPaths: Seq[String],
     autobind: Boolean,
@@ -111,6 +112,7 @@ object ServerConfig {
       ingestPort = ingest.flatMap(opt(_, "bind_port")).map(_.asInt).getOrElse(0),
       maxInFlight = ingest.flatMap(opt(_, "max_in_flight")).map(_.asInt)
         .getOrElse(12),
+      grpcPort = ingest.flatMap(opt(_, "grpc_port")).map(_.asInt),
       debugPort = debugging.flatMap(opt(_, "bind_port")).map(_.asInt),
       descriptorPaths = opt(root, "proto_descriptor_paths").toSeq
         .flatMap(_.elements().asScala).map(_.asText),
@@ -153,6 +155,11 @@ final class BristleServer(configPath: Path,
 
   val ingest = new IngestServer(() => targetsNow, conf.ingestPort,
     conf.maxInFlight, metrics = metrics)
+  /** The reference transport: `grpc_port` in the `ingest` section
+    * serves the same engine over real gRPC/HTTP2 (0 = ephemeral).
+    */
+  val grpc: Option[GrpcIngestServer] = conf.grpcPort.map(p =>
+    new GrpcIngestServer(ingest.engine, p, metrics))
   val debug: Option[DebugServer] = conf.debugPort.map(p =>
     new DebugServer(p, metrics, () => statusz()))
 
@@ -288,12 +295,14 @@ final class BristleServer(configPath: Path,
 
   def start(): this.type = {
     ingest.start()
+    grpc.foreach(_.start())
     debug.foreach(_.start())
     this
   }
 
   def stop(): Unit = {
     ingest.stop()
+    grpc.foreach(_.stop())
     debug.foreach(_.stop())
   }
 }
