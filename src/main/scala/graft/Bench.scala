@@ -97,7 +97,7 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // "ingest" / "wire_ingest" are pseudo-names selecting the two
     // throughput benches, so they can be iterated on in isolation too
-    val pseudo = Set("ingest", "wire_ingest", "jdbc_ingest")
+    val pseudo = Set("ingest", "wire_ingest", "grpc_ingest", "jdbc_ingest")
     only.foreach { s =>
       val unknown = s -- SparkEntry.registry.map(_.name).toSet -- pseudo
       if (unknown.nonEmpty) // a typo must not look like a healthy tiny run
@@ -179,6 +179,19 @@ object Bench {
         System.err.println(s"[bench] wire bench failed: ${e.getMessage}")
         ""
       }
+    // Same acceptance path over the reference's ACTUAL transport:
+    // real gRPC/HTTP2 (netty h2c), the apples-to-apples number
+    // against grpc-go's service envelope.
+    val grpcJson =
+      if (only.exists(!_.contains("grpc_ingest"))) ""
+      else try {
+        val (rows, sec) = WireBench.run(rows = 262144, transport = "grpc")
+        val rps = (rows / sec).toLong
+        s""","grpc_ingest":{"rows":$rows,"sec":${math.rint(sec * 1000) / 1000},"rows_per_sec":$rps}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] grpc bench failed: ${e.getMessage}")
+        ""
+      }
     // Transactional JDBC landing throughput — the closest
     // apples-to-apples number against the reference's 10k-100k
     // rows/s-per-writer ClickHouse envelope: the SAME transcoded rows
@@ -253,7 +266,7 @@ object Bench {
         s""","load1":${String.format(java.util.Locale.ROOT, "%.2f",
           Double.box(loadAtStart))}"""
       else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs$ingestJson$wireJson$jdbcJson$zorderJson$loadJson,"sf":"$sfJson"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs$ingestJson$wireJson$grpcJson$jdbcJson$zorderJson$loadJson,"sf":"$sfJson"}""")
     spark.stop()
   }
 }

@@ -1,13 +1,13 @@
 package graft
 
-import graft.net.{IngestClient, IngestServer, Metrics}
+import graft.net.{GrpcIngestClient, GrpcIngestServer, IngestClient, IngestEngine, IngestServer, Metrics}
 import graft.proto.ProtoRows
 import graft.queries.TranscodeE2E
 import graft.sources.QueueSource
 import graft.streaming.RowBuffer
 
 /** Wire-ingest throughput: the network half [[IngestBench]] excludes —
-  * concurrent client sessions → socket framing → server decode-check →
+  * concurrent client sessions → wire framing → server decode-check →
   * queue admission, measured as rows/s. Together the two numbers cover
   * the reference's full path: wire acceptance (its gRPC service) and
   * durable transcode landing (its writer group). Bodies are
@@ -15,8 +15,22 @@ import graft.streaming.RowBuffer
   * the reference's envelope too); every timed batch write waits for
   * its per-batch ack, so the number includes the full request/ack
   * round trip, not a fire-and-forget upper bound.
+  *
+  * Two transports, same engine: `transport = "socket"` measures the
+  * varint-framed plain-socket path, `"grpc"` the real gRPC/HTTP2 path
+  * (netty h2c both sides) — the apples-to-apples number against the
+  * reference's grpc-go service.
   */
 object WireBench {
+
+  /** The two clients expose identical session surfaces (both are
+    * shells over `ClientCore`) but share no interface — this is it.
+    */
+  private trait WireClient {
+    def registerType(t: String): Int
+    def writeBatch(t: String, bodies: Seq[Array[Byte]], retryTimes: Int): Int
+    def close(): Unit
+  }
 
   /** Returns (rows admitted, wall seconds). Capacity is sized so the
     * fill never crosses the server's backoff high-water mark — this
@@ -25,12 +39,35 @@ object WireBench {
     * full) is NetSpec's subject, and letting it trigger here turned
     * the tail of the run into a measurement of the backoff deadline.
     */
-  def run(rows: Int, batch: Int = 256, clients: Int = 4): (Long, Double) = {
-    val qname = "wire-bench"
+  def run(rows: Int, batch: Int = 256, clients: Int = 4,
+      transport: String = "socket"): (Long, Double) = {
+    val qname = s"wire-bench-$transport"
     val q = QueueSource.create(qname, rows * 2, RowBuffer.Block)
     val targets = Map("ExampleMessage" ->
       IngestServer.Target(TranscodeE2E.message, q))
     val srv = new IngestServer(() => targets, 0, metrics = new Metrics).start()
+    val grpcSrv =
+      if (transport == "grpc")
+        Some(new GrpcIngestServer(srv.engine, 0, new Metrics).start())
+      else None
+    def connect(): WireClient = grpcSrv match {
+      case Some(g) =>
+        val c = new GrpcIngestClient("127.0.0.1", g.boundPort)
+        new WireClient {
+          def registerType(t: String) = c.registerType(t)
+          def writeBatch(t: String, b: Seq[Array[Byte]], r: Int) =
+            c.writeBatch(t, b, r)
+          def close() = c.close()
+        }
+      case None =>
+        val c = new IngestClient("127.0.0.1", srv.boundPort)
+        new WireClient {
+          def registerType(t: String) = c.registerType(t)
+          def writeBatch(t: String, b: Seq[Array[Byte]], r: Int) =
+            c.writeBatch(t, b, r)
+          def close() = c.close()
+        }
+    }
     try {
       val bodies = (0 until batch).map(i => ProtoRows.encodeValues(
         TranscodeE2E.message, TranscodeE2E.Fixture(i % 64).protoValues))
@@ -39,7 +76,7 @@ object WireBench {
       val t0 = System.nanoTime()
       val threads = (0 until clients).map { _ =>
         val t = new Thread(() => {
-          val c = new IngestClient("127.0.0.1", srv.boundPort)
+          val c = connect()
           try {
             c.registerType("ExampleMessage")
             var b = 0
@@ -59,6 +96,7 @@ object WireBench {
       require(errors.get() == 0, s"wire bench: ${errors.get()} failed batches")
       (q.endSeq - q.firstSeq, sec)
     } finally {
+      grpcSrv.foreach(_.stop())
       srv.stop()
       QueueSource.drop(qname)
     }
