@@ -23,7 +23,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-loop restriction (the driver never sets it): dump only the
+    // named queries. The recall block below still needs q23+q30+q38
+    // in the same run, so it is skipped under a restriction that
+    // omits any of them.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[verify] unknown query in VERIFY_ONLY: $n")))
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // remove any prior run's artifact FIRST: a query that fails must
       // leave nothing behind, or a stale result from an earlier run
       // would silently pass the driver's compare

@@ -643,6 +643,118 @@ object Similarity extends Serializable {
     lloydAssign(v, cents).select(col("id"), col("cluster"), col("dist_fp"))
   }
 
+  /** Product quantization with asymmetric-distance (ADC) top-k — the
+    * published PQ scheme (Jégou et al., TPAMI 2011; FAISS `PQ<m>`):
+    * vectors split into `m` subspaces, each subspace gets its own
+    * `k`-centroid codebook, a vector's code is its per-subspace
+    * nearest-centroid index, and a query ranks codes by the SUM of
+    * per-subspace query→centroid distances (ADC — the query side
+    * stays exact, only the corpus is quantized).
+    *
+    * Why it matters at 100 TB: the ranking scan reads `m·log₂k` BITS
+    * per vector instead of `dim` floats (production m=64/k=256 ⇒ 64 B
+    * vs 256 B float32 — 4× over SQ8's q83, 32× over raw), and ADC is
+    * `m` integer table lookups per candidate instead of a `dim`-wide
+    * float dot. Composes with the q38 IVF coarse quantizer (probe
+    * cells, then ADC-rank within them = IVF-PQ, FAISS's default
+    * billion-scale index) — this surface keeps the flat-ADC form so
+    * the whole ranking, not a recall bound, is oracle-checkable.
+    *
+    * Determinism discipline, end to end: per-subspace codebooks come
+    * from the SAME [[lloydCentroids]] integer-exact core the q38/q84/
+    * q85 oracles already replay (per-subspace training is independent,
+    * so DuckDB replays all subspaces in ONE grouped pass keyed by s);
+    * encode = argmin of the shared fixed-point metric (ties to the
+    * smaller centroid id); ADC sums those per-subspace integers, so
+    * `adc_fp` is an exact integer both engines agree on bit-for-bit.
+    *
+    * Plan shape: training is m·rounds (cluster, dim) k·dim-row
+    * aggregates (vectors never shuffle); encode is one map-side scan
+    * against the broadcast codebooks (m·k·dim/m = k·dim doubles —
+    * dimension-table sized by contract); ranking is one corpus-codes
+    * scan × broadcast query distance-tables (m·k longs per query),
+    * top-k per query under the usual (distance, neighbor-id) total
+    * order. No stage shuffles corpus vectors.
+    */
+  def pqAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column => Column, topK: Int, m: Int = 4,
+      k: Int = 16, rounds: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    val v = graft.operators.FanOut(emb)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dim = v.select(size(col("vd"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    // independent per-subspace trainings of the shared Lloyd core —
+    // the init/update/tie rules the SQL replay mirrors per s
+    val books: Array[Array[(Long, Array[Double])]] =
+      (0 until m).toArray.map { s =>
+        lloydCentroids(v.select(col("id"),
+          slice(col("vd"), s * sub + 1, sub).as("vd")), k, rounds)
+      }
+    val bcBooks = spark.sparkContext.broadcast(books)
+    // corpus codes: per subspace, the INDEX (into the cid-sorted
+    // book) of the nearest centroid — ties to the smaller cid, which
+    // is iteration order here and `ORDER BY d, cid` in the replay
+    val encodeKernel = udf { (vd: Seq[Double]) =>
+      val bs = bcBooks.value
+      Array.tabulate(bs.length) { s =>
+        val vs = vd.slice(s * sub, (s + 1) * sub)
+        var best = -1
+        var bestD = Long.MaxValue
+        var j = 0
+        while (j < bs(s).length) {
+          val d = distFpJvm(vs, bs(s)(j)._2)
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        best
+      }
+    }
+    // per-query ADC table: dtable(s·k + j) = dist_fp(query_s, book_s[j])
+    val dtableKernel = udf { (vd: Seq[Double]) =>
+      val bs = bcBooks.value
+      val out = new Array[Long](bs.map(_.length).sum)
+      var off = 0
+      bs.indices.foreach { s =>
+        val vs = vd.slice(s * sub, (s + 1) * sub)
+        bs(s).indices.foreach { j =>
+          out(off + j) = distFpJvm(vs, bs(s)(j)._2)
+        }
+        off += bs(s).length
+      }
+      out
+    }
+    val perSub = books.map(_.length)
+    val scoreKernel = udf { (codes: Seq[Int], dt: Seq[Long]) =>
+      var s = 0
+      var off = 0
+      var acc = 0L
+      while (s < codes.length) {
+        acc += dt(off + codes(s))
+        off += perSub(s)
+        s += 1
+      }
+      acc
+    }
+    val codes = v.select(col("id").as("nid"),
+      encodeKernel(col("vd")).as("codes"))
+    val queries = v.filter(queryPred(col("id")))
+      .select(col("id").as("qid"), dtableKernel(col("vd")).as("dt"))
+    val scored = codes.crossJoin(broadcast(queries))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        scoreKernel(col("codes"), col("dt")).as("adc_fp"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_fp").asc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("nid").as("neighbor_id"), col("adc_fp"))
+  }
+
   /** Primitive-array dot — same left-to-right IEEE accumulation as
     * [[dot]]/[[dotKernel]].
     */

@@ -2875,9 +2875,104 @@ object Pipeline {
       FROM r WHERE rn <= 5
       ORDER BY query_id, rank"""))
 
+  /** Product-quantization ADC ranking (FAISS-PQ analog) — the third
+    * member of the vector-storage-compression family (q83 int8 = 4×,
+    * this = 32× at production m/k) and a direct composition partner
+    * of q38's IVF cells (probe-then-ADC = IVF-PQ). m=8 subspaces of
+    * 8 dims, k=16 centroids each (32-bit codes, 64× smaller than
+    * float32), trained by the shared integer-exact Lloyd core; the
+    * oracle replays ALL subspaces in one
+    * grouped q84-shaped pass (training is per-subspace independent,
+    * so one replay keyed by s covers the m codebooks), then encodes,
+    * builds each query's distance table, and re-ranks — every adc_fp
+    * integer must match bit-for-bit, so the whole index, not a recall
+    * floor, is differentially verified. Queries = vec_id < 20, the
+    * q23 slice, making ADC-vs-exact recall inspectable from the same
+    * dump.
+    */
+  val q101 = {
+    val m = 8; val k = 16; val sub = 8
+    Q(
+      "q101_pq_adc",
+      (spark, dir) =>
+        Similarity.pqAdcTopK(Tables(spark, dir, "embeddings"),
+            "vec_id", "embedding", _ < 20, topK = 5, m = m, k = k,
+            rounds = 2)
+          .orderBy(col("query_id"), col("rank")),
+      Some(s"""
+      WITH v AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+                 FROM embeddings),
+      sub AS (SELECT vec_id, s, vd[(s*$sub+1):(s*$sub+$sub)] AS vs
+              FROM v, UNNEST(range(0, $m)) AS t(s)),
+      c0 AS (SELECT s, vec_id AS cid, vs AS c FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY s
+                                            ORDER BY vec_id) AS rn
+               FROM sub) WHERE rn <= $k),
+      d1 AS (SELECT b.s, b.vec_id, b.vs, c.cid,
+               list_sum(list_transform(range(1, $sub+1),
+                 i -> CAST(FLOOR((b.vs[i]-c.c[i])*(b.vs[i]-c.c[i])*1e12)
+                           AS BIGINT))) AS d
+             FROM sub b JOIN c0 c ON c.s = b.s),
+      a1 AS (SELECT s, vec_id, vs, cid FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY s, vec_id
+                                            ORDER BY d, cid) AS rn
+               FROM d1) WHERE rn = 1),
+      c1 AS (SELECT s, cid, list(cval ORDER BY pos) AS c FROM (
+               SELECT s, cid, pos,
+                 CAST(SUM(CAST(FLOOR(vs[pos]*1e6) AS BIGINT)) AS DOUBLE) /
+                   (COUNT(*)*1e6) AS cval
+               FROM a1, UNNEST(range(1, $sub+1)) AS t(pos)
+               GROUP BY s, cid, pos)
+             GROUP BY s, cid),
+      d2 AS (SELECT b.s, b.vec_id, b.vs, c.cid,
+               list_sum(list_transform(range(1, $sub+1),
+                 i -> CAST(FLOOR((b.vs[i]-c.c[i])*(b.vs[i]-c.c[i])*1e12)
+                           AS BIGINT))) AS d
+             FROM sub b JOIN c1 c ON c.s = b.s),
+      a2 AS (SELECT s, vec_id, vs, cid FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY s, vec_id
+                                            ORDER BY d, cid) AS rn
+               FROM d2) WHERE rn = 1),
+      c2 AS (SELECT s, cid, list(cval ORDER BY pos) AS c FROM (
+               SELECT s, cid, pos,
+                 CAST(SUM(CAST(FLOOR(vs[pos]*1e6) AS BIGINT)) AS DOUBLE) /
+                   (COUNT(*)*1e6) AS cval
+               FROM a2, UNNEST(range(1, $sub+1)) AS t(pos)
+               GROUP BY s, cid, pos)
+             GROUP BY s, cid),
+      d3 AS (SELECT b.s, b.vec_id, c.cid,
+               list_sum(list_transform(range(1, $sub+1),
+                 i -> CAST(FLOOR((b.vs[i]-c.c[i])*(b.vs[i]-c.c[i])*1e12)
+                           AS BIGINT))) AS d
+             FROM sub b JOIN c2 c ON c.s = b.s),
+      codes AS (SELECT s, vec_id, cid FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY s, vec_id
+                                               ORDER BY d, cid) AS rn
+                  FROM d3) WHERE rn = 1),
+      qd AS (SELECT b.vec_id AS qid, b.s, c.cid,
+               list_sum(list_transform(range(1, $sub+1),
+                 i -> CAST(FLOOR((b.vs[i]-c.c[i])*(b.vs[i]-c.c[i])*1e12)
+                           AS BIGINT))) AS d
+             FROM sub b JOIN c2 c ON c.s = b.s
+             WHERE b.vec_id < 20),
+      adc AS (SELECT qd.qid, codes.vec_id AS nid,
+                CAST(SUM(qd.d) AS BIGINT) AS adc_fp
+              FROM codes JOIN qd ON qd.s = codes.s AND qd.cid = codes.cid
+              WHERE codes.vec_id <> qd.qid
+              GROUP BY qd.qid, codes.vec_id),
+      r AS (SELECT qid, nid, adc_fp,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY adc_fp, nid) AS rn
+            FROM adc)
+      SELECT qid AS query_id, rn::INT AS rank, nid AS neighbor_id, adc_fp
+      FROM r WHERE rn <= 5
+      ORDER BY query_id, rank"""))
+  }
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95, q96, q97, q98, q99)
+    q95, q96, q97, q98, q99, q101)
 }

@@ -236,6 +236,51 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pq adc top-k: structure, code-metric consistency, recall floor") {
+    import spark.implicits._
+    val got = Similarity.pqAdcTopK(emb, "vec_id", "embedding", _ < 20,
+      topK = 5, m = 8, k = 16, rounds = 2)
+    val rows = got.collect()
+    // every query gets exactly topK ranks 1..5, self never appears,
+    // adc_fp is a non-negative integer non-decreasing in rank
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 5),
+        s"query $qid ranks: ${rs.map(_.getInt(1)).toList}")
+      assert(rs.forall(_.getLong(2) != qid), s"query $qid ranked itself")
+      val byRank = rs.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(byRank.forall(_ >= 0L))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b },
+        s"query $qid adc_fp not monotone in rank: ${byRank.toList}")
+    }
+    // determinism: a fresh training + encode + rank run is bit-equal
+    val again = Similarity.pqAdcTopK(emb, "vec_id", "embedding", _ < 20,
+      topK = 5, m = 8, k = 16, rounds = 2)
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty,
+      "pqAdcTopK is not deterministic across runs")
+    // quality floor vs the EXACT ranking under the same fixed-point
+    // L2 metric (what ADC approximates): near-orthogonal random
+    // embeddings at 32-bit codes sit ~0.2; floor leaves margin
+    def distFp(a: Seq[Double], b: Seq[Double]): Long =
+      a.zip(b).map { case (x, y) =>
+        val e = x - y; math.floor(e * e * 1e12).toLong
+      }.sum
+    val vecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val queries = vecs.filter(_._1 < 20)
+    val exact = queries.flatMap { case (qid, qv) =>
+      vecs.filter(_._1 != qid)
+        .map { case (nid, nv) => (nid, distFp(qv, nv)) }
+        .sortBy { case (nid, d) => (d, nid) }.take(5)
+        .map { case (nid, _) => (qid, nid) }
+    }.toSet
+    val found = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & found).size.toDouble / exact.size
+    assert(recall >= 0.10, s"PQ-ADC recall@5 $recall below floor")
+  }
+
   test("semDeDupK: floor for fixtures, linear region, driver-state cap") {
     assert(Similarity.semDeDupK(0) == 8)
     assert(Similarity.semDeDupK(1000) == 8)     // floor
