@@ -230,6 +230,36 @@ object TextOps extends Serializable {
   def scrubText(text: Column, terms: Seq[String], repl: String): Column =
     regexp_replace(text, scrubPattern(terms), repl)
 
+  /** Structured-PII detectors — the pattern half of the redaction
+    * machinery ([[scrubPattern]] is the term-list half): emails,
+    * NANP-style phone numbers, dotted-quad IPs, and SSN-shaped ids,
+    * written in the Java-regex ∩ RE2 shared subset (character
+    * classes, bounded repetition, alternation — no lookaround, no
+    * backreferences) so the oracle engine evaluates the IDENTICAL
+    * patterns. The four patterns are pairwise disjoint on any text
+    * (phone is 3-3-4, id is 3-2-4; the separators differ from ipv4's
+    * dots; email requires `@`), so multi-class redaction is
+    * order-independent — but [[piiRedact]] still fixes one order so
+    * both engines run literally the same replacement chain.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ipv4" -> "([0-9]{1,3}\\.){3}[0-9]{1,3}",
+    "id" -> "[0-9]{3}-[0-9]{2}-[0-9]{4}")
+
+  /** Occurrences of one PII class (codegen'd regexp_count). */
+  def piiHits(text: Column, clazz: String): Column =
+    regexp_count(text, lit(PiiPatterns.toMap.apply(clazz)))
+
+  /** Text with every PII class replaced by its `[CLASS]` tag, in
+    * [[PiiPatterns]] order.
+    */
+  def piiRedact(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (t, (name, pat)) =>
+      regexp_replace(t, pat, s"[${name.toUpperCase}]")
+    }
+
   /** Overlapping sliding-window chunks — the training-sequence cutter:
     * windows of `w` words starting every `s` words (s < w ⇒ overlap =
     * context carried across chunk boundaries, the standard LLM

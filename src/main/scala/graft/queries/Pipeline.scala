@@ -2970,9 +2970,112 @@ object Pipeline {
       ORDER BY query_id, rank"""))
   }
 
+  /** Structured-PII detection + redaction — the pattern-based half of
+    * the PII machinery (q78's blocklist scrub is the term-list half):
+    * emails / phones / IPs / SSN-shaped ids detected by shared
+    * Java∩RE2 regexes, counted per class, and redacted to `[CLASS]`
+    * tags whose md5s fold into per-source min/max so the redacted
+    * CONTENT is differentially verified. The synthetic corpus is
+    * deliberately PII-free (digit-free word soup), so the fixture
+    * augments each doc with deterministic PII-shaped strings derived
+    * from doc_id — modular rules decide which classes appear, so
+    * per-class counts vary by document — and the oracle constructs
+    * the IDENTICAL augmented text before running the same detector
+    * (the q61 recompute-the-fixture discipline). Map-side scan, one
+    * per-source aggregate; the regex chain runs in whole-stage
+    * codegen, no UDF.
+    */
+  val q102 = {
+    val emailPat = TextOps.PiiPatterns.toMap.apply("email")
+    val phonePat = TextOps.PiiPatterns.toMap.apply("phone")
+    val ipv4Pat = TextOps.PiiPatterns.toMap.apply("ipv4")
+    val idPat = TextOps.PiiPatterns.toMap.apply("id")
+    Q(
+      "q102_pii_detect",
+      (spark, dir) => {
+        val d = col("doc_id")
+        def s(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          c.cast("string")
+        val aug = concat(col("text"),
+          lit(" contact u"), s(d), lit("@mail"), s(pmod(d, lit(7))),
+          lit(".com"),
+          when(pmod(d, lit(3)) === 0,
+            concat(lit(" ip 10."), s(pmod(d, lit(254)) + 1), lit(".0."),
+              s(pmod(d, lit(251)) + 1))).otherwise(lit("")),
+          when(pmod(d, lit(11)) === 0,
+            concat(lit(" tel 555-"), lpad(s(pmod(d, lit(1000))), 3, "0"),
+              lit("-"), lpad(s(pmod(d * 31, lit(10000))), 4, "0")))
+            .otherwise(lit("")),
+          when(pmod(d, lit(13)) === 0,
+            concat(lit(" ref "), lpad(s(pmod(d, lit(900)) + 100), 3, "0"),
+              lit("-"), lpad(s(pmod(d, lit(90)) + 10), 2, "0"),
+              lit("-"), lpad(s(pmod(d * 13, lit(10000))), 4, "0")))
+            .otherwise(lit("")))
+        val red = TextOps.piiRedact(aug)
+        Tables(spark, dir, "documents")
+          .select(col("source"),
+            TextOps.piiHits(aug, "email").cast("long").as("email"),
+            TextOps.piiHits(aug, "phone").cast("long").as("phone"),
+            TextOps.piiHits(aug, "ipv4").cast("long").as("ipv4"),
+            TextOps.piiHits(aug, "id").cast("long").as("id"),
+            md5(red).as("h"),
+            (length(aug) - length(red)).cast("long").as("delta"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("email")).as("email_hits"),
+            sum(col("phone")).as("phone_hits"),
+            sum(col("ipv4")).as("ipv4_hits"),
+            sum(col("id")).as("id_hits"),
+            sum(col("delta")).as("chars_delta"),
+            min(col("h")).as("min_h"),
+            max(col("h")).as("max_h"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+      WITH a AS (
+        SELECT source,
+          text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail' ||
+            CAST(doc_id % 7 AS VARCHAR) || '.com' ||
+            CASE WHEN doc_id % 3 = 0 THEN
+              ' ip 10.' || CAST(doc_id % 254 + 1 AS VARCHAR) || '.0.' ||
+              CAST(doc_id % 251 + 1 AS VARCHAR) ELSE '' END ||
+            CASE WHEN doc_id % 11 = 0 THEN
+              ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+              '-' || lpad(CAST(doc_id * 31 % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END ||
+            CASE WHEN doc_id % 13 = 0 THEN
+              ' ref ' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') ||
+              '-' || lpad(CAST(doc_id % 90 + 10 AS VARCHAR), 2, '0') ||
+              '-' || lpad(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END AS aug
+        FROM documents),
+      r AS (
+        SELECT source, aug,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(aug,
+            '$emailPat', '[EMAIL]', 'g'),
+            '$phonePat', '[PHONE]', 'g'),
+            '$ipv4Pat', '[IPV4]', 'g'),
+            '$idPat', '[ID]', 'g') AS red
+        FROM a)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(regexp_extract_all(aug, '$emailPat'))) AS BIGINT)
+               AS email_hits,
+             CAST(SUM(len(regexp_extract_all(aug, '$phonePat'))) AS BIGINT)
+               AS phone_hits,
+             CAST(SUM(len(regexp_extract_all(aug, '$ipv4Pat'))) AS BIGINT)
+               AS ipv4_hits,
+             CAST(SUM(len(regexp_extract_all(aug, '$idPat'))) AS BIGINT)
+               AS id_hits,
+             CAST(SUM(len(aug) - len(red)) AS BIGINT) AS chars_delta,
+             MIN(md5(red)) AS min_h, MAX(md5(red)) AS max_h
+      FROM r
+      GROUP BY source
+      ORDER BY source"""))
+  }
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95, q96, q97, q98, q99, q101)
+    q95, q96, q97, q98, q99, q101, q102)
 }

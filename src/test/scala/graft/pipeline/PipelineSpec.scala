@@ -236,6 +236,37 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pii patterns: per-class hits, disjoint matches, redaction removes all") {
+    import spark.implicits._
+    val samples = Seq(
+      ("reach me at jo.doe+x@sub.example.org or 555-867-5309 now", 1, 1, 0, 0),
+      ("host 192.168.001.12 ref 123-45-6789 end", 0, 0, 1, 1),
+      ("a@b.co c@d.io 10.0.0.1 10.0.0.2 nothing else", 2, 0, 2, 0),
+      ("no pii here at all 1234 5678", 0, 0, 0, 0))
+      .toDF("t", "email", "phone", "ipv4", "id")
+    val got = samples.select(
+      TextOps.piiHits(col("t"), "email").as("ge"),
+      TextOps.piiHits(col("t"), "phone").as("gp"),
+      TextOps.piiHits(col("t"), "ipv4").as("gi"),
+      TextOps.piiHits(col("t"), "id").as("gd"),
+      col("email"), col("phone"), col("ipv4"), col("id"),
+      TextOps.piiRedact(col("t")).as("red")).collect()
+    got.foreach { r =>
+      assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) ==
+        (r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7)),
+        s"hit counts wrong for redaction input: $r")
+    }
+    // redacted text must contain zero residual matches of ANY class —
+    // the disjointness + completeness property the chained replace
+    // relies on
+    val residual = samples.select(TextOps.piiRedact(col("t")).as("red"))
+      .select(TextOps.PiiPatterns.map { case (n, _) =>
+        TextOps.piiHits(col("red"), n).as(n) }: _*)
+      .collect()
+    residual.foreach(r => assert((0 until 4).forall(r.getInt(_) == 0),
+      s"residual PII after redaction: $r"))
+  }
+
   test("pq adc top-k: structure, code-metric consistency, recall floor") {
     import spark.implicits._
     val got = Similarity.pqAdcTopK(emb, "vec_id", "embedding", _ < 20,
