@@ -180,6 +180,26 @@ class GrpcSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally QueueSource.drop(qn)
   }
 
+  test("the Batcher client stack delivers through the gRPC sink unchanged") {
+    val (qn, q, targets) = targetFor(capacity = 64)
+    try withServer(targets) { srv =>
+      val client = new GrpcIngestClient("127.0.0.1", srv.boundPort)
+      try {
+        // the full reference client stack — batching, type dictionary,
+        // retry/backoff — over the gRPC transport via the shared sink
+        // signature, exactly as it runs over the socket transport
+        val b = new graft.streaming.Batcher(bufferSize = 16,
+          sink = client.sink)
+        assert(b.writeBatch("ExampleMessage",
+          (0 until 10).map(body)).isRight)
+        val outcomes = b.flush()
+        assert(outcomes("ExampleMessage").isRight, s"flush failed: $outcomes")
+        assert(q.endSeq - q.firstSeq == 10)
+        assert(q.slice(0, 10).map(_._2.toSeq) == (0 until 10).map(body(_).toSeq))
+      } finally client.close()
+    } finally QueueSource.drop(qn)
+  }
+
   test("gRPC streaming: server pushes backoff past high water; client honors it") {
     val (qn, _, targets) = targetFor(capacity = 8, onFull = RowBuffer.DropOldest)
     try withServer(targets, backoffHighWater = 0.5) { srv =>

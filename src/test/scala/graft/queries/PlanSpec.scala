@@ -182,6 +182,22 @@ class PlanSpec extends SparkSpec {
       s"scrub must compile to native regexp expressions, not a UDF:\n$p")
   }
 
+  test("q101: ADC ranks via broadcast of the query tables — codes never sort-merge") {
+    val p = plan(Pipeline.q101)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected the ADC scan to broadcast the query distance tables:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus codes must not shuffle for the ranking scan:\n$p")
+  }
+
+  test("q102: pii detect is a pure scan+agg — regex chain stays in codegen") {
+    val p = plan(Pipeline.q102)
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"pii detect must be map-side + one aggregate exchange:\n$p")
+    assert(!p.contains("ScalaUDF"),
+      s"pii detect must compile to native regexp expressions, not a UDF:\n$p")
+  }
+
   test("q80: knn scores via broadcast of the query side — corpus never sort-merges") {
     val p = plan(Pipeline.q80)
     assert(p.contains("BroadcastNestedLoopJoin"),
