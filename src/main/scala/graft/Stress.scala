@@ -26,7 +26,7 @@ object Stress {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
     val stages = args.lift(2).map(_.split(",").toSet)
-      .getOrElse(Set("dedup", "prep", "sim", "forensics"))
+      .getOrElse(Set("dedup", "prep", "sim", "forensics", "r11"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -304,6 +304,38 @@ object Stress {
       runForensics("warm", base.limit(500), ebase.limit(200), 1)
       runForensics("1x", base, ebase, 1)
       runForensics(s"${mult}x", big, ebig, mult)
+    }
+
+    // round-11 shapes: PQ-ADC (training aggregates + codes-only
+    // ranking scan must both scale ~linearly; query set FIXED) and
+    // the PII regex chain (pure map-side — flat per-core; the corpus
+    // is PII-free but the regex scan cost is text-proportional either
+    // way)
+    def runR11(tag: String, docs: DataFrame, emb: DataFrame): Unit = {
+      import graft.pipeline.{Similarity, TextOps}
+      val t0 = System.nanoTime()
+      val pq = Similarity.pqAdcTopK(emb, "vec_id", "embedding",
+        _ < 20, topK = 5, m = 8, k = 16, rounds = 2).count()
+      release(spark)
+      val t1 = System.nanoTime()
+      val pii = docs.select(
+          (TextOps.piiHits(col("text"), "email") +
+            TextOps.piiHits(col("text"), "phone") +
+            TextOps.piiHits(col("text"), "ipv4") +
+            TextOps.piiHits(col("text"), "id")).cast("long").as("h"),
+          md5(TextOps.piiRedact(col("text"))).as("r"))
+        .agg(sum(col("h")).as("hits"), max(col("r")))
+        .collect()(0).getLong(0)
+      release(spark)
+      val t2 = System.nanoTime()
+      def s(a: Long, b: Long) = f"${(b - a) / 1e9}%7.2f"
+      println(f"$tag%-4s pqadc=${s(t0, t1)}s pii=${s(t1, t2)}s " +
+        f"[pq=$pq piiHits=$pii]")
+    }
+    if (stages("r11")) {
+      runR11("warm", base.limit(500), ebase.limit(200))
+      runR11("1x", base, ebase)
+      runR11(s"${mult}x", big, ebig)
     }
     spark.stop()
   }

@@ -684,16 +684,65 @@ object Similarity extends Serializable {
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("vd"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dim = v.select(size(col("vd"))).head.getInt(0)
+    val dim = v.select(size(col("vd"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    // independent per-subspace trainings of the shared Lloyd core —
-    // the init/update/tie rules the SQL replay mirrors per s
-    val books: Array[Array[(Long, Array[Double])]] =
-      (0 until m).toArray.map { s =>
-        lloydCentroids(v.select(col("id"),
-          slice(col("vd"), s * sub + 1, sub).as("vd")), k, rounds)
+    // All m codebooks train JOINTLY in one Lloyd loop: because every
+    // vector appears in every subspace, the per-subspace trainings
+    // share their init rows (the k smallest ids) and their scans —
+    // one init job + ONE (s, cluster, dim) aggregate per round
+    // instead of m·(rounds+1) serial driver round-trips, with
+    // arithmetic bit-identical to m independent [[lloydCentroids]]
+    // runs (same init, same fixed-point argmin + tie rule per
+    // subspace, same Σfloor(x·1e6)/(n·1e6) update per (s, cluster)
+    // — the SQL replay mirrors exactly this, grouped by s). Shuffle
+    // volume per round is k·dim summary rows; vectors never move.
+    import spark.implicits._
+    var books: Array[Array[(Long, Array[Double])]] = {
+      val init = v.orderBy(col("id")).limit(k)
+        .as[(Long, Array[Double])].collect()
+      Array.tabulate(m)(s =>
+        init.map { case (id, vd) => (id, vd.slice(s * sub, (s + 1) * sub)) })
+    }
+    for (_ <- 1 to rounds) {
+      val bc = spark.sparkContext.broadcast(books)
+      // per-vector, per-subspace argmin cluster ids (ties to the
+      // smaller cid — books stay cid-sorted so first-wins is that)
+      val assignK = udf { (vd: Seq[Double]) =>
+        val bs = bc.value
+        Array.tabulate(bs.length) { s =>
+          val vs = vd.slice(s * sub, (s + 1) * sub)
+          var bestC = -1L
+          var bestD = Long.MaxValue
+          bs(s).foreach { case (cid, c) =>
+            val d = distFpJvm(vs, c)
+            if (d < bestD) { bestD = d; bestC = cid }
+          }
+          bestC
+        }
       }
+      books = v
+        .select(assignK(col("vd")).as("cids"),
+          posexplode(col("vd")).as(Seq("pos", "x")))
+        .select((col("pos") / sub).cast("int").as("s"),
+          element_at(col("cids"), (col("pos") / sub).cast("int") + 1)
+            .as("cid"),
+          pmod(col("pos"), lit(sub)).as("p"), col("x"))
+        .groupBy(col("s"), col("cid"), col("p"))
+        .agg(sum(floor(col("x") * 1e6).cast("long")).as("sx"),
+          count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .toArray.sortBy(_._1)
+        .map { case (_, rows) =>
+          rows.groupBy(_.getLong(1)).map { case (cid, rs) =>
+            val c = new Array[Double](sub)
+            rs.foreach(r => c(r.getInt(2)) = r.getLong(3).toDouble /
+              (r.getLong(4) * 1e6))
+            (cid, c)
+          }.toArray.sortBy(_._1)
+        }
+    }
     val bcBooks = spark.sparkContext.broadcast(books)
     // corpus codes: per subspace, the INDEX (into the cid-sorted
     // book) of the nearest centroid — ties to the smaller cid, which
