@@ -676,27 +676,20 @@ object Similarity extends Serializable {
     * top-k per query under the usual (distance, neighbor-id) total
     * order. No stage shuffles corpus vectors.
     */
-  def pqAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column => Column, topK: Int, m: Int = 4,
-      k: Int = 16, rounds: Int = 2): DataFrame = {
-    val spark = emb.sparkSession
-    val v = graft.operators.FanOut(emb)
-      .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("vd"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dim = v.select(size(col("vd"))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val sub = dim / m
-    // All m codebooks train JOINTLY in one Lloyd loop: because every
-    // vector appears in every subspace, the per-subspace trainings
-    // share their init rows (the k smallest ids) and their scans —
-    // one init job + ONE (s, cluster, dim) aggregate per round
-    // instead of m·(rounds+1) serial driver round-trips, with
-    // arithmetic bit-identical to m independent [[lloydCentroids]]
-    // runs (same init, same fixed-point argmin + tie rule per
-    // subspace, same Σfloor(x·1e6)/(n·1e6) update per (s, cluster)
-    // — the SQL replay mirrors exactly this, grouped by s). Shuffle
-    // volume per round is k·dim summary rows; vectors never move.
+  /** All m PQ codebooks trained JOINTLY in one Lloyd loop: because
+    * every vector appears in every subspace, the per-subspace
+    * trainings share their init rows (the k smallest ids) and their
+    * scans — one init job + ONE (s, cluster, dim) aggregate per round
+    * instead of m·(rounds+1) serial driver round-trips, with
+    * arithmetic bit-identical to m independent [[lloydCentroids]]
+    * runs (same init, same fixed-point argmin + tie rule per
+    * subspace, same Σfloor(x·1e6)/(n·1e6) update per (s, cluster)
+    * — the SQL replay mirrors exactly this, grouped by s). Shuffle
+    * volume per round is k·dim summary rows; vectors never move.
+    */
+  private def pqTrain(v: DataFrame, m: Int, sub: Int, k: Int,
+      rounds: Int): Array[Array[(Long, Array[Double])]] = {
+    val spark = v.sparkSession
     import spark.implicits._
     var books: Array[Array[(Long, Array[Double])]] = {
       val init = v.orderBy(col("id")).limit(k)
@@ -743,10 +736,20 @@ object Similarity extends Serializable {
           }.toArray.sortBy(_._1)
         }
     }
-    val bcBooks = spark.sparkContext.broadcast(books)
-    // corpus codes: per subspace, the INDEX (into the cid-sorted
-    // book) of the nearest centroid — ties to the smaller cid, which
-    // is iteration order here and `ORDER BY d, cid` in the replay
+    books
+  }
+
+  /** The three per-call PQ kernels over a trained codebook set:
+    * encode (per-subspace nearest-centroid INDEX into the cid-sorted
+    * book — ties to the smaller cid, which is iteration order here
+    * and `ORDER BY d, cid` in the replay), the per-query ADC table
+    * (dtable(s·k + j) = dist_fp(query_s, book_s[j])), and the ADC
+    * score (m integer table lookups per candidate).
+    */
+  private def pqKernels(v: DataFrame,
+      books: Array[Array[(Long, Array[Double])]], sub: Int):
+      (UserDefinedFunction, UserDefinedFunction, UserDefinedFunction) = {
+    val bcBooks = v.sparkSession.sparkContext.broadcast(books)
     val encodeKernel = udf { (vd: Seq[Double]) =>
       val bs = bcBooks.value
       Array.tabulate(bs.length) { s =>
@@ -762,7 +765,6 @@ object Similarity extends Serializable {
         best
       }
     }
-    // per-query ADC table: dtable(s·k + j) = dist_fp(query_s, book_s[j])
     val dtableKernel = udf { (vd: Seq[Double]) =>
       val bs = bcBooks.value
       val out = new Array[Long](bs.map(_.length).sum)
@@ -788,11 +790,98 @@ object Similarity extends Serializable {
       }
       acc
     }
+    (encodeKernel, dtableKernel, scoreKernel)
+  }
+
+  private def pqProject(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    graft.operators.FanOut(emb)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  def pqAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column => Column, topK: Int, m: Int = 4,
+      k: Int = 16, rounds: Int = 2): DataFrame = {
+    val v = pqProject(emb, idCol, vecCol)
+    val dim = v.select(size(col("vd"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val books = pqTrain(v, m, sub, k, rounds)
+    val (encodeKernel, dtableKernel, scoreKernel) = pqKernels(v, books, sub)
     val codes = v.select(col("id").as("nid"),
       encodeKernel(col("vd")).as("codes"))
     val queries = v.filter(queryPred(col("id")))
       .select(col("id").as("qid"), dtableKernel(col("vd")).as("dt"))
     val scored = codes.crossJoin(broadcast(queries))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        scoreKernel(col("codes"), col("dt")).as("adc_fp"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_fp").asc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("nid").as("neighbor_id"), col("adc_fp"))
+  }
+
+  /** IVF-PQ — FAISS's default billion-scale index shape, composed
+    * from this file's two verified halves: the q38 coarse quantizer
+    * (integer-exact Lloyd cells, nprobe probing) prunes the scan to
+    * nprobe/nlist of the corpus, and the q101 PQ codebooks rank the
+    * surviving candidates by ADC over their 32-bit codes. PQ here
+    * encodes RAW vectors, not cell residuals — FAISS's
+    * `by_residual=false` variant — which keeps the codebooks
+    * cell-independent (one global set, not nlist sets) and the whole
+    * path exactly replayable.
+    *
+    * Plan shape at scale: both trainings are k·dim-row aggregates;
+    * the corpus scan computes (cell, codes) map-side against
+    * broadcast centroids+books; query probe rows (nprobe per query)
+    * broadcast into ONE keyed equi-join on the cell id, so only
+    * probed candidates are ever scored and corpus vectors never
+    * shuffle. At 100 TB the inverted index is stored partitioned by
+    * cell; a probe reads nprobe/nlist of the CODES (64× smaller than
+    * float32) — the memory-hierarchy win that makes billion-vector
+    * search feasible.
+    */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column => Column, topK: Int, nlist: Int = 16,
+      nprobe: Int = 4, m: Int = 8, k: Int = 16,
+      rounds: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    val v = pqProject(emb, idCol, vecCol)
+    val dim = v.select(size(col("vd"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val coarse = lloydCentroids(v, nlist, rounds)
+    val books = pqTrain(v, m, sub, k, rounds)
+    val (encodeKernel, dtableKernel, scoreKernel) = pqKernels(v, books, sub)
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    // corpus cell = argmin over the coarse centroids (ties to the
+    // smaller cell id — q38's assignment rule)
+    val cellKernel = udf { (vd: Seq[Double]) =>
+      val cs = bcCoarse.value
+      var bestC = -1L
+      var bestD = Long.MaxValue
+      cs.foreach { case (cid, c) =>
+        val d = distFpJvm(vd, c)
+        if (d < bestD) { bestD = d; bestC = cid }
+      }
+      bestC
+    }
+    // query probe list: the nprobe nearest cells by (dist, cell id)
+    val probeKernel = udf { (vd: Seq[Double]) =>
+      bcCoarse.value
+        .map { case (cid, c) => (distFpJvm(vd, c), cid) }
+        .sorted.take(nprobe).map(_._2)
+    }
+    val corpus = v.select(col("id").as("nid"),
+      cellKernel(col("vd")).as("cell"), encodeKernel(col("vd")).as("codes"))
+    val probes = v.filter(queryPred(col("id")))
+      .select(col("id").as("qid"), dtableKernel(col("vd")).as("dt"),
+        explode(probeKernel(col("vd"))).as("cell"))
+    val scored = corpus.join(broadcast(probes), "cell")
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         scoreKernel(col("codes"), col("dt")).as("adc_fp"))

@@ -3073,9 +3073,153 @@ object Pipeline {
       ORDER BY source"""))
   }
 
+  /** IVF-PQ — FAISS's default billion-scale index (by_residual=false
+    * variant), composed from two already-verified halves: q38's
+    * coarse quantizer prunes the scan to nprobe/nlist of the corpus,
+    * q101's PQ codebooks rank the surviving candidates by ADC over
+    * 32-bit codes. The oracle replays BOTH trainings (the q38 coarse
+    * chain and the q101 grouped-subspace chain share one `v` CTE),
+    * assigns cells, probes, encodes, builds the query distance
+    * tables, and re-ranks only probed candidates — the complete
+    * composed index is hash-exact, cell pruning and all.
+    */
+  val q103 = {
+    val m = 8; val k = 16; val sub = 8
+    Q(
+      "q103_ivfpq_topk",
+      (spark, dir) =>
+        Similarity.ivfPqTopK(Tables(spark, dir, "embeddings"),
+            "vec_id", "embedding", _ < 20, topK = 5, nlist = 16,
+            nprobe = 4, m = m, k = k, rounds = 2)
+          .orderBy(col("query_id"), col("rank")),
+      Some(s"""
+      WITH v AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+                 FROM embeddings),
+      g0 AS (SELECT vec_id AS cid, vd AS c FROM (
+               SELECT vec_id, vd,
+                 ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM v)
+             WHERE rn <= 16),
+      gd1 AS (SELECT v.vec_id, v.vd, c.cid,
+                list_sum(list_transform(range(1, len(v.vd)+1),
+                  i -> CAST(FLOOR((v.vd[i]-c.c[i])*(v.vd[i]-c.c[i])*1e12)
+                            AS BIGINT))) AS d
+              FROM v, g0 c),
+      ga1 AS (SELECT vec_id, vd, cid FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY d, cid) AS rn
+                FROM gd1) WHERE rn = 1),
+      gc1 AS (SELECT cid, list(cval ORDER BY pos) AS c FROM (
+                SELECT cid, pos,
+                  CAST(SUM(CAST(FLOOR(vd[pos]*1e6) AS BIGINT)) AS DOUBLE) /
+                    (COUNT(*)*1e6) AS cval
+                FROM ga1, UNNEST(range(1, len(vd)+1)) AS t(pos)
+                GROUP BY cid, pos)
+              GROUP BY cid),
+      gd2 AS (SELECT v.vec_id, v.vd, c.cid,
+                list_sum(list_transform(range(1, len(v.vd)+1),
+                  i -> CAST(FLOOR((v.vd[i]-c.c[i])*(v.vd[i]-c.c[i])*1e12)
+                            AS BIGINT))) AS d
+              FROM v, gc1 c),
+      ga2 AS (SELECT vec_id, vd, cid FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY d, cid) AS rn
+                FROM gd2) WHERE rn = 1),
+      gc2 AS (SELECT cid, list(cval ORDER BY pos) AS c FROM (
+                SELECT cid, pos,
+                  CAST(SUM(CAST(FLOOR(vd[pos]*1e6) AS BIGINT)) AS DOUBLE) /
+                    (COUNT(*)*1e6) AS cval
+                FROM ga2, UNNEST(range(1, len(vd)+1)) AS t(pos)
+                GROUP BY cid, pos)
+              GROUP BY cid),
+      gd3 AS (SELECT v.vec_id, c.cid,
+                list_sum(list_transform(range(1, len(v.vd)+1),
+                  i -> CAST(FLOOR((v.vd[i]-c.c[i])*(v.vd[i]-c.c[i])*1e12)
+                            AS BIGINT))) AS d
+              FROM v, gc2 c),
+      ga3 AS (SELECT vec_id, cid FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY d, cid) AS rn
+                FROM gd3) WHERE rn = 1),
+      gqp AS (SELECT vec_id AS qid, cid FROM (
+                SELECT vec_id, cid,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d, cid) AS rn
+                FROM gd3 WHERE vec_id < 20) WHERE rn <= 4),
+      sub AS (SELECT vec_id, s, vd[(s*$sub+1):(s*$sub+$sub)] AS vs
+              FROM v, UNNEST(range(0, $m)) AS t(s)),
+      c0 AS (SELECT s, vec_id AS cid, vs AS c FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY s
+                                            ORDER BY vec_id) AS rn
+               FROM sub) WHERE rn <= $k),
+      d1 AS (SELECT b.s, b.vec_id, b.vs, c.cid,
+               list_sum(list_transform(range(1, $sub+1),
+                 i -> CAST(FLOOR((b.vs[i]-c.c[i])*(b.vs[i]-c.c[i])*1e12)
+                           AS BIGINT))) AS d
+             FROM sub b JOIN c0 c ON c.s = b.s),
+      a1 AS (SELECT s, vec_id, vs, cid FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY s, vec_id
+                                            ORDER BY d, cid) AS rn
+               FROM d1) WHERE rn = 1),
+      c1 AS (SELECT s, cid, list(cval ORDER BY pos) AS c FROM (
+               SELECT s, cid, pos,
+                 CAST(SUM(CAST(FLOOR(vs[pos]*1e6) AS BIGINT)) AS DOUBLE) /
+                   (COUNT(*)*1e6) AS cval
+               FROM a1, UNNEST(range(1, $sub+1)) AS t(pos)
+               GROUP BY s, cid, pos)
+             GROUP BY s, cid),
+      d2 AS (SELECT b.s, b.vec_id, b.vs, c.cid,
+               list_sum(list_transform(range(1, $sub+1),
+                 i -> CAST(FLOOR((b.vs[i]-c.c[i])*(b.vs[i]-c.c[i])*1e12)
+                           AS BIGINT))) AS d
+             FROM sub b JOIN c1 c ON c.s = b.s),
+      a2 AS (SELECT s, vec_id, vs, cid FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY s, vec_id
+                                            ORDER BY d, cid) AS rn
+               FROM d2) WHERE rn = 1),
+      c2 AS (SELECT s, cid, list(cval ORDER BY pos) AS c FROM (
+               SELECT s, cid, pos,
+                 CAST(SUM(CAST(FLOOR(vs[pos]*1e6) AS BIGINT)) AS DOUBLE) /
+                   (COUNT(*)*1e6) AS cval
+               FROM a2, UNNEST(range(1, $sub+1)) AS t(pos)
+               GROUP BY s, cid, pos)
+             GROUP BY s, cid),
+      d3 AS (SELECT b.s, b.vec_id, c.cid,
+               list_sum(list_transform(range(1, $sub+1),
+                 i -> CAST(FLOOR((b.vs[i]-c.c[i])*(b.vs[i]-c.c[i])*1e12)
+                           AS BIGINT))) AS d
+             FROM sub b JOIN c2 c ON c.s = b.s),
+      codes AS (SELECT s, vec_id, cid FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY s, vec_id
+                                               ORDER BY d, cid) AS rn
+                  FROM d3) WHERE rn = 1),
+      qd AS (SELECT b.vec_id AS qid, b.s, c.cid,
+               list_sum(list_transform(range(1, $sub+1),
+                 i -> CAST(FLOOR((b.vs[i]-c.c[i])*(b.vs[i]-c.c[i])*1e12)
+                           AS BIGINT))) AS d
+             FROM sub b JOIN c2 c ON c.s = b.s
+             WHERE b.vec_id < 20),
+      cand AS (SELECT gqp.qid, ga3.vec_id AS nid
+               FROM gqp JOIN ga3 ON ga3.cid = gqp.cid
+               WHERE ga3.vec_id <> gqp.qid),
+      adc AS (SELECT cd.qid, cd.nid, CAST(SUM(qd.d) AS BIGINT) AS adc_fp
+              FROM cand cd
+              JOIN codes ON codes.vec_id = cd.nid
+              JOIN qd ON qd.qid = cd.qid AND qd.s = codes.s
+                     AND qd.cid = codes.cid
+              GROUP BY cd.qid, cd.nid),
+      r AS (SELECT qid, nid, adc_fp,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY adc_fp, nid) AS rn
+            FROM adc)
+      SELECT qid AS query_id, rn::INT AS rank, nid AS neighbor_id, adc_fp
+      FROM r WHERE rn <= 5
+      ORDER BY query_id, rank"""))
+  }
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95, q96, q97, q98, q99, q101, q102)
+    q95, q96, q97, q98, q99, q101, q102, q103)
 }
