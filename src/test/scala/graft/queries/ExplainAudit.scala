@@ -11,7 +11,7 @@ class ExplainAudit extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   test("top-cost queries contain no cartesian/nested-loop operators") {
-    // q80/q94/q96/q97/q98 are deliberately absent: their scoring
+    // q80/q94/q96/q97/q98/q101 are deliberately absent: their scoring
     // joins / 1-row stat rides ARE broadcast nested loops (tiny side
     // × corpus scan), pinned in PlanSpec
     Seq("q03" -> Relational.q03, "q24" -> Pipeline.q24,
@@ -19,7 +19,8 @@ class ExplainAudit extends SparkSpec {
         "q37" -> Pipeline.q37, "q55" -> Pipeline.q55,
         "q76" -> Pipeline.q76, "q85" -> Pipeline.q85,
         "q88" -> Pipeline.q88, "q93" -> Pipeline.q93,
-        "q95" -> Pipeline.q95, "q99" -> Pipeline.q99).foreach { case (n, q) =>
+        "q95" -> Pipeline.q95, "q99" -> Pipeline.q99,
+        "q103" -> Pipeline.q103).foreach { case (n, q) =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$n has a cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$n has a nested loop:\n$p")

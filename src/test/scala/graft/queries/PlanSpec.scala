@@ -198,6 +198,15 @@ class PlanSpec extends SparkSpec {
       s"pii detect must compile to native regexp expressions, not a UDF:\n$p")
   }
 
+  test("q103: the probe join broadcasts query probes and hash-joins on the cell") {
+    val p = plan(Pipeline.q103)
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected a broadcast hash join on the cell id:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"corpus (cell, codes) rows must join keyed, never scan-all:\n$p")
+  }
+
   test("q80: knn scores via broadcast of the query side — corpus never sort-merges") {
     val p = plan(Pipeline.q80)
     assert(p.contains("BroadcastNestedLoopJoin"),
