@@ -42,6 +42,7 @@ final case class ServerConfig(
     ingestPort: Int,
     maxInFlight: Int,
     grpcPort: Option[Int],
+    grpcTls: Option[GrpcIngestServer.Tls],
     debugPort: Option[Int],
     descriptorPaths: Seq[String],
     autobind: Boolean,
@@ -113,6 +114,13 @@ object ServerConfig {
       maxInFlight = ingest.flatMap(opt(_, "max_in_flight")).map(_.asInt)
         .getOrElse(12),
       grpcPort = ingest.flatMap(opt(_, "grpc_port")).map(_.asInt),
+      // reference TlsConfig (config.go:33-36): PEM file paths
+      grpcTls = ingest.flatMap(opt(_, "tls")).map(t =>
+        GrpcIngestServer.Tls(
+          Paths.get(opt(t, "certificate").map(_.asText).getOrElse(
+            throw BindError("tls without a certificate path"))),
+          Paths.get(opt(t, "key").map(_.asText).getOrElse(
+            throw BindError("tls without a key path"))))),
       debugPort = debugging.flatMap(opt(_, "bind_port")).map(_.asInt),
       descriptorPaths = opt(root, "proto_descriptor_paths").toSeq
         .flatMap(_.elements().asScala).map(_.asText),
@@ -159,7 +167,7 @@ final class BristleServer(configPath: Path,
     * serves the same engine over real gRPC/HTTP2 (0 = ephemeral).
     */
   val grpc: Option[GrpcIngestServer] = conf.grpcPort.map(p =>
-    new GrpcIngestServer(ingest.engine, p, metrics))
+    new GrpcIngestServer(ingest.engine, p, metrics, conf.grpcTls))
   val debug: Option[DebugServer] = conf.debugPort.map(p =>
     new DebugServer(p, metrics, () => statusz()))
 

@@ -26,12 +26,13 @@ import scala.util.control.NonFatal
   * server messages reassembled by a [[GrpcWire.Framer]] in.
   */
 final class GrpcIngestClient(host: String, port: Int,
-    retrySleepMs: Long = 20, ackTimeoutMs: Long = 10000) {
+    retrySleepMs: Long = 20, ackTimeoutMs: Long = 10000,
+    tlsTrust: Option[java.nio.file.Path] = None) {
 
   import GrpcIngestClient._
 
   private val group = new MultiThreadIoEventLoopGroup(NioIoHandler.newFactory())
-  private val conn = connect(group, host, port)
+  private val conn = connect(group, host, port, tlsTrust)
   private val core = new ClientCore(retrySleepMs, ackTimeoutMs, sendMessage)
 
   private val stream: Http2StreamChannel = {
@@ -90,13 +91,27 @@ object GrpcIngestClient {
       .set(AsciiString.cached("te"), AsciiString.cached("trailers"))
 
   private def connect(group: EventLoopGroup, host: String,
-      port: Int): Channel = {
+      port: Int, tlsTrust: Option[java.nio.file.Path] = None): Channel = {
+    // TLS mode: handshake with ALPN h2 before the frame codec — the
+    // connection style a TLS-credentialed gRPC client uses; trust is
+    // pinned to the given PEM (tests) or the JVM default when None…
+    // which this client surface doesn't need yet, so trust is always
+    // explicit here.
+    val sslCtx = tlsTrust.map { pem =>
+      io.netty.handler.ssl.SslContextBuilder.forClient()
+        .trustManager(pem.toFile)
+        .sslProvider(io.netty.handler.ssl.SslProvider.JDK)
+        .applicationProtocolConfig(GrpcIngestServer.alpnH2)
+        .build()
+    }
     val b = new Bootstrap()
     b.group(group)
       .channel(classOf[NioSocketChannel])
       .option[java.lang.Boolean](ChannelOption.TCP_NODELAY, true)
       .handler(new ChannelInitializer[SocketChannel] {
         override def initChannel(ch: SocketChannel): Unit = {
+          sslCtx.foreach(ssl =>
+            ch.pipeline().addLast(ssl.newHandler(ch.alloc(), host, port)))
           ch.pipeline().addLast(
             Http2FrameCodecBuilder.forClient().build(),
             // server-initiated streams are not part of gRPC; drop them

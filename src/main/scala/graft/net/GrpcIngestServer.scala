@@ -62,12 +62,26 @@ import scala.util.control.NonFatal
   * parity mode.
   */
 final class GrpcIngestServer(engine: IngestEngine, port: Int = 0,
-    metrics: Metrics = Metrics.default) {
+    metrics: Metrics = Metrics.default,
+    tls: Option[GrpcIngestServer.Tls] = None) {
 
   import GrpcIngestServer._
 
   private val group = new MultiThreadIoEventLoopGroup(NioIoHandler.newFactory())
   @volatile private var serverChannel: Channel = _
+
+  // Built once, shared across connections (reference parity:
+  // `config.go:112-125` loads the PEM pair into NewTLS with
+  // NoClientCert). ALPN advertises h2 — what a TLS gRPC client
+  // negotiates; h1.1 is listed so a non-h2 peer fails the
+  // negotiation cleanly instead of by connection reset.
+  private val sslCtx = tls.map { t =>
+    io.netty.handler.ssl.SslContextBuilder
+      .forServer(t.certificate.toFile, t.key.toFile)
+      .sslProvider(io.netty.handler.ssl.SslProvider.JDK)
+      .applicationProtocolConfig(alpnH2)
+      .build()
+  }
 
   metrics.help("graft_grpc_streams_total", "gRPC streams opened, by rpc")
 
@@ -87,31 +101,53 @@ final class GrpcIngestServer(engine: IngestEngine, port: Int = 0,
               ()
             }
           }
-          // Prior-knowledge path: frame codec + multiplexer directly.
-          val priorKnowledge = new ChannelInitializer[Channel] {
-            override def initChannel(c: Channel): Unit = {
-              c.pipeline().addLast(
-                Http2FrameCodecBuilder.forServer().build(),
-                new Http2MultiplexHandler(streamInit))
+          def h2Handlers(): Seq[io.netty.channel.ChannelHandler] = Seq(
+            Http2FrameCodecBuilder.forServer().build(),
+            new Http2MultiplexHandler(streamInit))
+          sslCtx match {
+            case Some(ssl) =>
+              // TLS endpoint: handshake, then ALPN installs HTTP/2
+              ch.pipeline().addLast(ssl.newHandler(ch.alloc()))
+              ch.pipeline().addLast(
+                new io.netty.handler.ssl.ApplicationProtocolNegotiationHandler(
+                    io.netty.handler.ssl.ApplicationProtocolNames.HTTP_2) {
+                  override def configurePipeline(ctx: ChannelHandlerContext,
+                      protocol: String): Unit = {
+                    if (protocol !=
+                        io.netty.handler.ssl.ApplicationProtocolNames.HTTP_2)
+                      throw new IllegalStateException(
+                        s"peer negotiated $protocol, need h2")
+                    h2Handlers().foreach(ctx.pipeline().addLast(_))
+                  }
+                })
               ()
-            }
+            case None =>
+              // Cleartext: prior-knowledge preface OR HTTP/1.1
+              // Upgrade (the JDK client's h2c handshake — the
+              // upgraded request replays as HTTP/2 stream 1)
+              val priorKnowledge = new ChannelInitializer[Channel] {
+                override def initChannel(c: Channel): Unit = {
+                  h2Handlers().foreach(c.pipeline().addLast(_))
+                  ()
+                }
+              }
+              val sourceCodec = new HttpServerCodec()
+              val upgradeFactory =
+                new HttpServerUpgradeHandler.UpgradeCodecFactory {
+                  override def newUpgradeCodec(protocol: CharSequence) =
+                    if (AsciiString.contentEquals(
+                        Http2CodecUtil.HTTP_UPGRADE_PROTOCOL_NAME, protocol))
+                      new Http2ServerUpgradeCodec(
+                        Http2FrameCodecBuilder.forServer().build(),
+                        new Http2MultiplexHandler(streamInit))
+                    else null
+                }
+              val upgrade =
+                new HttpServerUpgradeHandler(sourceCodec, upgradeFactory)
+              ch.pipeline().addLast(new CleartextHttp2ServerUpgradeHandler(
+                sourceCodec, upgrade, priorKnowledge))
+              ()
           }
-          // HTTP/1.1 Upgrade path (the JDK client's h2c handshake):
-          // the upgraded request replays as HTTP/2 stream 1.
-          val sourceCodec = new HttpServerCodec()
-          val upgradeFactory = new HttpServerUpgradeHandler.UpgradeCodecFactory {
-            override def newUpgradeCodec(protocol: CharSequence) =
-              if (AsciiString.contentEquals(
-                  Http2CodecUtil.HTTP_UPGRADE_PROTOCOL_NAME, protocol))
-                new Http2ServerUpgradeCodec(
-                  Http2FrameCodecBuilder.forServer().build(),
-                  new Http2MultiplexHandler(streamInit))
-              else null
-          }
-          val upgrade = new HttpServerUpgradeHandler(sourceCodec, upgradeFactory)
-          ch.pipeline().addLast(new CleartextHttp2ServerUpgradeHandler(
-            sourceCodec, upgrade, priorKnowledge))
-          ()
         }
       })
     serverChannel = b.bind(port).syncUninterruptibly().channel()
@@ -128,6 +164,21 @@ final class GrpcIngestServer(engine: IngestEngine, port: Int = 0,
 }
 
 object GrpcIngestServer {
+
+  /** TLS material, reference-shaped (`config.go:33-36`): PEM
+    * certificate chain + PKCS#8 PEM private key file paths.
+    */
+  final case class Tls(certificate: java.nio.file.Path,
+      key: java.nio.file.Path)
+
+  private[net] val alpnH2 = new io.netty.handler.ssl.ApplicationProtocolConfig(
+    io.netty.handler.ssl.ApplicationProtocolConfig.Protocol.ALPN,
+    io.netty.handler.ssl.ApplicationProtocolConfig
+      .SelectorFailureBehavior.NO_ADVERTISE,
+    io.netty.handler.ssl.ApplicationProtocolConfig
+      .SelectedListenerFailureBehavior.ACCEPT,
+    io.netty.handler.ssl.ApplicationProtocolNames.HTTP_2,
+    io.netty.handler.ssl.ApplicationProtocolNames.HTTP_1_1)
 
   private[net] val ServicePrefix = "/bristle.BristleIngestService/"
   private[net] val ContentType = AsciiString.cached("application/grpc")

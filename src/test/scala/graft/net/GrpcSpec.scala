@@ -180,6 +180,77 @@ class GrpcSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally QueueSource.drop(qn)
   }
 
+  test("TLS endpoint: ALPN-h2 handshake, JDK https interop, bidi over TLS") {
+    // reference TlsConfig parity (config.go:33-36, 112-125): PEM
+    // cert/key served with NoClientCert; generated here per-run
+    val dir = java.nio.file.Files.createTempDirectory("grpc-tls-")
+    val cert = dir.resolve("server.pem")
+    val key = dir.resolve("server.key")
+    val gen = new ProcessBuilder("openssl", "req", "-x509", "-newkey",
+      "rsa:2048", "-nodes", "-keyout", key.toString, "-out", cert.toString,
+      "-days", "2", "-subj", "/CN=localhost",
+      "-addext", "subjectAltName=IP:127.0.0.1,DNS:localhost")
+      .redirectErrorStream(true).start()
+    assert(gen.waitFor() == 0, "openssl cert generation failed")
+
+    val (qn, q, targets) = targetFor(capacity = 64)
+    val pool = Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "grpcspec-tls"); t.setDaemon(true); t
+    })
+    val engine = new IngestEngine(() => targets, 12, 0.8, 250,
+      new Metrics, pool)
+    val srv = new GrpcIngestServer(engine, 0, new Metrics,
+      tls = Some(GrpcIngestServer.Tls(cert, key))).start()
+    try {
+      // JDK HttpClient over REAL TLS: its own trust store pinned to
+      // our cert, ALPN must negotiate h2 (HTTP_2 in the response
+      // version proves it — https has no Upgrade fallback)
+      val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+      val x509 = cf.generateCertificate(
+        java.nio.file.Files.newInputStream(cert))
+      val ks = java.security.KeyStore.getInstance(
+        java.security.KeyStore.getDefaultType)
+      ks.load(null, null)
+      ks.setCertificateEntry("srv", x509)
+      val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+        javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(ks)
+      val ssl = javax.net.ssl.SSLContext.getInstance("TLS")
+      ssl.init(null, tmf.getTrustManagers, null)
+      val client = HttpClient.newBuilder().sslContext(ssl)
+        .version(HttpClient.Version.HTTP_2).build()
+      val bodies = (0 until 3).map(body)
+      val reqBytes = GrpcWire.frame(encode(
+        WriteBatchRequest("k", Seq(Payload("ExampleMessage", bodies)))))
+      val ok = client.send(
+        HttpRequest.newBuilder(URI.create(
+            s"https://127.0.0.1:${srv.boundPort}" +
+              "/bristle.BristleIngestService/WriteBatch"))
+          .header("content-type", "application/grpc")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(reqBytes)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(ok.version() == HttpClient.Version.HTTP_2,
+        "ALPN did not negotiate h2")
+      assert(ok.statusCode() == 200)
+      val messages = new GrpcWire.Framer().feed(ok.body())
+      assert(messages.size == 1 &&
+        decodeWriteBatchResponse(messages.head) == WriteBatchResponse(0, 0))
+      assert(q.endSeq - q.firstSeq == 3)
+
+      // the netty client half: bidi streaming RPC over the same TLS
+      val c = new GrpcIngestClient("127.0.0.1", srv.boundPort,
+        tlsTrust = Some(cert))
+      try {
+        assert(c.registerType("ExampleMessage") == 1)
+        assert(c.writeBatch("ExampleMessage",
+          (3 until 8).map(body)) == BatchResult.Ok)
+        assert(q.endSeq - q.firstSeq == 8)
+      } finally c.close()
+    } finally {
+      srv.stop(); pool.shutdownNow(); QueueSource.drop(qn); ()
+    }
+  }
+
   test("the Batcher client stack delivers through the gRPC sink unchanged") {
     val (qn, q, targets) = targetFor(capacity = 64)
     try withServer(targets) { srv =>
