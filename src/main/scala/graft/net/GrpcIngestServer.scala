@@ -56,10 +56,11 @@ import scala.util.control.NonFatal
   * per-stream [[GrpcWire.Framer]] (bounded upstream by the admission
   * queues the engine writes into), and every consumed byte is
   * returned to the peer via a stream WINDOW_UPDATE, so a pipelining
-  * client never stalls on a closed window. TLS is config-level in the
-  * reference (`config.go` credentials, off by default in
-  * `config.json`); this build serves h2c, the insecure-credentials
-  * parity mode.
+  * client never stalls on a closed window. TLS mirrors the reference's
+  * config surface (`config.go:33-36,112-125`): a PEM certificate/key
+  * pair served with no client-cert requirement, ALPN negotiating h2 —
+  * pass [[GrpcIngestServer.Tls]] (config `ingest.tls`); without it the
+  * endpoint is h2c, the insecure-credentials parity mode.
   */
 final class GrpcIngestServer(engine: IngestEngine, port: Int = 0,
     metrics: Metrics = Metrics.default,

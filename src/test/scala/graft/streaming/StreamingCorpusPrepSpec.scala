@@ -61,4 +61,40 @@ class StreamingCorpusPrepSpec extends SparkSpec {
         "streaming corpus-prep diverged from the batch computation")
     } finally q.stop()
   }
+
+  test("streaming PII scrub is row-identical to the batch redaction") {
+    // q102's detect/redact chain is stateless per-row too — the
+    // redact-as-it-lands path. Fixture injects PII shapes since the
+    // corpus is digit-free.
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def scrub(df: DataFrame): DataFrame = df
+      .withColumn("hits", TextOps.PiiPatterns.map { case (n, _) =>
+        TextOps.piiHits(col("text"), n) }.reduce(_ + _))
+      .withColumn("red", TextOps.piiRedact(col("text")))
+      .select("doc_id", "hits", "red")
+    val data = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      .map { case (id, t) =>
+        (id, if (id % 3 == 0) s"$t mail a$id@ex.org ip 10.0.0.${id % 250 + 1}"
+             else t)
+      }
+    val ms = MemoryStream[(Long, String)]
+    val q = scrub(ms.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("piiscrub")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = data.splitAt(data.length / 2)
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("piiscrub").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(_._1)
+      val batch = scrub(data.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(_._1)
+      assert(batch.exists(_._2 > 0), "fixture should contain PII hits")
+      assert(streamed.toSeq == batch.toSeq,
+        "streaming PII scrub diverged from the batch computation")
+    } finally q.stop()
+  }
 }
