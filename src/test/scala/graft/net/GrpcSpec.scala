@@ -271,6 +271,28 @@ class GrpcSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally QueueSource.drop(qn)
   }
 
+  test("ForwardJson --grpc: the producer CLI forwards protojson over real gRPC") {
+    val (qn, q, targets) = targetFor(capacity = 256)
+    try withServer(targets) { srv =>
+      val dir = java.nio.file.Files.createTempDirectory("fwdjson-grpc-")
+      val in = getClass.getResourceAsStream("/descriptors/example.pb")
+      val desc = dir.resolve("example.desc")
+      java.nio.file.Files.write(desc, in.readAllBytes())
+      in.close()
+      val lines = (0 until 40)
+        .map(TranscodeE2E.Fixture(_).protojsonLine).mkString("\n")
+      val oldIn = System.in
+      try {
+        System.setIn(new java.io.ByteArrayInputStream(
+          lines.getBytes("UTF-8")))
+        ForwardJson.main(Array("--grpc", s"127.0.0.1:${srv.boundPort}",
+          "ExampleMessage", desc.toString, "16"))
+      } finally System.setIn(oldIn)
+      assert(q.endSeq - q.firstSeq == 40,
+        s"expected 40 forwarded rows, queue holds ${q.endSeq - q.firstSeq}")
+    } finally QueueSource.drop(qn)
+  }
+
   test("gRPC streaming: server pushes backoff past high water; client honors it") {
     val (qn, _, targets) = targetFor(capacity = 8, onFull = RowBuffer.DropOldest)
     try withServer(targets, backoffHighWater = 0.5) { srv =>
