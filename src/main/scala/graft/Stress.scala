@@ -328,9 +328,20 @@ object Stress {
         .collect()(0).getLong(0)
       release(spark)
       val t2 = System.nanoTime()
+      val ivfpq = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        _ < 20, topK = 5).count()
+      release(spark)
+      val t3 = System.nanoTime()
+      // q104 shape: anchors × positional sliding-gram index; replica
+      // word-salting changes the char stream, so cross-replica gram
+      // collisions stay position-filtered noise
+      val edit = Dedup.editNearDups(docs, "text", "doc_id").count()
+      release(spark)
+      val t4 = System.nanoTime()
       def s(a: Long, b: Long) = f"${(b - a) / 1e9}%7.2f"
       println(f"$tag%-4s pqadc=${s(t0, t1)}s pii=${s(t1, t2)}s " +
-        f"[pq=$pq piiHits=$pii]")
+        f"ivfpq=${s(t2, t3)}s edit=${s(t3, t4)}s " +
+        f"[pq=$pq piiHits=$pii ivfpq=$ivfpq editPairs=$edit]")
     }
     if (stages("r11")) {
       runR11("warm", base.limit(500), ebase.limit(200))

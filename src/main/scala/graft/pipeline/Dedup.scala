@@ -528,6 +528,80 @@ object Dedup extends Serializable {
     * one exact chunk → candidates come from a chunk-equality bucket
     * join, never all-pairs.
     */
+  /** Edit-distance (Levenshtein) near-dup pairs at ed ≤ `k` — the
+    * fifth near-dup metric (exact / MinHash-Jaccard / SimHash /
+    * n-gram-Jaccard measure SET similarity; this one respects ORDER
+    * and catches small in-place revisions set metrics dilute).
+    * Complete by the positional q-gram pigeonhole, never all-pairs:
+    * partition a doc's first (k+1)·q chars into k+1 disjoint ANCHOR
+    * grams — ≤ k edits touch ≤ k of them, so one survives intact in
+    * the other doc, shifted by at most k positions (net indels before
+    * it are ≤ k). Candidates therefore come from joining each doc's
+    * k+1 anchors against the corpus's positional sliding-gram index
+    * (the standard inverted char-gram index, Σ chars rows) on gram
+    * equality with |anchorPos − slidingPos| ≤ k, plus the free
+    * |len(a) − len(b)| ≤ k band (ed ≥ length difference). Exact
+    * `levenshtein` verifies candidates, so output = the true pair
+    * set over docs with ≥ (k+1)·q + k chars (shorter docs are the
+    * documented contract boundary — at their size the exact q21 path
+    * or a smaller q is the tool; both engines apply the same floor).
+    *
+    * Scale: anchors are k+1 rows/doc; the sliding index is
+    * chars-proportional, and the join key is (gram, position-bucket)
+    * — the q51 interval-bucket trick with width 2k+1, anchors
+    * replicated to the ≤ 2 buckets covering [apos−k, apos+k] — so a
+    * COMMON gram at two different text positions never meets itself
+    * in the join (without the bucket, word-soup corpora fan every
+    * frequent gram out quadratically: measured 38× wall-clock at 10×
+    * corpus, vs ~linear with it). Exact position/length predicates
+    * prune the bucket matches. Measured 24 candidates / 465 docs at
+    * sf0.01 and 1035 / 3653 at sf0.1 with q=16. At 100 TB the
+    * remaining knobs are anchor selection by rarity (join only each
+    * doc's lowest-df anchors, the q37 rarest-first discipline) and
+    * Spark's thresholded `levenshtein(l, r, k)` early-exit verify.
+    */
+  def editNearDups(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 10, q: Int = 16): DataFrame = {
+    val minLen = (k + 1) * q + k
+    val w = 2 * k + 1
+    val d = graft.operators.FanOut(docs)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .filter(length(col("text")) >= minLen)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val anchors = d.select(col("id").as("aid"),
+        length(col("text")).as("alen"),
+        posexplode(expr(
+          s"transform(sequence(0, $k), i -> substring(text, i*$q+1, $q))"))
+          .as(Seq("ai", "g")))
+      .select(col("aid"), col("alen"), (col("ai") * q).as("apos"), col("g"))
+      .withColumn("bkt", explode(array_distinct(array(
+        floor(greatest(col("apos") - k, lit(0)) / w).cast("int"),
+        floor((col("apos") + k) / w).cast("int")))))
+    val sliding = d.select(col("id").as("sid"),
+        length(col("text")).as("slen"),
+        posexplode(expr(
+          s"transform(sequence(0, length(text)-$q), p -> substring(text, p+1, $q))"))
+          .as(Seq("spos", "g")))
+      .withColumn("bkt", floor(col("spos") / w).cast("int"))
+    val cand = anchors.join(sliding, Seq("g", "bkt"))
+      .filter(col("aid") =!= col("sid") &&
+        abs(col("apos") - col("spos")) <= k &&
+        abs(col("alen") - col("slen")) <= k)
+      .select(least(col("aid"), col("sid")).as("a"),
+        greatest(col("aid"), col("sid")).as("b"))
+      .distinct()
+    // thresholded levenshtein: banded O(k·n) DP with early exit (-1
+    // past the threshold) instead of the full O(n²) table — equal to
+    // the plain distance whenever it is ≤ k, which is exactly the
+    // surviving set, so the oracle's plain levenshtein agrees
+    cand
+      .join(d.select(col("id").as("a"), col("text").as("ta")), "a")
+      .join(d.select(col("id").as("b"), col("text").as("tb")), "b")
+      .select(col("a"), col("b"),
+        levenshtein(col("ta"), col("tb"), k).as("ed"))
+      .filter(col("ed") >= 0 && col("ed") <= k)
+  }
+
   val SimChunks = 4
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       maxDist: Int): DataFrame = {

@@ -236,6 +236,45 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("edit near-dup: anchor pigeonhole equals brute force; crafted edits found") {
+    import spark.implicits._
+    val (k, q) = (10, 16)
+    val minLen = (k + 1) * q + k
+    // completeness on the real fixture: the bucketed candidate plan
+    // must reproduce EXACT banded brute force (every pair + distance)
+    val got = Dedup.editNearDups(docs, "text", "doc_id", k = k, q = q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val d = docs.select(col("doc_id").cast("long").as("id"), col("text"))
+      .filter(length(col("text")) >= minLen)
+    val truth = d.toDF("a", "ta")
+      .crossJoin(d.toDF("b", "tb")).filter(col("a") < col("b"))
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= k)
+      .select(col("a"), col("b"), levenshtein(col("ta"), col("tb")).as("ed"))
+      .filter(col("ed") <= k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == truth,
+      s"pigeonhole candidates diverged from brute force: " +
+        s"missing=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
+    // crafted revisions: substitution, insertion, deletion — all
+    // within k of the original, plus one far-away doc
+    val base = ("w" * 50) + " the quick brown fox jumps over the lazy dog " +
+      ("x" * 120)
+    val crafted = Seq(
+      (1L, base),
+      (2L, base.replace("quick", "quack")),            // 1 substitution
+      (3L, base.replace("fox", "foxes")),              // 2 insertions
+      (4L, base.replace(" lazy", "")),                 // 5 deletions
+      (5L, ("z" * 50) + " a completely different sentence here now " +
+        ("y" * 120)))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.editNearDups(crafted, "text", "doc_id", k = k, q = q)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((1L, 2L), (1L, 3L), (1L, 4L)).subsetOf(pairs),
+      s"crafted near-revisions missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L),
+      s"far doc should not pair: $pairs")
+  }
+
   test("pii patterns: per-class hits, disjoint matches, redaction removes all") {
     import spark.implicits._
     val samples = Seq(
