@@ -560,16 +560,20 @@ object Dedup extends Serializable {
     * doc's lowest-df anchors, the q37 rarest-first discipline) and
     * Spark's thresholded `levenshtein(l, r, k)` early-exit verify.
     */
-  def editNearDups(docs: DataFrame, textCol: String, idCol: String,
-      k: Int = 10, q: Int = 16): DataFrame = {
-    val minLen = (k + 1) * q + k
-    val w = 2 * k + 1
-    val d = graft.operators.FanOut(docs)
+  /** Length-floored id/text projection shared by the edit family. */
+  private def editProject(docs: DataFrame, textCol: String, idCol: String,
+      minLen: Int): DataFrame =
+    graft.operators.FanOut(docs)
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .filter(length(col("text")) >= minLen)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val anchors = d.select(col("id").as("aid"),
-        length(col("text")).as("alen"),
+
+  /** The k+1 disjoint leading anchor grams of each doc, replicated to
+    * the ≤ 2 position buckets covering [apos−k, apos+k].
+    */
+  private def editAnchors(d: DataFrame, k: Int, q: Int): DataFrame = {
+    val w = 2 * k + 1
+    d.select(col("id").as("aid"), length(col("text")).as("alen"),
         posexplode(expr(
           s"transform(sequence(0, $k), i -> substring(text, i*$q+1, $q))"))
           .as(Seq("ai", "g")))
@@ -577,12 +581,27 @@ object Dedup extends Serializable {
       .withColumn("bkt", explode(array_distinct(array(
         floor(greatest(col("apos") - k, lit(0)) / w).cast("int"),
         floor((col("apos") + k) / w).cast("int")))))
-    val sliding = d.select(col("id").as("sid"),
-        length(col("text")).as("slen"),
+  }
+
+  /** The positional sliding-gram index (every q-gram at every
+    * position) — the stored inverted index at scale.
+    */
+  private def editSliding(d: DataFrame, k: Int, q: Int): DataFrame = {
+    val w = 2 * k + 1
+    d.select(col("id").as("sid"), length(col("text")).as("slen"),
         posexplode(expr(
           s"transform(sequence(0, length(text)-$q), p -> substring(text, p+1, $q))"))
           .as(Seq("spos", "g")))
       .withColumn("bkt", floor(col("spos") / w).cast("int"))
+  }
+
+  /** (gram, bucket)-keyed candidate join + thresholded banded
+    * levenshtein verify (-1 past the threshold; equal to the plain
+    * distance on every survivor, so the oracle's plain levenshtein
+    * agrees). `texts` must cover every id the candidates mention.
+    */
+  private def editVerify(anchors: DataFrame, sliding: DataFrame,
+      texts: DataFrame, k: Int): DataFrame = {
     val cand = anchors.join(sliding, Seq("g", "bkt"))
       .filter(col("aid") =!= col("sid") &&
         abs(col("apos") - col("spos")) <= k &&
@@ -590,16 +609,42 @@ object Dedup extends Serializable {
       .select(least(col("aid"), col("sid")).as("a"),
         greatest(col("aid"), col("sid")).as("b"))
       .distinct()
-    // thresholded levenshtein: banded O(k·n) DP with early exit (-1
-    // past the threshold) instead of the full O(n²) table — equal to
-    // the plain distance whenever it is ≤ k, which is exactly the
-    // surviving set, so the oracle's plain levenshtein agrees
     cand
-      .join(d.select(col("id").as("a"), col("text").as("ta")), "a")
-      .join(d.select(col("id").as("b"), col("text").as("tb")), "b")
+      .join(texts.select(col("id").as("a"), col("text").as("ta")), "a")
+      .join(texts.select(col("id").as("b"), col("text").as("tb")), "b")
       .select(col("a"), col("b"),
         levenshtein(col("ta"), col("tb"), k).as("ed"))
       .filter(col("ed") >= 0 && col("ed") <= k)
+  }
+
+  def editNearDups(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 10, q: Int = 16): DataFrame = {
+    val d = editProject(docs, textCol, idCol, (k + 1) * q + k)
+    editVerify(editAnchors(d, k, q), editSliding(d, k, q), d, k)
+  }
+
+  /** Incremental edit-distance near-dup — the edit member of the
+    * batch-vs-corpus family (exact q75, Bloom q86, MinHash q76, IVF
+    * q99): an arriving batch is checked for ≤ k-edit revisions of the
+    * HISTORY (and of itself) without history ever exploding anchors.
+    * Only the batch's k+1 anchors/doc probe the positional
+    * sliding-gram index of history ∪ batch — complete for every
+    * batch×history and batch×batch pair by the same pigeonhole (the
+    * intact anchor argument applies with the batch doc as A). At
+    * scale the history index is the STORED inverted char-gram table
+    * (bucketed on (gram, bucket) — recomputed here only because the
+    * harness is stateless, q99's posture); history shuffles nothing
+    * on batch arrival. History-internal pairs are deliberately NOT
+    * re-reported — they were caught when those docs arrived.
+    */
+  def incrementalEditNearDups(history: DataFrame, incoming: DataFrame,
+      textCol: String, idCol: String, k: Int = 10,
+      q: Int = 16): DataFrame = {
+    val minLen = (k + 1) * q + k
+    val h = editProject(history, textCol, idCol, minLen)
+    val b = editProject(incoming, textCol, idCol, minLen)
+    val all = h.unionAll(b)
+    editVerify(editAnchors(b, k, q), editSliding(all, k, q), all, k)
   }
 
   val SimChunks = 4

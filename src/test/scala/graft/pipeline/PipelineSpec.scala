@@ -275,6 +275,25 @@ class PipelineSpec extends SparkSpec {
       s"far doc should not pair: $pairs")
   }
 
+  test("incremental edit near-dup == full run restricted to batch-touching pairs") {
+    import spark.implicits._
+    val history = docs.filter(col("doc_id") % 7 =!= 0)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    val inc = Dedup.incrementalEditNearDups(history, batch,
+        "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Dedup.editNearDups(docs, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = full.filter { case (a, b, _) => a % 7 == 0 || b % 7 == 0 }
+    assert(inc == expected,
+      s"incremental diverged: missing=${(expected -- inc).take(5)} " +
+        s"extra=${(inc -- expected).take(5)}")
+    // history-internal pairs must be absent, and the fixture must
+    // actually exercise the suppression
+    assert(full.exists { case (a, b, _) => a % 7 != 0 && b % 7 != 0 },
+      "fixture has no history-internal pair to suppress")
+  }
+
   test("pii patterns: per-class hits, disjoint matches, redaction removes all") {
     import spark.implicits._
     val samples = Seq(
