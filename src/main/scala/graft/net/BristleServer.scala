@@ -43,6 +43,7 @@ final case class ServerConfig(
     maxInFlight: Int,
     grpcPort: Option[Int],
     grpcTls: Option[GrpcIngestServer.Tls],
+    maxRecvMessageBytes: Int,
     debugPort: Option[Int],
     descriptorPaths: Seq[String],
     autobind: Boolean,
@@ -121,6 +122,11 @@ object ServerConfig {
             throw BindError("tls without a certificate path"))),
           Paths.get(opt(t, "key").map(_.asText).getOrElse(
             throw BindError("tls without a key path"))))),
+      // reference `max_receive_message_size` (config.go:41); grpc-go's
+      // 4 MiB default when unset
+      maxRecvMessageBytes = ingest
+        .flatMap(opt(_, "max_receive_message_size")).map(_.asInt)
+        .getOrElse(GrpcIngestServer.DefaultMaxRecvBytes),
       debugPort = debugging.flatMap(opt(_, "bind_port")).map(_.asInt),
       descriptorPaths = opt(root, "proto_descriptor_paths").toSeq
         .flatMap(_.elements().asScala).map(_.asText),
@@ -167,7 +173,8 @@ final class BristleServer(configPath: Path,
     * serves the same engine over real gRPC/HTTP2 (0 = ephemeral).
     */
   val grpc: Option[GrpcIngestServer] = conf.grpcPort.map(p =>
-    new GrpcIngestServer(ingest.engine, p, metrics, conf.grpcTls))
+    new GrpcIngestServer(ingest.engine, p, metrics, conf.grpcTls,
+      conf.maxRecvMessageBytes))
   val debug: Option[DebugServer] = conf.debugPort.map(p =>
     new DebugServer(p, metrics, () => statusz()))
 

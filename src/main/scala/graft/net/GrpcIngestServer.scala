@@ -64,7 +64,8 @@ import scala.util.control.NonFatal
   */
 final class GrpcIngestServer(engine: IngestEngine, port: Int = 0,
     metrics: Metrics = Metrics.default,
-    tls: Option[GrpcIngestServer.Tls] = None) {
+    tls: Option[GrpcIngestServer.Tls] = None,
+    maxRecvMessageBytes: Int = GrpcIngestServer.DefaultMaxRecvBytes) {
 
   import GrpcIngestServer._
 
@@ -98,7 +99,8 @@ final class GrpcIngestServer(engine: IngestEngine, port: Int = 0,
         override def initChannel(ch: SocketChannel): Unit = {
           val streamInit = new ChannelInitializer[Channel] {
             override def initChannel(stream: Channel): Unit = {
-              stream.pipeline().addLast(new StreamHandler(engine, metrics))
+              stream.pipeline().addLast(
+                new StreamHandler(engine, metrics, maxRecvMessageBytes))
               ()
             }
           }
@@ -181,6 +183,17 @@ object GrpcIngestServer {
     io.netty.handler.ssl.ApplicationProtocolNames.HTTP_2,
     io.netty.handler.ssl.ApplicationProtocolNames.HTTP_1_1)
 
+  /** grpc-go's default MaxRecvMsgSize (4 MiB). The reference exposes
+    * it as `ingest.max_receive_message_size` (`config.go:41`,
+    * `ingest_service.go:48-50`); so does [[ServerConfig]].
+    */
+  val DefaultMaxRecvBytes: Int = 4 * 1024 * 1024
+
+  /** RESOURCE_EXHAUSTED — what grpc-go returns for an over-limit
+    * message.
+    */
+  val StatusResourceExhausted = 8
+
   private[net] val ServicePrefix = "/bristle.BristleIngestService/"
   private[net] val ContentType = AsciiString.cached("application/grpc")
   private[net] val GrpcStatus = AsciiString.cached("grpc-status")
@@ -204,7 +217,8 @@ object GrpcIngestServer {
     * session acks write from pool threads via the channel, which
     * netty marshals onto the loop — no extra locking needed.
     */
-  private final class StreamHandler(engine: IngestEngine, metrics: Metrics)
+  private final class StreamHandler(engine: IngestEngine,
+      metrics: Metrics, maxRecvBytes: Int)
       extends ChannelInboundHandlerAdapter {
 
     private val framer = new GrpcWire.Framer
@@ -212,6 +226,7 @@ object GrpcIngestServer {
     private var session: IngestEngine#Session = null // Streaming rpc only
     private var done = false
     private val unaryBody = Seq.newBuilder[Array[Byte]]
+    private var unaryBytes = 0L
 
     private def sendTrailersOnly(ctx: ChannelHandlerContext, status: Int,
         message: String): Unit = {
@@ -285,8 +300,24 @@ object GrpcIngestServer {
             sendTrailersOnly(ctx, GrpcWire.StatusUnimplemented, e.getMessage)
             return
         }
+      // MaxRecvMsgSize (grpc-go parity, ingest_service.go:48-50): an
+      // over-limit message — complete or still-accumulating — is
+      // RESOURCE_EXHAUSTED, and the bytes are never buffered past the
+      // limit
+      if (messages.exists(_.length > maxRecvBytes) ||
+          framer.pendingBytes > maxRecvBytes) {
+        sendTrailersOnly(ctx, StatusResourceExhausted,
+          s"message larger than max receive size $maxRecvBytes")
+        return
+      }
       if (unary) {
         unaryBody ++= messages
+        unaryBytes += messages.map(_.length.toLong).sum
+        if (unaryBytes > maxRecvBytes) {
+          sendTrailersOnly(ctx, StatusResourceExhausted,
+            s"message larger than max receive size $maxRecvBytes")
+          return
+        }
         if (d.isEndStream) finishUnary(ctx)
       } else if (session != null) {
         val unsupported = messages.exists { m =>
@@ -343,7 +374,13 @@ object GrpcIngestServer {
     }
 
     override def channelInactive(ctx: ChannelHandlerContext): Unit = {
-      if (session != null && !done) session.drain()
+      // abrupt disconnect: let in-flight writes finish OFF the event
+      // loop — the drain can wait up to its timeout and must never
+      // stall the multiplexer's other streams
+      if (session != null && !done) {
+        val s = session
+        engine.poolExecute(() => s.drain())
+      }
       ctx.fireChannelInactive()
       ()
     }

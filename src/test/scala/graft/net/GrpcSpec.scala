@@ -39,14 +39,16 @@ class GrpcSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 
   private def withServer[A](targets: Map[String, IngestServer.Target],
-      maxInFlight: Int = 12, backoffHighWater: Double = 0.8)(
+      maxInFlight: Int = 12, backoffHighWater: Double = 0.8,
+      maxRecvBytes: Int = GrpcIngestServer.DefaultMaxRecvBytes)(
       f: GrpcIngestServer => A): A = {
     val pool = Executors.newCachedThreadPool(r => {
       val t = new Thread(r, "grpcspec-engine"); t.setDaemon(true); t
     })
     val engine = new IngestEngine(() => targets, maxInFlight,
       backoffHighWater, backoffMs = 250, new Metrics, pool)
-    val s = new GrpcIngestServer(engine, 0, new Metrics).start()
+    val s = new GrpcIngestServer(engine, 0, new Metrics,
+      maxRecvMessageBytes = maxRecvBytes).start()
     try f(s) finally { s.stop(); pool.shutdownNow(); () }
   }
 
@@ -73,6 +75,28 @@ class GrpcSpec extends org.scalatest.funsuite.AnyFunSuite {
         srv.boundPort, WriteBatchRequest("k", Seq(Payload("no.Such", Seq(body(0))))))
       assert(status == BatchResult.UnkMessage && resp.isEmpty)
       assert(q.endSeq == q.firstSeq) // nothing admitted
+    } finally QueueSource.drop(qn)
+  }
+
+  test("over-limit message → RESOURCE_EXHAUSTED, never buffered (MaxRecvMsgSize)") {
+    val (qn, q, targets) = targetFor(capacity = 64)
+    try withServer(targets, maxRecvBytes = 1024) { srv =>
+      // one WriteBatchRequest well past the 1 KiB limit
+      val big = Array.fill(32)(Array.fill(256)(0x41.toByte))
+      val ex = intercept[java.io.IOException] {
+        GrpcIngestClient.unaryWriteBatch("127.0.0.1", srv.boundPort,
+          WriteBatchRequest("k", Seq(Payload("ExampleMessage",
+            big.toIndexedSeq))))
+      }
+      assert(ex.getMessage.contains("8") &&
+        ex.getMessage.contains("max receive size"),
+        s"expected RESOURCE_EXHAUSTED, got: ${ex.getMessage}")
+      assert(q.endSeq == q.firstSeq) // nothing admitted
+      // the connection-level limit must not break a small follow-up
+      val (st, resp) = GrpcIngestClient.unaryWriteBatch("127.0.0.1",
+        srv.boundPort, WriteBatchRequest("k",
+          Seq(Payload("ExampleMessage", Seq(body(0))))))
+      assert(st == BatchResult.Ok && resp.isDefined)
     } finally QueueSource.drop(qn)
   }
 
