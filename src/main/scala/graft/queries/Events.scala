@@ -46,20 +46,22 @@ object Events {
       ORDER BY bucket, event_type"""))
 
   /** Single-day scan (§2.4 Q1 partition pruning): the range predicate
-    * compares the RAW ts_ns column so it reaches parquet row-group
-    * min/max stats (PlanSpec pins the pushdown — a predicate on the
-    * derived timestamp scans everything); on a date-partitioned layout
-    * it prunes whole partitions before any IO.
+    * compares the column AS STORED ([[graft.Tables.tsRange]] picks the
+    * literal type to match) so it reaches parquet row-group min/max
+    * stats (PlanSpec pins the pushdown — a predicate on a derived
+    * column scans everything); on a date-partitioned layout it prunes
+    * whole partitions before any IO.
     */
   val q14 = Q(
     "q14_day_slice",
-    (spark, dir) =>
-      Tables(spark, dir, "events")
-        .filter(col("ts_ns") >= graft.Tables.utcNanos("2024-01-05T00:00:00Z") &&
-          col("ts_ns") < graft.Tables.utcNanos("2024-01-06T00:00:00Z"))
+    (spark, dir) => {
+      val ev = Tables(spark, dir, "events")
+      ev.filter(graft.Tables.tsRange(ev,
+          "2024-01-05T00:00:00Z", "2024-01-06T00:00:00Z"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-        .orderBy(col("event_type")),
+        .orderBy(col("event_type"))
+    },
     Some(s"""
       SELECT event_type, COUNT(*) AS n, ${oSum("value")} AS sum_value
       FROM events
