@@ -254,6 +254,55 @@ object Bench {
         System.err.println(s"[bench] zorder measure failed: ${e.getMessage}")
         ""
       }
+    // Scan-parallelism headroom, archived as a number: the fixture
+    // ships ONE parquet row group per table, so the scan+partial-agg
+    // stage of every raw-table query runs on one core no matter how
+    // many local[N] offers — a fixture artifact, not a production
+    // shape (a landed table is many parts, like the MergeTree parts
+    // the reference queries; at 100 TB a scan is thousands of
+    // splits). Land lineitem once untimed (8 key-ordered parts, the
+    // D5 landing discipline), then time the SAME registered queries
+    // raw vs landed — the ratio is the serialization tax the raw
+    // fixture numbers carry.
+    val landedJson =
+      if (only.isDefined) ""
+      else try {
+        import org.apache.spark.sql.functions.col
+        val base = java.nio.file.Files.createTempDirectory("graft-landed-")
+        val dir = s"$base/sf"
+        java.nio.file.Files.createDirectory(java.nio.file.Paths.get(dir))
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .repartitionByRange(8, col("l_orderkey"))
+          .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+          .write.parquet(s"$dir/lineitem.parquet")
+        for (t <- Seq("region", "nation", "customer", "supplier", "part",
+            "orders", "events", "documents", "embeddings"))
+          java.nio.file.Files.createSymbolicLink(
+            java.nio.file.Paths.get(s"$dir/$t.parquet"),
+            java.nio.file.Paths.get(s"$sfDir/$t.parquet"))
+        def once(name: String, d: String): Double = {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, d)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val body = Seq("q01_pricing_summary", "q03_join_revenue_per_nation")
+          .map { n =>
+            val raw = Seq(once(n, sfDir), once(n, sfDir)).min
+            val landed = Seq(once(n, dir), once(n, dir)).min
+            val k = n.take(3)
+            val r = String.format(java.util.Locale.ROOT, "%.3f",
+              Double.box(raw))
+            val l = String.format(java.util.Locale.ROOT, "%.3f",
+              Double.box(landed))
+            s""""$k":{"raw":$r,"landed":$l}"""
+          }.mkString(",")
+        graft.streaming.Parts.deleteTree(base)
+        s""","landed":{$body}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] landed measure failed: ${e.getMessage}")
+        ""
+      }
     // The one stdout line; "failed" lets downstream consumers tell a
     // healthy total from one with crashed queries (ADVICE r2). sfDir
     // is escaped so a quote/backslash in the env var can't break the
@@ -266,7 +315,7 @@ object Bench {
         s""","load1":${String.format(java.util.Locale.ROOT, "%.2f",
           Double.box(loadAtStart))}"""
       else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs$ingestJson$wireJson$grpcJson$jdbcJson$zorderJson$loadJson,"sf":"$sfJson"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs$ingestJson$wireJson$grpcJson$jdbcJson$zorderJson$landedJson$loadJson,"sf":"$sfJson"}""")
     spark.stop()
   }
 }
