@@ -348,6 +348,22 @@ object Stress {
       runR11("1x", base, ebase)
       runR11(s"${mult}x", big, ebig)
     }
+
+    // edit-only curve (round 11): isolates the q104 shape so the
+    // rarest-anchor selection can be measured against the r10
+    // leading-anchor record (1.9 s @1x / 37 s @10x / 108 s @30x)
+    def runEdit(tag: String, docs: DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val pairs = Dedup.editNearDups(docs, "text", "doc_id").count()
+      release(spark)
+      val t1 = System.nanoTime()
+      println(f"$tag%-4s edit=${(t1 - t0) / 1e9}%7.2f s [pairs=$pairs]")
+    }
+    if (stages("edit")) {
+      runEdit("warm", base.limit(500))
+      runEdit("1x", base)
+      runEdit(s"${mult}x", big)
+    }
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.expressions.{UserDefinedFunction, Window}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 import org.apache.spark.storage.StorageLevel
@@ -555,10 +555,12 @@ object Dedup extends Serializable {
     * frequent gram out quadratically: measured 38× wall-clock at 10×
     * corpus, vs ~linear with it). Exact position/length predicates
     * prune the bucket matches. Measured 24 candidates / 465 docs at
-    * sf0.01 and 1035 / 3653 at sf0.1 with q=16. At 100 TB the
-    * remaining knobs are anchor selection by rarity (join only each
-    * doc's lowest-df anchors, the q37 rarest-first discipline) and
-    * Spark's thresholded `levenshtein(l, r, k)` early-exit verify.
+    * sf0.01 and 1035 / 3653 at sf0.1 with q=16. Both 100 TB knobs
+    * are implemented: anchors are selected by RARITY (each doc's k+1
+    * lowest-df disjoint grid grams — the q37 rarest-first discipline;
+    * see [[editAnchors]]) so boilerplate grams never drive candidate
+    * fan-out, and the verify uses Spark's thresholded
+    * `levenshtein(l, r, k)` early-exit form.
     */
   /** Length-floored id/text projection shared by the edit family. */
   private def editProject(docs: DataFrame, textCol: String, idCol: String,
@@ -568,16 +570,48 @@ object Dedup extends Serializable {
       .filter(length(col("text")) >= minLen)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-  /** The k+1 disjoint leading anchor grams of each doc, replicated to
-    * the ≤ 2 position buckets covering [apos−k, apos+k].
+  /** Every doc's disjoint q-gram GRID — positions 0, q, 2q, … — as
+    * 8-byte gram hashes. This is both the anchor candidate set and
+    * the df sample the rarity rank reads.
     */
-  private def editAnchors(d: DataFrame, k: Int, q: Int): DataFrame = {
-    val w = 2 * k + 1
+  private def editGrid(d: DataFrame, q: Int): DataFrame =
     d.select(col("id").as("aid"), length(col("text")).as("alen"),
         posexplode(expr(
-          s"transform(sequence(0, $k), i -> substring(text, i*$q+1, $q))"))
-          .as(Seq("ai", "g")))
-      .select(col("aid"), col("alen"), (col("ai") * q).as("apos"), col("g"))
+          s"transform(sequence(0, cast(length(text)/$q as int) - 1)," +
+            s" i -> xxhash64(substring(text, i*$q+1, $q)))"))
+          .as(Seq("ai", "gh")))
+      .select(col("aid"), col("alen"), (col("ai") * q).as("apos"), col("gh"))
+
+  /** The k+1 disjoint RAREST anchor grams of each doc, replicated to
+    * the ≤ 2 position buckets covering [apos−k, apos+k].
+    *
+    * Selection: grid-partition the doc into ⌊len/q⌋ disjoint q-grams
+    * (positions 0, q, 2q, …) and keep the k+1 with the smallest
+    * document frequency over the grid itself (ties by position). The
+    * pigeonhole is selection-agnostic — each of ≤ k edits destroys
+    * the content of at most ONE disjoint segment (indels at
+    * boundaries shift positions but change no segment's text), so
+    * among ANY k+1 disjoint segments one survives intact in the
+    * partner, shifted ≤ k — which means completeness is identical to
+    * the old leading-anchor rule for ANY df signal, while
+    * boilerplate/common grams (the candidate-density killer on crawl
+    * corpora) stop anchoring the join. The df is counted over the
+    * GRID, not the full sliding index: a 1/q aligned sample whose
+    * counts concentrate for exactly the high-df grams that matter
+    * (P[a gram with n sliding occurrences misses the grid] ≈
+    * (1−1/q)^n), at 1/q the aggregation cost — and at 100 TB it is a
+    * stored statistic refreshed with the index, not a per-query
+    * pass. minLen = (k+1)·q + k guarantees ⌊len/q⌋ ≥ k+1 grid slots.
+    */
+  private def editAnchors(grid: DataFrame, freqGrid: DataFrame, k: Int,
+      q: Int): DataFrame = {
+    val w = 2 * k + 1
+    val freq = freqGrid.groupBy("gh").agg(count(lit(1)).as("df"))
+    grid.join(freq, Seq("gh"), "left")
+      .withColumn("rn", row_number().over(Window.partitionBy("aid")
+        .orderBy(coalesce(col("df"), lit(0L)), col("apos"))))
+      .filter(col("rn") <= k + 1)
+      .drop("df", "rn")
       .withColumn("bkt", explode(array_distinct(array(
         floor(greatest(col("apos") - k, lit(0)) / w).cast("int"),
         floor((col("apos") + k) / w).cast("int")))))
@@ -590,19 +624,29 @@ object Dedup extends Serializable {
     val w = 2 * k + 1
     d.select(col("id").as("sid"), length(col("text")).as("slen"),
         posexplode(expr(
-          s"transform(sequence(0, length(text)-$q), p -> substring(text, p+1, $q))"))
-          .as(Seq("spos", "g")))
+          s"transform(sequence(0, length(text)-$q)," +
+            s" p -> xxhash64(substring(text, p+1, $q)))"))
+          .as(Seq("spos", "gh")))
       .withColumn("bkt", floor(col("spos") / w).cast("int"))
   }
 
-  /** (gram, bucket)-keyed candidate join + thresholded banded
+  /** (gram-hash, bucket)-keyed candidate join + thresholded banded
     * levenshtein verify (-1 past the threshold; equal to the plain
     * distance on every survivor, so the oracle's plain levenshtein
-    * agrees). `texts` must cover every id the candidates mention.
+    * agrees). Grams travel as 8-byte xxhash64 keys (the q37 shuffle
+    * discipline): a hash collision can only ADD a candidate, never
+    * drop one, and the exact verify kills it — completeness and the
+    * output set are untouched while every shuffle/sort runs on fixed
+    * 8-byte keys instead of q-char strings. `texts` must cover every
+    * id the candidates mention.
     */
   private def editVerify(anchors: DataFrame, sliding: DataFrame,
       texts: DataFrame, k: Int): DataFrame = {
-    val cand = anchors.join(sliding, Seq("g", "bkt"))
+    // SHUFFLE_HASH on the anchor side: anchors are k+1 rows/doc vs
+    // the index's len rows/doc (~q× smaller), so hashing them skips
+    // the sort-merge join's O(n log n) sort of the whole sliding
+    // index — still a keyed shuffle join, nothing broadcasts
+    val cand = anchors.hint("SHUFFLE_HASH").join(sliding, Seq("gh", "bkt"))
       .filter(col("aid") =!= col("sid") &&
         abs(col("apos") - col("spos")) <= k &&
         abs(col("alen") - col("slen")) <= k)
@@ -620,7 +664,10 @@ object Dedup extends Serializable {
   def editNearDups(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 10, q: Int = 16): DataFrame = {
     val d = editProject(docs, textCol, idCol, (k + 1) * q + k)
-    editVerify(editAnchors(d, k, q), editSliding(d, k, q), d, k)
+    val grid = editGrid(d, q).persist(StorageLevel.MEMORY_AND_DISK)
+    val out =
+      editVerify(editAnchors(grid, grid, k, q), editSliding(d, k, q), d, k)
+    Similarity.materializeAndRelease(out, Seq(d, grid))
   }
 
   /** Incremental edit-distance near-dup — the edit member of the
@@ -644,7 +691,15 @@ object Dedup extends Serializable {
     val h = editProject(history, textCol, idCol, minLen)
     val b = editProject(incoming, textCol, idCol, minLen)
     val all = h.unionAll(b)
-    editVerify(editAnchors(b, k, q), editSliding(all, k, q), all, k)
+    // rarity is ranked on the full-corpus grid (history ∪ batch): at
+    // scale the stored index stat; only the BATCH's grid feeds the
+    // anchor window
+    val grid = editGrid(all, q).persist(StorageLevel.MEMORY_AND_DISK)
+    val bIds = b.select(col("id").as("aid"))
+    val bGrid = grid.join(bIds, Seq("aid"), "left_semi")
+    val out =
+      editVerify(editAnchors(bGrid, grid, k, q), editSliding(all, k, q), all, k)
+    Similarity.materializeAndRelease(out, Seq(h, b, grid))
   }
 
   val SimChunks = 4
