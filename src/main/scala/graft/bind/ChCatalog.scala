@@ -54,4 +54,77 @@ object ChCatalog {
   /** Introspect a landed parquet table's footer schema. */
   def fromParquet(spark: SparkSession, path: String): Seq[ChColumn] =
     fromSchema(spark.read.parquet(path).schema)
+
+  /** Introspect a JDBC sink table — the system.columns half of S6 for
+    * real SQL engines (reference clickhouse_cluster.go:74-91 runs
+    * `SELECT name, position, type, default_expression FROM
+    * system.columns WHERE table = ?`): the same (name, position,
+    * type, default) tuple is read through `DatabaseMetaData
+    * .getColumns`, which every JDBC engine serves, so a config whose
+    * table points only at a `jdbc_url` can bind without a parquet
+    * twin. Sink-infrastructure columns (the idempotence `batch_key`
+    * [[graft.streaming.JdbcSink]] adds) are excluded and positions
+    * renumbered, so the result round-trips against the data schema
+    * exactly like [[fromParquet]].
+    *
+    * Identifier case: engines that fold unquoted identifiers
+    * (Derby → upper) report the folded form; names are folded back to
+    * lower case there so they match the proto/descriptor names the
+    * binder joins on — ClickHouse itself is case-preserving and takes
+    * the other branch.
+    */
+  def fromJdbc(url: String, table: String,
+      exclude: Set[String] = Set("batch_key")): Seq[ChColumn] = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try fromJdbc(conn, table, exclude) finally conn.close()
+  }
+
+  def fromJdbc(conn: java.sql.Connection, table: String,
+      exclude: Set[String]): Seq[ChColumn] = {
+    import java.sql.Types._
+    val meta = conn.getMetaData
+    val foldsUpper = meta.storesUpperCaseIdentifiers
+    val lookup =
+      if (foldsUpper) table.toUpperCase
+      else if (meta.storesLowerCaseIdentifiers) table.toLowerCase
+      else table
+    val rs = meta.getColumns(null, null, lookup, null)
+    val rows = Iterator.continually(rs)
+      .takeWhile(_.next())
+      .map { r =>
+        val size = r.getInt("COLUMN_SIZE")
+        val digits = r.getInt("DECIMAL_DIGITS")
+        val base = r.getInt("DATA_TYPE") match {
+          case BIGINT => "Int64"
+          case INTEGER => "Int32"
+          case SMALLINT => "Int16"
+          case TINYINT => "Int8"
+          case DOUBLE | FLOAT => "Float64"
+          case REAL => "Float32"
+          case BOOLEAN | BIT => "Bool"
+          case VARCHAR | CHAR | LONGVARCHAR | CLOB | NVARCHAR | NCHAR =>
+            "String"
+          case TIMESTAMP => "DateTime64(6)"
+          case DATE => "Date"
+          case DECIMAL | NUMERIC => s"Decimal($size, $digits)"
+          case other => throw BindError(
+            s"no ClickHouse rendering for JDBC type $other " +
+              s"(column ${r.getString("COLUMN_NAME")})")
+        }
+        val nullable =
+          r.getInt("NULLABLE") == java.sql.DatabaseMetaData.columnNullable
+        val name0 = r.getString("COLUMN_NAME")
+        val name = if (foldsUpper) name0.toLowerCase else name0
+        (r.getInt("ORDINAL_POSITION"), name,
+          if (nullable) s"Nullable($base)" else base,
+          Option(r.getString("COLUMN_DEF")).getOrElse(""))
+      }.toVector
+    rs.close()
+    if (rows.isEmpty)
+      throw BindError(s"JDBC catalog has no table '$table'")
+    rows.sortBy(_._1)
+      .filterNot { case (_, n, _, _) => exclude.contains(n) }
+      .zipWithIndex
+      .map { case ((_, n, t, d), i) => ChColumn(n, i + 1, t, d) }
+  }
 }

@@ -51,6 +51,36 @@ class CatalogSpec extends SparkSpec {
     assert(binding.columns.map(_.name) == Seq("renamed.key", "renamed.value"))
   }
 
+  test("JDBC catalog introspection matches fromSchema on the sink DDL") {
+    import org.apache.spark.sql.types._
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home",
+        java.nio.file.Files.createTempDirectory("derby-home").toString)
+    val url = "jdbc:derby:memory:catspec;create=true"
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = false),
+      StructField("ratio", FloatType, nullable = false),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("amount", DecimalType(12, 3), nullable = false),
+      StructField("flag", BooleanType, nullable = true)))
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      graft.streaming.JdbcSink.ddlFor("t_cat", schema))
+    finally conn.close()
+    // the engine's catalog (DatabaseMetaData — the system.columns
+    // read for engines without one) yields the SAME (name, position,
+    // type, default) tuple as introspecting the Spark schema: the
+    // idempotence batch_key is excluded, positions renumber, Derby's
+    // upper-case identifier fold is undone
+    val cols = ChCatalog.fromJdbc(url, "t_cat")
+    assert(cols == ChCatalog.fromSchema(schema))
+    // a missing table is a bind error, not an empty catalog
+    val e = intercept[BindError] { ChCatalog.fromJdbc(url, "no_such") }
+    assert(e.getMessage.contains("no_such"))
+  }
+
   test("introspected parquet footer binds a matching message") {
     import graft.proto.{PField, PMessage, PType}
     import spark.implicits._

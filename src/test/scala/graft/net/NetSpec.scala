@@ -529,6 +529,20 @@ class NetSpec extends SparkSpec {
           assert(!Files.exists(dir.resolve("land").resolve("data")) ||
             Files.list(dir.resolve("land").resolve("data")).count() == 0)
         } finally c2.close()
+        // S6's JDBC half closes the loop: introspect the SQL engine
+        // the sink just landed into (the system.columns read,
+        // clickhouse_cluster.go:74-91) and RE-BIND the same message
+        // against it — a config pointing only at a jdbc_url binds
+        // with no parquet twin, and the rebound projection matches
+        // the one the drain used
+        val introspected = graft.bind.ChCatalog.fromJdbc(url, "t_drain")
+        assert(introspected.map(c => (c.name, c.position)) ==
+          Seq(("name", 1), ("value", 2)))
+        assert(introspected.map(_.chType.spark) ==
+          schema.fields.map(_.dataType).toSeq)
+        val rebound = graft.bind.SchemaBinder.bind(d.message, introspected)
+        assert(rebound.columns.map(_.name) ==
+          d.binding.columns.map(_.name))
       } finally drains.values.foreach(_.stop())
     } finally {
       server.stop()
