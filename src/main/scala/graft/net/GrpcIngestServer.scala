@@ -254,6 +254,12 @@ object GrpcIngestServer {
         case other => ctx.fireChannelRead(other); ()
       }
 
+    override def channelReadComplete(ctx: ChannelHandlerContext): Unit = {
+      ctx.flush() // drain window updates batched in onData
+      ctx.fireChannelReadComplete()
+      ()
+    }
+
     private def onHeaders(ctx: ChannelHandlerContext,
         h: Http2HeadersFrame): Unit = {
       val path = if (h.headers().path() == null) "" else h.headers().path().toString
@@ -286,10 +292,13 @@ object GrpcIngestServer {
     private def onData(ctx: ChannelHandlerContext, d: Http2DataFrame): Unit = {
       // return consumed flow-control bytes so the sender's window
       // never closes (inbound is bounded by the admission queues, not
-      // by HTTP/2 backpressure)
+      // by HTTP/2 backpressure). write, not writeAndFlush: one flush
+      // per read burst (channelReadComplete) instead of one syscall
+      // per DATA frame
       val consumed = d.initialFlowControlledBytes()
-      if (consumed > 0)
-        ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(consumed))
+      if (consumed > 0) {
+        ctx.write(new DefaultHttp2WindowUpdateFrame(consumed)); ()
+      }
       if (done) return
       val bytes = new Array[Byte](d.content().readableBytes())
       d.content().readBytes(bytes)

@@ -64,37 +64,77 @@ object GrpcWire {
   /** Stateful reassembler: DATA-frame bytes in, complete messages
     * out. One per stream direction; not thread-safe (a stream's reads
     * arrive on one event-loop thread).
+    *
+    * Fed chunks are QUEUED, not re-buffered: the old
+    * ByteArrayOutputStream form copied the entire pending buffer on
+    * every feed (`toByteArray`), which made reassembling a message
+    * split over n DATA frames O(size·n) — the measured 2× transport
+    * tax vs the raw socket at 1 MiB batches. Here every payload byte
+    * is copied exactly once, straight from its arrival chunk into the
+    * message array, when the message completes.
     */
   final class Framer {
-    private val buf = new ByteArrayOutputStream()
+    private val chunks = new java.util.ArrayDeque[Array[Byte]]()
+    private var headOff = 0 // consumed bytes of the head chunk
+    private var pending = 0
+
+    /** Copy (dst != null) or skip (dst == null) the next `n` queued
+      * bytes.
+      */
+    private def consume(dst: Array[Byte], n: Int): Unit = {
+      var copied = 0
+      while (copied < n) {
+        val head = chunks.peekFirst()
+        val take = math.min(head.length - headOff, n - copied)
+        if (dst != null) System.arraycopy(head, headOff, dst, copied, take)
+        copied += take
+        headOff += take
+        if (headOff == head.length) { chunks.pollFirst(); headOff = 0 }
+      }
+      pending -= n
+    }
+
+    /** Read the 5-byte message header across chunk boundaries without
+      * consuming it (the message may still be torn).
+      */
+    private def peekHeader(hdr: Array[Byte]): Unit = {
+      var n = 0
+      var off = headOff
+      val it = chunks.iterator()
+      while (n < 5) {
+        val c = it.next()
+        while (off < c.length && n < 5) { hdr(n) = c(off); n += 1; off += 1 }
+        off = 0
+      }
+    }
 
     /** Append `bytes` and return every now-complete message. */
     def feed(bytes: Array[Byte]): Seq[Array[Byte]] = {
-      buf.write(bytes)
-      val all = buf.toByteArray
-      var off = 0
+      if (bytes.length > 0) { chunks.addLast(bytes); pending += bytes.length }
       val out = Seq.newBuilder[Array[Byte]]
+      val hdr = new Array[Byte](5)
       var more = true
-      while (more && all.length - off >= 5) {
-        if (all(off) != 0)
+      while (more && pending >= 5) {
+        peekHeader(hdr)
+        if (hdr(0) != 0)
           throw new Unsupported("compressed gRPC message without a codec")
-        val len = ((all(off + 1) & 0xff) << 24) | ((all(off + 2) & 0xff) << 16) |
-          ((all(off + 3) & 0xff) << 8) | (all(off + 4) & 0xff)
-        if (all.length - off - 5 < len) more = false
+        val len = ((hdr(1) & 0xff) << 24) | ((hdr(2) & 0xff) << 16) |
+          ((hdr(3) & 0xff) << 8) | (hdr(4) & 0xff)
+        if (len < 0)
+          throw new Unsupported(s"invalid gRPC frame length $len")
+        if (pending - 5 < len) more = false
         else {
-          out += java.util.Arrays.copyOfRange(all, off + 5, off + 5 + len)
-          off += 5 + len
+          consume(null, 5)
+          val msg = new Array[Byte](len)
+          consume(msg, len)
+          out += msg
         }
-      }
-      if (off > 0) {
-        buf.reset()
-        buf.write(all, off, all.length - off)
       }
       out.result()
     }
 
     /** Bytes of a torn trailing message still waiting for more DATA. */
-    def pendingBytes: Int = buf.size()
+    def pendingBytes: Int = pending
   }
 
   /** `grpc-message` percent-encoding (spec: percent-encode bytes

@@ -334,4 +334,70 @@ class GrpcSpec extends org.scalatest.funsuite.AnyFunSuite {
       } finally client.close()
     } finally QueueSource.drop(qn)
   }
+
+  test("D14 reload swaps the registry the gRPC endpoint serves") {
+    // NetSpec pins reload semantics for the socket endpoint; this
+    // pins that the SAME atomic swap is what a live gRPC session
+    // resolves against (shared engine, per-batch target resolution):
+    // unchanged tables keep their queue and buffered rows across the
+    // swap, a changed table rebuilds, and the client connection
+    // survives both.
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("grpcspec-reload-")
+    val desc = dir.resolve("example.desc")
+    val in = getClass.getResourceAsStream("/descriptors/example.pb")
+    Files.write(desc, in.readAllBytes())
+    in.close()
+    val cols = TranscodeE2E.table.map { c =>
+      s"""{"name": "${c.name}", "type": "${c.typeString}"}"""
+    }.mkString("[", ", ", "]")
+    def writeCfg(capacity: Int): Unit =
+      Files.write(dir.resolve("config.json"),
+        s"""{
+           |  "ingest": {"bind_port": 0, "grpc_port": 0},
+           |  "proto_descriptor_paths": ["$desc"],
+           |  "catalogs": [{"name": "landing", "tables": {
+           |    "example": {"capacity": $capacity, "on_full": "block",
+           |      "messages": ["ExampleMessage"], "columns": $cols}
+           |  }}]
+           |}""".stripMargin.getBytes("UTF-8"))
+    writeCfg(capacity = 16)
+    val server = new BristleServer(dir.resolve("config.json"), new Metrics)
+      .start()
+    try {
+      val srv = server.grpc.get
+      val client = new GrpcIngestClient("127.0.0.1", srv.boundPort)
+      try {
+        assert(client.registerType("ExampleMessage") == 1)
+        assert(client.writeBatch("ExampleMessage",
+          (0 until 3).map(body)) == BatchResult.Ok)
+        val q1 = server.queues("landing.example")
+        assert(q1.endSeq - q1.firstSeq == 3)
+
+        // same settings → the swap keeps the live queue; the live
+        // gRPC session keeps landing into it (rows accumulate)
+        writeCfg(capacity = 16)
+        assert(server.reload().isRight)
+        assert(server.queues("landing.example") eq q1)
+        assert(client.writeBatch("ExampleMessage",
+          (3 until 5).map(body)) == BatchResult.Ok)
+        assert(q1.endSeq - q1.firstSeq == 5)
+
+        // changed capacity → rebuilt queue; the SAME live connection
+        // (and its registered type id) resolves the new queue on the
+        // next batch, old buffered rows stay with the old object
+        writeCfg(capacity = 32)
+        assert(server.reload().isRight)
+        val q2 = server.queues("landing.example")
+        assert(q2.capacity == 32 && !(q2 eq q1))
+        assert(client.writeBatch("ExampleMessage",
+          (5 until 9).map(body)) == BatchResult.Ok)
+        assert(q2.endSeq - q2.firstSeq == 4)
+        assert(q2.slice(0, 4).map(_._2.toSeq) == (5 until 9).map(body(_).toSeq))
+      } finally client.close()
+    } finally {
+      server.stop()
+      server.queues.keys.foreach(QueueSource.drop)
+    }
+  }
 }
