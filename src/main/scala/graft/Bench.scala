@@ -15,11 +15,27 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // co-tenant load is the #1 confound in archived records (r9's
-    // total read 119 s loaded vs 90 s quiet) — sample the 1-min load
-    // BEFORE the run (afterwards it just measures this bench) so a
-    // reader can judge the capture's trustworthiness
-    val loadAtStart = java.lang.management.ManagementFactory
+    // total read 119 s loaded vs 90 s quiet; r10 archived load1 5.03
+    // while three quiet runs measured 26% faster) — so the bench now
+    // GATES on it instead of merely stamping it: wait for the 1-min
+    // load to fall under the threshold before measuring anything,
+    // polling every 15 s up to a deadline (default 10 min — a capped
+    // wait, so a driver run on a permanently busy box still
+    // completes, with the honest load stamped). SPARK_GRAFT_LOAD_GATE
+    // overrides the threshold; 0 disables the gate.
+    def load1(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    val gate = sys.env.get("SPARK_GRAFT_LOAD_GATE").map(_.toDouble)
+      .getOrElse(0.8)
+    if (gate > 0 && load1() >= gate) {
+      val deadline = System.nanoTime() + 10L * 60 * 1000000000L
+      while (load1() >= gate && System.nanoTime() < deadline) {
+        System.err.println(f"[bench] load1=${load1()}%.2f >= $gate%.2f — " +
+          "waiting for a quiet machine (gate: VERDICT r10 #2)")
+        Thread.sleep(15000)
+      }
+    }
+    val loadAtStart = load1()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -231,28 +247,29 @@ object Bench {
     // production default (128 MB) skips whole files instead.
     val zorderJson =
       if (only.isDefined) ""
-      else try {
-        import org.apache.spark.sql.functions._
-        val ev = graft.Tables(spark, sfDir, "events")
-          .select(col("event_id"), col("user_id"), col("ts_ns"), col("value"))
+      else {
         val base = java.nio.file.Files.createTempDirectory("graft-zbench-")
-        val (zDir, tDir) = (s"$base/z", s"$base/t")
-        graft.sources.ZOrderLayout.write(ev,
-          expr("ts_ns div 86400000000000"), col("user_id"), zDir,
-          rowGroupBytes = 64 * 1024)
-        ev.repartitionByRange(8, col("ts_ns"))
-          .sortWithinPartitions(col("ts_ns"))
-          .write.mode("overwrite")
-          .option("parquet.block.size", (64 * 1024).toLong).parquet(tDir)
-        val (zc, zt) = graft.sources.ZOrderLayout
-          .candidateGroups(zDir, "user_id", 100L, 200L)
-        val (tc, tt) = graft.sources.ZOrderLayout
-          .candidateGroups(tDir, "user_id", 100L, 200L)
-        graft.streaming.Parts.deleteTree(base)
-        s""","zorder":{"z":$zc,"z_total":$zt,"t":$tc,"t_total":$tt}"""
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] zorder measure failed: ${e.getMessage}")
-        ""
+        try {
+          import org.apache.spark.sql.functions._
+          val ev = graft.Tables(spark, sfDir, "events")
+            .select(col("event_id"), col("user_id"), col("ts_ns"), col("value"))
+          val (zDir, tDir) = (s"$base/z", s"$base/t")
+          graft.sources.ZOrderLayout.write(ev,
+            expr("ts_ns div 86400000000000"), col("user_id"), zDir,
+            rowGroupBytes = 64 * 1024)
+          ev.repartitionByRange(8, col("ts_ns"))
+            .sortWithinPartitions(col("ts_ns"))
+            .write.mode("overwrite")
+            .option("parquet.block.size", (64 * 1024).toLong).parquet(tDir)
+          val (zc, zt) = graft.sources.ZOrderLayout
+            .candidateGroups(zDir, "user_id", 100L, 200L)
+          val (tc, tt) = graft.sources.ZOrderLayout
+            .candidateGroups(tDir, "user_id", 100L, 200L)
+          s""","zorder":{"z":$zc,"z_total":$zt,"t":$tc,"t_total":$tt}"""
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] zorder measure failed: ${e.getMessage}")
+          ""
+        } finally graft.streaming.Parts.deleteTree(base)
       }
     // Scan-parallelism headroom, archived as a number: the fixture
     // ships ONE parquet row group per table, so the scan+partial-agg
@@ -266,42 +283,63 @@ object Bench {
     // fixture numbers carry.
     val landedJson =
       if (only.isDefined) ""
-      else try {
+      else {
         import org.apache.spark.sql.functions.col
         val base = java.nio.file.Files.createTempDirectory("graft-landed-")
-        val dir = s"$base/sf"
-        java.nio.file.Files.createDirectory(java.nio.file.Paths.get(dir))
-        spark.read.parquet(s"$sfDir/lineitem.parquet")
-          .repartitionByRange(8, col("l_orderkey"))
-          .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
-          .write.parquet(s"$dir/lineitem.parquet")
-        for (t <- Seq("region", "nation", "customer", "supplier", "part",
-            "orders", "events", "documents", "embeddings"))
-          java.nio.file.Files.createSymbolicLink(
-            java.nio.file.Paths.get(s"$dir/$t.parquet"),
-            java.nio.file.Paths.get(s"$sfDir/$t.parquet"))
-        def once(name: String, d: String): Double = {
-          val t0 = System.nanoTime()
-          SparkEntry.queries(name)(spark, d)
-            .write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        }
-        val body = Seq("q01_pricing_summary", "q03_join_revenue_per_nation")
-          .map { n =>
-            val raw = Seq(once(n, sfDir), once(n, sfDir)).min
-            val landed = Seq(once(n, dir), once(n, dir)).min
-            val k = n.take(3)
-            val r = String.format(java.util.Locale.ROOT, "%.3f",
-              Double.box(raw))
-            val l = String.format(java.util.Locale.ROOT, "%.3f",
-              Double.box(landed))
-            s""""$k":{"raw":$r,"landed":$l}"""
-          }.mkString(",")
-        graft.streaming.Parts.deleteTree(base)
-        s""","landed":{$body}"""
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] landed measure failed: ${e.getMessage}")
-        ""
+        try {
+          val dir = s"$base/sf"
+          // absolute targets: a relative SPARK_GRAFT_SF_DIR would make
+          // the links resolve against the temp dir and silently break
+          // the whole landed measure (ADVICE r10)
+          val sfAbs = java.nio.file.Paths.get(sfDir).toAbsolutePath
+          java.nio.file.Files.createDirectory(java.nio.file.Paths.get(dir))
+          spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .repartitionByRange(8, col("l_orderkey"))
+            .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+            .write.parquet(s"$dir/lineitem.parquet")
+          // events lands the D5 way too: key-ordered parts on the time
+          // spine, so the events family measures the landed shape
+          // (layout claims with numbers, VERDICT r10 #6) — stored type
+          // preserved, so Tables' pushed-down spine predicates apply
+          // to the landed copy exactly as to the fixture
+          spark.read.parquet(s"$sfDir/events.parquet")
+            .repartitionByRange(8, col("ts_ns"))
+            .sortWithinPartitions(col("ts_ns"))
+            .write.parquet(s"$dir/events.parquet")
+          for (t <- Seq("region", "nation", "customer", "supplier", "part",
+              "orders", "documents", "embeddings"))
+            java.nio.file.Files.createSymbolicLink(
+              java.nio.file.Paths.get(s"$dir/$t.parquet"),
+              sfAbs.resolve(s"$t.parquet"))
+          // untimed layout builds on the landed copy (memoized per
+          // dir): q34/q63 are layout queries, and the one-time table
+          // construction must not be billed to the landed number any
+          // more than the warm-up billed it to the raw one
+          graft.sources.PartitionedLayout.events(spark, dir)
+            .limit(1).write.format("noop").mode("overwrite").save()
+          def once(name: String, d: String): Double = {
+            val t0 = System.nanoTime()
+            SparkEntry.queries(name)(spark, d)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          val body = Seq("q01_pricing_summary", "q03_join_revenue_per_nation",
+              "q13_ohlc_1m", "q14_top_movers", "q34_partition_prune")
+            .map { n =>
+              val raw = Seq(once(n, sfDir), once(n, sfDir)).min
+              val landed = Seq(once(n, dir), once(n, dir)).min
+              val k = n.take(3)
+              val r = String.format(java.util.Locale.ROOT, "%.3f",
+                Double.box(raw))
+              val l = String.format(java.util.Locale.ROOT, "%.3f",
+                Double.box(landed))
+              s""""$k":{"raw":$r,"landed":$l}"""
+            }.mkString(",")
+          s""","landed":{$body}"""
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] landed measure failed: ${e.getMessage}")
+          ""
+        } finally graft.streaming.Parts.deleteTree(base)
       }
     // The one stdout line; "failed" lets downstream consumers tell a
     // healthy total from one with crashed queries (ADVICE r2). sfDir

@@ -35,9 +35,19 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // ts_ns/ts derivation below converts wall-clock to epoch via the
-    // session zone; pin it so the surface is deterministic even under
-    // a caller that forgot (every main already sets UTC).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // session zone; the surface (and every oracle) defines event time
+    // in UTC, so a non-UTC session cannot produce correct results.
+    // Pin it — but NOISILY (ADVICE r10): a caller that set another
+    // zone on purpose sees the override on stderr instead of a silent
+    // permanent session mutation. Every graft main already sets UTC,
+    // so the warning only fires for embedding callers.
+    val zone = spark.conf.get("spark.sql.session.timeZone")
+    if (zone != "UTC") {
+      System.err.println(s"[tables] overriding spark.sql.session.timeZone " +
+        s"'$zone' -> 'UTC': the ts_ns/ts surface and its oracles define " +
+        "event time in UTC")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") {
       df.schema("ts").dataType match {

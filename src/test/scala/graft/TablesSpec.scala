@@ -56,7 +56,12 @@ class TablesSpec extends SparkSpec {
       us / 1000000L, (us % 1000000L).toInt * 1000,
       java.time.ZoneOffset.UTC))
   // the legacy shape as Tables sees it: int64 epoch nanos under
-  // nanosAsLong (the logical annotation is invisible above the scan)
+  // nanosAsLong (the logical annotation is invisible above the scan).
+  // Known fixture gap (ADVICE r10): this writes PLAIN INT64 — Spark
+  // cannot write a TIMESTAMP(NANOS) logical annotation — so the
+  // PushedFilters pin exercises the post-nanosAsLong reader surface,
+  // not annotated-nanos pushdown eligibility itself; that was probed
+  // against the real rounds-1-9 generator files while they existed.
   private val nanosDir = eventsVia(LongType, us => us * 1000L)
 
   test("both generator shapes normalize to the same ts_ns/ts surface") {
