@@ -23,6 +23,23 @@ import graft.streaming.RowBuffer
   */
 object WireBench {
 
+  /** Dev harness: `scripts/run.sh graft.WireBench [transport] [rows]
+    * [batch] [clients] [reps]` — prints rows/s per rep so transport
+    * overheads can be isolated without the full Bench run.
+    */
+  def main(args: Array[String]): Unit = {
+    val transport = args.headOption.getOrElse("socket")
+    val rows = args.lift(1).map(_.toInt).getOrElse(262144)
+    val batch = args.lift(2).map(_.toInt).getOrElse(256)
+    val clients = args.lift(3).map(_.toInt).getOrElse(4)
+    val reps = args.lift(4).map(_.toInt).getOrElse(3)
+    for (_ <- 0 until reps) {
+      val (n, sec) = run(rows, batch, clients, transport)
+      println(f"$transport rows=$n batch=$batch clients=$clients " +
+        f"sec=$sec%.3f rows_per_sec=${(n / sec).toLong}")
+    }
+  }
+
   /** The two clients expose identical session surfaces (both are
     * shells over `ClientCore`) but share no interface — this is it.
     */

@@ -133,19 +133,30 @@ object GrpcIngestClient {
       msg match {
         case d: Http2DataFrame =>
           try {
-            val consumed = d.initialFlowControlledBytes()
-            if (consumed > 0)
-              ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(consumed))
+            // dispatch the ack FIRST (it releases the writer's latch —
+            // the round-trip critical path), then return flow-control
+            // bytes unflushed; channelReadComplete flushes once per
+            // read burst instead of one syscall per ack
             val bytes = new Array[Byte](d.content().readableBytes())
             d.content().readBytes(bytes)
             framer.feed(bytes).foreach(m =>
               core.onServerMessage(decodeServerMessage(m)))
+            val consumed = d.initialFlowControlledBytes()
+            if (consumed > 0) {
+              ctx.write(new DefaultHttp2WindowUpdateFrame(consumed)); ()
+            }
           } finally d.release()
         case h: Http2HeadersFrame =>
           if (h.isEndStream) ctx.close() // trailers: stream over
         case _: Http2ResetFrame => ctx.close(); ()
         case other => ctx.fireChannelRead(other); ()
       }
+
+    override def channelReadComplete(ctx: ChannelHandlerContext): Unit = {
+      ctx.flush() // drain window updates batched in channelRead
+      ctx.fireChannelReadComplete()
+      ()
+    }
 
     override def channelInactive(ctx: ChannelHandlerContext): Unit = {
       core.onDisconnect()
