@@ -185,23 +185,26 @@ object Bench {
       }
     // Wire half of the same path: concurrent socket sessions → server
     // decode-check → queue admission, acked per batch (WireBench).
-    // Both wire benches run twice and archive the better rep: the
-    // first rep JITs the transport stack (the netty/HTTP2 classes are
+    // The wire benches run three reps and archive the best: the first
+    // rep JITs the transport stack (the netty/HTTP2 classes are
     // untouched by the query workload), and a class-loading artifact
-    // in the record is not a transport measurement. Both reps go to
-    // stderr for the curious.
-    def bestOf2(run: () => (Long, Double)): (Long, Double) = {
-      val a = run(); val b = run()
-      System.err.println(f"[bench] wire reps: ${a._1 / a._2}%.0f " +
-        f"then ${b._1 / b._2}%.0f rows/s")
-      if (a._2 / a._1 <= b._2 / b._1) a else b
+    // in the record is not a transport measurement. A full GC ahead of
+    // the block keeps 105 queries' worth of heap out of the timing —
+    // the same between-queries hygiene the query loop uses. All reps
+    // go to stderr for the curious.
+    def bestOf(run: () => (Long, Double)): (Long, Double) = {
+      System.gc()
+      val reps = Seq.fill(3)(run())
+      System.err.println("[bench] wire reps: " + reps.map { case (n, s) =>
+        f"${n / s}%.0f" }.mkString(" then ") + " rows/s")
+      reps.minBy { case (n, s) => s / n }
     }
     val wireJson =
       if (only.exists(!_.contains("wire_ingest"))) ""
       else try {
-        val (rows, sec) = bestOf2(() => WireBench.run(rows = 262144))
+        val (rows, sec) = bestOf(() => WireBench.run(rows = 262144))
         val rps = (rows / sec).toLong
-        s""","wire_ingest":{"rows":$rows,"sec":${math.rint(sec * 1000) / 1000},"rows_per_sec":$rps,"reps":2}"""
+        s""","wire_ingest":{"rows":$rows,"sec":${math.rint(sec * 1000) / 1000},"rows_per_sec":$rps,"reps":3}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] wire bench failed: ${e.getMessage}")
         ""
@@ -213,9 +216,9 @@ object Bench {
       if (only.exists(!_.contains("grpc_ingest"))) ""
       else try {
         val (rows, sec) =
-          bestOf2(() => WireBench.run(rows = 262144, transport = "grpc"))
+          bestOf(() => WireBench.run(rows = 262144, transport = "grpc"))
         val rps = (rows / sec).toLong
-        s""","grpc_ingest":{"rows":$rows,"sec":${math.rint(sec * 1000) / 1000},"rows_per_sec":$rps,"reps":2}"""
+        s""","grpc_ingest":{"rows":$rows,"sec":${math.rint(sec * 1000) / 1000},"rows_per_sec":$rps,"reps":3}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] grpc bench failed: ${e.getMessage}")
         ""
@@ -339,7 +342,7 @@ object Bench {
             (System.nanoTime() - t0) / 1e9
           }
           val body = Seq("q01_pricing_summary", "q03_join_revenue_per_nation",
-              "q13_ohlc_1m", "q14_top_movers", "q34_partition_prune")
+              "q13_hourly_ohlc", "q14_day_slice", "q34_partitioned_day_slice")
             .map { n =>
               val raw = Seq(once(n, sfDir), once(n, sfDir)).min
               val landed = Seq(once(n, dir), once(n, dir)).min

@@ -1,7 +1,7 @@
 package graft.net
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import graft.bind.{BindError, ChColumn, SchemaBinder}
+import graft.bind.{BindError, ChCatalog, ChColumn, SchemaBinder}
 import graft.proto.{DescriptorSet, PMessage}
 import graft.sources.QueueSource
 import graft.streaming.RowBuffer
@@ -54,7 +54,11 @@ object ServerConfig {
     * transactional JDBC sink (the reference's actual landing shape —
     * INSERTs into a SQL engine) instead of parquet; `landing_dir`
     * stays required for the stream's checkpoint. `jdbc_table`
-    * defaults to the table name.
+    * defaults to the table name. A table with a jdbc_url and NO
+    * `columns` list introspects its sink schema from the engine's
+    * catalog at apply/reload time ([[graft.bind.ChCatalog.fromJdbc]])
+    * — the reference's startup shape, where config names tables and
+    * ClickHouse's system.columns owns the schemas.
     */
   final case class TableConf(name: String, capacity: Int,
       onFull: RowBuffer.OnFull, messages: Seq[String], columns: Seq[ChColumn],
@@ -232,17 +236,33 @@ final class BristleServer(configPath: Path,
             throw BindError(s"failed to find table $tbl for message $name"))
         name -> (qn, msg)
     }
+    // Sink schemas: explicit `columns` win; a table with a jdbc_url
+    // and NO columns introspects them from the SQL engine's catalog at
+    // apply time — the reference's actual startup shape (it SELECTs
+    // system.columns per table, clickhouse_cluster.go:74-91; config
+    // carries table names, the engine owns the schema). Introspection
+    // failures throw here, inside the compile-then-swap, so a reload
+    // against an unreachable/missing table leaves the registry as-is.
+    val colsByQname = tablesByQname.map { case (qn, t) =>
+      qn -> (t.columns match {
+        case cols if cols.nonEmpty => cols
+        case _ => t.jdbcUrl match {
+          case Some(url) =>
+            ChCatalog.fromJdbc(url, t.jdbcTable.getOrElse(t.name))
+          case None =>
+            throw BindError(s"table $qn has no columns configured " +
+              "and no jdbc_url to introspect them from")
+        }
+      })
+    }
     val bound = (explicit ++ auto).map { case (msgName, (qn, msg)) =>
-      val cols = tablesByQname(qn).columns
-      if (cols.isEmpty)
-        throw BindError(s"table $qn has no columns configured")
-      SchemaBinder.bind(msg, cols) // fail-fast bind compile
+      SchemaBinder.bind(msg, colsByQname(qn)) // fail-fast bind compile
       msgName -> (qn, msg)
     }.toMap
     val drains = bound.toSeq.collect {
       case (msgName, (qn, msg)) if tablesByQname(qn).landingDir.isDefined =>
         DrainPlan(qn, msgName, msg,
-          SchemaBinder.bind(msg, tablesByQname(qn).columns), tablesByQname(qn))
+          SchemaBinder.bind(msg, colsByQname(qn)), tablesByQname(qn))
     }.sortBy(_.queueName)
     drains.groupBy(_.queueName).foreach { case (qn, ds) =>
       if (ds.size > 1) throw BindError(

@@ -450,18 +450,11 @@ class NetSpec extends SparkSpec {
     }
   }
 
-  test("jdbc_url drain: server lands into a SQL engine instead of parquet") {
-    // the reference's ACTUAL landing shape (transactional INSERTs into
-    // a SQL engine), config-reachable: a table with jdbc_url drains
-    // through JdbcSink; landing_dir keeps only the checkpoint. Flat
-    // column list — the sink schema IS the projection, so the drain
-    // frame is scalar and Derby-landable (arrays = the dialect seam).
-    val url = "jdbc:derby:memory:netjdbc;create=true"
-    val dir = Files.createTempDirectory("netspec-jdbc-")
-    // hand-encoded FileDescriptorSet for an all-scalar message (the
-    // binder's reference-parity strictness requires EVERY message
-    // field bound to a sink column, so ExampleMessage's map can't
-    // project away): FlatMetric { string name = 1; int64 value = 2; }
+  // hand-encoded FileDescriptorSet for an all-scalar message (the
+  // binder's reference-parity strictness requires EVERY message
+  // field bound to a sink column, so ExampleMessage's map can't
+  // project away): FlatMetric { string name = 1; int64 value = 2; }
+  private def flatDesc(dir: Path): Path = {
     val desc = dir.resolve("flat.desc")
     Files.write(desc, {
       def ld(tag: Int, bytes: Array[Byte]): Array[Byte] = {
@@ -481,6 +474,18 @@ class NetSpec extends SparkSpec {
       val msg = str(1, "FlatMetric") ++ ld(2, f1) ++ ld(2, f2)
       ld(1, str(1, "flat.proto") ++ ld(4, msg))
     })
+    desc
+  }
+
+  test("jdbc_url drain: server lands into a SQL engine instead of parquet") {
+    // the reference's ACTUAL landing shape (transactional INSERTs into
+    // a SQL engine), config-reachable: a table with jdbc_url drains
+    // through JdbcSink; landing_dir keeps only the checkpoint. Flat
+    // column list — the sink schema IS the projection, so the drain
+    // frame is scalar and Derby-landable (arrays = the dialect seam).
+    val url = "jdbc:derby:memory:netjdbc;create=true"
+    val dir = Files.createTempDirectory("netspec-jdbc-")
+    val desc = flatDesc(dir)
     val flatMsg = graft.proto.DescriptorSet.loadFile(desc)("FlatMetric")
     val cfg = dir.resolve("config.json")
     Files.write(cfg,
@@ -544,6 +549,72 @@ class NetSpec extends SparkSpec {
         assert(rebound.columns.map(_.name) ==
           d.binding.columns.map(_.name))
       } finally drains.values.foreach(_.stop())
+    } finally {
+      server.stop()
+      server.queues.keys.foreach(QueueSource.drop)
+    }
+  }
+
+  test("jdbc_url with no columns: sink schema introspected from the engine") {
+    // the reference's startup shape: config names the table, the SQL
+    // engine owns the schema (system.columns SELECT per table,
+    // clickhouse_cluster.go:74-91). A table with a jdbc_url and NO
+    // columns list binds from ChCatalog.fromJdbc at apply time; a
+    // reload whose introspection fails (table dropped) keeps the
+    // running registry.
+    val url = "jdbc:derby:memory:netjdbcauto;create=true"
+    val dir = Files.createTempDirectory("netspec-jdbcauto-")
+    val desc = flatDesc(dir)
+    // the sink table exists BEFORE the server starts, as in production
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      "CREATE TABLE t_auto (batch_key VARCHAR(64) NOT NULL, " +
+        "name VARCHAR(4096), value BIGINT)")
+    finally conn.close()
+    val cfg = dir.resolve("config.json")
+    def writeCfg(table: String): Unit =
+      Files.write(cfg,
+        s"""{
+           |  "ingest": {"bind_port": 0},
+           |  "proto_descriptor_paths": ["$desc"],
+           |  "catalogs": [{"name": "landing", "tables": {
+           |    "flat_auto": {"capacity": 256, "on_full": "block",
+           |      "messages": ["FlatMetric"],
+           |      "landing_dir": "${dir.resolve("land")}",
+           |      "flush_interval": 100,
+           |      "jdbc_url": "$url", "jdbc_table": "$table"}
+           |  }}]
+           |}""".stripMargin.getBytes("UTF-8"))
+    writeCfg("t_auto")
+    val server = new BristleServer(cfg, new Metrics).start()
+    try {
+      // binding came from Derby's catalog: both columns, sink order
+      val d = server.drains.head
+      assert(d.binding.columns.map(c => (c.name, c.typeString)) ==
+        Seq(("name", "Nullable(String)"), ("value", "Nullable(Int64)")))
+      val flatMsg = graft.proto.DescriptorSet.loadFile(desc)("FlatMetric")
+      val drains = ServerMain.startDrains(spark, server)
+      try {
+        withClient(server.ingest.boundPort) { client =>
+          client.registerType("FlatMetric")
+          assert(client.writeBatch("FlatMetric",
+            (0 until 8).map(i => ProtoRows.encodeValues(flatMsg,
+              Seq(s"a$i", i.toLong)))) == BatchResult.Ok)
+        }
+        drains.values.foreach(_.processAllAvailable())
+        val c2 = java.sql.DriverManager.getConnection(url)
+        try {
+          val rs = c2.createStatement()
+            .executeQuery("SELECT COUNT(*) FROM t_auto")
+          rs.next()
+          assert(rs.getLong(1) == 8, "rows landed through introspected binding")
+        } finally c2.close()
+      } finally drains.values.foreach(_.stop())
+      // reload pointing at a missing table: introspection throws inside
+      // the compile-then-swap, registry untouched
+      writeCfg("t_gone")
+      assert(server.reload().isLeft)
+      assert(server.queues.contains("landing.flat_auto"))
     } finally {
       server.stop()
       server.queues.keys.foreach(QueueSource.drop)
