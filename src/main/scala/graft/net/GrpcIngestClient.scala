@@ -27,7 +27,8 @@ import scala.util.control.NonFatal
   */
 final class GrpcIngestClient(host: String, port: Int,
     retrySleepMs: Long = 20, ackTimeoutMs: Long = 10000,
-    tlsTrust: Option[java.nio.file.Path] = None) {
+    tlsTrust: Option[java.nio.file.Path] = None,
+    gzip: Boolean = false) {
 
   import GrpcIngestClient._
 
@@ -45,15 +46,18 @@ final class GrpcIngestClient(host: String, port: Int,
     })
     val s = bootstrap.open().syncUninterruptibly().getNow
     s.writeAndFlush(new DefaultHttp2HeadersFrame(
-      requestHeaders(host, "Streaming"))).syncUninterruptibly()
+      requestHeaders(host, "Streaming", gzipEncoding = gzip)))
+      .syncUninterruptibly()
     s
   }
 
   private def sendMessage(m: ClientMessage): Unit = {
     if (!stream.isActive)
       throw new java.io.IOException("gRPC stream closed")
+    val framed =
+      if (gzip) GrpcWire.frameGzip(encode(m)) else GrpcWire.frame(encode(m))
     stream.writeAndFlush(new DefaultHttp2DataFrame(
-      Unpooled.wrappedBuffer(GrpcWire.frame(encode(m)))))
+      Unpooled.wrappedBuffer(framed)))
     ()
   }
 
@@ -81,14 +85,19 @@ final class GrpcIngestClient(host: String, port: Int,
 
 object GrpcIngestClient {
 
-  private def requestHeaders(authority: String, method: String): Http2Headers =
-    new DefaultHttp2Headers()
+  private def requestHeaders(authority: String, method: String,
+      gzipEncoding: Boolean = false): Http2Headers = {
+    val h = new DefaultHttp2Headers()
       .method("POST")
       .scheme("http")
       .authority(authority)
       .path(GrpcIngestServer.ServicePrefix + method)
       .set(AsciiString.cached("content-type"), GrpcIngestServer.ContentType)
       .set(AsciiString.cached("te"), AsciiString.cached("trailers"))
+    if (gzipEncoding)
+      h.set(AsciiString.cached("grpc-encoding"), AsciiString.cached("gzip"))
+    h
+  }
 
   private def connect(group: EventLoopGroup, host: String,
       port: Int, tlsTrust: Option[java.nio.file.Path] = None): Channel = {
@@ -171,7 +180,9 @@ object GrpcIngestClient {
     */
   def unaryWriteBatch(host: String, port: Int,
       req: WriteBatchRequest,
-      timeoutMs: Long = 10000): (Int, Option[WriteBatchResponse]) = {
+      timeoutMs: Long = 10000,
+      gzipFrame: Boolean = false,
+      gzipHeader: Boolean = false): (Int, Option[WriteBatchResponse]) = {
     val group = new MultiThreadIoEventLoopGroup(NioIoHandler.newFactory())
     try {
       val conn = connect(group, host, port)
@@ -213,9 +224,11 @@ object GrpcIngestClient {
       })
       val stream = bootstrap.open().syncUninterruptibly().getNow
       stream.write(new DefaultHttp2HeadersFrame(
-        requestHeaders(host, "WriteBatch")))
+        requestHeaders(host, "WriteBatch", gzipEncoding = gzipHeader)))
+      val framed = if (gzipFrame) GrpcWire.frameGzip(encode(req))
+        else GrpcWire.frame(encode(req))
       stream.writeAndFlush(new DefaultHttp2DataFrame(
-        Unpooled.wrappedBuffer(GrpcWire.frame(encode(req))), true))
+        Unpooled.wrappedBuffer(framed), true))
       if (!done.await(timeoutMs, TimeUnit.MILLISECONDS))
         throw new java.io.IOException("unary WriteBatch timed out")
       if (grpcStatus == GrpcWire.StatusOk) {

@@ -264,6 +264,14 @@ object GrpcIngestServer {
         h: Http2HeadersFrame): Unit = {
       val path = if (h.headers().path() == null) "" else h.headers().path().toString
       val method = if (h.headers().method() == null) "" else h.headers().method().toString
+      // message compression: gzip is the one registered codec (bounded
+      // inflate — the limit applies to the DECOMPRESSED size, as in
+      // grpc-go); any other grpc-encoding leaves the framer codec-less,
+      // so a compressed-flag message gets UNIMPLEMENTED, the posture of
+      // a server with no registered compressor
+      val enc = h.headers().get(AsciiString.cached("grpc-encoding"))
+      if (enc != null && enc.toString == "gzip")
+        framer.codec = GrpcWire.gunzip(_, maxRecvBytes)
       if (method != "POST") {
         // the JDK client bootstraps its h2c connection with a GET —
         // answer politely so the connection upgrade completes
@@ -307,6 +315,14 @@ object GrpcIngestServer {
         catch {
           case e: GrpcWire.Unsupported =>
             sendTrailersOnly(ctx, GrpcWire.StatusUnimplemented, e.getMessage)
+            return
+          case e: GrpcWire.TooLarge =>
+            sendTrailersOnly(ctx, StatusResourceExhausted, e.getMessage)
+            return
+          case e: java.io.IOException => // ZipException, truncated gzip EOF
+            // grpc-go: a failed decompress is INTERNAL
+            sendTrailersOnly(ctx, GrpcWire.StatusInternal,
+              s"grpc: failed to decompress the received message: ${e.getMessage}")
             return
         }
       // MaxRecvMsgSize (grpc-go parity, ingest_service.go:48-50): an

@@ -61,6 +61,47 @@ object GrpcWire {
   /** Raised on a compressed-flag byte this server can't handle. */
   final class Unsupported(msg: String) extends RuntimeException(msg)
 
+  /** Raised when a compressed message inflates past the receive cap —
+    * a gzip bomb must fail BEFORE allocating past
+    * max_receive_message_size, exactly where grpc-go applies the
+    * limit (to the decompressed size).
+    */
+  final class TooLarge(msg: String) extends RuntimeException(msg)
+
+  /** Bounded gunzip for inbound message payloads. */
+  def gunzip(bytes: Array[Byte], cap: Int): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val out = new ByteArrayOutputStream(math.min(bytes.length * 4, cap))
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n > 0) {
+      out.write(buf, 0, n)
+      if (out.size() > cap)
+        throw new TooLarge(s"decompressed message larger than $cap")
+      n = in.read(buf)
+    }
+    out.toByteArray
+  }
+
+  /** One message → its gzip-compressed gRPC frame (flag byte 1) — the
+    * client half for tests and gzip-enabled producers.
+    */
+  def frameGzip(payload: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(payload.length / 2 + 32)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(payload); gz.close()
+    val z = bos.toByteArray
+    val out = new Array[Byte](5 + z.length)
+    out(0) = 1 // compressed
+    out(1) = (z.length >>> 24).toByte
+    out(2) = (z.length >>> 16).toByte
+    out(3) = (z.length >>> 8).toByte
+    out(4) = z.length.toByte
+    System.arraycopy(z, 0, out, 5, z.length)
+    out
+  }
+
   /** Stateful reassembler: DATA-frame bytes in, complete messages
     * out. One per stream direction; not thread-safe (a stream's reads
     * arrive on one event-loop thread).
@@ -77,6 +118,13 @@ object GrpcWire {
     private val chunks = new java.util.ArrayDeque[Array[Byte]]()
     private var headOff = 0 // consumed bytes of the head chunk
     private var pending = 0
+
+    /** Inbound message codec, installed from the stream's
+      * `grpc-encoding` header (e.g. [[gunzip]] for gzip). While unset,
+      * a compressed-flag message is [[Unsupported]] — a server with no
+      * registered compressor, the reference's own posture.
+      */
+    @volatile var codec: Array[Byte] => Array[Byte] = null
 
     /** Copy (dst != null) or skip (dst == null) the next `n` queued
       * bytes.
@@ -116,7 +164,8 @@ object GrpcWire {
       var more = true
       while (more && pending >= 5) {
         peekHeader(hdr)
-        if (hdr(0) != 0)
+        val flag = hdr(0)
+        if (flag != 0 && (flag != 1 || codec == null))
           throw new Unsupported("compressed gRPC message without a codec")
         val len = ((hdr(1) & 0xff) << 24) | ((hdr(2) & 0xff) << 16) |
           ((hdr(3) & 0xff) << 8) | (hdr(4) & 0xff)
@@ -127,7 +176,7 @@ object GrpcWire {
           consume(null, 5)
           val msg = new Array[Byte](len)
           consume(msg, len)
-          out += msg
+          out += (if (flag == 1) codec(msg) else msg)
         }
       }
       out.result()

@@ -335,6 +335,51 @@ class GrpcSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally QueueSource.drop(qn)
   }
 
+  test("gzip message compression: unary + streaming land; bomb and codec-less refused") {
+    val (qn, q, targets) = targetFor(capacity = 64)
+    try withServer(targets, maxRecvBytes = 64 * 1024) { srv =>
+      // unary with grpc-encoding: gzip → decompressed and admitted
+      val bodies = (0 until 4).map(body)
+      val (st, resp) = GrpcIngestClient.unaryWriteBatch("127.0.0.1",
+        srv.boundPort, WriteBatchRequest("k",
+          Seq(Payload("ExampleMessage", bodies))),
+        gzipFrame = true, gzipHeader = true)
+      assert(st == BatchResult.Ok && resp.isDefined)
+      assert(q.slice(0, 4).map(_._2.toSeq) == bodies.map(_.toSeq))
+
+      // compressed flag WITHOUT the encoding header: the framer has no
+      // codec → UNIMPLEMENTED, the no-registered-compressor posture
+      val ex = intercept[java.io.IOException] {
+        GrpcIngestClient.unaryWriteBatch("127.0.0.1", srv.boundPort,
+          WriteBatchRequest("k", Seq(Payload("ExampleMessage",
+            Seq(body(0))))), gzipFrame = true, gzipHeader = false)
+      }
+      assert(ex.getMessage.contains("12") || ex.getMessage.contains("codec"),
+        s"expected UNIMPLEMENTED, got: ${ex.getMessage}")
+
+      // gzip bomb: tiny on the wire, past the cap decompressed — the
+      // limit applies to the DECOMPRESSED size and fails BEFORE
+      // buffering past it
+      val bomb = Seq(Array.fill(256 * 1024)(0x41.toByte))
+      val ex2 = intercept[java.io.IOException] {
+        GrpcIngestClient.unaryWriteBatch("127.0.0.1", srv.boundPort,
+          WriteBatchRequest("k", Seq(Payload("ExampleMessage", bomb))),
+          gzipFrame = true, gzipHeader = true)
+      }
+      assert(ex2.getMessage.contains("8") || ex2.getMessage.contains("larger"),
+        s"expected RESOURCE_EXHAUSTED, got: ${ex2.getMessage}")
+
+      // streaming session with gzip on: register + batch land intact
+      val c = new GrpcIngestClient("127.0.0.1", srv.boundPort, gzip = true)
+      try {
+        assert(c.registerType("ExampleMessage") == 1)
+        assert(c.writeBatch("ExampleMessage",
+          (4 until 9).map(body)) == BatchResult.Ok)
+        assert(q.slice(4, 9).map(_._2.toSeq) == (4 until 9).map(body(_).toSeq))
+      } finally c.close()
+    } finally QueueSource.drop(qn)
+  }
+
   test("D14 reload swaps the registry the gRPC endpoint serves") {
     // NetSpec pins reload semantics for the socket endpoint; this
     // pins that the SAME atomic swap is what a live gRPC session
