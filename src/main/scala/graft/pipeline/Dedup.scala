@@ -661,13 +661,23 @@ object Dedup extends Serializable {
       .filter(col("ed") >= 0 && col("ed") <= k)
   }
 
-  def editNearDups(docs: DataFrame, textCol: String, idCol: String,
-      k: Int = 10, q: Int = 16): DataFrame = {
+  /** The lazy composition behind [[editNearDups]] — split out so
+    * PlanSpec can pin the candidate join's physical shape before the
+    * result materializes. Returns (result, intermediates to release).
+    */
+  private[graft] def editNearDupsLazy(docs: DataFrame, textCol: String,
+      idCol: String, k: Int, q: Int): (DataFrame, Seq[DataFrame]) = {
     val d = editProject(docs, textCol, idCol, (k + 1) * q + k)
     val grid = editGrid(d, q).persist(StorageLevel.MEMORY_AND_DISK)
     val out =
       editVerify(editAnchors(grid, grid, k, q), editSliding(d, k, q), d, k)
-    Similarity.materializeAndRelease(out, Seq(d, grid))
+    (out, Seq(d, grid))
+  }
+
+  def editNearDups(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 10, q: Int = 16): DataFrame = {
+    val (out, intermediates) = editNearDupsLazy(docs, textCol, idCol, k, q)
+    Similarity.materializeAndRelease(out, intermediates)
   }
 
   /** Incremental edit-distance near-dup — the edit member of the

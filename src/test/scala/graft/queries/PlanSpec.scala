@@ -297,4 +297,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"the per-source size frames must broadcast:\n$p")
   }
+
+  test("q104: edit candidate join hashes the anchors, never sorts the index") {
+    // the sliding index is len rows/doc; SHUFFLE_HASH on the k+1
+    // rows/doc anchor side keeps the join keyed-shuffled WITHOUT an
+    // O(n log n) sort of the index (the r11 fix that, with
+    // rarest-anchor selection, took the 10x stress point from 37 s to
+    // 6.7 s). Anchors must not broadcast either - at 100 TB they are
+    // rows-proportional.
+    val (out, intermediates) = graft.pipeline.Dedup.editNearDupsLazy(
+      graft.Tables(spark, sf, "documents"), "text", "doc_id", 10, 16)
+    val p = out.queryExecution.executedPlan.toString
+    intermediates.foreach(_.unpersist(blocking = false))
+    assert(p.contains("ShuffledHashJoin"),
+      s"anchor-vs-index join must be a shuffled hash join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the keyed bucket join:\n$p")
+  }
 }
