@@ -357,7 +357,16 @@ object Stress {
       val pairs = Dedup.editNearDups(docs, "text", "doc_id").count()
       release(spark)
       val t1 = System.nanoTime()
-      println(f"$tag%-4s edit=${(t1 - t0) / 1e9}%7.2f s [pairs=$pairs]")
+      // q105 shape: only the ~1/7 batch explodes anchors vs the full
+      // history ∪ batch sliding index
+      val incr = Dedup.incrementalEditNearDups(
+        docs.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(7)) === 0),
+        "text", "doc_id").count()
+      release(spark)
+      val t2 = System.nanoTime()
+      println(f"$tag%-4s edit=${(t1 - t0) / 1e9}%7.2f s " +
+        f"incr=${(t2 - t1) / 1e9}%7.2f s [pairs=$pairs incrPairs=$incr]")
     }
     if (stages("edit")) {
       runEdit("warm", base.limit(500))

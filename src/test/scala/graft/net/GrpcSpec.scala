@@ -335,6 +335,37 @@ class GrpcSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally QueueSource.drop(qn)
   }
 
+  test("Framer: arbitrary DATA splits reassemble exactly (chunk-queue property)") {
+    // the chunk-queue framer must be split-invariant: any partition of
+    // the byte stream into DATA frames yields the same message
+    // sequence as one whole-buffer feed — including 5-byte headers
+    // torn across chunks, empty messages, and gzip frames
+    val rnd = new scala.util.Random(0xF8A3E5L)
+    for (trial <- 0 until 50) {
+      val msgs = (0 until rnd.nextInt(6) + 1).map { i =>
+        val n = rnd.nextInt(if (trial % 3 == 0) 7 else 4000)
+        val b = new Array[Byte](n); rnd.nextBytes(b); b
+      }
+      val gz = trial % 4 == 0
+      val wire = msgs.flatMap(m =>
+        if (gz) GrpcWire.frameGzip(m) else GrpcWire.frame(m)).toArray
+      val framer = new GrpcWire.Framer
+      if (gz) framer.codec = GrpcWire.gunzip(_, 1 << 20)
+      val out = scala.collection.mutable.Buffer.empty[Array[Byte]]
+      var off = 0
+      while (off < wire.length) {
+        val take = math.min(rnd.nextInt(9) + 1, wire.length - off)
+        out ++= framer.feed(java.util.Arrays.copyOfRange(wire, off, off + take))
+        off += take
+      }
+      assert(framer.pendingBytes == 0, s"trial $trial left pending bytes")
+      assert(out.size == msgs.size, s"trial $trial: ${out.size} != ${msgs.size}")
+      out.zip(msgs).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(java.util.Arrays.equals(a, b), s"trial $trial msg $i differs")
+      }
+    }
+  }
+
   test("gzip message compression: unary + streaming land; bomb and codec-less refused") {
     val (qn, q, targets) = targetFor(capacity = 64)
     try withServer(targets, maxRecvBytes = 64 * 1024) { srv =>
