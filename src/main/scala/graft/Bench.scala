@@ -102,6 +102,7 @@ object Bench {
         .limit(1).write.format("noop").mode("overwrite").save()
       graft.sources.ZOrderLayout.events(spark, sfDir)
         .limit(1).write.format("noop").mode("overwrite").save()
+      graft.sources.GramIndexLayout.documentsHistory(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }

@@ -563,7 +563,7 @@ object Dedup extends Serializable {
     * `levenshtein(l, r, k)` early-exit form.
     */
   /** Length-floored id/text projection shared by the edit family. */
-  private def editProject(docs: DataFrame, textCol: String, idCol: String,
+  private[graft] def editProject(docs: DataFrame, textCol: String, idCol: String,
       minLen: Int): DataFrame =
     graft.operators.FanOut(docs)
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
@@ -574,7 +574,7 @@ object Dedup extends Serializable {
     * 8-byte gram hashes. This is both the anchor candidate set and
     * the df sample the rarity rank reads.
     */
-  private def editGrid(d: DataFrame, q: Int): DataFrame =
+  private[graft] def editGrid(d: DataFrame, q: Int): DataFrame =
     d.select(col("id").as("aid"), length(col("text")).as("alen"),
         posexplode(expr(
           s"transform(sequence(0, cast(length(text)/$q as int) - 1)," +
@@ -604,9 +604,19 @@ object Dedup extends Serializable {
     * pass. minLen = (k+1)·q + k guarantees ⌊len/q⌋ ≥ k+1 grid slots.
     */
   private def editAnchors(grid: DataFrame, freqGrid: DataFrame, k: Int,
-      q: Int): DataFrame = {
+      q: Int): DataFrame =
+    editAnchorsByDf(grid,
+      freqGrid.groupBy("gh").agg(count(lit(1)).as("df")), k, q)
+
+  /** [[editAnchors]] against a precomputed (gh, df) rarity table —
+    * the stored-statistic form ([[graft.sources.GramIndexLayout]]
+    * reads df from the index sidecar instead of aggregating a grid).
+    * ANY df source yields the same verified output (the pigeonhole is
+    * selection-agnostic); df only steers candidate volume.
+    */
+  private[graft] def editAnchorsByDf(grid: DataFrame, freq: DataFrame,
+      k: Int, q: Int): DataFrame = {
     val w = 2 * k + 1
-    val freq = freqGrid.groupBy("gh").agg(count(lit(1)).as("df"))
     grid.join(freq, Seq("gh"), "left")
       .withColumn("rn", row_number().over(Window.partitionBy("aid")
         .orderBy(coalesce(col("df"), lit(0L)), col("apos"))))
@@ -620,7 +630,7 @@ object Dedup extends Serializable {
   /** The positional sliding-gram index (every q-gram at every
     * position) — the stored inverted index at scale.
     */
-  private def editSliding(d: DataFrame, k: Int, q: Int): DataFrame = {
+  private[graft] def editSliding(d: DataFrame, k: Int, q: Int): DataFrame = {
     val w = 2 * k + 1
     d.select(col("id").as("sid"), length(col("text")).as("slen"),
         posexplode(expr(
@@ -640,7 +650,7 @@ object Dedup extends Serializable {
     * 8-byte keys instead of q-char strings. `texts` must cover every
     * id the candidates mention.
     */
-  private def editVerify(anchors: DataFrame, sliding: DataFrame,
+  private[graft] def editVerify(anchors: DataFrame, sliding: DataFrame,
       texts: DataFrame, k: Int): DataFrame = {
     // SHUFFLE_HASH on the anchor side: anchors are k+1 rows/doc vs
     // the index's len rows/doc (~q× smaller), so hashing them skips

@@ -194,7 +194,7 @@ object Similarity extends Serializable {
   private val lastResult =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
-  private[pipeline] def materializeAndRelease(result: DataFrame,
+  private[graft] def materializeAndRelease(result: DataFrame,
       intermediates: Seq[DataFrame]): DataFrame = {
     val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()

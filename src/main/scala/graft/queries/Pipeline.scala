@@ -3321,9 +3321,61 @@ object Pipeline {
       ORDER BY a, b"""))
   }
 
+  /** Stored-index incremental edit near-dup — q105's probe against
+    * the LANDED inverted char-gram index ([[graft.sources
+    * .GramIndexLayout]]: bucket-partitioned postings + df sidecar +
+    * corpus projection), the at-scale posture every edit scaladoc
+    * names, executable: the corpus shuffles nothing on batch arrival
+    * and only the anchor-gram buckets are read (directory pruning via
+    * a ≤ nBuckets literal predicate). Output ≡ q105 — anchor
+    * selection (here: rarity from the stored sidecar) never changes
+    * the verified pair set — so the oracle IS q105's, making the
+    * equivalence driver-checked rather than asserted.
+    */
+  val q106 = {
+    val k = 10; val q = 16; val minLen = (k + 1) * q + k
+    Q(
+      "q106_stored_gram_index_edit",
+      (spark, dir) => {
+        val docs = Tables(spark, dir, "documents")
+        val idx = graft.sources.GramIndexLayout.documentsHistory(spark, dir)
+        graft.sources.GramIndexLayout.probe(spark, idx,
+            docs.filter(pmod(col("doc_id"), lit(7)) === 0),
+            "text", "doc_id", k = k, q = q)
+          .orderBy(col("a"), col("b"))
+      },
+      Some(s"""
+      WITH d AS (SELECT doc_id, text FROM documents
+                 WHERE len(text) >= $minLen),
+      bsel AS (SELECT * FROM d WHERE doc_id % 7 = 0),
+      anchors AS (SELECT doc_id, alen, apos, g, bkt FROM (
+                    SELECT doc_id, len(text) AS alen, i*$q AS apos,
+                      text[(i*$q+1):(i*$q+$q)] AS g
+                    FROM bsel, UNNEST(range(0, $k+1)) t(i)),
+                  UNNEST(list_distinct([
+                    CAST(GREATEST(apos-$k, 0) // ${2 * k + 1} AS INT),
+                    CAST((apos+$k) // ${2 * k + 1} AS INT)])) u(bkt)),
+      sliding AS (SELECT doc_id, len(text) AS slen, p AS spos,
+                    text[(p+1):(p+$q)] AS g,
+                    CAST(p // ${2 * k + 1} AS INT) AS bkt
+                  FROM d, UNNEST(range(0, len(text)-$q+1)) t(p)),
+      cand AS (SELECT DISTINCT LEAST(a.doc_id, s.doc_id) AS a,
+                 GREATEST(a.doc_id, s.doc_id) AS b
+               FROM anchors a JOIN sliding s ON s.g = a.g
+                 AND s.bkt = a.bkt AND a.doc_id <> s.doc_id
+               WHERE abs(a.apos - s.spos) <= $k
+                 AND abs(a.alen - s.slen) <= $k)
+      SELECT cand.a, cand.b,
+             levenshtein(x.text, y.text)::INT AS ed
+      FROM cand JOIN d x ON x.doc_id = cand.a
+                JOIN d y ON y.doc_id = cand.b
+      WHERE levenshtein(x.text, y.text) <= $k
+      ORDER BY a, b"""))
+  }
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95, q96, q97, q98, q99, q101, q102, q103, q104, q105)
+    q95, q96, q97, q98, q99, q101, q102, q103, q104, q105, q106)
 }

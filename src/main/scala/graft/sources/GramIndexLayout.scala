@@ -1,0 +1,106 @@
+package graft.sources
+
+import graft.pipeline.Dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import scala.collection.concurrent.TrieMap
+
+/** The edit-dedup family's STORED inverted char-gram index — the
+  * scale posture its scaladocs assume ("at 100 TB the sliding index
+  * is the stored table; the harness recomputes it only because it is
+  * stateless"), made executable:
+  *
+  *  - `index/`  — the positional sliding-gram index (sid, slen, spos,
+  *    gh, bkt), parquet PARTITIONED by `bucket` = pmod(gh, nBuckets)
+  *    and sorted within files by (gh, bkt): a probe that knows its
+  *    anchor grams reads ONLY the buckets they hash into (directory
+  *    pruning), and row-group stats skip inside a bucket;
+  *  - `stats/`  — the (gh, df) posting-count sidecar, the rarity
+  *    table anchor selection reads (the q37 rarest-first discipline)
+  *    without a per-query aggregation pass;
+  *  - `docs/`   — the length-floored (id, text) projection, bucketed
+  *    the same way ids shuffle in the verify join (at scale this is
+  *    the landed corpus itself; it lives in the layout so the index
+  *    is self-contained for verification).
+  *
+  * Build once per corpus, probe per batch: [[probe]] is the stored
+  * form of `Dedup.incrementalEditNearDups` and returns the IDENTICAL
+  * pair set (candidate completeness is anchor-selection-agnostic; the
+  * exact levenshtein verify fixes the output), which is why q106
+  * shares q105's oracle.
+  */
+object GramIndexLayout {
+
+  /** Land the index/stats/docs triple for `docs`. Returns `dir`. */
+  def write(docs: DataFrame, textCol: String, idCol: String, dir: String,
+      k: Int = 10, q: Int = 16, nBuckets: Int = 64): String = {
+    val minLen = (k + 1) * q + k
+    val d = Dedup.editProject(docs, textCol, idCol, minLen)
+    Dedup.editSliding(d, k, q)
+      .withColumn("bucket", pmod(col("gh"), lit(nBuckets)).cast("int"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("gh"), col("bkt"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/index")
+    val spark = docs.sparkSession
+    // df from the landed index (one columnar read of gh), not a
+    // second explode of the corpus
+    spark.read.parquet(s"$dir/index")
+      .groupBy("gh").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    d.write.mode("overwrite").parquet(s"$dir/docs")
+    d.unpersist(blocking = false)
+    dir
+  }
+
+  /** The stored form of `Dedup.incrementalEditNearDups`: an arriving
+    * batch is checked for ≤ k-edit revisions of the indexed corpus
+    * (and of itself) — the corpus shuffles NOTHING on arrival, and
+    * only the buckets the batch's anchor grams hash into are read at
+    * all. The anchor-bucket set (≤ nBuckets ints — bounded driver
+    * state by construction) becomes a literal partition predicate, so
+    * the pruning is directory-level, visible in the scan's
+    * PartitionFilters. Rarity ranks against the stats sidecar.
+    * History-internal pairs are deliberately absent, q105 semantics.
+    */
+  def probe(spark: SparkSession, dir: String, incoming: DataFrame,
+      textCol: String, idCol: String, k: Int = 10, q: Int = 16,
+      nBuckets: Int = 64): DataFrame = {
+    val minLen = (k + 1) * q + k
+    val b = Dedup.editProject(incoming, textCol, idCol, minLen)
+    val stats = spark.read.parquet(s"$dir/stats")
+    val anchors = Dedup.editAnchorsByDf(Dedup.editGrid(b, q), stats, k, q)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ≤ nBuckets distinct ints: the bounded collect that buys
+    // directory-level pruning on the stored index
+    val buckets = anchors
+      .select(pmod(col("gh"), lit(nBuckets)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val stored = spark.read.parquet(s"$dir/index")
+      .filter(col("bucket").isin(buckets: _*)).drop("bucket")
+    val union = stored.unionByName(Dedup.editSliding(b, k, q))
+    val texts = spark.read.parquet(s"$dir/docs").unionByName(b)
+    val out = Dedup.editVerify(anchors, union, texts, k)
+    graft.pipeline.Similarity.materializeAndRelease(out, Seq(b, anchors))
+  }
+
+  // one stored index per (source dir, split) per JVM — queries and
+  // bench share it instead of rebuilding per call (the
+  // PartitionedLayout memoization pattern; the build is the one-time
+  // table construction, not query work)
+  private val layouts = TrieMap.empty[String, String]
+
+  /** The documents history index (doc_id % 7 != 0 — q105's split) for
+    * a scale-factor dir, built on first use per JVM.
+    */
+  def documentsHistory(spark: SparkSession, dir: String): String =
+    layouts.getOrElseUpdate(s"$dir/documents-history", {
+      val out = Files.createTempDirectory("graft-gramindex-").toString
+      write(graft.Tables(spark, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(7)) =!= 0),
+        "text", "doc_id", out)
+    })
+}

@@ -1,0 +1,65 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.pipeline.Dedup
+
+import org.apache.spark.sql.functions._
+
+/** The stored inverted char-gram index: landed triple, directory
+  * pruning, and row-for-row equivalence with the stateless
+  * incremental edit probe (the property that lets q106 share q105's
+  * oracle).
+  */
+class GramIndexLayoutSpec extends SparkSpec {
+
+  test("stored probe == stateless incremental edit near-dup, row for row") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = graft.Tables(spark, sf, "documents")
+    val hist = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("gramindex-spec-").toString
+    GramIndexLayout.write(hist, "text", "doc_id", dir)
+    val stored = GramIndexLayout.probe(spark, dir, batch, "text", "doc_id")
+      .orderBy("a", "b").collect().map(_.toSeq).toSeq
+    val stateless = Dedup
+      .incrementalEditNearDups(hist, batch, "text", "doc_id")
+      .orderBy("a", "b").collect().map(_.toSeq).toSeq
+    assert(stored.nonEmpty, "fixture must produce pairs or the test is vacuous")
+    assert(stored == stateless)
+    // the layout triple is self-contained
+    for (part <- Seq("index", "stats", "docs"))
+      assert(spark.read.parquet(s"$dir/$part").count() > 0, part)
+  }
+
+  test("bucket predicate prunes at the directory level") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("gramindex-prune-").toString
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    GramIndexLayout.write(docs, "text", "doc_id", dir)
+    val filtered = spark.read.parquet(s"$dir/index")
+      .filter(col("bucket").isin(0, 1))
+    // collect(), not count(): collect executes THIS dataset's own
+    // queryExecution (count builds a separate aggregate plan), so the
+    // scan metrics below are the executed scan's
+    filtered.collect()
+    val scans = filtered.queryExecution.executedPlan.toString
+    assert(scans.contains("PartitionFilters") && scans.contains("bucket"),
+      s"bucket predicate must prune partitions, not filter rows:\n$scans")
+    // the executed scan reads only the probed buckets' files (unwrap
+    // AQE to reach the final physical plan's scan node)
+    val physical = filtered.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val numFiles = physical.collectLeaves()
+      .collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+    val all = spark.read.parquet(s"$dir/index").inputFiles.length
+    assert(numFiles > 0 && numFiles < all,
+      s"pruned scan read $numFiles of $all files - expected a strict subset")
+  }
+}
