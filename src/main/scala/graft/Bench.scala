@@ -103,6 +103,7 @@ object Bench {
       graft.sources.ZOrderLayout.events(spark, sfDir)
         .limit(1).write.format("noop").mode("overwrite").save()
       graft.sources.GramIndexLayout.documentsHistory(spark, sfDir)
+      graft.sources.BandIndexLayout.documentsHistory(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }

@@ -229,18 +229,30 @@ object Dedup extends Serializable {
     * verify on exact shingle sets. Returns one row per matched
     * incoming doc: (id, n_matches, best_jaccard).
     */
-  def incrementalMinhash(history: DataFrame, incoming: DataFrame,
-      textCol: String, idCol: String, threshold: Double): DataFrame = {
-    graft.functions.GraftFunctions.register(history.sparkSession)
-    def prep(df: DataFrame) = graft.operators.FanOut(df)
+  /** (id, shingle-set) projection shared by the MinHash family and
+    * its stored layout ([[graft.sources.BandIndexLayout]]).
+    */
+  private[graft] def minhashPrep(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    graft.operators.FanOut(df)
       .select(col(idCol).as("id"),
         TextOps.shinglesKernel()(TextOps.words(col(textCol))).as("sh"))
       .filter(size(col("sh")) > 0)
+  }
+
+  /** (id, band, bucket) band-index rows of a shingle projection. */
+  private[graft] def minhashBandRows(sh: DataFrame): DataFrame =
+    sh.select(col("id"),
+      posexplode(call_function("graft_minhash_bands", col("sh")))
+        .as(Seq("band", "bucket")))
+
+  def incrementalMinhash(history: DataFrame, incoming: DataFrame,
+      textCol: String, idCol: String, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(history.sparkSession)
+    def prep(df: DataFrame) = minhashPrep(df, textCol, idCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    def bands(sh: DataFrame) = sh
-      .select(col("id"),
-        posexplode(call_function("graft_minhash_bands", col("sh")))
-          .as(Seq("band", "bucket")))
+    def bands(sh: DataFrame) = minhashBandRows(sh)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val shH = prep(history); val shI = prep(incoming)
     val bH = bands(shH); val bI = bands(shI)

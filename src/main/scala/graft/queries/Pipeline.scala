@@ -3373,9 +3373,48 @@ object Pipeline {
       ORDER BY a, b"""))
   }
 
+  /** Stored band index incremental MinHash — q76 against the LANDED
+    * (id, band, bucket) postings + shingle projection
+    * ([[graft.sources.BandIndexLayout]]), closing the same
+    * stateless-recompute caveat q106 closed for the edit family. The
+    * batch's band-key partition set prunes the stored index at the
+    * directory level; output ≡ q76 (the partition filter removes only
+    * rows the band equi-join could never match), so the oracle IS
+    * q76's exact cross-side all-pairs Jaccard.
+    */
+  val q107 = Q(
+    "q107_stored_band_index_neardup",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val idx = graft.sources.BandIndexLayout.documentsHistory(spark, dir)
+      graft.sources.BandIndexLayout.probe(spark, idx,
+          docs.filter(col("doc_id") % 3 === 0),
+          "text", "doc_id", threshold = 0.5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)),
+      pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+                FROM sh x JOIN sh y ON x.s = y.s
+                WHERE x.doc_id % 3 = 0 AND y.doc_id % 3 <> 0
+                GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      j AS (SELECT a, inter*1.0/(sa.n + sb.n - inter) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.5)
+      SELECT a AS doc_id, COUNT(*) AS n_matches, MAX(jaccard) AS best_jaccard
+      FROM j
+      GROUP BY a
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95, q96, q97, q98, q99, q101, q102, q103, q104, q105, q106)
+    q95, q96, q97, q98, q99, q101, q102, q103, q104, q105, q106, q107)
 }
