@@ -104,6 +104,7 @@ object Bench {
         .limit(1).write.format("noop").mode("overwrite").save()
       graft.sources.GramIndexLayout.documentsHistory(spark, sfDir)
       graft.sources.BandIndexLayout.documentsHistory(spark, sfDir)
+      graft.sources.CellIndexLayout.embeddingsHistory(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }

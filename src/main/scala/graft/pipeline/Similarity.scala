@@ -558,7 +558,7 @@ object Similarity extends Serializable {
     * IVF probe ranking), so SQL replays of any of them agree with the
     * JVM bit-for-bit.
     */
-  private def distFpJvm(vd: Seq[Double], c: Array[Double]): Long = {
+  private[graft] def distFpJvm(vd: Seq[Double], c: Array[Double]): Long = {
     var d = 0L
     var i = 0
     val n = math.min(c.length, vd.length)

@@ -3344,33 +3344,7 @@ object Pipeline {
             "text", "doc_id", k = k, q = q)
           .orderBy(col("a"), col("b"))
       },
-      Some(s"""
-      WITH d AS (SELECT doc_id, text FROM documents
-                 WHERE len(text) >= $minLen),
-      bsel AS (SELECT * FROM d WHERE doc_id % 7 = 0),
-      anchors AS (SELECT doc_id, alen, apos, g, bkt FROM (
-                    SELECT doc_id, len(text) AS alen, i*$q AS apos,
-                      text[(i*$q+1):(i*$q+$q)] AS g
-                    FROM bsel, UNNEST(range(0, $k+1)) t(i)),
-                  UNNEST(list_distinct([
-                    CAST(GREATEST(apos-$k, 0) // ${2 * k + 1} AS INT),
-                    CAST((apos+$k) // ${2 * k + 1} AS INT)])) u(bkt)),
-      sliding AS (SELECT doc_id, len(text) AS slen, p AS spos,
-                    text[(p+1):(p+$q)] AS g,
-                    CAST(p // ${2 * k + 1} AS INT) AS bkt
-                  FROM d, UNNEST(range(0, len(text)-$q+1)) t(p)),
-      cand AS (SELECT DISTINCT LEAST(a.doc_id, s.doc_id) AS a,
-                 GREATEST(a.doc_id, s.doc_id) AS b
-               FROM anchors a JOIN sliding s ON s.g = a.g
-                 AND s.bkt = a.bkt AND a.doc_id <> s.doc_id
-               WHERE abs(a.apos - s.spos) <= $k
-                 AND abs(a.alen - s.slen) <= $k)
-      SELECT cand.a, cand.b,
-             levenshtein(x.text, y.text)::INT AS ed
-      FROM cand JOIN d x ON x.doc_id = cand.a
-                JOIN d y ON y.doc_id = cand.b
-      WHERE levenshtein(x.text, y.text) <= $k
-      ORDER BY a, b"""))
+      q105.oracle)
   }
 
   /** Stored band index incremental MinHash — q76 against the LANDED
@@ -3393,28 +3367,33 @@ object Pipeline {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     },
-    Some("""
-      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
-             FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)),
-      pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
-                FROM sh x JOIN sh y ON x.s = y.s
-                WHERE x.doc_id % 3 = 0 AND y.doc_id % 3 <> 0
-                GROUP BY 1, 2),
-      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-      j AS (SELECT a, inter*1.0/(sa.n + sb.n - inter) AS jaccard
-            FROM pairs
-            JOIN sizes sa ON sa.doc_id = a
-            JOIN sizes sb ON sb.doc_id = b
-            WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.5)
-      SELECT a AS doc_id, COUNT(*) AS n_matches, MAX(jaccard) AS best_jaccard
-      FROM j
-      GROUP BY a
-      ORDER BY doc_id"""))
+    q76.oracle)
+
+  /** Stored cell index incremental IVF — q99 against the LANDED
+    * coarse quantizer + cell-partitioned corpus
+    * ([[graft.sources.CellIndexLayout]]), the third stored-layout
+    * application (edit q106, bands q107). The probed-cell set prunes
+    * the corpus read at the directory level; output ≡ q99 (cell
+    * assignment is a pure function of vector and stored centroids;
+    * unprobed cells never join), so the oracle IS q99's — the shared
+    * Option reference makes the equivalence explicit.
+    */
+  val q108 = Q(
+    "q108_stored_cell_index_ivf",
+    (spark, dir) => {
+      val emb = Tables(spark, dir, "embeddings")
+      val idx = graft.sources.CellIndexLayout.embeddingsHistory(spark, dir)
+      graft.sources.CellIndexLayout.probe(spark, idx,
+          emb.filter(col("vec_id") % 3 === 0),
+          "vec_id", "embedding", _ < 30, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    q99.oracle)
 
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95, q96, q97, q98, q99, q101, q102, q103, q104, q105, q106, q107)
+    q95, q96, q97, q98, q99, q101, q102, q103, q104, q105, q106, q107,
+    q108)
 }
