@@ -56,6 +56,38 @@ object GramIndexLayout {
     dir
   }
 
+  /** Fold an arriving batch INTO the stored index — the lifecycle
+    * step between probes (land batch → probe next batch against the
+    * grown index): new postings append into the same bucket
+    * directories (parquet append under partitionBy — no rewrite of
+    * existing parts; the background part-merge is
+    * `LandingIngest.compact`'s job, per bucket), the corpus
+    * projection appends, and the df sidecar refreshes. The sidecar
+    * refresh here re-aggregates the landed index (one columnar read
+    * of gh); at 100 TB it is a merge-add of the batch's own counts
+    * into the stats table — the cheaper form the harness skips
+    * because stats/ has no key-value store behind it.
+    */
+  def append(docs: DataFrame, textCol: String, idCol: String, dir: String,
+      k: Int = 10, q: Int = 16, nBuckets: Int = 64): String = {
+    val minLen = (k + 1) * q + k
+    val d = Dedup.editProject(docs, textCol, idCol, minLen)
+    Dedup.editSliding(d, k, q)
+      .withColumn("bucket", pmod(col("gh"), lit(nBuckets)).cast("int"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("gh"), col("bkt"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$dir/index")
+    d.write.mode("append").parquet(s"$dir/docs")
+    val spark = docs.sparkSession
+    // derives from index/, not stats/ — safe to overwrite stats/
+    spark.read.parquet(s"$dir/index")
+      .groupBy("gh").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    d.unpersist(blocking = false)
+    dir
+  }
+
   /** The stored form of `Dedup.incrementalEditNearDups`: an arriving
     * batch is checked for ≤ k-edit revisions of the indexed corpus
     * (and of itself) — the corpus shuffles NOTHING on arrival, and

@@ -32,6 +32,26 @@ class GramIndexLayoutSpec extends SparkSpec {
       assert(spark.read.parquet(s"$dir/$part").count() > 0, part)
   }
 
+  test("append folds a batch into the index; the next probe sees it") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = graft.Tables(spark, sf, "documents")
+    // three-way split: initial corpus, landed batch, probing batch
+    val hist = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val b1 = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+    val b2 = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("gramindex-append-").toString
+    GramIndexLayout.write(hist, "text", "doc_id", dir)
+    GramIndexLayout.append(b1, "text", "doc_id", dir)
+    val stored = GramIndexLayout.probe(spark, dir, b2, "text", "doc_id")
+      .orderBy("a", "b").collect().map(_.toSeq).toSeq
+    val stateless = Dedup
+      .incrementalEditNearDups(hist.unionAll(b1), b2, "text", "doc_id")
+      .orderBy("a", "b").collect().map(_.toSeq).toSeq
+    assert(stored.nonEmpty, "fixture must produce pairs across the splits")
+    assert(stored == stateless)
+  }
+
   test("bucket predicate prunes at the directory level") {
     val dir = java.nio.file.Files
       .createTempDirectory("gramindex-prune-").toString
