@@ -45,6 +45,27 @@ object BandIndexLayout {
     dir
   }
 
+  /** Fold a landed batch into the stored band index (the
+    * [[GramIndexLayout.append]] lifecycle step): new postings append
+    * into the existing pb directories, the shingle projection
+    * appends; no sidecar to refresh (MinHash anchors are not
+    * rarity-ranked).
+    */
+  def append(docs: DataFrame, textCol: String, idCol: String, dir: String,
+      nBuckets: Int = 64): String = {
+    val sh = Dedup.minhashPrep(docs, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.write.mode("append").parquet(s"$dir/shingles")
+    Dedup.minhashBandRows(sh)
+      .withColumn("pb", pmod(col("bucket"), lit(nBuckets)).cast("int"))
+      .repartition(col("pb"))
+      .sortWithinPartitions(col("band"), col("bucket"))
+      .write.mode("append").partitionBy("pb")
+      .parquet(s"$dir/index")
+    sh.unpersist(blocking = false)
+    dir
+  }
+
   /** Stored form of `Dedup.incrementalMinhash`: flag incoming docs
     * that near-duplicate the indexed corpus at Jaccard ≥ `threshold`.
     * Only the batch computes signatures; the batch's band-key

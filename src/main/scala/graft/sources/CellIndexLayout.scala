@@ -59,6 +59,42 @@ object CellIndexLayout {
     dir
   }
 
+  /** Fold landed vectors into the stored index WITHOUT retraining —
+    * exactly how a production IVF grows (FAISS `add` after `train`):
+    * new vectors are assigned by the FROZEN stored quantizer and
+    * append into the existing cell directories. The quantizer drifts
+    * from what fresh training on the grown corpus would produce —
+    * that is inherent to IVF-add semantics, so the equivalence a spec
+    * can pin is against `ivfSearch` with THESE centroids over the
+    * grown corpus (CellIndexLayoutSpec does), not against a
+    * retrained `ivfAppendTopK`; periodic retraining is a rebuild
+    * ([[write]]), the maintenance path.
+    */
+  def append(vectors: DataFrame, idCol: String, vecCol: String,
+      dir: String): String = {
+    val spark = vectors.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids").orderBy("cid")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val bc = spark.sparkContext.broadcast(cents)
+    val assign = udf { (vd: Seq[Double]) =>
+      var best = Long.MaxValue; var bid = Long.MaxValue
+      bc.value.foreach { case (cid, c) =>
+        val d = Similarity.distFpJvm(vd, c)
+        if (d < best || (d == best && cid < bid)) { best = d; bid = cid }
+      }
+      bid
+    }
+    vectors
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vd"))
+      .withColumn("cell", assign(col("vd")))
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("id"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+    dir
+  }
+
   /** Stored form of `Similarity.ivfAppendTopK`: the batch's queries
     * probe the landed index — the probed-cell set (≤ nlist ids,
     * bounded driver state) becomes a literal partition predicate, so

@@ -45,4 +45,25 @@ class BandIndexLayoutSpec extends SparkSpec {
     assert(numFiles > 0 && numFiles < all,
       s"pruned scan read $numFiles of $all files - expected a strict subset")
   }
+
+  test("append folds a batch into the band index; the next probe sees it") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = graft.Tables(spark, sf, "documents")
+    val hist = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val b1 = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+    val b2 = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("bandindex-append-").toString
+    BandIndexLayout.write(hist, "text", "doc_id", dir)
+    BandIndexLayout.append(b1, "text", "doc_id", dir)
+    val stored = BandIndexLayout
+      .probe(spark, dir, b2, "text", "doc_id", threshold = 0.5)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val stateless = Dedup
+      .incrementalMinhash(hist.unionAll(b1), b2, "text", "doc_id",
+        threshold = 0.5)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(stored.nonEmpty)
+    assert(stored == stateless)
+  }
 }

@@ -46,4 +46,31 @@ class CellIndexLayoutSpec extends SparkSpec {
     assert(numFiles > 0 && numFiles < all,
       s"pruned scan read $numFiles of $all files - expected a strict subset")
   }
+
+  test("append adds vectors under the FROZEN quantizer (IVF add semantics)") {
+    val sf = "/root/testdata/sf0.01"
+    val emb = graft.Tables(spark, sf, "embeddings")
+    val h1 = emb.filter(col("vec_id") % 3 === 1)
+    val h2 = emb.filter(col("vec_id") % 3 === 2)
+    val b = emb.filter(col("vec_id") % 3 === 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("cellindex-append-").toString
+    CellIndexLayout.write(h1, "vec_id", "embedding", dir)
+    CellIndexLayout.append(h2, "vec_id", "embedding", dir)
+    val stored = CellIndexLayout
+      .probe(spark, dir, b, "vec_id", "embedding", _ < 30, k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    // the pinnable truth: ivfSearch with the STORED (h1-trained)
+    // centroids over the grown corpus — append never retrains, like
+    // FAISS add after train
+    val cents = spark.read.parquet(s"$dir/centroids").orderBy("cid")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val expected = Similarity.ivfSearch(
+        h1.unionAll(h2).unionAll(b).select(col("vec_id"), col("embedding")),
+        b.filter(col("vec_id") < 30), cents, "vec_id", "embedding",
+        k = 5, nprobe = 4)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(stored.nonEmpty)
+    assert(stored == expected)
+  }
 }
