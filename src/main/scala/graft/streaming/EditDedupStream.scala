@@ -37,4 +37,23 @@ object EditDedupStream {
             textCol, idCol, k, q), id)
       }
       .start()
+
+  /** [[start]] against the STORED index (round 11): each micro-batch
+    * probes a [[graft.sources.GramIndexLayout]] on disk instead of
+    * re-deriving the history index per epoch — the caveat the
+    * stateless form documents, closed. Probing and landing compose:
+    * a caller that also wants the stream folded into the index calls
+    * `GramIndexLayout.append` in the same sink after probing (probe
+    * first, append second, or batch-internal pairs double-report).
+    */
+  def startStored(indexDir: String, stream: DataFrame, textCol: String,
+      idCol: String, k: Int = 10, q: Int = 16)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.sources.GramIndexLayout.probe(batch.sparkSession,
+            indexDir, batch, textCol, idCol, k, q), id)
+      }
+      .start()
 }

@@ -54,4 +54,36 @@ class EditDedupStreamSpec extends SparkSpec {
     assert(expectFor(arrivals).nonEmpty,
       "fixture yields no pairs — parity check is vacuous")
   }
+
+  test("stored-index stream probes the landed GramIndexLayout identically") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val history = docs.filter(col("doc_id") % 7 =!= 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("editstream-stored-").toString
+    graft.sources.GramIndexLayout.write(history, "text", "doc_id", dir)
+    val arrivals = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map.empty[Long, Array[String]]
+    val sq = EditDedupStream.startStored(dir,
+        ms.toDF().toDF("doc_id", "text"), "text", "doc_id") {
+      (df, id) => got(id) = df.orderBy(col("a"), col("b"))
+        .collect().map(_.mkString("|"))
+    }
+    try {
+      ms.addData(arrivals.toIndexedSeq: _*)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val expected = Dedup.incrementalEditNearDups(history,
+        arrivals.toSeq.toDF("doc_id", "text"), "text", "doc_id")
+      .orderBy(col("a"), col("b")).collect().map(_.mkString("|"))
+    assert(expected.nonEmpty, "fixture yields no pairs — check is vacuous")
+    assert(got.values.toSeq.exists(_.sameElements(expected)),
+      "stored-index epoch diverged from the batch API")
+  }
 }
