@@ -26,7 +26,7 @@ object Bench {
     def load1(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val gate = sys.env.get("SPARK_GRAFT_LOAD_GATE").map(_.toDouble)
-      .getOrElse(0.8)
+      .getOrElse(0.5)
     if (gate > 0 && load1() >= gate) {
       val deadline = System.nanoTime() + 10L * 60 * 1000000000L
       while (load1() >= gate && System.nanoTime() < deadline) {
