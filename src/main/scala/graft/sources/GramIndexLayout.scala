@@ -34,6 +34,18 @@ import scala.collection.concurrent.TrieMap
   */
 object GramIndexLayout {
 
+  /** Lookup-path threshold: the largest distinct batch gram set whose
+    * literals are pushed into the sorted stats/index reads. Bounds
+    * the probe's driver-side collect AND the pushed predicate size —
+    * parquet materializes an In filter as a recursively built
+    * or-chain, so thousands of literals stack-overflow the scan
+    * (measured at ~4k); 256 covers the single-document lookup shape
+    * (a ~400-char doc has ~25 grid grams) with an order of magnitude
+    * of headroom. Batches past it take the plain-join plan, the
+    * right one when the batch rivals the index.
+    */
+  val LookupGrams = 256
+
   /** Land the index/stats/docs triple for `docs`. Returns `dir`. */
   def write(docs: DataFrame, textCol: String, idCol: String, dir: String,
       k: Int = 10, q: Int = 16, nBuckets: Int = 64): String = {
@@ -47,9 +59,12 @@ object GramIndexLayout {
       .parquet(s"$dir/index")
     val spark = docs.sparkSession
     // df from the landed index (one columnar read of gh), not a
-    // second explode of the corpus
+    // second explode of the corpus; range-sorted by gh so a probe
+    // that pushes gram literals skips row groups
     spark.read.parquet(s"$dir/index")
       .groupBy("gh").agg(count(lit(1)).as("df"))
+      .repartitionByRange(8, col("gh"))
+      .sortWithinPartitions(col("gh"))
       .write.mode("overwrite").parquet(s"$dir/stats")
     d.write.mode("overwrite").parquet(s"$dir/docs")
     d.unpersist(blocking = false)
@@ -83,6 +98,8 @@ object GramIndexLayout {
     // derives from index/, not stats/ — safe to overwrite stats/
     spark.read.parquet(s"$dir/index")
       .groupBy("gh").agg(count(lit(1)).as("df"))
+      .repartitionByRange(8, col("gh"))
+      .sortWithinPartitions(col("gh"))
       .write.mode("overwrite").parquet(s"$dir/stats")
     d.unpersist(blocking = false)
     dir
@@ -103,20 +120,48 @@ object GramIndexLayout {
       nBuckets: Int = 64): DataFrame = {
     val minLen = (k + 1) * q + k
     val b = Dedup.editProject(incoming, textCol, idCol, minLen)
-    val stats = spark.read.parquet(s"$dir/stats")
-    val anchors = Dedup.editAnchorsByDf(Dedup.editGrid(b, q), stats, k, q)
+    val grid = Dedup.editGrid(b, q)
+    // small-batch LOOKUP path ("is THIS doc a near-dup of the
+    // corpus"): when the batch's distinct gram set is tiny, its
+    // grams become literal predicates on the gh-sorted stats and
+    // index reads, so row-group min/max stats skip everything the
+    // lookup doesn't touch — the probe costs O(batch), not O(index).
+    // The collect is bounded by LookupGrams + 1 by construction
+    // (limit before collect); larger batches take the plain-join
+    // path, which is the right plan when the batch rivals the index.
+    val smallGh = {
+      val sample = grid.select(col("gh")).distinct()
+        .limit(LookupGrams + 1).collect().map(_.getLong(0))
+      if (sample.length <= LookupGrams) Some(sample.toSeq) else None
+    }
+    val stats0 = spark.read.parquet(s"$dir/stats")
+    val stats = smallGh.fold(stats0)(g => stats0.filter(col("gh").isin(g: _*)))
+    val anchors = Dedup.editAnchorsByDf(grid, stats, k, q)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ≤ nBuckets distinct ints: the bounded collect that buys
     // directory-level pruning on the stored index
     val buckets = anchors
       .select(pmod(col("gh"), lit(nBuckets)).cast("int").as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val stored = spark.read.parquet(s"$dir/index")
+    val stored0 = spark.read.parquet(s"$dir/index")
       .filter(col("bucket").isin(buckets: _*)).drop("bucket")
+    // anchors carry only selected (rarest) grams, but candidate
+    // completeness needs index rows for exactly those grams — the
+    // full batch gram set is a safe superset filter
+    val stored = smallGh.fold(stored0)(g =>
+      stored0.filter(col("gh").isin(g: _*)))
     val union = stored.unionByName(Dedup.editSliding(b, k, q))
     val texts = spark.read.parquet(s"$dir/docs").unionByName(b)
     val out = Dedup.editVerify(anchors, union, texts, k)
-    graft.pipeline.Similarity.materializeAndRelease(out, Seq(b, anchors))
+    // parquet only pushes In-filters up to inFilterThreshold literals
+    // (beyond it, a min-max range — useless on uniform hashes); widen
+    // it for the lookup path's one synchronous materialization so the
+    // gram literals actually reach row-group skipping, then restore
+    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val prev = spark.conf.get(key, "10")
+    if (smallGh.isDefined) spark.conf.set(key, LookupGrams.toString)
+    try graft.pipeline.Similarity.materializeAndRelease(out, Seq(b, anchors))
+    finally if (smallGh.isDefined) spark.conf.set(key, prev)
   }
 
   // one stored index per (source dir, split) per JVM — queries and

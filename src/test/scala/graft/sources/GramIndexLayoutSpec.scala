@@ -52,6 +52,27 @@ class GramIndexLayoutSpec extends SparkSpec {
     assert(stored == stateless)
   }
 
+  test("small-batch probe takes the lookup path and stays exact") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = graft.Tables(spark, sf, "documents")
+    val hist = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    // a 3-doc arriving batch: the "is this doc a near-dup" lookup
+    // shape, whose gram set is far under LookupGrams
+    val batchIds = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select("doc_id").orderBy("doc_id").limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    val batch = docs.filter(col("doc_id").isin(batchIds: _*))
+    val dir = java.nio.file.Files
+      .createTempDirectory("gramindex-lookup-").toString
+    GramIndexLayout.write(hist, "text", "doc_id", dir)
+    val stored = GramIndexLayout.probe(spark, dir, batch, "text", "doc_id")
+      .orderBy("a", "b").collect().map(_.toSeq).toSeq
+    val stateless = Dedup
+      .incrementalEditNearDups(hist, batch, "text", "doc_id")
+      .orderBy("a", "b").collect().map(_.toSeq).toSeq
+    assert(stored == stateless) // exactness holds on the lookup path
+  }
+
   test("bucket predicate prunes at the directory level") {
     val dir = java.nio.file.Files
       .createTempDirectory("gramindex-prune-").toString
