@@ -274,6 +274,49 @@ object Dedup extends Serializable {
     Similarity.materializeAndRelease(verified, Seq(shH, shI, bH, bI))
   }
 
+  /** [[incrementalMinhash]]'s PAIR-level form, feeding the incremental
+    * cluster collapse ([[incrementalComponents]]): every verified
+    * near-dup pair that INVOLVES the incoming batch — batch×history
+    * (batch bands probe the history band index; history shuffles
+    * nothing) AND batch×batch (the batch dedupes internally on
+    * arrival). History-internal pairs are deliberately absent — they
+    * were found when those docs arrived. Band keys are a pure
+    * function of each doc's own shingles, so
+    * full-corpus pairs ≡ history-internal ∪ this — the partition the
+    * q110 oracle equivalence rests on. Returns (a, b) with a < b.
+    */
+  def incrementalMinhashPairs(history: DataFrame, incoming: DataFrame,
+      textCol: String, idCol: String, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(history.sparkSession)
+    def prep(df: DataFrame) = minhashPrep(df, textCol, idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def bands(sh: DataFrame) = minhashBandRows(sh)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val shH = prep(history); val shI = prep(incoming)
+    val bH = bands(shH); val bI = bands(shI)
+    bH.count(); bI.count()
+    val candXH = bI.as("x")
+      .join(bH.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket"))
+      .select(least(col("x.id"), col("y.id")).as("a"),
+        greatest(col("x.id"), col("y.id")).as("b"))
+    val candII = bI.as("x")
+      .join(bI.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    val cand = candXH.union(candII).distinct()
+    val shAll = shH.union(shI)
+    val verified = cand
+      .join(shAll.select(col("id").as("a"), col("sh").as("sh_a")), "a")
+      .join(shAll.select(col("id").as("b"), col("sh").as("sh_b")), "b")
+      .filter(jaccardKernel(col("sh_a"), col("sh_b")) >= threshold)
+      .select(col("a"), col("b"))
+    Similarity.materializeAndRelease(verified, Seq(shH, shI, bH, bI))
+  }
+
   /** Exact Jaccard of two already-distinct string arrays — identical
     * to size(array_intersect)/size(array_union) on distinct inputs
     * (int-derived division, bit-exact across engines).
@@ -437,7 +480,7 @@ object Dedup extends Serializable {
     // checkpoint(reliable) — same shape, recoverable blocks.
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("lab", col("node"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: round 1's action materializes it
 
     var changed = 1L
     var rounds = 0
@@ -449,10 +492,15 @@ object Dedup extends Serializable {
       val nbrMin = edges
         .join(labels.select(col("node").as("v"), col("lab").as("vlab")), "v")
         .groupBy(col("u").as("node")).agg(min(col("vlab")).as("nmin"))
+      // LAZY checkpoints: both materialize inside the round's single
+      // action (the fixpoint count below) — one Spark job per round,
+      // not three. `stepped` is referenced on both sides of the
+      // halving join; the checkpoint RDD is cached, so it computes
+      // once and the second reference reads blocks.
       val stepped = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("lab"),
           least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab1"))
-        .localCheckpoint(true) // referenced twice below: cut before fan-in
+        .localCheckpoint(false) // referenced twice below: cut before fan-in
       // (2) path halving: lab''(u) = lab'(lab'(u)) — chains collapse
       // exponentially instead of one hop per round
       val jumped = stepped
@@ -460,7 +508,9 @@ object Dedup extends Serializable {
           Seq("lab1"), "left")
         .select(col("node"), col("lab"),
           coalesce(col("lab2"), col("lab1")).as("newlab"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
+      // ONE action: materializes stepped + jumped (truncating lineage
+      // for the next round) and evaluates the fixpoint test
       changed = jumped.filter(col("newlab") =!= col("lab")).count()
       labels = jumped.select(col("node"), col("newlab").as("lab"))
       rounds += 1
@@ -760,5 +810,133 @@ object Dedup extends Serializable {
       .filter(col("hamming") <= maxDist)
       .select(col("a"), col("b"), col("hamming"))
     Similarity.materializeAndRelease(out, Seq(chunked))
+  }
+
+  /** Maximal duplicated spans — the ExactSubstr signal ("Deduplicating
+    * Training Data Makes Language Models Better", Lee et al. 2022):
+    * find, per document, the maximal word ranges whose every length-`w`
+    * window also occurs in some OTHER document. Where q71's chunks are
+    * non-overlapping (a shared span straddling a chunk boundary is
+    * invisible), the windows here slide by 1 word, so ANY shared run of
+    * ≥ w words is detected at its exact extent — the suffix-array
+    * result, computed with joins instead of a suffix array.
+    *
+    * Shape (all streaming, never all-pairs):
+    *  1. windows: one row per (doc, pos) — O(total words) rows.
+    *  2. cross-doc shared windows: ONE partial aggregate per distinct
+    *     window text, shared iff min(doc_id) ≠ max(doc_id) (the q71
+    *     trick — no count-distinct expansion). Within-doc repetition
+    *     alone does NOT mark a window (that's q66's signal).
+    *  3. left-semi probe of the window stream by the shared set — a
+    *     plain keyed join (shared-window volume is corpus-duplication-
+    *     sized, not a dimension table; AQE may still broadcast it).
+    *  4. interval merge per doc (gaps-and-islands): a window starts a
+    *     new maximal span iff its start exceeds the running max end of
+    *     all earlier duplicated windows — per-doc sort inside the
+    *     doc_id shuffle, O(duplicated windows), classic SQL, exactly
+    *     replayable.
+    * At 100 TB the window string would be a 16-byte hash (collision
+    * odds negligible, shuffle 16 B/row instead of the text); exact
+    * strings are kept here so the oracle comparison is differential
+    * end-to-end.
+    *
+    * Returns one row per document that has at least one duplicated
+    * span: (doc_id, n_words, n_spans, dup_words, max_span, dup_frac)
+    * where dup_words = size of the UNION of duplicated ranges (islands
+    * are disjoint by construction) and dup_frac = dup_words/n_words —
+    * integer sums and ONE exactly-rounded IEEE division (the q73
+    * discipline).
+    */
+  def maximalDupSpans(docs: DataFrame, textCol: String, idCol: String,
+      w: Int): DataFrame = {
+    require(w >= 2, "window width must be at least 2 words")
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        TextOps.words(col(textCol)).as("ws"))
+      .withColumn("nw", size(col("ws")))
+      // sequence(0, nw-w) would DESCEND for nw < w; guard the lambda
+      .filter(col("nw") >= w)
+    val wins = graft.operators.FanOut(base)
+      .select(col("doc_id"), col("nw"), posexplode(expr(
+        s"transform(sequence(0, nw - $w), i -> array_join(slice(ws, i + 1, $w), ' '))"))
+        .as(Seq("pos", "span")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val shared = wins.groupBy(col("span"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .select(col("span"))
+    val hits = wins.join(shared, Seq("span"), "left_semi")
+      .select(col("doc_id"), col("nw"), col("pos"),
+        (col("pos") + lit(w - 1)).as("e"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = max(col("e")).over(
+      byPos.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = hits
+      .withColumn("brk",
+        when(col("pos") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byPos))
+      .groupBy(col("doc_id"), col("nw"), col("island"))
+      .agg((max(col("e")) - min(col("pos")) + 1).as("span_words"))
+    val out = islands.groupBy(col("doc_id"), col("nw"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_words")).as("dup_words"),
+        max(col("span_words")).cast("long").as("max_span"))
+      .select(col("doc_id"), col("nw").cast("long").as("n_words"),
+        col("n_spans"), col("dup_words"), col("max_span"),
+        (col("dup_words").cast("double") / col("nw")).as("dup_frac"))
+    Similarity.materializeAndRelease(out, Seq(wins))
+  }
+
+  /** Incremental connected components — fold a BATCH of new near-dup
+    * pairs into a STORED labeling without touching unaffected
+    * components: the cluster-collapse step of an incremental dedup run
+    * (pairs from q75/q76/q105-style probes), completing the
+    * incremental family end-to-end. A full re-run shuffles every edge
+    * ever seen; this shuffles O(|new pairs| + |affected components|).
+    *
+    * `stored` is a prior [[connectedComponents]] output (node, canon)
+    * — star-shaped (every node points at its component minimum), which
+    * is what makes the incremental step cheap AND exact:
+    *  1. affected component ids = canons of stored nodes that appear
+    *     in a new pair (left-semi, keyed).
+    *  2. the affected SUBGRAPH = the stored star edges of those
+    *     components (the star preserves connectivity exactly — every
+    *     member reaches the canon in one hop) ∪ the new pairs.
+    *  3. [[connectedComponents]] over the subgraph — diameter ≤ 2 per
+    *     stored component, so the iterative loop converges in O(log
+    *     merge-chain) tiny rounds.
+    *  4. untouched stored rows pass through unchanged (anti-join on
+    *     canon).
+    * Exactness: the union of star edges and original edges has the
+    * same components (stars preserve reachability), merges across
+    * stored components go through a new pair and both sides' stars
+    * are present, and a merged component's new canon is the min over
+    * the union — exactly what the full run computes. So output ≡
+    * full CC over (all old pairs ∪ new pairs), which the oracle
+    * checks differentially.
+    *
+    * Returns (node, canon) for every node in `stored` or in a new
+    * pair.
+    */
+  def incrementalComponents(stored: DataFrame, newPairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val st = stored.select(col("node").cast("long").as("node"),
+        col("canon").cast("long").as("canon"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val np = newPairs.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+    val touched = np.select(col("a").as("node"))
+      .union(np.select(col("b").as("node"))).distinct()
+    val affectedCanons = st.join(touched, Seq("node"), "left_semi")
+      .select(col("canon")).distinct()
+    val affectedStars = st.join(affectedCanons, Seq("canon"), "left_semi")
+    val subEdges = affectedStars
+      .select(col("node").as("a"), col("canon").as("b"))
+      .filter(col("a") =!= col("b")) // canon's self-loop adds nothing
+      .union(np)
+    val relabeled = connectedComponents(subEdges, "a", "b")
+    val untouched = st.join(affectedCanons, Seq("canon"), "left_anti")
+      .select(col("node"), col("canon"))
+    val out = relabeled.union(untouched)
+    Similarity.materializeAndRelease(out, Seq(st))
   }
 }

@@ -3390,10 +3390,92 @@ object Pipeline {
     },
     q99.oracle)
 
+  /** Maximal duplicated spans — the ExactSubstr dedup signal (Lee et
+    * al. 2022) via [[Dedup.maximalDupSpans]]: overlapping `w`-word
+    * sliding windows (q71's chunks are non-overlapping and miss spans
+    * straddling chunk boundaries), cross-doc shared-window detection
+    * in one partial aggregate, and per-doc interval merge into MAXIMAL
+    * duplicated ranges. The oracle replays the whole composition —
+    * window construction, min≠max sharing, the gaps-and-islands merge
+    * — so span extents, union coverage, and the single-division
+    * dup_frac are all differentially verified.
+    */
+  val q109 = {
+    val w = 8
+    Q(
+      "q109_maximal_dup_spans",
+      (spark, dir) =>
+        Dedup.maximalDupSpans(Tables(spark, dir, "documents"),
+            "text", "doc_id", w)
+          .orderBy(col("doc_id")),
+      Some(s"""
+      WITH wd AS (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents),
+      nn AS (SELECT doc_id, ws, len(ws) AS nw FROM wd
+             WHERE len(ws) >= $w),
+      win AS (SELECT doc_id, nw, p AS pos,
+                list_aggregate(ws[p+1:p+$w], 'string_agg', ' ') AS span
+              FROM nn, UNNEST(range(0, nw - $w + 1)) t(p)),
+      shared AS (SELECT span FROM win GROUP BY span
+                 HAVING MIN(doc_id) <> MAX(doc_id)),
+      hit AS (SELECT w.doc_id, w.nw, w.pos, w.pos + $w - 1 AS e
+              FROM win w JOIN shared USING (span)),
+      brk AS (SELECT doc_id, nw, pos, e,
+                CASE WHEN pos > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS b
+              FROM hit),
+      isl AS (SELECT doc_id, nw, pos, e,
+                SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM brk),
+      sp AS (SELECT doc_id, nw, island,
+               MAX(e) - MIN(pos) + 1 AS span_words
+             FROM isl GROUP BY doc_id, nw, island)
+      SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+             COUNT(*) AS n_spans,
+             CAST(SUM(span_words) AS BIGINT) AS dup_words,
+             CAST(MAX(span_words) AS BIGINT) AS max_span,
+             CAST(SUM(span_words) AS DOUBLE) / nw AS dup_frac
+      FROM sp GROUP BY doc_id, nw
+      ORDER BY doc_id"""))
+  }
+
+  /** Incremental connected components — q55's cluster collapse
+    * without recomputing history: stored labels from the landed
+    * corpus's pairs, a batch arrives, [[Dedup.incrementalMinhashPairs]]
+    * finds every batch-involving pair, and
+    * [[Dedup.incrementalComponents]] relabels ONLY the touched
+    * components (stored star edges ∪ new pairs; untouched rows pass
+    * through). Shuffle is O(batch pairs + affected components), not
+    * O(corpus) — the at-scale posture for continuous dedup. Band keys
+    * are corpus-independent, so history-internal ∪ batch-involving
+    * pairs ≡ the full run's pairs, and star edges preserve
+    * connectivity exactly: output ≡ q55, so the oracle IS q55's
+    * full-corpus recursive-CTE closure — the incremental path is
+    * driver-checked against the from-scratch semantics, not asserted.
+    */
+  val q110 = Q(
+    "q110_incr_dedup_clusters",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val hist = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val stored = Dedup.connectedComponents(
+        Dedup.minhashNearDups(hist, "text", "doc_id", threshold = 0.5),
+        "a", "b")
+      val newPairs = Dedup.incrementalMinhashPairs(hist, batch,
+        "text", "doc_id", threshold = 0.5)
+      Dedup.incrementalComponents(stored, newPairs, "a", "b")
+        .select(col("node").as("doc_id"), col("canon").as("canon_id"))
+        .orderBy(col("doc_id"))
+    },
+    q55.oracle)
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q101, q102, q103, q104, q105, q106, q107,
-    q108)
+    q108, q109, q110)
 }
