@@ -373,6 +373,43 @@ object Stress {
       runEdit("1x", base)
       runEdit(s"${mult}x", big)
     }
+
+    // round-11 late additions: q109 maximal dup spans (window volume
+    // = total words; shared-set agg + semi-join + per-doc interval
+    // merge must all scale ~linearly) and q110 incremental components
+    // (setup = history CC + batch pair probe, measured separately
+    // from the FOLD itself — the fold is the incremental claim:
+    // O(batch pairs + affected components), not O(corpus))
+    def runSpans(tag: String, docs: DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val spans = Dedup.maximalDupSpans(docs, "text", "doc_id", 8).count()
+      release(spark)
+      val t1 = System.nanoTime()
+      val hist = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val stored = Dedup.connectedComponents(
+        Dedup.minhashNearDups(hist, "text", "doc_id", 0.5), "a", "b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nStored = stored.count()
+      val np = Dedup.incrementalMinhashPairs(hist, batch,
+          "text", "doc_id", 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nNp = np.count()
+      val t2 = System.nanoTime()
+      val folded = Dedup.incrementalComponents(stored, np, "a", "b").count()
+      val t3 = System.nanoTime()
+      stored.unpersist(blocking = false); np.unpersist(blocking = false)
+      release(spark)
+      def s(a: Long, b: Long) = f"${(b - a) / 1e9}%7.2f"
+      println(f"$tag%-4s spans=${s(t0, t1)}s ccSetup=${s(t1, t2)}s " +
+        f"ccFold=${s(t2, t3)}s " +
+        f"[spanDocs=$spans stored=$nStored newPairs=$nNp folded=$folded]")
+    }
+    if (stages("spans")) {
+      runSpans("warm", base.limit(500))
+      runSpans("1x", base)
+      runSpans(s"${mult}x", big)
+    }
     spark.stop()
   }
 }

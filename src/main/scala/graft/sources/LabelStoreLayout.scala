@@ -1,0 +1,120 @@
+package graft.sources
+
+import graft.pipeline.Dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Paths
+
+/** The STORED component labeling — the continuous-dedup counterpart of
+  * the stored candidate indexes ([[GramIndexLayout]] grams,
+  * [[BandIndexLayout]] bands, [[CellIndexLayout]] cells): those make
+  * PAIR DISCOVERY incremental; this makes the CLUSTER STATE
+  * incremental. The labeling (node, canon) lives as a parquet table
+  * partitioned by `pb` = pmod(canon, nBuckets) and sorted within files
+  * by node; each batch's verified pairs FOLD in via
+  * [[Dedup.incrementalComponents]] semantics with storage I/O
+  * proportional to the TOUCHED partitions, not the corpus:
+  *
+  *  1. the batch's nodes look up their stored canons (files are
+  *     node-sorted, so the semi-join skips row groups);
+  *  2. affected canons' pb set (bounded: ≤ nBuckets ints) prunes the
+  *     read of affected component rows at the directory level;
+  *  3. the affected star edges ∪ new pairs relabel through
+  *     [[Dedup.connectedComponents]] (diameter ≤ 2 per stored
+  *     component);
+  *  4. ONLY the touched partitions rewrite — dynamic partition
+  *     overwrite of (surviving rows ∪ relabeled rows) for the old ∪
+  *     new pb set; untouched directories are never read or written.
+  *
+  * A partition whose every component merged away (possible only in
+  * toy corpora) would be absent from the dynamic-overwrite frame and
+  * keep stale files; [[fold]] deletes such directories explicitly.
+  *
+  * Exactness: identical argument to [[Dedup.incrementalComponents]] —
+  * stars preserve connectivity, merges always pass through a new
+  * pair, the merged canon is the min over the union — so after any
+  * sequence of folds the stored labeling equals a from-scratch
+  * [[Dedup.connectedComponents]] over ALL pairs ever folded
+  * (spec-pinned, including multi-fold lifecycles).
+  */
+object LabelStoreLayout {
+
+  private def withPb(labels: DataFrame, nBuckets: Int): DataFrame =
+    labels
+      .select(col("node").cast("long").as("node"),
+        col("canon").cast("long").as("canon"))
+      .withColumn("pb", pmod(col("canon"), lit(nBuckets)).cast("int"))
+
+  /** Land a labeling (columns node, canon) at `dir`. Returns `dir`. */
+  def write(labels: DataFrame, dir: String, nBuckets: Int = 64): String = {
+    withPb(labels, nBuckets)
+      .repartition(col("pb"))
+      .sortWithinPartitions(col("node"))
+      .write.mode("overwrite").partitionBy("pb")
+      .parquet(s"$dir/labels")
+    dir
+  }
+
+  /** The stored labeling, as (node, canon). */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/labels").select(col("node"), col("canon"))
+
+  /** Fold a batch of verified pairs into the stored labeling. */
+  def fold(spark: SparkSession, dir: String, newPairs: DataFrame,
+      aCol: String, bCol: String, nBuckets: Int = 64): String = {
+    val np = newPairs.select(col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (np.count() == 0L) { np.unpersist(blocking = false); return dir }
+    val stored = spark.read.parquet(s"$dir/labels")
+    val touched = np.select(col("a").as("node"))
+      .union(np.select(col("b").as("node"))).distinct()
+    val affCanons = stored.join(touched, Seq("node"), "left_semi")
+      .select(col("canon")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pbOld = affCanons
+      .select(pmod(col("canon"), lit(nBuckets)).cast("int").as("pb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    // affected component rows: canon-keyed lookup, directory-pruned
+    val affRows = stored.filter(col("pb").isin(pbOld: _*))
+      .join(affCanons, Seq("canon"), "left_semi")
+      .select(col("node"), col("canon"))
+    val sub = affRows.select(col("node").as("a"), col("canon").as("b"))
+      .filter(col("a") =!= col("b"))
+      .union(np)
+    val relabeled = Dedup.connectedComponents(sub, "a", "b")
+    val pbNew = relabeled
+      .select(pmod(col("canon"), lit(nBuckets)).cast("int").as("pb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val pbTouched = (pbOld ++ pbNew).distinct
+    val keep = stored.filter(col("pb").isin(pbTouched: _*))
+      .join(affCanons, Seq("canon"), "left_anti")
+      .select(col("node"), col("canon"))
+    val content = withPb(keep.union(relabeled), nBuckets)
+      .repartition(col("pb"))
+      .sortWithinPartitions(col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val presentPbs = content.select(col("pb")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try content.write.mode("overwrite").partitionBy("pb")
+      .parquet(s"$dir/labels")
+    finally prior match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // a touched partition that ended up empty keeps stale files under
+    // dynamic overwrite — remove the directory outright
+    pbTouched.filterNot(presentPbs).foreach(pb =>
+      graft.streaming.Parts.deleteTree(Paths.get(s"$dir/labels/pb=$pb")))
+    content.unpersist(blocking = false)
+    affCanons.unpersist(blocking = false)
+    np.unpersist(blocking = false)
+    dir
+  }
+}
