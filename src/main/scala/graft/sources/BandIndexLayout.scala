@@ -102,6 +102,48 @@ object BandIndexLayout {
     graft.pipeline.Similarity.materializeAndRelease(verified, Seq(shI, bI))
   }
 
+  /** Pair-level stored probe — `Dedup.incrementalMinhashPairs` against
+    * the LANDED index: every verified pair involving the batch, both
+    * batch×stored (directory-pruned by the batch's band-key pb set)
+    * and batch×batch (the batch dedupes internally on arrival).
+    * Stored-internal pairs are deliberately absent — they were found
+    * when those docs arrived. Returns (a, b) with a < b; feeds
+    * [[LabelStoreLayout.fold]] in the continuous-clustering loop
+    * ([[graft.streaming.ClusterStream]]).
+    */
+  def probePairs(spark: SparkSession, dir: String, incoming: DataFrame,
+      textCol: String, idCol: String, threshold: Double,
+      nBuckets: Int = 64): DataFrame = {
+    val shI = Dedup.minhashPrep(incoming, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bI = Dedup.minhashBandRows(shI)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pbs = bI.select(pmod(col("bucket"), lit(nBuckets)).cast("int")
+        .as("pb")).distinct().collect().map(_.getInt(0)).toSeq
+    val stored = spark.read.parquet(s"$dir/index")
+      .filter(col("pb").isin(pbs: _*)).drop("pb")
+    val candXH = bI.as("x")
+      .join(stored.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket"))
+      .select(least(col("x.id"), col("y.id")).as("a"),
+        greatest(col("x.id"), col("y.id")).as("b"))
+    val candII = bI.as("x")
+      .join(bI.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    val cand = candXH.union(candII).distinct()
+    val shAll = shI.union(spark.read.parquet(s"$dir/shingles"))
+    val verified = cand
+      .join(shAll.select(col("id").as("a"), col("sh").as("sh_a")), "a")
+      .join(shAll.select(col("id").as("b"), col("sh").as("sh_b")), "b")
+      .filter(Dedup.jaccardKernel(col("sh_a"), col("sh_b")) >= threshold)
+      .select(col("a"), col("b"))
+    graft.pipeline.Similarity.materializeAndRelease(verified, Seq(shI, bI))
+  }
+
   // one stored index per (source dir, split) per JVM — the
   // PartitionedLayout/GramIndexLayout memoization pattern
   private val layouts = TrieMap.empty[String, String]
