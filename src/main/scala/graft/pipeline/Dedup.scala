@@ -317,6 +317,61 @@ object Dedup extends Serializable {
     Similarity.materializeAndRelease(verified, Seq(shH, shI, bH, bI))
   }
 
+  /** q110's full composition — history clustering + batch fold — with
+    * ONE history projection: [[minhashNearDups]](history) and
+    * [[incrementalMinhashPairs]](history, batch) each prep and band
+    * the history corpus, so composing them scans it twice; here shH/bH
+    * are computed once and feed BOTH the history-internal self-join
+    * and the batch probe (at 100 TB both halves read the STORED band
+    * index instead — [[graft.sources.BandIndexLayout]] /
+    * [[graft.streaming.ClusterStream]] — and history-internal pairs
+    * come from prior folds; this is the in-memory form's equivalent
+    * economy). Output ≡ [[connectedComponents]] over the full
+    * corpus's pairs — q55's semantics, the q110 oracle contract.
+    */
+  def incrementalClusters(history: DataFrame, incoming: DataFrame,
+      textCol: String, idCol: String, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(history.sparkSession)
+    val shH = minhashPrep(history, textCol, idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bH = minhashBandRows(shH).persist(StorageLevel.MEMORY_AND_DISK)
+    val shI = minhashPrep(incoming, textCol, idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bI = minhashBandRows(shI).persist(StorageLevel.MEMORY_AND_DISK)
+    bH.count(); bI.count()
+    def verify(cand: DataFrame, shAll: DataFrame): DataFrame = cand
+      .join(shAll.select(col("id").as("a"), col("sh").as("sh_a")), "a")
+      .join(shAll.select(col("id").as("b"), col("sh").as("sh_b")), "b")
+      .filter(jaccardKernel(col("sh_a"), col("sh_b")) >= threshold)
+      .select(col("a"), col("b"))
+    val histPairs = verify(
+      bH.as("x")
+        .join(bH.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.bucket") === col("y.bucket") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id").as("a"), col("y.id").as("b"))
+        .distinct(),
+      shH)
+    val stored = connectedComponents(histPairs, "a", "b")
+    val candXH = bI.as("x")
+      .join(bH.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket"))
+      .select(least(col("x.id"), col("y.id")).as("a"),
+        greatest(col("x.id"), col("y.id")).as("b"))
+    val candII = bI.as("x")
+      .join(bI.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    val newPairs = verify(candXH.union(candII).distinct(), shH.union(shI))
+    val out = incrementalComponents(stored, newPairs, "a", "b")
+    Seq(shH, bH, shI, bI).foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Exact Jaccard of two already-distinct string arrays — identical
     * to size(array_intersect)/size(array_union) on distinct inputs
     * (int-derived division, bit-exact across engines).

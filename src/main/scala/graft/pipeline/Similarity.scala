@@ -184,32 +184,40 @@ object Similarity extends Serializable {
     * query would pin its self-join inputs in the block manager for
     * the rest of the session (Verify/Bench run ~44 queries in one).
     *
-    * The result cache itself is a single rotating slot: materializing
-    * the next query's result unpersists the previous one, so at most
-    * one result is ever pinned (ADVICE r3 #2 — the same accumulation
-    * class as the intermediates, one query behind). Callers that want
-    * the block manager fully drained call [[releaseResult]] once the
-    * result has been consumed.
+    * Result caches live until [[releaseResult]] — a LIST, not the old
+    * single rotating slot: a COMPOSED query (q110 = stored CC → pair
+    * probe → fold; each step a materializeAndRelease caller) must
+    * keep every step's result cached until the query completes, or
+    * step N+1's materialization silently drops step N's cache and
+    * later references recompute the whole upstream chain (the
+    * single-slot form cost q110 a full second history-CC replay —
+    * measured 21.8 s vs 9.5 s). The list is bounded by the number of
+    * composed operator calls per query (≤ 4 across the surface);
+    * harness loops (Bench/Verify/Stress between queries, the
+    * streaming sinks per epoch) drain it with [[releaseResult]].
     */
-  private val lastResult =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private val liveResults =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
   private[graft] def materializeAndRelease(result: DataFrame,
       intermediates: Seq[DataFrame]): DataFrame = {
     val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     intermediates.foreach(_.unpersist(blocking = false))
-    val prev = lastResult.getAndSet(out)
-    if (prev != null) prev.unpersist(blocking = false)
+    liveResults.add(out)
     out
   }
 
-  /** Drop the one result cache [[materializeAndRelease]] keeps alive —
-    * the consumed DataFrame stays valid (it just recomputes if re-read).
+  /** Drop every result cache [[materializeAndRelease]] keeps alive —
+    * the consumed DataFrames stay valid (they just recompute if
+    * re-read).
     */
   def releaseResult(): Unit = {
-    val prev = lastResult.getAndSet(null)
-    if (prev != null) prev.unpersist(blocking = false)
+    var prev = liveResults.poll()
+    while (prev != null) {
+      prev.unpersist(blocking = false)
+      prev = liveResults.poll()
+    }
   }
 
   /** Multi-probe buckets: every bucket within [[ProbeFlips]] bit

@@ -3459,14 +3459,10 @@ object Pipeline {
     "q110_incr_dedup_clusters",
     (spark, dir) => {
       val docs = Tables(spark, dir, "documents")
-      val hist = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
-      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
-      val stored = Dedup.connectedComponents(
-        Dedup.minhashNearDups(hist, "text", "doc_id", threshold = 0.5),
-        "a", "b")
-      val newPairs = Dedup.incrementalMinhashPairs(hist, batch,
-        "text", "doc_id", threshold = 0.5)
-      Dedup.incrementalComponents(stored, newPairs, "a", "b")
+      Dedup.incrementalClusters(
+          docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+          "text", "doc_id", threshold = 0.5)
         .select(col("node").as("doc_id"), col("canon").as("canon_id"))
         .orderBy(col("doc_id"))
     },

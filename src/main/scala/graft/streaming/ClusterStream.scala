@@ -35,11 +35,20 @@ object ClusterStream {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          // PIN the probe result before mutating the index it reads:
+          // append's write triggers refreshByPath on bandDir, which
+          // invalidates any cached plan referencing it — a later read
+          // of a merely-persisted result would silently recompute
+          // against the batch's OWN postings (self-pairs). The local
+          // checkpoint cuts the lineage to the path entirely.
           val pairs = BandIndexLayout.probePairs(spark, bandDir, batch,
-            textCol, idCol, threshold)
+            textCol, idCol, threshold).localCheckpoint(true)
           LabelStoreLayout.fold(spark, labelDir, pairs, "a", "b")
           BandIndexLayout.append(batch, textCol, idCol, bandDir)
           sink(pairs, id)
+          // results are consumed — drain the epoch's result caches or
+          // an unbounded stream pins one set per epoch forever
+          graft.pipeline.Similarity.releaseResult()
         }
       }
       .start()

@@ -32,9 +32,12 @@ object EditDedupStream {
       sink: (DataFrame, Long) => Unit): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           sink(Dedup.incrementalEditNearDups(history, batch,
             textCol, idCol, k, q), id)
+          // consumed — drain this epoch's result cache
+          graft.pipeline.Similarity.releaseResult()
+        }
       }
       .start()
 
@@ -51,9 +54,11 @@ object EditDedupStream {
       sink: (DataFrame, Long) => Unit): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           sink(graft.sources.GramIndexLayout.probe(batch.sparkSession,
             indexDir, batch, textCol, idCol, k, q), id)
+          graft.pipeline.Similarity.releaseResult()
+        }
       }
       .start()
 }

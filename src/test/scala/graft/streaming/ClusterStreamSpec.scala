@@ -60,7 +60,14 @@ class ClusterStreamSpec extends SparkSpec {
           rows.toSeq.toDF("doc_id", "text"), "text", "doc_id", 0.5)
         .orderBy(col("a"), col("b")).collect().map(_.mkString("|"))
     val epochs = got.keys.toSeq.sorted
-    assert(got(epochs.head).sameElements(pairsFor(history, b1)),
+    val exp1 = pairsFor(history, b1)
+    if (!got(epochs.head).sameElements(exp1)) {
+      System.err.println(s"[debug] epoch1 got ${got(epochs.head).length}: " +
+        got(epochs.head).mkString(", "))
+      System.err.println(s"[debug] epoch1 exp ${exp1.length}: " +
+        exp1.mkString(", "))
+    }
+    assert(got(epochs.head).sameElements(exp1),
       "epoch 1 pairs diverged from the batch API")
     assert(got(epochs.last).sameElements(
       pairsFor(history.select(col("doc_id").cast("long"), col("text"))
