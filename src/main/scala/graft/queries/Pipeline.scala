@@ -3468,10 +3468,40 @@ object Pipeline {
     },
     q55.oracle)
 
+  /** Stored-state incremental clustering — q110 against LANDED state
+    * on BOTH sides: batch pairs come from the stored band index
+    * ([[graft.sources.BandIndexLayout.probePairs]], directory-pruned)
+    * and fold into the stored labeling
+    * ([[graft.sources.LabelStoreLayout.fold]], touched partitions
+    * only), then the landed table IS the answer. No history replay at
+    * all — q110's in-memory form rebuilds the history clustering per
+    * run (the replay discipline); this is what a standing pipeline
+    * actually executes per batch, and its bench slot measures the
+    * incremental-only cost. Output ≡ q55 ≡ q110 (fold exactness +
+    * the pair-partition argument), so the oracle IS q55's — the
+    * stored path is driver-checked, not asserted. Safe under re-run:
+    * the store is a fixpoint under replaying the same fold.
+    */
+  val q111 = Q(
+    "q111_stored_label_fold",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val bandDir = graft.sources.BandIndexLayout.documentsHistory(spark, dir)
+      val labelDir = graft.sources.LabelStoreLayout.documentsHistory(spark, dir)
+      val pairs = graft.sources.BandIndexLayout.probePairs(spark, bandDir,
+        batch, "text", "doc_id", threshold = 0.5)
+      graft.sources.LabelStoreLayout.fold(spark, labelDir, pairs, "a", "b")
+      graft.sources.LabelStoreLayout.read(spark, labelDir)
+        .select(col("node").as("doc_id"), col("canon").as("canon_id"))
+        .orderBy(col("doc_id"))
+    },
+    q55.oracle)
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110)
+    q108, q109, q110, q111)
 }

@@ -117,4 +117,29 @@ object LabelStoreLayout {
     np.unpersist(blocking = false)
     dir
   }
+
+  // one stored labeling per (source dir, split) per JVM — the
+  // BandIndexLayout memoization pattern. Re-running a query that
+  // folds the same batch into the memoized store is safe: folding an
+  // already-folded pair set relabels the affected components to the
+  // labels they already carry (CC over current stars ∪ the same
+  // pairs), so the store is a fixpoint under replay.
+  private val layouts =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  /** The documents history labeling (doc_id % 3 != 0 — the q110
+    * split, clustered from its MinHash pairs), built on first use per
+    * JVM.
+    */
+  def documentsHistory(spark: SparkSession, dir: String): String =
+    layouts.getOrElseUpdate(s"$dir/documents-labels", {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-labelstore-").toString
+      val hist = graft.Tables(spark, dir, "documents")
+        .filter(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.lit(3)) =!= 0)
+      write(Dedup.connectedComponents(
+        Dedup.minhashNearDups(hist, "text", "doc_id", 0.5), "a", "b"), out)
+    })
 }
