@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions._
   * rows × small-constant; a superlinear one flags an all-pairs leak.
   *
   * Usage: scripts/run.sh graft.Stress [sfDir] [mult] [stages]
-  * where stages is a csv subset of dedup,prep,sim,forensics
-  * (default: all).
+  * where stages is a csv subset of
+  * dedup,prep,sim,forensics,r11,edit,spans (default: all of them).
   */
 object Stress {
 
@@ -26,7 +26,8 @@ object Stress {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
     val stages = args.lift(2).map(_.split(",").toSet)
-      .getOrElse(Set("dedup", "prep", "sim", "forensics", "r11"))
+      .getOrElse(Set("dedup", "prep", "sim", "forensics", "r11", "edit",
+        "spans"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -285,6 +285,48 @@ object Dedup extends Serializable {
     * full-corpus pairs ≡ history-internal ∪ this — the partition the
     * q110 oracle equivalence rests on. Returns (a, b) with a < b.
     */
+  /** Candidate pairs (a < b) for a batch's band rows `bI` against an
+    * index side `bOther` (history bands or a stored posting read) PLUS
+    * the batch-internal self-join — the shape shared by
+    * [[incrementalMinhashPairs]], [[incrementalClusters]] and
+    * `BandIndexLayout.probePairs` (one definition, so a fix lands
+    * everywhere). The a≠b guard drops self-collisions: a batch doc
+    * whose postings are ALREADY in the index side (re-delivered doc,
+    * replayed stream epoch) would otherwise band-join itself into an
+    * (x,x) pair that trivially passes any Jaccard threshold.
+    */
+  private[graft] def bandCandidates(bI: DataFrame,
+      bOther: DataFrame): DataFrame = {
+    val candX = bI.as("x")
+      .join(bOther.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket"))
+      .select(least(col("x.id"), col("y.id")).as("a"),
+        greatest(col("x.id"), col("y.id")).as("b"))
+      .filter(col("a") =!= col("b"))
+    val candII = bI.as("x")
+      .join(bI.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    candX.union(candII).distinct()
+  }
+
+  /** Exact-Jaccard verify of candidate (a, b) pairs on the (id, sh)
+    * projection `shAll`. The trailing distinct makes the output
+    * row-unique even when `shAll` carries duplicate rows per id (a
+    * replayed append landed a batch's shingles twice) — without it a
+    * duplicated id multiplies every pair row it appears in.
+    */
+  private[graft] def verifyBandPairs(cand: DataFrame, shAll: DataFrame,
+      threshold: Double): DataFrame = cand
+    .join(shAll.select(col("id").as("a"), col("sh").as("sh_a")), "a")
+    .join(shAll.select(col("id").as("b"), col("sh").as("sh_b")), "b")
+    .filter(jaccardKernel(col("sh_a"), col("sh_b")) >= threshold)
+    .select(col("a"), col("b"))
+    .distinct()
+
   def incrementalMinhashPairs(history: DataFrame, incoming: DataFrame,
       textCol: String, idCol: String, threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(history.sparkSession)
@@ -295,25 +337,8 @@ object Dedup extends Serializable {
     val shH = prep(history); val shI = prep(incoming)
     val bH = bands(shH); val bI = bands(shI)
     bH.count(); bI.count()
-    val candXH = bI.as("x")
-      .join(bH.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bucket") === col("y.bucket"))
-      .select(least(col("x.id"), col("y.id")).as("a"),
-        greatest(col("x.id"), col("y.id")).as("b"))
-    val candII = bI.as("x")
-      .join(bI.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bucket") === col("y.bucket") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
-    val cand = candXH.union(candII).distinct()
-    val shAll = shH.union(shI)
-    val verified = cand
-      .join(shAll.select(col("id").as("a"), col("sh").as("sh_a")), "a")
-      .join(shAll.select(col("id").as("b"), col("sh").as("sh_b")), "b")
-      .filter(jaccardKernel(col("sh_a"), col("sh_b")) >= threshold)
-      .select(col("a"), col("b"))
+    val verified = verifyBandPairs(bandCandidates(bI, bH),
+      shH.union(shI), threshold)
     Similarity.materializeAndRelease(verified, Seq(shH, shI, bH, bI))
   }
 
@@ -339,12 +364,7 @@ object Dedup extends Serializable {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bI = minhashBandRows(shI).persist(StorageLevel.MEMORY_AND_DISK)
     bH.count(); bI.count()
-    def verify(cand: DataFrame, shAll: DataFrame): DataFrame = cand
-      .join(shAll.select(col("id").as("a"), col("sh").as("sh_a")), "a")
-      .join(shAll.select(col("id").as("b"), col("sh").as("sh_b")), "b")
-      .filter(jaccardKernel(col("sh_a"), col("sh_b")) >= threshold)
-      .select(col("a"), col("b"))
-    val histPairs = verify(
+    val histPairs = verifyBandPairs(
       bH.as("x")
         .join(bH.as("y"),
           col("x.band") === col("y.band") &&
@@ -352,21 +372,10 @@ object Dedup extends Serializable {
             col("x.id") < col("y.id"))
         .select(col("x.id").as("a"), col("y.id").as("b"))
         .distinct(),
-      shH)
+      shH, threshold)
     val stored = connectedComponents(histPairs, "a", "b")
-    val candXH = bI.as("x")
-      .join(bH.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bucket") === col("y.bucket"))
-      .select(least(col("x.id"), col("y.id")).as("a"),
-        greatest(col("x.id"), col("y.id")).as("b"))
-    val candII = bI.as("x")
-      .join(bI.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bucket") === col("y.bucket") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
-    val newPairs = verify(candXH.union(candII).distinct(), shH.union(shI))
+    val newPairs = verifyBandPairs(bandCandidates(bI, bH),
+      shH.union(shI), threshold)
     val out = incrementalComponents(stored, newPairs, "a", "b")
     Seq(shH, bH, shI, bI).foreach(_.unpersist(blocking = false))
     out

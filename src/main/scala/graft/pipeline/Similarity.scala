@@ -184,39 +184,47 @@ object Similarity extends Serializable {
     * query would pin its self-join inputs in the block manager for
     * the rest of the session (Verify/Bench run ~44 queries in one).
     *
-    * Result caches live until [[releaseResult]] — a LIST, not the old
-    * single rotating slot: a COMPOSED query (q110 = stored CC → pair
-    * probe → fold; each step a materializeAndRelease caller) must
-    * keep every step's result cached until the query completes, or
-    * step N+1's materialization silently drops step N's cache and
-    * later references recompute the whole upstream chain (the
-    * single-slot form cost q110 a full second history-CC replay —
-    * measured 21.8 s vs 9.5 s). The list is bounded by the number of
-    * composed operator calls per query (≤ 4 across the surface);
-    * harness loops (Bench/Verify/Stress between queries, the
-    * streaming sinks per epoch) drain it with [[releaseResult]].
+    * Result caches live until [[releaseResult]] — a PER-THREAD list,
+    * not the old single rotating slot: a COMPOSED query (q110 =
+    * stored CC → pair probe → fold; each step a materializeAndRelease
+    * caller) must keep every step's result cached until the query
+    * completes, or step N+1's materialization silently drops step N's
+    * cache and later references recompute the whole upstream chain
+    * (the single-slot form cost q110 a full history-CC replay —
+    * measured 21.8 s vs 9.5 s). Thread-scoped because drains are
+    * thread-scoped: a streaming epoch's end-of-batch drain must not
+    * unpersist a batch query composing mid-flight on another thread
+    * of the same session. Operators build and consume their plans on
+    * the calling thread (the main loop in Bench/Verify/Stress, the
+    * stream-execution thread in foreachBatch sinks), and every drain
+    * site is the same thread that ran the operators, so per-thread
+    * scoping is exact. The list is bounded by the number of composed
+    * operator calls per query (≤ 4 across the surface).
     */
   private val liveResults =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    ThreadLocal.withInitial[java.util.ArrayDeque[DataFrame]](() =>
+      new java.util.ArrayDeque[DataFrame]())
 
   private[graft] def materializeAndRelease(result: DataFrame,
       intermediates: Seq[DataFrame]): DataFrame = {
     val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     intermediates.foreach(_.unpersist(blocking = false))
-    liveResults.add(out)
+    liveResults.get().add(out)
     out
   }
 
-  /** Drop every result cache [[materializeAndRelease]] keeps alive —
-    * the consumed DataFrames stay valid (they just recompute if
-    * re-read).
+  /** Drop every result cache [[materializeAndRelease]] recorded on
+    * THIS thread — the consumed DataFrames stay valid (they just
+    * recompute if re-read). Call from the thread that ran the
+    * operators.
     */
   def releaseResult(): Unit = {
-    var prev = liveResults.poll()
+    val q = liveResults.get()
+    var prev = q.poll()
     while (prev != null) {
       prev.unpersist(blocking = false)
-      prev = liveResults.poll()
+      prev = q.poll()
     }
   }
 

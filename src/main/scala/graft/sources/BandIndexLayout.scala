@@ -122,25 +122,14 @@ object BandIndexLayout {
         .as("pb")).distinct().collect().map(_.getInt(0)).toSeq
     val stored = spark.read.parquet(s"$dir/index")
       .filter(col("pb").isin(pbs: _*)).drop("pb")
-    val candXH = bI.as("x")
-      .join(stored.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bucket") === col("y.bucket"))
-      .select(least(col("x.id"), col("y.id")).as("a"),
-        greatest(col("x.id"), col("y.id")).as("b"))
-    val candII = bI.as("x")
-      .join(bI.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bucket") === col("y.bucket") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
-    val cand = candXH.union(candII).distinct()
-    val shAll = shI.union(spark.read.parquet(s"$dir/shingles"))
-    val verified = cand
-      .join(shAll.select(col("id").as("a"), col("sh").as("sh_a")), "a")
-      .join(shAll.select(col("id").as("b"), col("sh").as("sh_b")), "b")
-      .filter(Dedup.jaccardKernel(col("sh_a"), col("sh_b")) >= threshold)
-      .select(col("a"), col("b"))
+    // shared candidate + verify shape (Dedup.bandCandidates /
+    // verifyBandPairs): the a≠b guard and trailing distinct make the
+    // output row-identical even when the batch's own postings are
+    // already in the store (replayed epoch landed its append before
+    // crashing) — self-collisions drop, duplicate shingle rows dedup
+    val verified = Dedup.verifyBandPairs(
+      Dedup.bandCandidates(bI, stored),
+      shI.union(spark.read.parquet(s"$dir/shingles")), threshold)
     graft.pipeline.Similarity.materializeAndRelease(verified, Seq(shI, bI))
   }
 

@@ -17,8 +17,15 @@ import java.nio.file.Paths
   * [[Dedup.incrementalComponents]] semantics with storage I/O
   * proportional to the TOUCHED partitions, not the corpus:
   *
-  *  1. the batch's nodes look up their stored canons (files are
-  *     node-sorted, so the semi-join skips row groups);
+  *  1. the batch's nodes look up their stored canons — honestly: ONE
+  *     full scan of the (node, canon) projection per fold. That table
+  *     is 16 B/row — LABEL-sized, not corpus-sized (a 10^10-doc corpus
+  *     is ~160 GB of labels vs ~100 TB of text) — and a deployment
+  *     folding high-rate batches would add a node-bucketed twin of the
+  *     projection as the lookup index (the same storage trade the band
+  *     index makes); join keys do not push down as parquet row-group
+  *     filters, so the node-sorted files do NOT make this semi-join
+  *     skip row groups;
   *  2. affected canons' pb set (bounded: ≤ nBuckets ints) prunes the
   *     read of affected component rows at the directory level;
   *  3. the affected star edges ∪ new pairs relabel through
@@ -26,7 +33,8 @@ import java.nio.file.Paths
   *     component);
   *  4. ONLY the touched partitions rewrite — dynamic partition
   *     overwrite of (surviving rows ∪ relabeled rows) for the old ∪
-  *     new pb set; untouched directories are never read or written.
+  *     new pb set; untouched directories are never written (and never
+  *     read by steps 2-4).
   *
   * A partition whose every component merged away (possible only in
   * toy corpora) would be absent from the dynamic-overwrite frame and
@@ -96,25 +104,28 @@ object LabelStoreLayout {
       .repartition(col("pb"))
       .sortWithinPartitions(col("node"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val presentPbs = content.select(col("pb")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try content.write.mode("overwrite").partitionBy("pb")
-      .parquet(s"$dir/labels")
-    finally prior match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    try {
+      val presentPbs = content.select(col("pb")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      // per-WRITER dynamic overwrite: mutating the session conf here
+      // would race a concurrent fold/write on the same session (its
+      // restore could flip an in-flight overwrite to static mode,
+      // deleting every untouched partition)
+      content.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pb")
+        .parquet(s"$dir/labels")
+      // a touched partition that ended up empty keeps stale files
+      // under dynamic overwrite — remove the directory outright
+      pbTouched.filterNot(presentPbs).foreach(pb =>
+        graft.streaming.Parts.deleteTree(Paths.get(s"$dir/labels/pb=$pb")))
+    } finally {
+      // unpersist in finally: a failed write must not leak a full
+      // labeling copy (plus the pair/canon frames) per retry
+      content.unpersist(blocking = false)
+      affCanons.unpersist(blocking = false)
+      np.unpersist(blocking = false)
     }
-    // a touched partition that ended up empty keeps stale files under
-    // dynamic overwrite — remove the directory outright
-    pbTouched.filterNot(presentPbs).foreach(pb =>
-      graft.streaming.Parts.deleteTree(Paths.get(s"$dir/labels/pb=$pb")))
-    content.unpersist(blocking = false)
-    affCanons.unpersist(blocking = false)
-    np.unpersist(blocking = false)
     dir
   }
 

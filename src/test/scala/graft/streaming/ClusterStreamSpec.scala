@@ -85,4 +85,59 @@ class ClusterStreamSpec extends SparkSpec {
     assert(landed == full,
       "landed labeling diverged from the from-scratch run")
   }
+
+  test("a replayed epoch id is skipped whole (at-least-once discipline)") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val history = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").cast("long"), col("text"))
+    val bandDir = java.nio.file.Files
+      .createTempDirectory("clusterstream-replay-bands-").toString
+    val labelDir = java.nio.file.Files
+      .createTempDirectory("clusterstream-replay-labels-").toString
+    BandIndexLayout.write(history, "text", "doc_id", bandDir)
+    LabelStoreLayout.write(
+      Dedup.connectedComponents(
+        Dedup.minhashNearDups(history, "text", "doc_id", 0.5), "a", "b"),
+      labelDir)
+    var sinkCalls = 0
+    def run(): Boolean = ClusterStream.applyEpoch(bandDir, labelDir,
+      batch, 7L, "s1", 0.5, "text", "doc_id") { (_, _) => sinkCalls += 1 }
+    assert(run(), "first delivery of epoch 7 must execute")
+    val labelsAfter = LabelStoreLayout.read(spark, labelDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val indexFiles = spark.read.parquet(s"$bandDir/index").inputFiles.toSet
+    assert(!run(), "replayed epoch 7 must be skipped whole")
+    assert(sinkCalls == 1, "replay must not re-deliver pairs")
+    assert(spark.read.parquet(s"$bandDir/index").inputFiles.toSet
+      == indexFiles, "replay must not re-append postings")
+    assert(LabelStoreLayout.read(spark, labelDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == labelsAfter)
+    // a DIFFERENT streamId over the same store is a fresh namespace
+    assert(ClusterStream.applyEpoch(bandDir, labelDir,
+      batch.limit(0).union(batch.limit(1)), 7L, "s2", 0.5,
+      "text", "doc_id") { (_, _) => () })
+  }
+
+  test("probe output is row-identical when the batch's postings already landed") {
+    // the crash-window replay shape: append happened, marker did not —
+    // the next probe must not self-pair or duplicate rows
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val history = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("clusterstream-window-").toString
+    BandIndexLayout.write(history, "text", "doc_id", dir)
+    val before = BandIndexLayout
+      .probePairs(spark, dir, batch, "text", "doc_id", 0.5)
+      .orderBy(col("a"), col("b")).collect().map(_.mkString("|"))
+    assert(before.nonEmpty, "fixture must produce pairs")
+    BandIndexLayout.append(batch, "text", "doc_id", dir)
+    val after = BandIndexLayout
+      .probePairs(spark, dir, batch, "text", "doc_id", 0.5)
+      .orderBy(col("a"), col("b")).collect().map(_.mkString("|"))
+    assert(after.sameElements(before),
+      "probe against a store already holding the batch must be row-identical")
+  }
 }
