@@ -41,8 +41,14 @@ final class IngestEngine(
     reg.get(p.msgType) match {
       case None => BatchResult.UnkMessage
       case Some(t) =>
-        try p.bodies.foreach(ProtoRows.decodeValues(t.message, _))
+        // one pooled scratch checkout per payload, reused across all
+        // its bodies — the reference's instance-pool discipline
+        // (ingest_service.go:87-96); get() blocking IS the decode
+        // memory bound (D12)
+        val buf = t.scratch.get()
+        try p.bodies.foreach(ProtoRows.decodeValuesInto(t.message, _, buf))
         catch { case _: Wire.MalformedProto => return BatchResult.DecodeErr }
+        finally t.scratch.release(buf)
         t.queue.writeBatch(p.bodies) match {
           case RowBuffer.Ok =>
             metrics.add("graft_ingest_rows_total", p.bodies.size.toLong,

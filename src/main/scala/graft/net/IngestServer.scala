@@ -164,6 +164,16 @@ object IngestServer {
   /** One registered ingest target: the message schema used for the
     * synchronous decode check and the admission-controlled queue the
     * streaming drain reads.
+    *
+    * `scratch` is the target's decode instance pool (SURVEY §2 D12,
+    * reference `clickhouse_table.go:245` — one strictly-sized pool per
+    * binding): a checkout covers ONE payload and is reused across all
+    * its bodies, so at most [[InstancePool.DefaultSize]] payloads of a
+    * type decode concurrently, whatever the session/transport count.
     */
-  final case class Target(message: PMessage, queue: QueueSource.IngestQueue)
+  final case class Target(message: PMessage, queue: QueueSource.IngestQueue) {
+    val scratch: InstancePool[Array[Any]] =
+      new InstancePool(InstancePool.DefaultSize,
+        () => new Array[Any](message.fields.length))
+  }
 }

@@ -27,6 +27,21 @@ object ProtoRows {
     */
   def decodeValues(schema: PMessage, bytes: Array[Byte]): Array[Any] = {
     val values = new Array[Any](schema.fields.length)
+    decodeValuesInto(schema, bytes, values)
+    values
+  }
+
+  /** [[decodeValues]] into a caller-owned scratch array — the reuse
+    * seam the ingest edge's instance pool needs (SURVEY §2 D12; the
+    * reference unmarshals into a pooled message instance the same way,
+    * `ingest_service.go:87-96`). The array is cleared first, so a
+    * reused buffer can't leak values between bodies.
+    */
+  def decodeValuesInto(schema: PMessage, bytes: Array[Byte],
+      values: Array[Any]): Unit = {
+    require(values.length == schema.fields.length,
+      s"scratch length ${values.length} != ${schema.fields.length} fields")
+    java.util.Arrays.fill(values.asInstanceOf[Array[AnyRef]], null)
     val index = schema.indexByNumber // precomputed once per schema, not per row
     var repeatedAcc: mutable.Map[Int, mutable.ArrayBuffer[Any]] = null
     var mapAcc: mutable.Map[Int, mutable.LinkedHashMap[Any, Any]] = null
@@ -79,7 +94,6 @@ object ProtoRows {
           else repeatedAcc.get(i).map(_.toSeq).getOrElse(Seq.empty[Any])
       else if (values(i) == null) values(i) = PType.zero(f.ptype)
     }
-    values
   }
 
   def decodeRow(schema: PMessage, bytes: Array[Byte]): Row =

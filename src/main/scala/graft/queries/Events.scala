@@ -682,6 +682,186 @@ object Events {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  // ── ClickHouse behavioral-analytics parity (windowFunnel / retention /
+  // sequenceMatch — the parametric-aggregate family the reference's users
+  // run against the tables bristle lands; semantics here are the
+  // deterministic variant: chain order is strictly increasing
+  // (ts_ns, event_id), so ties can never make two engines disagree,
+  // where ClickHouse's default windowFunnel is documented to be
+  // unstable under equal timestamps).
+  //
+  // Scale shape (all three): ONE shuffle by user_id, per-user state is
+  // the user's own behavioral events (bounded, the same per-key memory
+  // contract ClickHouse's windowFunnel states), every chain step is a
+  // codegen'd higher-order array function — no UDF, no self-join of the
+  // events fact table, no driver state.
+
+  /** `(a, b)` strictly after in chain order. */
+  private def chainAfter(a: String, b: String): String =
+    s"($a.ts_ns > $b.ts_ns OR ($a.ts_ns = $b.ts_ns AND $a.event_id > $b.event_id))"
+
+  /** Per-user sorted behavioral event array for the given step types. */
+  private def userEvents(spark: org.apache.spark.sql.SparkSession, dir: String,
+      types: Seq[String]) = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+    val users = ev.select(col("user_id")).distinct()
+    val evs = ev.filter(col("event_type").isin(types: _*))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts_ns"), col("event_id"), col("event_type")))).as("evs"))
+    // right-join back so users with NO step events still report (depth
+    // 0 / no match) — same shuffle key, so AQE coalesces the exchange
+    users.join(evs, Seq("user_id"), "left")
+  }
+
+  /** windowFunnel('view' → 'click' → 'purchase', 6 h): each user's
+    * maximum funnel depth, where every later step must land strictly
+    * after the previous one (chain order) and within the window of the
+    * FIRST step. Greedy earliest-next-step per start is optimal for a
+    * fixed start (taking the earliest candidate never removes later
+    * options), so max-over-starts of the greedy chain IS the maximum
+    * depth. The `transform(array(x), s -> …)` wrapper is a let-binding:
+    * the step-2 candidate is computed once and bound as `s2`.
+    *
+    * The oracle deliberately takes a DIFFERENT shape (LATERAL
+    * first-match joins instead of per-user arrays) — independent
+    * formulations agreeing is a stronger check than a mirrored one.
+    */
+  val q112 = Q(
+    "q112_window_funnel",
+    (spark, dir) => {
+      val W = 6L * 3600 * 1000000000L
+      val s2 = "try_element_at(filter(evs, e2 -> e2.event_type = 'click' " +
+        s"AND ${chainAfter("e2", "s1")} AND e2.ts_ns <= s1.ts_ns + $W), 1)"
+      val s3 = "try_element_at(filter(evs, e3 -> e3.event_type = 'purchase' " +
+        s"AND ${chainAfter("e3", "s2")} AND e3.ts_ns <= s1.ts_ns + $W), 1)"
+      val depth = s"""coalesce(array_max(transform(
+        filter(evs, s1 -> s1.event_type = 'view'),
+        s1 -> try_element_at(transform(array($s2),
+          s2 -> CASE WHEN s2 IS NULL THEN 1
+                ELSE CASE WHEN $s3 IS NULL THEN 2 ELSE 3 END END), 1))), 0)"""
+      userEvents(spark, dir, Seq("view", "click", "purchase"))
+        .select(col("user_id"), expr(depth).cast("int").as("funnel_depth"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+      ),
+      starts AS (
+        SELECT v.user_id, c2.event_id AS e2, c3.event_id AS e3
+        FROM ev v
+        LEFT JOIN LATERAL (
+          SELECT c.ts_ns, c.event_id FROM ev c
+          WHERE c.user_id = v.user_id AND c.event_type = 'click'
+            AND (c.ts_ns > v.ts_ns
+                 OR (c.ts_ns = v.ts_ns AND c.event_id > v.event_id))
+            AND c.ts_ns <= v.ts_ns + ${6L * 3600 * 1000000000L}
+          ORDER BY c.ts_ns, c.event_id LIMIT 1) c2 ON true
+        LEFT JOIN LATERAL (
+          SELECT p.event_id FROM ev p
+          WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+            AND (p.ts_ns > c2.ts_ns
+                 OR (p.ts_ns = c2.ts_ns AND p.event_id > c2.event_id))
+            AND p.ts_ns <= v.ts_ns + ${6L * 3600 * 1000000000L}
+          ORDER BY p.ts_ns, p.event_id LIMIT 1) c3 ON true
+        WHERE v.event_type = 'view'
+      ),
+      depths AS (
+        SELECT user_id,
+               MAX(1 + CASE WHEN e2 IS NULL THEN 0
+                            ELSE 1 + CASE WHEN e3 IS NULL THEN 0 ELSE 1 END
+                       END) AS d
+        FROM starts GROUP BY user_id
+      )
+      SELECT u.user_id, CAST(coalesce(d.d, 0) AS INT) AS funnel_depth
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN depths d USING (user_id)
+      ORDER BY user_id"""))
+
+  /** retention(active day 0, day 1, day 7) — ClickHouse `retention`:
+    * r0 = any event on 2024-01-05; r_i = r0 AND active on day i (later
+    * conditions only count when the first held). Plain conditional
+    * aggregation: one shuffle, three flags.
+    */
+  val q113 = Q(
+    "q113_retention",
+    (spark, dir) => {
+      def active(day: String) =
+        max(when(to_date(col("ts")) === lit(day).cast("date"), 1)
+          .otherwise(0))
+      Tables(spark, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(active("2024-01-05").as("a0"), active("2024-01-06").as("a1"),
+          active("2024-01-12").as("a7"))
+        .select(col("user_id"), col("a0").cast("int").as("r0"),
+          (col("a0") * col("a1")).cast("int").as("r1"),
+          (col("a0") * col("a7")).cast("int").as("r7"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id,
+        CAST(MAX(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05'
+                      THEN 1 ELSE 0 END) AS INT) AS r0,
+        CAST(MAX(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05'
+                      THEN 1 ELSE 0 END)
+           * MAX(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-06'
+                      THEN 1 ELSE 0 END) AS INT) AS r1,
+        CAST(MAX(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05'
+                      THEN 1 ELSE 0 END)
+           * MAX(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-12'
+                      THEN 1 ELSE 0 END) AS INT) AS r7
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** sequenceMatch('(?1).*(?2).*(?3)') — signup, then error, then
+    * purchase, in chain order with any gaps and no window. Greedy
+    * first-match per level decides existence (earliest signup, then
+    * earliest later error, then any later purchase — each greedy pick
+    * only widens what can follow). Oracle: an independent EXISTS over
+    * the ordered event triple.
+    */
+  val q114 = Q(
+    "q114_sequence_match",
+    (spark, dir) => {
+      val s1 = "try_element_at(filter(evs, e1 -> e1.event_type = 'signup'), 1)"
+      val s2 = "try_element_at(filter(evs, e2 -> e2.event_type = 'error' " +
+        s"AND ${chainAfter("e2", "s1")}), 1)"
+      val matched = s"""coalesce(try_element_at(transform(array($s1),
+        s1 -> CASE WHEN s1 IS NULL THEN 0 ELSE
+          try_element_at(transform(array($s2),
+            s2 -> CASE WHEN s2 IS NULL THEN 0 ELSE
+              CASE WHEN exists(evs, e3 -> e3.event_type = 'purchase'
+                AND ${chainAfter("e3", "s2")}) THEN 1 ELSE 0 END
+            END), 1)
+        END), 1), 0)"""
+      userEvents(spark, dir, Seq("signup", "error", "purchase"))
+        .select(col("user_id"), expr(matched).cast("int").as("matched"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type
+        FROM events
+        WHERE event_type IN ('signup', 'error', 'purchase')
+      )
+      SELECT u.user_id,
+        CAST(EXISTS (
+          SELECT 1 FROM ev s, ev e, ev p
+          WHERE s.user_id = u.user_id AND e.user_id = u.user_id
+            AND p.user_id = u.user_id
+            AND s.event_type = 'signup' AND e.event_type = 'error'
+            AND p.event_type = 'purchase'
+            AND (e.ts_ns > s.ts_ns
+                 OR (e.ts_ns = s.ts_ns AND e.event_id > s.event_id))
+            AND (p.ts_ns > e.ts_ns
+                 OR (p.ts_ns = e.ts_ns AND p.event_id > e.event_id))
+        ) AS INT) AS matched
+      FROM (SELECT DISTINCT user_id FROM events) u
+      ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
-    q52, q53, q56, q57, q59, q60, q62, q63)
+    q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114)
 }

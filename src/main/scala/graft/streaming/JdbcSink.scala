@@ -74,10 +74,25 @@ object JdbcSink {
     s"CREATE TABLE $table ($keyCol VARCHAR(64) NOT NULL, ${cols.mkString(", ")})"
   }
 
-  /** Minimal blocking connection pool with an explicit discard path.
-    * `size` connections are created lazily; `discard` closes the conn
-    * and allows a fresh replacement (the reference's pool just drops
-    * the closed conn — `GetConn` dials anew).
+  /** Connection pool with checkout/ping/evict/limit semantics —
+    * SURVEY §2 D13, the reference's cluster pool
+    * (`clickhouse_cluster.go:110-182`):
+    *
+    *  - checkout PINGS the candidate (JDBC `isValid`); a dead conn is
+    *    closed and its slot freed for a fresh dial — `GetConn`'s
+    *    ping → Close → delete → re-dial flow;
+    *  - `size` caps live connections; [[tryGet]] at capacity returns
+    *    None (the reference's `ErrNoConn` — it does not block, its
+    *    own TODO notes "eventually we may want to block here");
+    *  - [[get]] is the blocking evolution that TODO asks for, used by
+    *    the sink's write path;
+    *  - an explicit [[discard]] path for commit-error conns.
+    *
+    * One deliberate divergence: the reference's `GetConn` tail
+    * bookkeeping (`clickhouse_cluster.go:179`) inserts `selectedConn`
+    * — still nil on the fresh-dial path — so a newly dialed conn is
+    * only tracked once `ReleaseConn`ed while a nil key pads the map;
+    * this pool counts the dial itself (intended semantics).
     */
   final class Pool(size: Int, connect: () => Connection) {
     def this(url: String, size: Int) =
@@ -86,13 +101,26 @@ object JdbcSink {
     private var created = 0
     @volatile var discarded = 0 // observability for tests/metrics
 
+    /** `isValid` is the JDBC spelling of the reference's `Ping`; a
+      * driver that throws on a closed conn means "dead" too.
+      */
+    private def ping(c: Connection): Boolean =
+      try c.isValid(1) catch { case _: Exception => false }
+
+    /** Ping-on-checkout: null in → null out; dead in → evicted
+      * (closed, slot freed) and null out; live in → out.
+      */
+    private def validOrEvict(c: Connection): Connection =
+      if (c == null || ping(c)) c
+      else { discard(c); null }
+
     /** Never blocks while holding the monitor (a waiter parked inside
       * `synchronized` would deadlock discard()/close(), which need
       * it), and re-checks dial capacity periodically so capacity freed
-      * by a discard() is re-dialed by whoever is waiting.
+      * by a discard() or eviction is re-dialed by whoever is waiting.
       */
     def get(): Connection = {
-      var c: Connection = idle.poll()
+      var c: Connection = validOrEvict(idle.poll())
       while (c == null) {
         val dialed = synchronized {
           // count the slot only after connect() succeeds — a failed
@@ -100,10 +128,28 @@ object JdbcSink {
           if (created < size) { val cc = connect(); created += 1; Some(cc) }
           else None
         }
-        c = dialed.getOrElse(
-          idle.poll(100, java.util.concurrent.TimeUnit.MILLISECONDS))
+        c = dialed.getOrElse(validOrEvict(
+          idle.poll(100, java.util.concurrent.TimeUnit.MILLISECONDS)))
       }
       c
+    }
+
+    /** Non-blocking checkout — the reference's `GetConn` shape: an
+      * idle live conn, else a fresh dial if under the cap, else None
+      * (`ErrNoConn`). Dead idle conns found on the way are evicted.
+      */
+    def tryGet(): Option[Connection] = {
+      var c: Connection = null
+      var drained = false
+      while (c == null && !drained) {
+        val p = idle.poll()
+        if (p == null) drained = true else c = validOrEvict(p)
+      }
+      if (c != null) Some(c)
+      else synchronized {
+        if (created < size) { val cc = connect(); created += 1; Some(cc) }
+        else None
+      }
     }
     def release(c: Connection): Unit = idle.put(c)
     def discard(c: Connection): Unit = {

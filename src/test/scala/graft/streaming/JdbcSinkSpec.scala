@@ -137,6 +137,57 @@ class JdbcSinkSpec extends SparkSpec {
     pool.close()
   }
 
+  // D13 checkout/ping/evict/limit parity (clickhouse_cluster.go:110-182)
+
+  test("D13: checkout pings; a dead pooled conn is evicted and replaced") {
+    // a conn that "dies" after release: isValid flips to false — the
+    // GetConn ping→Close→delete→re-dial flow must hand the caller a
+    // fresh live conn, never the dead one
+    @volatile var alive = true
+    var dials = 0
+    def flaky(): Connection = {
+      val real = DriverManager.getConnection(url)
+      dials += 1
+      Proxy.newProxyInstance(getClass.getClassLoader,
+        Array(classOf[Connection]), new InvocationHandler {
+          def invoke(p: Object, m: Method, args: Array[Object]): Object = {
+            if (m.getName == "isValid")
+              return java.lang.Boolean.valueOf(alive)
+            try m.invoke(real, args: _*)
+            catch { case e: java.lang.reflect.InvocationTargetException =>
+              throw e.getCause }
+          }
+        }).asInstanceOf[Connection]
+    }
+    val pool = new JdbcSink.Pool(1, () => flaky())
+    val first = pool.get()
+    pool.release(first)
+    alive = false // the idle conn is now dead
+    val again = pool.get() // must evict + re-dial, not return `first`
+    assert(dials === 2, "dead idle conn must be evicted and re-dialed")
+    assert(pool.discarded === 1)
+    assert(!(again eq first))
+    pool.release(again)
+    pool.close()
+  }
+
+  test("D13: tryGet at capacity returns None (ErrNoConn), else dials/reuses") {
+    var dials = 0
+    val pool = new JdbcSink.Pool(2, () => {
+      dials += 1; DriverManager.getConnection(url)
+    })
+    val a = pool.tryGet().get // fresh dial
+    val b = pool.tryGet().get // fresh dial
+    assert(dials === 2)
+    assert(pool.tryGet().isEmpty, "at capacity with nothing idle => ErrNoConn")
+    pool.release(a)
+    val c = pool.tryGet().get // idle reuse, no dial
+    assert(dials === 2)
+    assert(c eq a)
+    pool.release(b); pool.release(c)
+    pool.close()
+  }
+
   test("foreachBatch path: partitions land concurrently, replay converges") {
     freshTable("t_spark")
     import spark.implicits._
