@@ -322,4 +322,133 @@ object TextOps extends Serializable {
   def fingerprint(ws: Column): Column =
     aggregate(transform(ws, wordCode _), lit(0L),
       (acc, c) => (acc * FpMul + c) % FpMod)
+
+  // ── BPE merge training (Sennrich et al. 2016, the vocab form) ──────
+  //
+  // Learns the first N byte-pair merges of the corpus. The vocab form
+  // is THE 100 TB shape: the corpus is scanned ONCE (word → count,
+  // one shuffle); every merge round then runs on the distinct-word
+  // vocabulary — pair counts are an aggregate of vocab-sized data, and
+  // the only driver state per round is the single argmax pair (the
+  // same bounded-collect contract as the Lloyd loops in Similarity).
+  //
+  // Symbol sequences ride in ONE string column: each symbol is
+  // individually wrapped in U+001F, so applying a
+  // merge is a plain `replace` of the fully-delimited pair — string
+  // replace scans left-to-right non-overlapping in both Spark and
+  // DuckDB, which is exactly BPE's greedy merge pass ("aaa" + merge
+  // (a,a) → [aa, a]), and full wrapping means a pattern can never
+  // match a symbol's suffix/prefix. Ties break (count desc, left asc,
+  // right asc) — a total order, so the learned table is deterministic.
+
+  private val BpeSep = "\u001f"
+
+  /** Word vocabulary with each word as a wrapped symbol string:
+    * characters plus a terminal `</w>` marker symbol.
+    */
+  private[graft] def bpeVocab(docs: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val ss = BpeSep + BpeSep
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(
+        concat(lit(BpeSep),
+          array_join(filter(split(col("w"), ""), x => x =!= ""), ss),
+          lit(ss + "</w>" + BpeSep)).as("s"),
+        col("cnt"))
+  }
+
+  /** Adjacent symbol pairs of a wrapped string, weighted by `cnt`. */
+  private[graft] def bpePairs(vocab: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val syms = split(
+      substring(col("s"), lit(2), length(col("s")) - 2), BpeSep + BpeSep)
+    // try_element_at + null filter: a fully-merged single-symbol word
+    // has no pairs (sequence(1, size-1) would be the descending [1,0])
+    val pairs = filter(
+      transform(sequence(lit(1), greatest(size(syms) - 1, lit(1))),
+        i => struct(try_element_at(syms, i).as("l"),
+          try_element_at(syms, i + 1).as("r"))),
+      p => p.getField("l").isNotNull && p.getField("r").isNotNull)
+    vocab.select(col("cnt"), explode(pairs).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("c"))
+  }
+
+  /** The first `n` learned merges: (merge_rank, lhs, rhs, merged,
+    * pair_count). One corpus scan, then `n` vocab-sized rounds with a
+    * 1-row collect each.
+    */
+  def bpeMerges(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    var vocab = bpeVocab(docs, textCol).cache()
+    vocab.count() // materialize: every round re-reads this frame
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    try {
+      for (k <- 1 to n) {
+        val best = bpePairs(vocab)
+          .orderBy(col("c").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (best.nonEmpty) {
+          val (l, r, c) =
+            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += ((k, l, r, l + r, c))
+          val pat = BpeSep + l + BpeSep + BpeSep + r + BpeSep
+          vocab = vocab.withColumn("s",
+            expr(s"replace(s, '$pat', '$BpeSep$l$r$BpeSep')"))
+        }
+      }
+    } finally vocab.unpersist(false)
+    import spark.implicits._
+    merges.toSeq
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** DuckDB oracle for [[bpeMerges]]: the merge loop unrolled into one
+    * CTE chain per round (the same generated-constant discipline as the
+    * q30 hyperplane oracle — the ALGORITHM is replayed, not the
+    * output).
+    */
+  def bpeMergesOracleSql(n: Int): String = {
+    val sep = "chr(31)"
+    val ss = s"$sep || $sep"
+    val stages = (1 to n).map { k =>
+      s"""p$k AS (
+        SELECT p.l AS l, p.r AS r, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+          SELECT cnt, unnest(list_transform(range(1, len(syms)),
+            i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS p
+          FROM (SELECT cnt, string_split(substr(s, 2, length(s) - 2),
+                  $ss) AS syms FROM v${k - 1}) t
+        ) u GROUP BY p.l, p.r
+      ),
+      b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+      v$k AS (
+        SELECT replace(s, $sep || l || $ss || r || $sep,
+                       $sep || l || r || $sep) AS s, cnt
+        FROM v${k - 1}, b$k
+      )"""
+    }.mkString(",\n")
+    val unions = (1 to n).map(k =>
+      s"SELECT $k AS merge_rank, l AS lhs, r AS rhs, l || r AS merged, c AS pair_count FROM b$k")
+      .mkString("\n        UNION ALL ")
+    s"""
+      WITH words AS (
+        SELECT w, COUNT(*) AS cnt FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        WHERE w <> '' GROUP BY w
+      ),
+      v0 AS (
+        SELECT $sep || array_to_string(string_split_regex(w, ''), $ss)
+                 || $ss || '</w>' || $sep AS s, cnt
+        FROM words
+      ),
+      $stages
+      SELECT * FROM (
+        $unions
+      ) m ORDER BY merge_rank"""
+  }
 }

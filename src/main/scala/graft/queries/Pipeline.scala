@@ -3498,10 +3498,73 @@ object Pipeline {
     },
     q55.oracle)
 
+  /** BPE merge training (Sennrich et al. 2016, vocab form): the first
+    * 8 learned byte-pair merges of the documents corpus — the
+    * tokenizer-training leg of the pipeline (the token-COUNTING proxy
+    * is q29; this learns the merge table itself). One corpus scan
+    * (word→count), then 8 vocab-sized rounds, each collecting only the
+    * argmax pair (ties: count desc, pair asc — total order). The
+    * oracle unrolls the same 8 rounds as a CTE chain and replays the
+    * greedy left-to-right merge via plain string `replace` on
+    * fully-delimited symbol strings (see
+    * [[graft.pipeline.TextOps.bpeMerges]]).
+    */
+  val q115 = Q(
+    "q115_bpe_merges",
+    (spark, dir) =>
+      TextOps.bpeMerges(Tables(spark, dir, "documents"), "text", 8),
+    Some(TextOps.bpeMergesOracleSql(8)))
+
+  /** Boilerplate audit: per document, the fraction of its distinct
+    * 3-gram shingles that also appear in at least one OTHER document —
+    * the C4/RefinedWeb "shared span" signal at audit granularity
+    * (q65/q71 REMOVE such spans; this measures the per-doc exposure so
+    * a pipeline can rank/threshold before deleting). Same shingle
+    * semantics as q24's near-dup leg.
+    *
+    * Scale shape: explode distinct shingles, ONE groupBy(shingle) for
+    * document frequency, join back on the same key (no second
+    * partitioning), aggregate per doc. df(s) counts rows of the
+    * already-per-doc-distinct shingle set, so no countDistinct. The
+    * df side is shingle-cardinality — streamed through a shuffle join,
+    * never broadcast/collected. Ratio is int/int in IEEE double —
+    * bit-identical across engines.
+    */
+  val q116 = Q(
+    "q116_boilerplate_ratio",
+    (spark, dir) => {
+      val sh = Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.shingles(TextOps.words(col("text")))).as("s"))
+      val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      sh.join(df, "s")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+          (col("n_shared").cast("double") / col("n_shingles"))
+            .as("shared_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)),
+      df AS (SELECT s, COUNT(*) AS c FROM sh GROUP BY 1)
+      SELECT sh.doc_id,
+             COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN df.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+             CAST(SUM(CASE WHEN df.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS shared_ratio
+      FROM sh JOIN df USING (s)
+      GROUP BY sh.doc_id
+      ORDER BY sh.doc_id"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111)
+    q108, q109, q110, q111, q115, q116)
 }
