@@ -3535,7 +3535,11 @@ object Pipeline {
     (spark, dir) => {
       val sh = Tables(spark, dir, "documents")
         .select(col("doc_id"),
-          explode(TextOps.shingles(TextOps.words(col("text")))).as("s"))
+          // shinglesKernel ≡ shingles bit-for-bit (PipelineSpec); the
+          // HOF form is interpreted per position and measured 11 s at
+          // bench sf0.1 vs ~2 s with the kernel
+          explode(TextOps.shinglesKernel(3)(
+            TextOps.words(col("text")))).as("s"))
       val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       sh.join(df, "s")
         .groupBy(col("doc_id"))
