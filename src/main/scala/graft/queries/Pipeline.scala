@@ -3565,10 +3565,87 @@ object Pipeline {
       GROUP BY sh.doc_id
       ORDER BY sh.doc_id"""))
 
+  /** Deterministic HyperLogLog distinct (ClickHouse `uniq` family):
+    * per-source distinct-shingle cardinality as a 256-register HLL
+    * sketch, next to the exact count it approximates. This is the
+    * sketch ClickHouse answers `uniq()` with; here it is DETERMINISTIC
+    * and cross-engine exact so the driver can hash-check it:
+    *
+    *  - the hash is the md5-derived 60-bit integer both engines
+    *    compute identically (q31/q37's discipline);
+    *  - register = low 8 bits, rank = 53 − bitlength(h div 256)
+    *    (integer, via the binary-string length — no float log2);
+    *  - the harmonic denominator Σ 2^−M is summed EXACTLY as the
+    *    integer Σ 2^(53−M) (≤ 2^61, no overflow, order-free), so the
+    *    only float ops are one int64→double conversion and one
+    *    division — both IEEE-identical everywhere.
+    *
+    * No small/large-range corrections (they need ln(); raw estimate
+    * is deterministic and the point here is the sketch plumbing —
+    * production stacks on the standard bias tables). One pass, no
+    * pre-distinct: registers absorb duplicates via max — the reason
+    * HLL beats countDistinct's shuffle at 100 TB. The exact count
+    * rides along for the accuracy readout.
+    */
+  val q117 = Q(
+    "q117_hll_distinct",
+    (spark, dir) => {
+      val sh = Tables(spark, dir, "documents")
+        .select(col("source"),
+          explode(TextOps.shinglesKernel(3)(
+            TextOps.words(col("text")))).as("s"))
+      val h = sh.select(col("source"), col("s"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+      val regs = h
+        .select(col("source"), pmod(col("h"), lit(256)).as("bucket"),
+          when(expr("h div 256") === 0, lit(53))
+            .otherwise(lit(53) - length(bin(expr("h div 256"))))
+            .as("rank"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(max(col("rank")).as("m"))
+      val est = regs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_present"),
+          sum(expr("shiftleft(cast(1 as bigint), cast(53 - m as int))"))
+            .as("sp"))
+      val exact = h.groupBy(col("source"))
+        .agg(countDistinct(col("s")).as("n_exact"))
+      val alpha = 0.7213 / (1 + 1.079 / 256.0)
+      est.join(exact, "source")
+        .select(col("source"), col("n_exact"),
+          col("n_present").cast("long").as("n_registers"),
+          (lit(alpha) * lit(65536.0) * lit(9007199254740992.0) /
+            (col("sp") + (lit(256L) - col("n_present")) *
+              lit(9007199254740992L)).cast("double")).as("hll_estimate"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+      sh AS (SELECT source, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)),
+      h AS (SELECT source, s,
+                   ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+      b AS (SELECT source, h % 256 AS bucket,
+                   CASE WHEN h // 256 = 0 THEN 53
+                        ELSE 53 - length(bin(h // 256)) END AS rank
+            FROM h),
+      regs AS (SELECT source, bucket, MAX(rank) AS m FROM b GROUP BY 1, 2),
+      est AS (SELECT source, COUNT(*) AS n_present,
+                     SUM(1::BIGINT << CAST(53 - m AS INT)) AS sp
+              FROM regs GROUP BY 1),
+      ex AS (SELECT source, COUNT(DISTINCT s) AS n_exact FROM h GROUP BY 1)
+      SELECT e.source, ex.n_exact,
+             CAST(e.n_present AS BIGINT) AS n_registers,
+             (0.7213::DOUBLE / (1::DOUBLE + 1.079::DOUBLE / 256::DOUBLE))
+               * 65536::DOUBLE * 9007199254740992::DOUBLE
+               / CAST(e.sp + (256 - e.n_present) * 9007199254740992
+                      AS DOUBLE) AS hll_estimate
+      FROM est e JOIN ex USING (source)
+      ORDER BY e.source"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q115, q116)
+    q108, q109, q110, q111, q115, q116, q117)
 }
