@@ -862,6 +862,74 @@ object Events {
       FROM (SELECT DISTINCT user_id FROM events) u
       ORDER BY user_id"""))
 
+  /** windowFunnel strict_order — q112's chain rule hardened the way
+    * ClickHouse's `strict_order` mode is: an intervening funnel-step
+    * event of the WRONG type breaks the chain (q112 skips past it).
+    * Deterministically: from the current chain event, look at the
+    * single NEXT step-type event in chain order within the window —
+    * the chain extends iff it is exactly the expected step. Max over
+    * anchors as before. Same one-shuffle per-user array shape; the
+    * only change is that the level-k candidate drops its type filter
+    * and the type becomes a CASE test.
+    */
+  val q118 = Q(
+    "q118_window_funnel_strict",
+    (spark, dir) => {
+      val W = 6L * 3600 * 1000000000L
+      def nxt(cur: String) = "try_element_at(filter(evs, e -> " +
+        s"${chainAfter("e", cur)} AND e.ts_ns <= s1.ts_ns + $W), 1)"
+      val depth = s"""coalesce(array_max(transform(
+        filter(evs, s1 -> s1.event_type = 'view'),
+        s1 -> try_element_at(transform(array(${nxt("s1")}),
+          n1 -> CASE WHEN n1 IS NULL OR n1.event_type != 'click' THEN 1
+                ELSE try_element_at(transform(array(${nxt("n1")}),
+                  n2 -> CASE WHEN n2 IS NULL OR n2.event_type != 'purchase'
+                        THEN 2 ELSE 3 END), 1)
+                END), 1))), 0)"""
+      userEvents(spark, dir, Seq("view", "click", "purchase"))
+        .select(col("user_id"), expr(depth).cast("int").as("funnel_depth"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+      ),
+      starts AS (
+        SELECT v.user_id,
+               CASE WHEN n1.event_type = 'click' THEN n1.ts_ns END AS t2,
+               CASE WHEN n1.event_type = 'click' THEN n1.event_id END AS e2,
+               n2.event_type AS n2_type
+        FROM ev v
+        LEFT JOIN LATERAL (
+          SELECT c.ts_ns, c.event_id, c.event_type FROM ev c
+          WHERE c.user_id = v.user_id
+            AND (c.ts_ns > v.ts_ns
+                 OR (c.ts_ns = v.ts_ns AND c.event_id > v.event_id))
+            AND c.ts_ns <= v.ts_ns + ${6L * 3600 * 1000000000L}
+          ORDER BY c.ts_ns, c.event_id LIMIT 1) n1 ON true
+        LEFT JOIN LATERAL (
+          SELECT p.event_type FROM ev p
+          WHERE p.user_id = v.user_id AND n1.event_type = 'click'
+            AND (p.ts_ns > n1.ts_ns
+                 OR (p.ts_ns = n1.ts_ns AND p.event_id > n1.event_id))
+            AND p.ts_ns <= v.ts_ns + ${6L * 3600 * 1000000000L}
+          ORDER BY p.ts_ns, p.event_id LIMIT 1) n2 ON true
+        WHERE v.event_type = 'view'
+      ),
+      depths AS (
+        SELECT user_id,
+               MAX(CASE WHEN e2 IS NULL THEN 1
+                        WHEN n2_type IS DISTINCT FROM 'purchase' THEN 2
+                        ELSE 3 END) AS d
+        FROM starts GROUP BY user_id
+      )
+      SELECT u.user_id, CAST(coalesce(d.d, 0) AS INT) AS funnel_depth
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN depths d USING (user_id)
+      ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
-    q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114)
+    q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118)
 }
