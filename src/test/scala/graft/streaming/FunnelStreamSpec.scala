@@ -128,4 +128,42 @@ class FunnelStreamSpec extends SparkSpec {
     // every user with a positive batch depth must have emitted
     expect.filter(_._2 > 0).keys.foreach(u => assert(emitted.contains(u)))
   }
+
+  test("an unbounded window turns the funnel into live sequenceMatch (q114)") {
+    // q114 = signup →* error →* purchase with NO window: FunnelStream
+    // with an effectively-infinite window and those steps computes the
+    // same chain, so depth==3 ⇔ matched — one operator serves both
+    // ClickHouse combinators
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val steps = Seq("signup", "error", "purchase")
+    val rows = graft.Tables(spark, sf, "events")
+      .filter(col("event_type").isin(steps.map(x => x: Any): _*))
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        col("event_type"))
+      .as[FunnelStream.Ev].collect().sortBy(e => (e.ts_ns, e.event_id))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[FunnelStream.Ev]
+    // no watermark: the horizon stays at -inf, full-history state —
+    // correct for the windowless combinator (nothing ever finalizes)
+    val last = scala.collection.mutable.Map.empty[Long, Int]
+    val sq = FunnelStream.start(ms.toDS(), steps, Long.MaxValue / 4) {
+      (df, _) => df.collect().foreach(r => last(r.getLong(0)) = r.getInt(1))
+    }
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      ms.addData(b1.toIndexedSeq: _*)
+      sq.processAllAvailable()
+      ms.addData(b2.toIndexedSeq: _*)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val expect = graft.queries.Events.q114.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(last.nonEmpty)
+    last.foreach { case (u, d) =>
+      assert((if (d == 3) 1 else 0) == expect(u),
+        s"user $u: stream depth $d vs q114 matched=${expect(u)}")
+    }
+  }
 }
