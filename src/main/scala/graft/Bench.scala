@@ -168,8 +168,13 @@ object Bench {
     results.foreach { case (k, v) =>
       System.err.println(f"[bench] $k%-32s ${v * 1000}%10.1f ms")
     }
+    // per-query at 10 ms resolution: the harness keeps only the LAST
+    // ~2000 stdout chars, and at 118 queries the 3-decimal line was
+    // ~1990 chars — one query away from a decapitated record (the
+    // BENCH_r04-r08 failure mode); 2 decimals buys ~120 chars back
+    def r2(v: Double): Double = math.rint(v * 100) / 100
     val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+      "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val fs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = r3(results.map(_._2).sum)

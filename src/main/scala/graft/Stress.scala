@@ -27,7 +27,7 @@ object Stress {
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
     val stages = args.lift(2).map(_.split(",").toSet)
       .getOrElse(Set("dedup", "prep", "sim", "forensics", "r11", "edit",
-        "spans"))
+        "spans", "behav", "audit"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -410,6 +410,83 @@ object Stress {
       runSpans("warm", base.limit(500))
       runSpans("1x", base)
       runSpans(s"${mult}x", big)
+    }
+
+    // behavioral analytics (q112 family): users replicated with shifted
+    // ids — total rows grow Nx while per-user event counts stay FIXED,
+    // which is the claim under test (per-key array work must not grow
+    // with corpus size; only the user_id shuffle does)
+    def runBehav(tag: String, ev: DataFrame): Unit = {
+      import graft.queries.Events
+      val t0 = System.nanoTime()
+      val fun = Events.funnelDepth(Events.userEventsOf(ev,
+        Seq("view", "click", "purchase")))
+        .agg(sum(col("funnel_depth"))).collect()(0).getLong(0)
+      release(spark)
+      val t1 = System.nanoTime()
+      // retention shape: conditional aggregation, one shuffle
+      val ret = ev.groupBy(col("user_id"))
+        .agg(max(when(expr("to_date(ts)") === lit("2024-01-05").cast("date"),
+          1).otherwise(0)).as("a0"))
+        .agg(sum(col("a0"))).collect()(0).getLong(0)
+      release(spark)
+      val t2 = System.nanoTime()
+      def s(a: Long, b: Long) = f"${(b - a) / 1e9}%7.2f"
+      println(f"$tag%-4s funnel=${s(t0, t1)}s retention=${s(t1, t2)}s " +
+        f"[depthSum=$fun retained=$ret]")
+    }
+    if (stages("behav")) {
+      val evbase = graft.Tables(spark, sfDir, "events")
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          col("event_type"), col("ts"))
+      def evrep(i: Int): DataFrame = evbase
+        .withColumn("user_id", col("user_id") + lit(i * 10000000L))
+        .withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+      val evbig = (0 until mult).map(evrep).reduce(_ union _)
+        .repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      corpusBlockIds ++= spark.sparkContext.getPersistentRDDs.keySet
+      println(s"events: ${evbase.count()} -> ${evbig.count()} (${mult}x)")
+      runBehav("warm", evbase.limit(2000))
+      runBehav("1x", evbase)
+      runBehav(s"${mult}x", evbig)
+      evbig.unpersist(blocking = false)
+    }
+
+    // corpus-audit shapes: q116 (shingle-df join) and q117 (one-pass
+    // HLL registers) — both must scale as one bucketed shuffle of
+    // (shingle)-keyed rows; HLL's register agg is 256 rows/source
+    // whatever the corpus size
+    def runAudit(tag: String, docs: DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val sh = docs.select(col("doc_id"), col("source"),
+          explode(TextOps.shinglesKernel(3)(TextOps.words(col("text"))))
+            .as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      val boiler = sh.join(df, "s").groupBy(col("doc_id"))
+        .agg(sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .agg(sum(col("n_shared"))).collect()(0).getLong(0)
+      val t1 = System.nanoTime()
+      val hll = sh.select(col("source"),
+          expr("conv(substring(md5(s), 1, 15), 16, 10)").cast("long").as("h"))
+        .select(col("source"), pmod(col("h"), lit(256)).as("bucket"),
+          when(expr("h div 256") === 0, lit(53))
+            .otherwise(lit(53) - length(bin(expr("h div 256")))).as("rank"))
+        .groupBy(col("source"), col("bucket")).agg(max(col("rank")).as("m"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n"))).collect()(0).getLong(0)
+      sh.unpersist(blocking = false)
+      release(spark)
+      val t2 = System.nanoTime()
+      def s(a: Long, b: Long) = f"${(b - a) / 1e9}%7.2f"
+      println(f"$tag%-4s boiler=${s(t0, t1)}s hll=${s(t1, t2)}s " +
+        f"[sharedSum=$boiler regs=$hll]")
+    }
+    if (stages("audit")) {
+      runAudit("warm", base.limit(500))
+      runAudit("1x", base)
+      runAudit(s"${mult}x", big)
     }
     spark.stop()
   }

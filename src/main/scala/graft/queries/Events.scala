@@ -700,11 +700,12 @@ object Events {
   private def chainAfter(a: String, b: String): String =
     s"($a.ts_ns > $b.ts_ns OR ($a.ts_ns = $b.ts_ns AND $a.event_id > $b.event_id))"
 
-  /** Per-user sorted behavioral event array for the given step types. */
-  private def userEvents(spark: org.apache.spark.sql.SparkSession, dir: String,
+  /** Per-user sorted behavioral event array for the given step types,
+    * from any frame with user_id/ts_ns/event_id/event_type (Stress
+    * feeds replicated frames through this same path).
+    */
+  private[graft] def userEventsOf(ev: org.apache.spark.sql.DataFrame,
       types: Seq[String]) = {
-    val ev = Tables(spark, dir, "events")
-      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
     val users = ev.select(col("user_id")).distinct()
     val evs = ev.filter(col("event_type").isin(types: _*))
       .groupBy(col("user_id"))
@@ -713,6 +714,31 @@ object Events {
     // right-join back so users with NO step events still report (depth
     // 0 / no match) — same shuffle key, so AQE coalesces the exchange
     users.join(evs, Seq("user_id"), "left")
+  }
+
+  /** Per-user sorted behavioral event array for the given step types. */
+  private def userEvents(spark: org.apache.spark.sql.SparkSession, dir: String,
+      types: Seq[String]) =
+    userEventsOf(Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        col("event_type")), types)
+
+  /** The q112 funnel-depth projection over a [[userEventsOf]] frame —
+    * shared with Stress so the measured curve is the shipped plan.
+    */
+  private[graft] def funnelDepth(grouped: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val W = 6L * 3600 * 1000000000L
+    val s2 = "try_element_at(filter(evs, e2 -> e2.event_type = 'click' " +
+      s"AND ${chainAfter("e2", "s1")} AND e2.ts_ns <= s1.ts_ns + $W), 1)"
+    val s3 = "try_element_at(filter(evs, e3 -> e3.event_type = 'purchase' " +
+      s"AND ${chainAfter("e3", "s2")} AND e3.ts_ns <= s1.ts_ns + $W), 1)"
+    val depth = s"""coalesce(array_max(transform(
+      filter(evs, s1 -> s1.event_type = 'view'),
+      s1 -> try_element_at(transform(array($s2),
+        s2 -> CASE WHEN s2 IS NULL THEN 1
+              ELSE CASE WHEN $s3 IS NULL THEN 2 ELSE 3 END END), 1))), 0)"""
+    grouped.select(col("user_id"), expr(depth).cast("int").as("funnel_depth"))
   }
 
   /** windowFunnel('view' → 'click' → 'purchase', 6 h): each user's
@@ -730,21 +756,9 @@ object Events {
     */
   val q112 = Q(
     "q112_window_funnel",
-    (spark, dir) => {
-      val W = 6L * 3600 * 1000000000L
-      val s2 = "try_element_at(filter(evs, e2 -> e2.event_type = 'click' " +
-        s"AND ${chainAfter("e2", "s1")} AND e2.ts_ns <= s1.ts_ns + $W), 1)"
-      val s3 = "try_element_at(filter(evs, e3 -> e3.event_type = 'purchase' " +
-        s"AND ${chainAfter("e3", "s2")} AND e3.ts_ns <= s1.ts_ns + $W), 1)"
-      val depth = s"""coalesce(array_max(transform(
-        filter(evs, s1 -> s1.event_type = 'view'),
-        s1 -> try_element_at(transform(array($s2),
-          s2 -> CASE WHEN s2 IS NULL THEN 1
-                ELSE CASE WHEN $s3 IS NULL THEN 2 ELSE 3 END END), 1))), 0)"""
-      userEvents(spark, dir, Seq("view", "click", "purchase"))
-        .select(col("user_id"), expr(depth).cast("int").as("funnel_depth"))
-        .orderBy(col("user_id"))
-    },
+    (spark, dir) =>
+      funnelDepth(userEvents(spark, dir, Seq("view", "click", "purchase")))
+        .orderBy(col("user_id")),
     Some(s"""
       WITH ev AS (
         SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type

@@ -102,8 +102,11 @@ object FunnelStream {
       .groupByKey(_.user_id)
       .mapGroupsWithState[St, (Long, Int)](GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[Ev], state: GroupState[St]) =>
-          val horizon = state.getCurrentWatermarkMs() match {
-            case 0 => Long.MinValue // no watermark yet
+          // getCurrentWatermarkMs THROWS on a stream with no watermark
+          // (rather than returning 0) — both spell "no horizon yet"
+          val horizon = scala.util.Try(state.getCurrentWatermarkMs())
+            .getOrElse(0L) match {
+            case 0 => Long.MinValue // no watermark (yet)
             case wm => wm * 1000000L - windowNs
           }
           val (next, d) = advance(
