@@ -944,6 +944,92 @@ object Events {
       LEFT JOIN depths d USING (user_id)
       ORDER BY user_id"""))
 
+  /** sequenceCount('(?1).*(?2).*(?3)') — how many NON-OVERLAPPING
+    * signup →* error →* purchase chains each user completes, counting
+    * greedily in chain order (after a match completes, the scan
+    * resumes after its last event). With no window this greedy count
+    * is a SINGLE-PASS state machine — if any anchor after the cursor
+    * completes, the earliest one does (a later anchor's chain events
+    * all sit after the earlier anchor too), so taking first-signup /
+    * first-error / first-purchase as they stream by is exact. That
+    * makes the whole operator one codegen'd `aggregate` fold over the
+    * per-user array: state (stage, count), no UDF, no iteration.
+    *
+    * The oracle is maximally independent: a RECURSIVE CTE that
+    * materializes each anchor's greedy chain via LATERAL first-match
+    * joins, then walks non-overlapping selections cursor by cursor.
+    */
+  val q119 = Q(
+    "q119_sequence_count",
+    (spark, dir) => {
+      val count = """coalesce(aggregate(evs,
+        named_struct('stage', 0, 'cnt', 0),
+        (acc, e) -> CASE
+          WHEN acc.stage = 0 AND e.event_type = 'signup'
+            THEN named_struct('stage', 1, 'cnt', acc.cnt)
+          WHEN acc.stage = 1 AND e.event_type = 'error'
+            THEN named_struct('stage', 2, 'cnt', acc.cnt)
+          WHEN acc.stage = 2 AND e.event_type = 'purchase'
+            THEN named_struct('stage', 0, 'cnt', acc.cnt + 1)
+          ELSE acc END,
+        acc -> acc.cnt), 0)"""
+      userEvents(spark, dir, Seq("signup", "error", "purchase"))
+        .select(col("user_id"), expr(count).cast("int").as("seq_count"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH RECURSIVE ev AS (
+        SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type
+        FROM events
+        WHERE event_type IN ('signup', 'error', 'purchase')
+      ),
+      chains AS (
+        SELECT s.user_id, s.ts_ns AS a_ts, s.event_id AS a_id,
+               p.ts_ns AS p_ts, p.event_id AS p_id
+        FROM ev s
+        JOIN LATERAL (
+          SELECT e.ts_ns, e.event_id FROM ev e
+          WHERE e.user_id = s.user_id AND e.event_type = 'error'
+            AND (e.ts_ns > s.ts_ns
+                 OR (e.ts_ns = s.ts_ns AND e.event_id > s.event_id))
+          ORDER BY e.ts_ns, e.event_id LIMIT 1) e ON true
+        JOIN LATERAL (
+          SELECT p.ts_ns, p.event_id FROM ev p
+          WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
+            AND (p.ts_ns > e.ts_ns
+                 OR (p.ts_ns = e.ts_ns AND p.event_id > e.event_id))
+          ORDER BY p.ts_ns, p.event_id LIMIT 1) p ON true
+        WHERE s.event_type = 'signup'
+      ),
+      rec AS (
+        SELECT user_id, CAST(-1 AS BIGINT) AS cur_ts,
+               CAST(-1 AS BIGINT) AS cur_id, 0 AS n
+        FROM (SELECT DISTINCT user_id FROM ev)
+        UNION ALL
+        SELECT r.user_id,
+          (SELECT c.p_ts FROM chains c
+           WHERE c.user_id = r.user_id
+             AND (c.a_ts > r.cur_ts
+                  OR (c.a_ts = r.cur_ts AND c.a_id > r.cur_id))
+           ORDER BY c.a_ts, c.a_id LIMIT 1),
+          (SELECT c.p_id FROM chains c
+           WHERE c.user_id = r.user_id
+             AND (c.a_ts > r.cur_ts
+                  OR (c.a_ts = r.cur_ts AND c.a_id > r.cur_id))
+           ORDER BY c.a_ts, c.a_id LIMIT 1),
+          r.n + 1
+        FROM rec r
+        WHERE EXISTS (SELECT 1 FROM chains c
+           WHERE c.user_id = r.user_id
+             AND (c.a_ts > r.cur_ts
+                  OR (c.a_ts = r.cur_ts AND c.a_id > r.cur_id)))
+      )
+      SELECT u.user_id, CAST(coalesce(m.n, 0) AS INT) AS seq_count
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN (SELECT user_id, MAX(n) AS n FROM rec GROUP BY 1) m
+        USING (user_id)
+      ORDER BY u.user_id"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
-    q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118)
+    q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119)
 }
