@@ -439,9 +439,16 @@ object Stress {
       val evbase = graft.Tables(spark, sfDir, "events")
         .select(col("user_id"), col("ts_ns"), col("event_id"),
           col("event_type"), col("ts"))
+      // shifts DERIVED from the fixture's max ids: a fixed shift would
+      // silently alias replicas on a bigger fixture, growing per-user
+      // arrays ~mult× and invalidating exactly the fixed-per-user
+      // claim this stage exists to test
+      val mx = evbase.agg(max(col("user_id")), max(col("event_id")))
+        .collect()(0)
+      val (uShift, eShift) = (mx.getLong(0) + 1, mx.getLong(1) + 1)
       def evrep(i: Int): DataFrame = evbase
-        .withColumn("user_id", col("user_id") + lit(i * 10000000L))
-        .withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+        .withColumn("user_id", col("user_id") + lit(i * uShift))
+        .withColumn("event_id", col("event_id") + lit(i * eShift))
       val evbig = (0 until mult).map(evrep).reduce(_ union _)
         .repartition(32)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -458,25 +465,18 @@ object Stress {
     // (shingle)-keyed rows; HLL's register agg is 256 rows/source
     // whatever the corpus size
     def runAudit(tag: String, docs: DataFrame): Unit = {
+      // both shapes via the SHIPPED projections (Pipeline.boilerplateOf
+      // / hllRegistersOf — the Events.funnelDepth discipline): a later
+      // q116/q117 change cannot leave this curve measuring a stale plan
+      import graft.queries.Pipeline
       val t0 = System.nanoTime()
-      val sh = docs.select(col("doc_id"), col("source"),
-          explode(TextOps.shinglesKernel(3)(TextOps.words(col("text"))))
-            .as("s"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      val boiler = sh.join(df, "s").groupBy(col("doc_id"))
-        .agg(sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      val boiler = Pipeline.boilerplateOf(docs)
         .agg(sum(col("n_shared"))).collect()(0).getLong(0)
+      release(spark)
       val t1 = System.nanoTime()
-      val hll = sh.select(col("source"),
-          expr("conv(substring(md5(s), 1, 15), 16, 10)").cast("long").as("h"))
-        .select(col("source"), pmod(col("h"), lit(256)).as("bucket"),
-          when(expr("h div 256") === 0, lit(53))
-            .otherwise(lit(53) - length(bin(expr("h div 256")))).as("rank"))
-        .groupBy(col("source"), col("bucket")).agg(max(col("rank")).as("m"))
+      val hll = Pipeline.hllRegistersOf(docs)
         .groupBy(col("source")).agg(count(lit(1)).as("n"))
         .agg(sum(col("n"))).collect()(0).getLong(0)
-      sh.unpersist(blocking = false)
       release(spark)
       val t2 = System.nanoTime()
       def s(a: Long, b: Long) = f"${(b - a) / 1e9}%7.2f"

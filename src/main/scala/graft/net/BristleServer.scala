@@ -284,8 +284,17 @@ final class BristleServer(configPath: Path,
         (q.endSeq - q.firstSeq).toDouble)
     }
     queuesNow = nextQueues
+    // like the queues above, an unchanged message schema keeps its
+    // LIVE decode pool across the swap: in-flight checkouts and new
+    // payloads share one bound (D12), instead of old+new pools
+    // transiently doubling it
     targetsNow = bound.map { case (msgName, (qn, msg)) =>
-      msgName -> IngestServer.Target(msg, nextQueues(qn))
+      msgName -> (targetsNow.get(msgName) match {
+        case Some(old) if old.message == msg =>
+          if (old.queue eq nextQueues(qn)) old
+          else IngestServer.Target(msg, nextQueues(qn), old.scratch)
+        case _ => IngestServer.Target(msg, nextQueues(qn))
+      })
     }
     drainsNow = drains
     if (!first)

@@ -171,9 +171,20 @@ object IngestServer {
     * its bodies, so at most [[InstancePool.DefaultSize]] payloads of a
     * type decode concurrently, whatever the session/transport count.
     */
-  final case class Target(message: PMessage, queue: QueueSource.IngestQueue) {
-    val scratch: InstancePool[Array[Any]] =
-      new InstancePool(InstancePool.DefaultSize,
-        () => new Array[Any](message.fields.length))
+  final case class Target(message: PMessage, queue: QueueSource.IngestQueue,
+      scratch: InstancePool[Array[Any]]) {
+    require(scratch != null, "Target requires a scratch pool")
+  }
+
+  object Target {
+    /** Fresh pool for a new binding. Config reload passes the OLD
+      * target's pool through the 3-arg form when the message schema is
+      * unchanged — a reload must not mint a second pool while up to
+      * DefaultSize payloads still hold slots of the first, or the
+      * decode-memory bound (D12) transiently doubles.
+      */
+    def apply(message: PMessage, queue: QueueSource.IngestQueue): Target =
+      Target(message, queue, new InstancePool(InstancePool.DefaultSize,
+        () => new Array[Any](message.fields.length)))
   }
 }

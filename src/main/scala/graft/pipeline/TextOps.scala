@@ -383,8 +383,12 @@ object TextOps extends Serializable {
   def bpeMerges(docs: org.apache.spark.sql.DataFrame, textCol: String,
       n: Int): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
-    var vocab = bpeVocab(docs, textCol).cache()
-    vocab.count() // materialize: every round re-reads this frame
+    // cache handle kept separate from the loop var: CacheManager
+    // unpersists by plan identity, so unpersisting the round-k DERIVED
+    // frame would leave the cached base blocks pinned for the session
+    val cached = bpeVocab(docs, textCol).cache()
+    cached.count() // materialize: every round re-reads this frame
+    var vocab: org.apache.spark.sql.DataFrame = cached
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     try {
@@ -396,12 +400,16 @@ object TextOps extends Serializable {
           val (l, r, c) =
             (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
           merges += ((k, l, r, l + r, c))
-          val pat = BpeSep + l + BpeSep + BpeSep + r + BpeSep
+          // literal Columns, not string-interpolated SQL: a learned
+          // symbol containing a quote/backslash must not be able to
+          // break (or inject into) a parsed expression
+          val pat = lit(BpeSep + l + BpeSep + BpeSep + r + BpeSep)
           vocab = vocab.withColumn("s",
-            expr(s"replace(s, '$pat', '$BpeSep$l$r$BpeSep')"))
+            call_function("replace", col("s"), pat,
+              lit(BpeSep + l + r + BpeSep)))
         }
       }
-    } finally vocab.unpersist(false)
+    } finally cached.unpersist(false)
     import spark.implicits._
     merges.toSeq
       .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")

@@ -3530,26 +3530,31 @@ object Pipeline {
     * never broadcast/collected. Ratio is int/int in IEEE double —
     * bit-identical across engines.
     */
+  /** The q116 frame over any documents frame — shared with Stress so
+    * the measured curve is the shipped plan (the `Events.funnelDepth`
+    * discipline). shinglesKernel ≡ shingles bit-for-bit (PipelineSpec);
+    * the HOF form is interpreted per position and measured 11 s at
+    * bench sf0.1 vs ~2 s with the kernel.
+    */
+  private[graft] def boilerplateOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(TextOps.shinglesKernel(3)(
+        TextOps.words(col("text")))).as("s"))
+    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    sh.join(df, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_shingles"))
+          .as("shared_ratio"))
+  }
+
   val q116 = Q(
     "q116_boilerplate_ratio",
-    (spark, dir) => {
-      val sh = Tables(spark, dir, "documents")
-        .select(col("doc_id"),
-          // shinglesKernel ≡ shingles bit-for-bit (PipelineSpec); the
-          // HOF form is interpreted per position and measured 11 s at
-          // bench sf0.1 vs ~2 s with the kernel
-          explode(TextOps.shinglesKernel(3)(
-            TextOps.words(col("text")))).as("s"))
-      val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      sh.join(df, "s")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
-        .select(col("doc_id"), col("n_shingles"), col("n_shared"),
-          (col("n_shared").cast("double") / col("n_shingles"))
-            .as("shared_ratio"))
-        .orderBy(col("doc_id"))
-    },
+    (spark, dir) =>
+      boilerplateOf(Tables(spark, dir, "documents")).orderBy(col("doc_id")),
     Some("""
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
@@ -3587,27 +3592,35 @@ object Pipeline {
     * HLL beats countDistinct's shuffle at 100 TB. The exact count
     * rides along for the accuracy readout.
     */
+  /** q117's register frame (source, bucket, m) over any documents
+    * frame — shared with Stress (same discipline as [[boilerplateOf]]).
+    */
+  private[graft] def hllRegistersOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("source"),
+        explode(TextOps.shinglesKernel(3)(
+          TextOps.words(col("text")))).as("s"))
+      .select(col("source"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+      .select(col("source"), pmod(col("h"), lit(256)).as("bucket"),
+        when(expr("h div 256") === 0, lit(53))
+          .otherwise(lit(53) - length(bin(expr("h div 256"))))
+          .as("rank"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(max(col("rank")).as("m"))
+
   val q117 = Q(
     "q117_hll_distinct",
     (spark, dir) => {
-      val sh = Tables(spark, dir, "documents")
-        .select(col("source"),
-          explode(TextOps.shinglesKernel(3)(
-            TextOps.words(col("text")))).as("s"))
-      val h = sh.select(col("source"), col("s"),
-        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
-      val regs = h
-        .select(col("source"), pmod(col("h"), lit(256)).as("bucket"),
-          when(expr("h div 256") === 0, lit(53))
-            .otherwise(lit(53) - length(bin(expr("h div 256"))))
-            .as("rank"))
-        .groupBy(col("source"), col("bucket"))
-        .agg(max(col("rank")).as("m"))
-      val est = regs.groupBy(col("source"))
+      val docs = Tables(spark, dir, "documents")
+      val est = hllRegistersOf(docs).groupBy(col("source"))
         .agg(count(lit(1)).as("n_present"),
           sum(expr("shiftleft(cast(1 as bigint), cast(53 - m as int))"))
             .as("sp"))
-      val exact = h.groupBy(col("source"))
+      val exact = docs.select(col("source"),
+          explode(TextOps.shinglesKernel(3)(
+            TextOps.words(col("text")))).as("s"))
+        .groupBy(col("source"))
         .agg(countDistinct(col("s")).as("n_exact"))
       val alpha = 0.7213 / (1 + 1.079 / 256.0)
       est.join(exact, "source")

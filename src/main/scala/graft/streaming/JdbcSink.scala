@@ -154,8 +154,10 @@ object JdbcSink {
     def release(c: Connection): Unit = idle.put(c)
     def discard(c: Connection): Unit = {
       try c.close() catch { case _: Exception => () }
-      synchronized { created -= 1 }
-      discarded += 1
+      // both counters under the monitor: ping-eviction makes discard
+      // reachable from any checkout thread, and `discarded += 1` on a
+      // bare volatile is a lost-update race
+      synchronized { created -= 1; discarded += 1 }
     }
     def close(): Unit = synchronized {
       var c = idle.poll()

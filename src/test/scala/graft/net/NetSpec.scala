@@ -299,6 +299,8 @@ class NetSpec extends SparkSpec {
       assert(q1.capacity == 16)
       q1.writeBatch(Seq(body(0), body(1)))
 
+      val pool1 = server.targets("ExampleMessage").scratch
+
       // same settings → reload KEEPS the live queue and its rows
       writeConfig(dir, capacity = 16, extraTable = true)
       assert(server.reload().isRight)
@@ -309,13 +311,18 @@ class NetSpec extends SparkSpec {
       // the 'extra' table now owns ExampleMessage
       assert(server.targets("ExampleMessage").queue eq
         server.queues("landing.extra"))
+      // unchanged schema → the LIVE decode pool survives the swap (a
+      // fresh pool would transiently double the D12 bound while old
+      // checkouts drain)
+      assert(server.targets("ExampleMessage").scratch eq pool1)
 
-      // changed capacity → rebuilt queue
+      // changed capacity → rebuilt queue, pool still continuous
       writeConfig(dir, capacity = 32)
       assert(server.reload().isRight)
       val q2 = server.queues("landing.example")
       assert(q2.capacity == 32 && !(q2 eq q1))
       assert(!server.queues.contains("landing.extra"))
+      assert(server.targets("ExampleMessage").scratch eq pool1)
 
       // broken config → Left, registry untouched
       Files.write(cfg, "{not json".getBytes("UTF-8"))
