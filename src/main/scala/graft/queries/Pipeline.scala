@@ -3655,10 +3655,88 @@ object Pipeline {
       FROM est e JOIN ex USING (source)
       ORDER BY e.source"""))
 
+  /** Deterministic Count-Min sketch (frequency companion of q117's
+    * HLL; the sketch behind heavy-hitter surfaces like ClickHouse
+    * `topK`'s counting layer): token frequencies estimated from a
+    * depth-3 × width-16 integer counter table, probed for a fixed term
+    * set next to the exact counts. Width is deliberately NARROW so the
+    * sketch's one-sided error is exercised, not hidden: estimates are
+    * provably ≥ exact (each row's cell only ever adds colliding
+    * tokens) and the fixture shows real 2-3× overestimates.
+    *
+    * All-integer arithmetic end to end — counts and mins, no floats —
+    * so it is hash-checkable without any IEEE argument. Scale story =
+    * q117's: the aggregation state is FIXED (48 cells) however many
+    * tokens stream through; probes touch d rows per term. Hashes are
+    * the md5-derived 60-bit integers with the row index as salt.
+    */
+  val q120 = Q(
+    "q120_countmin_freq",
+    (spark, dir) => {
+      val (depth, width) = (3, 16)
+      val terms = Seq("customer", "merge", "vector", "table", "spark")
+      val toks = Tables(spark, dir, "documents")
+        .select(explode(TextOps.words(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+      def bucket(salt: org.apache.spark.sql.Column,
+          s: org.apache.spark.sql.Column) =
+        pmod(conv(substring(md5(concat(salt, s)), 1, 15), 16, 10)
+          .cast("long"), lit(width))
+      val rows = (0 until depth).map(i =>
+        struct(lit(i).as("i"),
+          bucket(lit(i.toString), col("w")).as("bucket")))
+      val cm = toks.select(explode(array(rows: _*)).as("p"))
+        .groupBy(col("p.i").as("i"), col("p.bucket").as("bucket"))
+        .agg(count(lit(1)).as("c"))
+      import spark.implicits._
+      val probe = terms.flatMap(t => (0 until depth).map(i => (t, i)))
+        .toDF("term", "i")
+        .withColumn("bucket", bucket(col("i").cast("string"), col("term")))
+      val est = probe.join(cm, Seq("i", "bucket"))
+        .groupBy(col("term")).agg(min(col("c")).as("cm_estimate"))
+      val exact = toks.filter(col("w").isin(terms.map(x => x: Any): _*))
+        .groupBy(col("w").as("term")).agg(count(lit(1)).as("exact_count"))
+      est.join(exact, Seq("term"), "left")
+        .select(col("term"), coalesce(col("exact_count"), lit(0L))
+          .as("exact_count"), col("cm_estimate"))
+        .orderBy(col("term"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      ),
+      t AS (SELECT w FROM toks WHERE w <> ''),
+      cm AS (
+        SELECT i,
+               ('0x' || substr(md5(CAST(i AS VARCHAR) || w), 1, 15))::BIGINT
+                 % 16 AS bucket,
+               COUNT(*) AS c
+        FROM t, UNNEST([0, 1, 2]) AS s(i)
+        GROUP BY 1, 2
+      ),
+      terms AS (SELECT unnest(
+        ['customer', 'merge', 'vector', 'table', 'spark']) AS term),
+      probe AS (
+        SELECT term, i,
+               ('0x' || substr(md5(CAST(i AS VARCHAR) || term), 1, 15))::BIGINT
+                 % 16 AS bucket
+        FROM terms, UNNEST([0, 1, 2]) AS s(i)
+      ),
+      est AS (
+        SELECT p.term, MIN(cm.c) AS cm_estimate
+        FROM probe p JOIN cm ON cm.i = p.i AND cm.bucket = p.bucket
+        GROUP BY 1
+      ),
+      ex AS (SELECT w AS term, COUNT(*) AS exact_count FROM t GROUP BY 1)
+      SELECT e.term, coalesce(x.exact_count, 0) AS exact_count,
+             e.cm_estimate
+      FROM est e LEFT JOIN ex x USING (term)
+      ORDER BY e.term"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q115, q116, q117)
+    q108, q109, q110, q111, q115, q116, q117, q120)
 }
