@@ -3670,28 +3670,43 @@ object Pipeline {
     * tokens stream through; probes touch d rows per term. Hashes are
     * the md5-derived 60-bit integers with the row index as salt.
     */
+  /** Count-Min geometry shared by q120 and the streaming form. */
+  private[graft] val CmDepth = 3
+  private[graft] val CmWidth = 16
+
+  private[graft] def cmBucket(salt: org.apache.spark.sql.Column,
+      s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(concat(salt, s)), 1, 15), 16, 10)
+      .cast("long"), lit(CmWidth))
+
+  /** One (i, bucket) row per token occurrence per sketch row — the
+    * projection whose `groupBy(i, bucket).count` IS the CM table,
+    * batch or streaming (`streaming/CmStream`).
+    */
+  private[graft] def cmProjection(toks: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val rows = (0 until CmDepth).map(i =>
+      struct(lit(i).as("i"),
+        cmBucket(lit(i.toString), col("w")).as("bucket")))
+    toks.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.i").as("i"), col("p.bucket").as("bucket"))
+  }
+
   val q120 = Q(
     "q120_countmin_freq",
     (spark, dir) => {
-      val (depth, width) = (3, 16)
+      val depth = CmDepth
       val terms = Seq("customer", "merge", "vector", "table", "spark")
       val toks = Tables(spark, dir, "documents")
         .select(explode(TextOps.words(col("text"))).as("w"))
         .filter(col("w") =!= "")
-      def bucket(salt: org.apache.spark.sql.Column,
-          s: org.apache.spark.sql.Column) =
-        pmod(conv(substring(md5(concat(salt, s)), 1, 15), 16, 10)
-          .cast("long"), lit(width))
-      val rows = (0 until depth).map(i =>
-        struct(lit(i).as("i"),
-          bucket(lit(i.toString), col("w")).as("bucket")))
-      val cm = toks.select(explode(array(rows: _*)).as("p"))
-        .groupBy(col("p.i").as("i"), col("p.bucket").as("bucket"))
+      val cm = cmProjection(toks)
+        .groupBy(col("i"), col("bucket"))
         .agg(count(lit(1)).as("c"))
       import spark.implicits._
       val probe = terms.flatMap(t => (0 until depth).map(i => (t, i)))
         .toDF("term", "i")
-        .withColumn("bucket", bucket(col("i").cast("string"), col("term")))
+        .withColumn("bucket", cmBucket(col("i").cast("string"), col("term")))
       val est = probe.join(cm, Seq("i", "bucket"))
         .groupBy(col("term")).agg(min(col("c")).as("cm_estimate"))
       val exact = toks.filter(col("w").isin(terms.map(x => x: Any): _*))

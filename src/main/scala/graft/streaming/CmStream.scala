@@ -1,0 +1,35 @@
+package graft.streaming
+
+import graft.queries.Pipeline
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+/** Streaming Count-Min — q120's sketch maintained live. The insight is
+  * that a CM table IS a grouped count over a FIXED key space
+  * (depth × width = 48 cells), so the streaming form needs no custom
+  * state machine at all: Structured Streaming's built-in stateful
+  * aggregation over `cmProjection` carries the registers, state is
+  * bounded by the sketch geometry however long the stream runs, and
+  * update-mode emits only cells a batch touched.
+  *
+  * Parity contract (CmStreamSpec): after any prefix of the stream, the
+  * emitted table equals the batch `cmProjection(...).groupBy.count`
+  * over the same rows — counts are associative, so micro-batching
+  * cannot change them.
+  */
+object CmStream {
+
+  /** `tokens` must be a streaming frame with a `w` string column. */
+  def table(tokens: DataFrame): DataFrame =
+    Pipeline.cmProjection(tokens)
+      .groupBy(col("i"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  def start(tokens: DataFrame)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    table(tokens).writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(sink)
+      .start()
+}

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Streaming Count-Min: the live table equals the batch sketch over
+  * the same rows after every prefix, and update-mode only re-emits
+  * touched cells.
+  */
+class CmStreamSpec extends SparkSpec {
+
+  test("streamed CM table converges to the batch sketch per prefix") {
+    import spark.implicits._
+    val words = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(explode(graft.pipeline.TextOps.words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .as[String].collect()
+    assert(words.length > 100)
+    val (b1, b2) = words.splitAt(words.length / 2)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    // latest update per cell wins — the converged table
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    var lastEmit = 0
+    val sq = CmStream.start(ms.toDF().toDF("w")) { (df, _) =>
+      val rows = df.collect()
+      lastEmit = rows.length
+      rows.foreach(r =>
+        cells((r.getInt(0), r.getLong(1))) = r.getLong(2))
+    }
+    def batchTable(ws: Seq[String]): Map[(Int, Long), Long] =
+      CmStream.table(ws.toDF("w")).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    try {
+      ms.addData(b1.toIndexedSeq: _*)
+      sq.processAllAvailable()
+      assert(cells.toMap == batchTable(b1.toSeq),
+        "prefix 1: stream table != batch table")
+      ms.addData(b2.toIndexedSeq: _*)
+      sq.processAllAvailable()
+      assert(cells.toMap == batchTable(words.toSeq),
+        "full stream: table != batch table")
+      // geometry bound: never more cells than depth x width
+      assert(cells.size <= 3 * 16)
+      // update mode: the second emit only carries touched cells
+      assert(lastEmit <= 3 * 16)
+    } finally sq.stop()
+  }
+}
