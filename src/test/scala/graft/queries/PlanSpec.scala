@@ -315,4 +315,43 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       s"candidates must come from the keyed bucket join:\n$p")
   }
+
+  test("q112/q119: behavioral chain search has NO Window and no fact self-join") {
+    // the chain logic lives in codegen'd array lambdas after ONE
+    // user_id aggregation — a Window or a second events join would be
+    // the per-user-serialization shape that dies at scale
+    Seq(Events.q112, Events.q119).foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"${q.name} plans a Window:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), q.name)
+    }
+  }
+
+  test("q116: the shingle-df join carries NO broadcast hint — size decides") {
+    // the document-frequency table is shingle-cardinality (corpus-
+    // sized): a FORCED broadcast() is the q95-class scale killer. At
+    // this fixture the optimizer legitimately broadcasts the measured-
+    // tiny df side; what must be pinned is that the choice is Catalyst
+    // sizing, not a hint that would still force it at 100 TB.
+    val lp = Pipeline.q116.fn(spark, sf).queryExecution.analyzed.toString
+    assert(!lp.toLowerCase.contains("hint"),
+      s"df join must not carry a broadcast hint:\n$lp")
+  }
+
+  test("q117: registers aggregate directly — no pre-distinct before the sketch") {
+    // the register path must be ONE aggregation chain over raw
+    // occurrences (max absorbs duplicates); the only distinct allowed
+    // is the separate exact-count readout. Pin: no more than the
+    // expected number of Expand/aggregate stages on the register leg
+    // by checking the register frame alone.
+    val regs = Pipeline.hllRegistersOf(
+      graft.Tables(spark, sf, "documents")).queryExecution.executedPlan
+      .toString
+    assert(!regs.contains("Expand"), s"unexpected expand:\n$regs")
+    // two hash-aggregate pairs: partial+final for (source,bucket) max —
+    // a distinct would add a third exchange
+    assert("Exchange".r.findAllIn(regs).size == 1,
+      s"register leg must shuffle exactly once:\n$regs")
+  }
 }
