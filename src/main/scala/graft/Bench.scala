@@ -355,9 +355,10 @@ object Bench {
               val raw = Seq(once(n, sfDir), once(n, sfDir)).min
               val landed = Seq(once(n, dir), once(n, dir)).min
               val k = n.take(3)
-              val r = String.format(java.util.Locale.ROOT, "%.3f",
+              // 2 dp like the per-query keys: stdout-capture headroom
+              val r = String.format(java.util.Locale.ROOT, "%.2f",
                 Double.box(raw))
-              val l = String.format(java.util.Locale.ROOT, "%.3f",
+              val l = String.format(java.util.Locale.ROOT, "%.2f",
                 Double.box(landed))
               s""""$k":{"raw":$r,"landed":$l}"""
             }.mkString(",")
