@@ -105,6 +105,11 @@ object Bench {
       graft.sources.GramIndexLayout.documentsHistory(spark, sfDir)
       graft.sources.BandIndexLayout.documentsHistory(spark, sfDir)
       graft.sources.CellIndexLayout.embeddingsHistory(spark, sfDir)
+      // the stored labeling too: q111's claim (and its slot) is the
+      // INCREMENTAL probe+fold cost; the one-time history clustering
+      // that seeds the store is table construction like the index
+      // builds above, not per-batch work
+      graft.sources.LabelStoreLayout.documentsHistory(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }

@@ -33,3 +33,30 @@ object CmStream {
       .foreachBatch(sink)
       .start()
 }
+
+/** Streaming HyperLogLog — q117's registers maintained live, by the
+  * same argument as [[CmStream]]: the register table is a grouped MAX
+  * over a fixed key space (sources × 256 buckets), so Structured
+  * Streaming's stateful aggregation is the whole operator. max is
+  * idempotent and associative — replays and micro-batch boundaries
+  * cannot change the registers — and state stays register-bounded on
+  * an unbounded stream (the reason `uniq` sketches exist at all).
+  *
+  * The estimate itself stays a CHEAP downstream read over ≤256 rows
+  * per source (q117's integer-exact harmonic fold), computed by the
+  * sink whenever it wants a number — the stream maintains registers,
+  * not estimates, exactly like a production sketch store.
+  */
+object HllStream {
+
+  /** `docs` must be a streaming frame with source + text columns. */
+  def registers(docs: DataFrame): DataFrame =
+    graft.queries.Pipeline.hllRegistersOf(docs)
+
+  def start(docs: DataFrame)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    registers(docs).writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(sink)
+      .start()
+}

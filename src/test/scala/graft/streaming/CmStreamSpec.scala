@@ -48,4 +48,33 @@ class CmStreamSpec extends SparkSpec {
       assert(lastEmit <= 3 * 16)
     } finally sq.stop()
   }
+
+  test("streamed HLL registers converge to the batch register table") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source"), col("text"))
+      .as[(String, String)].collect()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    val regs = scala.collection.mutable.Map.empty[(String, Long), Int]
+    val sq = HllStream.start(ms.toDF().toDF("source", "text")) { (df, _) =>
+      df.collect().foreach(r =>
+        regs((r.getString(0), r.getLong(1))) = r.getInt(2))
+    }
+    def batch(rows: Seq[(String, String)]): Map[(String, Long), Int] =
+      graft.queries.Pipeline.hllRegistersOf(rows.toDF("source", "text"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2))
+        .toMap
+    try {
+      ms.addData(b1.toIndexedSeq: _*)
+      sq.processAllAvailable()
+      assert(regs.toMap == batch(b1.toSeq))
+      ms.addData(b2.toIndexedSeq: _*)
+      sq.processAllAvailable()
+      assert(regs.toMap == batch(docs.toSeq),
+        "drained stream registers != batch registers")
+    } finally sq.stop()
+  }
 }
