@@ -913,16 +913,30 @@ object Events {
     "q118_window_funnel_strict",
     (spark, dir) => {
       val W = 6L * 3600 * 1000000000L
-      def nxt(cur: String) = "try_element_at(filter(evs, e -> " +
-        s"${chainAfter("e", cur)} AND e.ts_ns <= s1.ts_ns + $W), 1)"
-      val depth = s"""coalesce(array_max(transform(
-        filter(evs, s1 -> s1.event_type = 'view'),
-        s1 -> try_element_at(transform(array(${nxt("s1")}),
-          n1 -> CASE WHEN n1 IS NULL OR n1.event_type != 'click' THEN 1
-                ELSE try_element_at(transform(array(${nxt("n1")}),
-                  n2 -> CASE WHEN n2 IS NULL OR n2.event_type != 'purchase'
-                        THEN 2 ELSE 3 END), 1)
-                END), 1))), 0)"""
+      // Strict chains survive exactly ONE next-event each (any
+      // step-type event either advances or breaks every awaiting
+      // chain), so the operator reduces to an O(n) consecutive-run
+      // scan — state (stage, anchor, best), q112's fold discipline.
+      // A view both breaks an awaiting chain (wrong type) and opens
+      // its own, which is why the view arm resets stage to 1
+      // unconditionally.
+      val depth = s"""coalesce(aggregate(evs,
+        named_struct('stage', 0, 'anchor', -1L, 'best', 0),
+        (acc, e) -> CASE
+          WHEN e.event_type = 'view'
+            THEN named_struct('stage', 1, 'anchor', e.ts_ns,
+                              'best', greatest(acc.best, 1))
+          WHEN e.event_type = 'click' AND acc.stage = 1
+               AND e.ts_ns <= acc.anchor + ${W}L
+            THEN named_struct('stage', 2, 'anchor', acc.anchor,
+                              'best', greatest(acc.best, 2))
+          WHEN e.event_type = 'purchase' AND acc.stage = 2
+               AND e.ts_ns <= acc.anchor + ${W}L
+            THEN named_struct('stage', 0, 'anchor', -1L,
+                              'best', greatest(acc.best, 3))
+          ELSE named_struct('stage', 0, 'anchor', -1L, 'best', acc.best)
+          END,
+        acc -> acc.best), 0)"""
       userEvents(spark, dir, Seq("view", "click", "purchase"))
         .select(col("user_id"), expr(depth).cast("int").as("funnel_depth"))
         .orderBy(col("user_id"))
