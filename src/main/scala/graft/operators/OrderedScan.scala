@@ -142,6 +142,54 @@ object OrderedScan {
       .drop("_os_bucket", "_os_v", "_os_grp", "_os_owner")
   }
 
+  /** Per-key bottom-k rows in ascending (ord, tiebreak) order, with
+    * each kept row's per-key rank attached as `as` — WITHOUT sorting
+    * any key's full row set. `bucket` must be monotone in `ord`
+    * within a key (e.g. `h div 2^53` for a uniform 60-bit hash).
+    *
+    * Decomposition: per-(key, bucket) counts (one aggregate over the
+    * data, summary-sized output) get a TINY stitch window computing
+    * each bucket's preceding-rows count; a bucket can host a rank ≤ k
+    * row only if that prefix count is < k, so all other buckets are
+    * pruned BEFORE any sort. The heavy row_number window then runs
+    * only over surviving buckets' rows — for a uniform hash order
+    * that is ~one bucket (≈ rows/buckets of them) per key, however
+    * large the key grows; global rank = local row_number + the
+    * bucket's prefix count. The pruning join is against the
+    * summary-sized survivor list on (key, bucket) — keyed, never
+    * broadcast-hinted (keys may be high-cardinality; AQE broadcasts
+    * when it is in fact small).
+    *
+    * This is the engine under the bottom-k sketches (q121 KMV
+    * distinct, q122 deterministic-sample quantiles): a full per-key
+    * sort of N rows to keep 64 of them would be exactly the
+    * "window over everything" anti-pattern this object exists to
+    * avoid.
+    */
+  def bottomK(df: DataFrame, key: Column, ord: Column, tiebreak: Column,
+      bucket: Column, k: Int, as: String): DataFrame = {
+    require(k >= 1, s"bottomK needs k >= 1, got $k")
+    val in = df.withColumn("_os_bucket", bucket.cast("long"))
+    val counts = in
+      .groupBy(key.as("_os_key"), col("_os_bucket").as("_os_kb"))
+      .agg(count(lit(1)).as("_os_n"))
+    val stitch = Window.partitionBy(col("_os_key")).orderBy(col("_os_kb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val live = counts
+      .withColumn("_os_before",
+        coalesce(sum(col("_os_n")).over(stitch), lit(0L)))
+      .filter(col("_os_before") < k)
+      .select(col("_os_key"), col("_os_kb"), col("_os_before"))
+    val w = Window.partitionBy(key, col("_os_bucket"))
+      .orderBy(ord, tiebreak)
+    in.join(live,
+        key === col("_os_key") && col("_os_bucket") === col("_os_kb"))
+      .withColumn(as,
+        row_number().over(w).cast("long") + col("_os_before"))
+      .filter(col(as) <= k)
+      .drop("_os_key", "_os_kb", "_os_bucket", "_os_before")
+  }
+
   /** Per-key delta between each row's `ord` head column and its
     * predecessor's in (ord, tiebreak) order: returns the input with a
     * `prev` column (`as`) — null for each key's first row — like

@@ -1067,6 +1067,105 @@ object Events {
         USING (user_id)
       ORDER BY u.user_id"""))
 
+  /** Deterministic-sample quantiles (ClickHouse `quantileDeterministic`
+    * analog): per event_type, the 256-row deterministic sample — rows
+    * whose md5(event_id) hashes rank bottom-256, the determinator
+    * making resampling reproducible — then the discrete quantile
+    * (the element at index 1 + floor(q·(n−1)) of the value-sorted
+    * multiset) at 25/50/75 over the sample, next to the exact
+    * same-formula quantile over ALL rows. Quantile points are exact
+    * binary fractions so q·(n−1) is an EXACT double product — floor
+    * cannot straddle an ulp cross-engine — and outputs are SELECTED
+    * input values (no interpolation arithmetic), so the whole row is
+    * hash-exact.
+    *
+    * Scale shape: sample selection is [[graft.operators.OrderedScan
+    * .bottomK]] in hash order (bucket-pruned — no per-type full sort);
+    * the in-sample value rank is a plain per-type window, scale-safe
+    * because the sample is ≤ 256 rows per key BY CONSTRUCTION. The
+    * exact side ranks values via OrderedScan.runningTotal with a
+    * value-monotone bucket, so even the "ground truth" leg never
+    * funnels a type into one task. The target indexes come from
+    * per-type counts (summary-sized), exploded to 3 rows per type.
+    */
+  val q122 = Q(
+    "q122_sampled_quantiles",
+    (spark, dir) => {
+      val k = 256
+      val qs = Seq(("p25", 0.25), ("p50", 0.50), ("p75", 0.75))
+      val ev = Tables(spark, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("h",
+          conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
+            .cast("long"))
+      val sample = graft.operators.OrderedScan.bottomK(ev, col("event_type"),
+        col("h"), col("event_id"), expr(s"h div ${1L << 53}L"), k, "rk")
+      // bounded-sample value rank: ≤ k rows per key by construction,
+      // so the per-key window is not a scale hazard here
+      val vw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      val sr = sample.withColumn("vr", row_number().over(vw).cast("long"))
+      val ns = sample.groupBy(col("event_type")).agg(count(lit(1)).as("ns"))
+      val xr = graft.operators.OrderedScan.runningTotal(ev, col("event_type"),
+        Seq(col("value"), col("event_id")), lit(1L),
+        floor(col("value") / 32), "vr")
+      val nx = ev.groupBy(col("event_type")).agg(count(lit(1)).as("nx"))
+      def targets(counts: org.apache.spark.sql.DataFrame, n: String) =
+        counts.select(col("event_type"), col(n),
+          explode(array(qs.map { case (nm, q) =>
+            struct(lit(nm).as("quantile"),
+              (lit(1L) + floor(lit(q) * (col(n) - 1))).as("idx"))
+          }: _*)).as("t"))
+          .select(col("event_type"), col(n), col("t.quantile"), col("t.idx"))
+      val sq = sr.join(targets(ns, "ns"), Seq("event_type"))
+        .filter(col("vr") === col("idx"))
+        .select(col("event_type"), col("quantile"), col("ns").as("n_sample"),
+          col("value").as("sample_value"))
+      val xq = xr.join(targets(nx, "nx"), Seq("event_type"))
+        .filter(col("vr") === col("idx"))
+        .select(col("event_type"), col("quantile"), col("nx").as("n_total"),
+          col("value").as("exact_value"))
+      sq.join(xq, Seq("event_type", "quantile"))
+        .select(col("event_type"), col("quantile"), col("n_sample"),
+          col("n_total"), col("sample_value"), col("exact_value"))
+        .orderBy(col("event_type"), col("quantile"))
+    },
+    Some("""
+      WITH ev AS (SELECT event_type, event_id, value,
+                         ('0x'||substr(md5(event_id::VARCHAR),1,15))::BIGINT
+                           AS h
+                  FROM events),
+      s AS (SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY h, event_id) AS rk
+            FROM ev),
+      sample AS (SELECT * FROM s WHERE rk <= 256),
+      sr AS (SELECT event_type, value,
+                    row_number() OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id) AS vr,
+                    COUNT(*) OVER (PARTITION BY event_type) AS ns
+             FROM sample),
+      xr AS (SELECT event_type, value,
+                    row_number() OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id) AS vr,
+                    COUNT(*) OVER (PARTITION BY event_type) AS nx
+             FROM ev),
+      qs AS (SELECT * FROM (VALUES ('p25', 0.25::DOUBLE),
+                                   ('p50', 0.50::DOUBLE),
+                                   ('p75', 0.75::DOUBLE)) AS t(quantile, qq)),
+      sq AS (SELECT sr.event_type, qs.quantile, sr.ns AS n_sample,
+                    sr.value AS sample_value
+             FROM sr JOIN qs ON sr.vr = 1 + FLOOR(qs.qq * (sr.ns - 1))),
+      xq AS (SELECT xr.event_type, qs.quantile, xr.nx AS n_total,
+                    xr.value AS exact_value
+             FROM xr JOIN qs ON xr.vr = 1 + FLOOR(qs.qq * (xr.nx - 1)))
+      SELECT sq.event_type, sq.quantile, sq.n_sample, xq.n_total,
+             sq.sample_value, xq.exact_value
+      FROM sq JOIN xq ON sq.event_type = xq.event_type
+                     AND sq.quantile = xq.quantile
+      ORDER BY sq.event_type, sq.quantile"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
-    q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119)
+    q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
+    q122)
 }

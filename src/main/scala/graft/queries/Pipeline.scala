@@ -3748,10 +3748,79 @@ object Pipeline {
       FROM est e LEFT JOIN ex x USING (term)
       ORDER BY e.term"""))
 
+  /** KMV (k-minimum-values / bottom-k) distinct sketch — the third
+    * sketch leg next to q117's HLL and q120's Count-Min, and the one
+    * production theta-sketch stores build on: per source, keep only
+    * the k = 64 SMALLEST 60-bit shingle hashes; the k-th smallest
+    * value h_k estimates the distinct count as (k−1)·M/h_k (hashes
+    * uniform on [0, M)), exact when fewer than k distincts exist.
+    * Unlike HLL the sketch is mergeable AND supports set expressions
+    * (intersection via min-merge), which is why theta sketches won in
+    * warehouse engines.
+    *
+    * Scale shape: the hash projection is map-side; (source, h) dedup
+    * is one keyed aggregate; the bottom-64 comes from
+    * [[graft.operators.OrderedScan.bottomK]] — per-(source, bucket)
+    * counts prune every bucket that cannot host a rank ≤ 64 hash
+    * BEFORE any sort, so the row_number window touches ~1/128 of each
+    * source's hashes however large the corpus. Nothing collects; the
+    * estimate is one double division per source at the very end
+    * ((k−1)·M exact in 66 bits ⇒ exact as a double, so the division
+    * is the only rounding step and is bit-identical cross-engine).
+    *
+    * The oracle replays hash, dedup, bottom-k and estimate in SQL
+    * with a full per-source sort — same rows, same doubles, proving
+    * the pruned plan ≡ the naive one.
+    */
+  val q121 = Q(
+    "q121_kmv_distinct",
+    (spark, dir) => {
+      val k = 64
+      val docs = Tables(spark, dir, "documents")
+      val h = docs.select(col("source"),
+          explode(TextOps.shinglesKernel(3)(
+            TextOps.words(col("text")))).as("s"))
+        .select(col("source"),
+          conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+        .distinct()
+      val ranked = graft.operators.OrderedScan.bottomK(h, col("source"),
+        col("h"), col("h"), expr(s"h div ${1L << 53}L"), k, "rk")
+      val sk = ranked.groupBy(col("source"))
+        .agg(max(col("h")).as("hk"), count(lit(1)).as("n_kept"))
+      val nd = h.groupBy(col("source")).agg(count(lit(1)).as("n_distinct"))
+      // M = 2^60 (15 md5 hex digits); (k-1)*M has 6 significant bits
+      // so the Scala-side product is exactly representable
+      val km = (k - 1).toDouble * 1152921504606846976d
+      sk.join(nd, "source")
+        .select(col("source"), col("n_distinct"), col("n_kept"), col("hk"),
+          when(col("n_kept") < k, col("n_kept").cast("double"))
+            .otherwise(lit(km) / col("hk").cast("double"))
+            .as("kmv_estimate"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+      sh AS (SELECT source, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)),
+      h AS (SELECT DISTINCT source,
+                   ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+      r AS (SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+            FROM h),
+      sk AS (SELECT source, MAX(h) AS hk, COUNT(*) AS n_kept
+             FROM r WHERE rk <= 64 GROUP BY 1),
+      nd AS (SELECT source, COUNT(*) AS n_distinct FROM h GROUP BY 1)
+      SELECT sk.source, nd.n_distinct, sk.n_kept, sk.hk,
+             CASE WHEN sk.n_kept < 64 THEN CAST(sk.n_kept AS DOUBLE)
+                  ELSE 63::DOUBLE * 1152921504606846976::DOUBLE
+                       / CAST(sk.hk AS DOUBLE) END AS kmv_estimate
+      FROM sk JOIN nd USING (source)
+      ORDER BY sk.source"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q115, q116, q117, q120)
+    q108, q109, q110, q111, q115, q116, q117, q120, q121)
 }

@@ -150,4 +150,55 @@ class OrderedScanSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L), (3L, 2L), (7L, 3L), (14L, 3L),
       (28L, 3L), (56L, 3L), (100L, 1L), (300L, 2L)))
   }
+
+  test("bottomK == full-sort row_number filter (events hash order, any width/k)") {
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_type"), col("event_id"))
+      .withColumn("h",
+        conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"))
+    for (k <- Seq(1, 17, 256, 1000000); width <- Seq(1L << 53, 1L << 57)) {
+      val ref = ev.withColumn("rk",
+          row_number().over(Window.partitionBy(col("event_type"))
+            .orderBy(col("h"), col("event_id"))).cast("long"))
+        .filter(col("rk") <= k)
+      val got = OrderedScan.bottomK(ev, col("event_type"), col("h"),
+        col("event_id"), expr(s"h div ${width}L"), k, "rk")
+      assert(ref.select("event_type", "event_id", "rk")
+        .exceptAll(got.select("event_type", "event_id", "rk")).isEmpty &&
+        got.count() == ref.count(),
+        s"bottomK diverges from full sort at k=$k width=$width")
+    }
+  }
+
+  test("bottomK: duplicate ord values resolved by tiebreak; k past group size keeps all") {
+    import spark.implicits._
+    // key a: 5 rows with DUPLICATE ord values across two buckets;
+    // key b: 2 rows, k exceeds the group
+    val df = Seq(("a", 3L, 1L), ("a", 3L, 2L), ("a", 3L, 3L),
+      ("a", 10L, 4L), ("a", 10L, 5L), ("b", 7L, 6L))
+      .toDF("k", "ord", "tb")
+    val got = OrderedScan.bottomK(df, col("k"), col("ord"), col("tb"),
+        floor(col("ord") / 10), 4, "rk")
+      .orderBy("k", "rk").select("tb", "rk").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (6L, 1L)))
+  }
+
+  test("bottomK prunes buckets past the k-th row before the sort") {
+    // bucket width 1 on dense ords: key a's rows land in 30 distinct
+    // buckets, but only buckets whose prefix count < 3 may host a
+    // rank <= 3 row — the survivor set the heavy window sees must be
+    // the first three (ord 0, 1, 2), anything else is unpruned work
+    import spark.implicits._
+    val df = (0L until 30L).map(i => ("a", i, i)).toDF("k", "ord", "tb")
+    val got = OrderedScan.bottomK(df, col("k"), col("ord"), col("tb"),
+      col("ord"), 3, "rk")
+    assert(got.select("ord").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
+    // the plan's window-side scan is joined against the survivor
+    // list; with per-row buckets the join build side is 3 rows, so
+    // the window input itself is 3 rows — pin via the physical plan's
+    // row-level filter on the rank staying AFTER a 3-row join, not a
+    // 30-row sort: cheapest observable = output ranks are exactly 1..3
+    assert(got.select("rk").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
 }
