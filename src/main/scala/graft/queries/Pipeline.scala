@@ -3772,17 +3772,25 @@ object Pipeline {
     * with a full per-source sort — same rows, same doubles, proving
     * the pruned plan ≡ the naive one.
     */
+  /** The (source, 60-bit shingle hash) distinct frame both KMV legs
+    * (q121, q123) sketch from: 3-gram shingles, md5-derived uniform
+    * hashes, one keyed dedup. Map-side until the dedup shuffle.
+    */
+  private[graft] def kmvHashes(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("source"),
+        explode(TextOps.shinglesKernel(3)(
+          TextOps.words(col("text")))).as("s"))
+      .select(col("source"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+
   val q121 = Q(
     "q121_kmv_distinct",
     (spark, dir) => {
       val k = 64
       val docs = Tables(spark, dir, "documents")
-      val h = docs.select(col("source"),
-          explode(TextOps.shinglesKernel(3)(
-            TextOps.words(col("text")))).as("s"))
-        .select(col("source"),
-          conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
-        .distinct()
+      val h = kmvHashes(docs)
       val ranked = graft.operators.OrderedScan.bottomK(h, col("source"),
         col("h"), col("h"), expr(s"h div ${1L << 53}L"), k, "rk")
       val sk = ranked.groupBy(col("source"))
@@ -3817,10 +3825,145 @@ object Pipeline {
       FROM sk JOIN nd USING (source)
       ORDER BY sk.source"""))
 
+  /** KMV set expressions — the capability that makes the theta-sketch
+    * leg (q121) more than an HLL rival: for every source pair, the
+    * UNION and INTERSECTION distinct-shingle estimates computed purely
+    * from the two 64-hash sketches, next to the exact values (q93's
+    * overlap matrix recomputed on 3-gram hashes). Merge rule (Beyer
+    * et al. 2007): bottom-k of (A ∪ B) = bottom-k of (K_A ∪ K_B) as
+    * hash SETS — any of the union's k smallest elements is among the
+    * k smallest of its own set — so the merged sketch is the union's
+    * true KMV sketch and (k−1)·M/h_k applies unchanged. Intersection:
+    * ρ = |{x ∈ K_merged : x ∈ K_A ∧ x ∈ K_B}| / k, estimate
+    * ρ · union_est; when the merged sketch is unsaturated (n < k)
+    * both inputs enumerated fully, so both estimates are exact.
+    *
+    * Scale shape: everything pairwise happens on SKETCH rows — ≤ 64
+    * rows per source however large the corpus, so the pair merge is
+    * summary × summary (the whole point: q93's exact matrix costs a
+    * corpus-sized self-join; this costs one sketch build). The exact
+    * comparison legs (fixture-only — at 100 TB you'd ship just the
+    * estimates) are one keyed self-equi-join on the hash (per-hash
+    * fan-out bounded by the source count, q93's argument) and
+    * per-source distinct counts. Estimate arithmetic is one division
+    * (union) and one division+product (intersection), parenthesized
+    * identically in the oracle, every input an exact-in-double
+    * integer — bit-identical cross-engine.
+    */
+  val q123 = Q(
+    "q123_kmv_setops",
+    (spark, dir) => {
+      val k = 64
+      val h = kmvHashes(Tables(spark, dir, "documents"))
+      val sk = graft.operators.OrderedScan.bottomK(h, col("source"),
+          col("h"), col("h"), expr(s"h div ${1L << 53}L"), k, "rk")
+        .select(col("source"), col("h"))
+      val nd = h.groupBy(col("source")).agg(count(lit(1)).as("n_distinct"))
+      // pair list: one row per source — summary-sized by contract
+      // (a corpus has tens of sources), so the non-equi self-join is
+      // a trivial nested loop over a tiny frame
+      val srcs = nd.select(col("source"))
+      val pairs = srcs.as("pa").join(srcs.as("pb"),
+          col("pa.source") < col("pb.source"))
+        .select(col("pa.source").as("sa"), col("pb.source").as("sb"))
+      val aRows = sk.join(pairs, col("source") === col("sa"))
+        .select(col("sa"), col("sb"), col("h"),
+          lit(1).as("ina"), lit(0).as("inb"))
+      val bRows = sk.join(pairs, col("source") === col("sb"))
+        .select(col("sa"), col("sb"), col("h"),
+          lit(0).as("ina"), lit(1).as("inb"))
+      // hash-set union of the two sketches with membership flags kept
+      val merged = aRows.union(bRows)
+        .groupBy(col("sa"), col("sb"), col("h"))
+        .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
+      // per-pair rank: ≤ 2k rows per pair BY CONSTRUCTION, so the
+      // window is not a scale hazard (no bottomK machinery needed)
+      val mw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("sa"), col("sb")).orderBy(col("h"))
+      val agg = merged.withColumn("rk", row_number().over(mw))
+        .filter(col("rk") <= k)
+        .groupBy(col("sa"), col("sb"))
+        .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("hk"),
+          sum(col("ina") * col("inb")).cast("long").as("n_both"))
+      // exact legs for the fixture's estimate-vs-truth columns
+      val inter = h.as("x").join(h.as("y"),
+          col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("sa"), col("y.source").as("sb"))
+        .agg(count(lit(1)).as("n_inter"))
+      val km = (k - 1).toDouble * 1152921504606846976d // 63·2^60, exact
+      val unionEst = when(col("n_sketch") < k, col("n_sketch").cast("double"))
+        .otherwise(lit(km) / col("hk").cast("double"))
+      agg
+        .join(nd.select(col("source").as("sa"), col("n_distinct").as("nda")),
+          Seq("sa"))
+        .join(nd.select(col("source").as("sb"), col("n_distinct").as("ndb")),
+          Seq("sb"))
+        .join(inter, Seq("sa", "sb"), "left")
+        .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+        .select(col("sa").as("source_a"), col("sb").as("source_b"),
+          (col("nda") + col("ndb") - col("n_inter")).as("n_union_exact"),
+          col("n_inter").as("n_inter_exact"),
+          col("n_sketch"), col("n_both"),
+          unionEst.as("union_est"),
+          when(col("n_sketch") < k, col("n_both").cast("double"))
+            .otherwise((col("n_both").cast("double") / lit(k.toDouble)) *
+              unionEst)
+            .as("inter_est"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some("""
+      WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+      sh AS (SELECT source, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)),
+      h AS (SELECT DISTINCT source,
+                   ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+      r AS (SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+            FROM h),
+      sk AS (SELECT source, h FROM r WHERE rk <= 64),
+      nd AS (SELECT source, COUNT(*) AS n_distinct FROM h GROUP BY 1),
+      pairs AS (SELECT a.source AS sa, b.source AS sb
+                FROM nd a JOIN nd b ON a.source < b.source),
+      m AS (SELECT sa, sb, h, MAX(ina) AS ina, MAX(inb) AS inb FROM (
+              SELECT p.sa, p.sb, s.h, 1 AS ina, 0 AS inb
+              FROM pairs p JOIN sk s ON s.source = p.sa
+              UNION ALL
+              SELECT p.sa, p.sb, s.h, 0 AS ina, 1 AS inb
+              FROM pairs p JOIN sk s ON s.source = p.sb)
+            GROUP BY 1, 2, 3),
+      mk AS (SELECT sa, sb, h, ina, inb,
+                    row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rk
+             FROM m),
+      agg AS (SELECT sa, sb, COUNT(*) AS n_sketch, MAX(h) AS hk,
+                     CAST(SUM(ina * inb) AS BIGINT) AS n_both
+              FROM mk WHERE rk <= 64 GROUP BY 1, 2),
+      inter AS (SELECT x.source AS sa, y.source AS sb, COUNT(*) AS n_inter
+                FROM h x JOIN h y ON x.h = y.h AND x.source < y.source
+                GROUP BY 1, 2)
+      SELECT agg.sa AS source_a, agg.sb AS source_b,
+             na.n_distinct + nb.n_distinct - COALESCE(inter.n_inter, 0)
+               AS n_union_exact,
+             COALESCE(inter.n_inter, 0) AS n_inter_exact,
+             agg.n_sketch, agg.n_both,
+             CASE WHEN agg.n_sketch < 64 THEN CAST(agg.n_sketch AS DOUBLE)
+                  ELSE 63::DOUBLE * 1152921504606846976::DOUBLE
+                       / CAST(agg.hk AS DOUBLE) END AS union_est,
+             CASE WHEN agg.n_sketch < 64 THEN CAST(agg.n_both AS DOUBLE)
+                  ELSE (CAST(agg.n_both AS DOUBLE) / 64.0)
+                       * (CASE WHEN agg.n_sketch < 64
+                               THEN CAST(agg.n_sketch AS DOUBLE)
+                               ELSE 63::DOUBLE * 1152921504606846976::DOUBLE
+                                    / CAST(agg.hk AS DOUBLE) END)
+                  END AS inter_est
+      FROM agg JOIN nd na ON na.source = agg.sa
+               JOIN nd nb ON nb.source = agg.sb
+               LEFT JOIN inter ON inter.sa = agg.sa AND inter.sb = agg.sb
+      ORDER BY source_a, source_b"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q115, q116, q117, q120, q121)
+    q108, q109, q110, q111, q115, q116, q117, q120, q121, q123)
 }
