@@ -3778,12 +3778,21 @@ object Pipeline {
     */
   private[graft] def kmvHashes(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
+    kmvHashProjection(docs).distinct()
+
+  /** The map-side half of [[kmvHashes]] (no dedup) — the shared
+    * projection the streaming sketch ([[graft.streaming.KmvStream]])
+    * runs per batch: its bottom-k state is insert-if-smaller-and-
+    * absent, so duplicates fall out at the state row instead of in a
+    * (stream-unbounded) distinct.
+    */
+  private[graft] def kmvHashProjection(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
     docs.select(col("source"),
         explode(TextOps.shinglesKernel(3)(
           TextOps.words(col("text")))).as("s"))
       .select(col("source"),
         conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
-      .distinct()
 
   val q121 = Q(
     "q121_kmv_distinct",
