@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   *
   * Usage: scripts/run.sh graft.Stress [sfDir] [mult] [stages]
   * where stages is a csv subset of
-  * dedup,prep,sim,forensics,r11,edit,spans (default: all of them).
+  * dedup,prep,sim,forensics,r11,edit,spans,behav,audit,sketch
+  * (default: all of them).
   */
 object Stress {
 
@@ -27,7 +28,7 @@ object Stress {
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
     val stages = args.lift(2).map(_.split(",").toSet)
       .getOrElse(Set("dedup", "prep", "sim", "forensics", "r11", "edit",
-        "spans", "behav", "audit"))
+        "spans", "behav", "audit", "sketch"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -487,6 +488,55 @@ object Stress {
       runAudit("warm", base.limit(500))
       runAudit("1x", base)
       runAudit(s"${mult}x", big)
+    }
+
+    // bottom-k sketch family (q121/q123): the build must scale as one
+    // dedup shuffle + a bucket-pruned window (linear in rows), and the
+    // PAIRWISE set-expression matrix must be FLAT in corpus size —
+    // pair work runs on sketch rows, ≤ 64 per source however big the
+    // corpus (the whole theta-sketch argument)
+    def runSketch(tag: String, docs: DataFrame): Unit = {
+      import graft.operators.OrderedScan
+      import org.apache.spark.sql.expressions.Window
+      val k = 64
+      val t0 = System.nanoTime()
+      val sk = OrderedScan.bottomK(graft.queries.Pipeline.kmvHashes(docs),
+          col("source"), col("h"), col("h"),
+          expr(s"h div ${1L << 53}L"), k, "rk")
+        .select(col("source"), col("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nsk = sk.count() // forces the build; sketch is summary-sized
+      val t1 = System.nanoTime()
+      // q123's pairwise half, measured ALONE on the persisted sketch
+      val srcs = sk.select(col("source")).distinct()
+      val pairs = srcs.as("pa").join(srcs.as("pb"),
+          col("pa.source") < col("pb.source"))
+        .select(col("pa.source").as("sa"), col("pb.source").as("sb"))
+      val merged = sk.join(pairs, col("source") === col("sa"))
+        .select(col("sa"), col("sb"), col("h"),
+          lit(1).as("ina"), lit(0).as("inb"))
+        .union(sk.join(pairs, col("source") === col("sb"))
+          .select(col("sa"), col("sb"), col("h"),
+            lit(0).as("ina"), lit(1).as("inb")))
+        .groupBy(col("sa"), col("sb"), col("h"))
+        .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
+      val mw = Window.partitionBy(col("sa"), col("sb")).orderBy(col("h"))
+      val npairs = merged.withColumn("rk", row_number().over(mw))
+        .filter(col("rk") <= k)
+        .groupBy(col("sa"), col("sb"))
+        .agg(count(lit(1)).as("n"))
+        .count()
+      sk.unpersist(blocking = false)
+      release(spark)
+      val t2 = System.nanoTime()
+      def s(a: Long, b: Long) = f"${(b - a) / 1e9}%7.2f"
+      println(f"$tag%-4s kmvBuild=${s(t0, t1)}s pairMatrix=${s(t1, t2)}s " +
+        f"[sketchRows=$nsk pairs=$npairs]")
+    }
+    if (stages("sketch")) {
+      runSketch("warm", base.limit(500))
+      runSketch("1x", base)
+      runSketch(s"${mult}x", big)
     }
     spark.stop()
   }

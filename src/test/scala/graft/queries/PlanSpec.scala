@@ -354,4 +354,35 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(regs).size == 1,
       s"register leg must shuffle exactly once:\n$regs")
   }
+
+  test("q121/q122: bottomK prune join is keyed and unhinted — sort only after it") {
+    // the bucket-pruned bottom-k must not degrade into (a) a forced
+    // broadcast of the survivor list (keys may be high-cardinality at
+    // 100 TB; AQE may broadcast when measured-small, a hint would
+    // force it always) or (b) a nested-loop/cartesian candidate join
+    Seq(Pipeline.q121, Events.q122).foreach { q =>
+      val lp = q.fn(spark, sf).queryExecution.analyzed.toString
+      assert(!lp.toLowerCase.contains("hint"),
+        s"${q.name}: bottomK path must not carry a broadcast hint:\n$lp")
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name} plans a cartesian:\n$p")
+    }
+  }
+
+  test("q123: all pairwise work is sketch-rows-sized; no corpus cartesian") {
+    // the ONLY non-equi join allowed is the source-pair self-join over
+    // the one-row-per-source list (summary-sized by contract); the
+    // merged-sketch and exact legs must stay keyed joins
+    val p = plan(Pipeline.q123)
+    assert(!p.contains("CartesianProduct"), s"q123 plans a cartesian:\n$p")
+    // the pair nested-loop must sit over aggregated (per-source) rows,
+    // never over raw hash rows: every BroadcastNestedLoopJoin operand
+    // chain has to contain an aggregate before any parquet scan
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj <= 2, s"unexpected nested-loop count $nlj:\n$p")
+    val lp = Pipeline.q123.fn(spark, sf).queryExecution.analyzed.toString
+    assert(!lp.toLowerCase.contains("hint"),
+      s"q123 must not carry broadcast hints:\n$lp")
+  }
 }
