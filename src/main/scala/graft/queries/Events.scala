@@ -1165,7 +1165,81 @@ object Events {
                      AND sq.quantile = xq.quantile
       ORDER BY sq.event_type, sq.quantile"""))
 
+  /** Time-series gap filling (ClickHouse `ORDER BY … WITH FILL` +
+    * LOCF analog): the hourly high-value-event series per event_type,
+    * densified to EVERY hour between each series' first and last
+    * observation — missing hours appear with n_events = 0, a null
+    * hourly sum, and the last observed sum carried forward
+    * (`last(…, ignoreNulls)`, ClickHouse's `INTERPOLATE (x AS x)` /
+    * the standard LOCF read). The value > 80 slice makes the series
+    * genuinely sparse at sf0.01 (~300 of 720 hours per type) so the
+    * fill path is exercised, while sf0.1 also covers the dense
+    * near-no-op regime.
+    *
+    * Scale shape: the heavy work is one keyed (type, hour) aggregate
+    * with the value predicate pushed to the scan; the spine is
+    * CALENDAR-sized (types × hours-in-range — at 100 TB it grows with
+    * the time range, never with row count), built from a summary-
+    * sized min/max agg and `sequence`. The LOCF window partitions by
+    * type over spine rows — bounded by the calendar, safe by
+    * construction (same argument as q122's in-sample rank). First
+    * spine row per type is an observation by construction, so the
+    * carried value is never null.
+    */
+  val q124 = Q(
+    "q124_gap_fill",
+    (spark, dir) => {
+      val ev = Tables(spark, dir, "events")
+        .filter(col("value") > 80)
+        .select(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"), col("value"))
+      val hourly = ev.groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("hour_sum"))
+      val spine = ev.groupBy(col("event_type"))
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("interval 1 hour"))).as("hr"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      spine.join(hourly, Seq("event_type", "hr"), "left")
+        .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+        .withColumn("locf_sum", last(col("hour_sum"), ignoreNulls = true).over(w))
+        .select(col("event_type"),
+          date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n_events"), col("hour_sum"), col("locf_sum"),
+          (col("n_events") === 0L).as("is_gap"))
+        .orderBy(col("event_type"), col("hour"))
+    },
+    Some("""
+      WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS hr, value
+                  FROM events WHERE value > 80),
+      hourly AS (SELECT event_type, hr, COUNT(*) AS n_events,
+                        CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                          AS hour_sum
+                 FROM ev GROUP BY 1, 2),
+      bounds AS (SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1
+                 FROM ev GROUP BY 1),
+      spine AS (SELECT b.event_type, u.g AS hr
+                FROM bounds b,
+                     UNNEST(generate_series(b.h0, b.h1, INTERVAL 1 HOUR))
+                       AS u(g))
+      SELECT s.event_type,
+             strftime(s.hr, '%Y-%m-%d %H:%M:%S') AS hour,
+             COALESCE(h.n_events, 0) AS n_events,
+             h.hour_sum,
+             LAST_VALUE(h.hour_sum IGNORE NULLS)
+               OVER (PARTITION BY s.event_type ORDER BY s.hr
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS locf_sum,
+             COALESCE(h.n_events, 0) = 0 AS is_gap
+      FROM spine s LEFT JOIN hourly h
+        ON h.event_type = s.event_type AND h.hr = s.hr
+      ORDER BY s.event_type, hour"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
-    q122)
+    q122, q124)
 }
