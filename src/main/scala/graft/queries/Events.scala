@@ -1239,7 +1239,54 @@ object Events {
         ON h.event_type = s.event_type AND h.hr = s.hr
       ORDER BY s.event_type, hour"""))
 
+  /** Equi-depth histogram (ClickHouse `histogram` / Trino
+    * `numeric_histogram` analog, made DETERMINISTIC): per event_type,
+    * B = 8 buckets holding (near-)equal row counts, with exact
+    * per-bucket counts and [lo, hi] value edges. Instead of the
+    * approximate streaming algorithms those engines use (whose bins
+    * are merge-order-dependent and can't be oracle-checked), rows are
+    * ranked by (value, event_id) and bucket i = ⌊(rank−1)·B/n⌋ —
+    * all-integer bucket arithmetic, and the emitted edges are
+    * SELECTED input values, so every cell is hash-exact cross-engine.
+    * This is the histogram an optimizer's column statistics actually
+    * want (equal-mass, exact boundaries).
+    *
+    * Scale shape: the rank comes from `OrderedScan.runningTotal` with
+    * a value-monotone bucket — per-type ranking never funnels a type
+    * onto one task (q122's exact-leg discipline) — and the rest is
+    * one keyed (type, bucket) aggregate. The oracle replays the rank
+    * with a naive full per-type sort; pruned plan ≡ naive, to the bit.
+    */
+  val q125 = Q(
+    "q125_equidepth_histogram",
+    (spark, dir) => {
+      val b = 8
+      val ev = Tables(spark, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+      val ranked = graft.operators.OrderedScan.runningTotal(ev,
+        col("event_type"), Seq(col("value"), col("event_id")), lit(1L),
+        floor(col("value") / 32), "vr")
+      val n = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      ranked.join(n, Seq("event_type"))
+        .withColumn("bucket", expr(s"(vr - 1) * $b div n").cast("int"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("value")).as("lo"), max(col("value")).as("hi"))
+        .orderBy(col("event_type"), col("bucket"))
+    },
+    Some("""
+      WITH r AS (SELECT event_type, value,
+                        row_number() OVER (PARTITION BY event_type
+                                           ORDER BY value, event_id) AS vr,
+                        COUNT(*) OVER (PARTITION BY event_type) AS n
+                 FROM events)
+      SELECT event_type, CAST((vr - 1) * 8 // n AS INT) AS bucket,
+             COUNT(*) AS n_rows, MIN(value) AS lo, MAX(value) AS hi
+      FROM r
+      GROUP BY 1, 2
+      ORDER BY event_type, bucket"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
-    q122, q124)
+    q122, q124, q125)
 }
