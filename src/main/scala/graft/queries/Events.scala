@@ -1286,7 +1286,80 @@ object Events {
       GROUP BY 1, 2
       ORDER BY event_type, bucket"""))
 
+  /** Next-node attribution (ClickHouse `sequenceNextNode
+    * ('forward', 'first_match')` analog): for every user whose
+    * timeline matches the chain view →* click (earliest view, then
+    * earliest later click — q112's strictly-increasing (ts_ns,
+    * event_id) chain order, so the match is deterministic), the
+    * event type of the event IMMEDIATELY AFTER the matched click —
+    * i.e. "what do users do right after converting the chain?" —
+    * aggregated to a next-node distribution. Chain-matched users
+    * whose click is their last event land in the '(end)' bucket;
+    * users with no chain are excluded, as in ClickHouse.
+    *
+    * Same scale shape as the whole behavioral family: ONE user_id
+    * shuffle into per-user sorted arrays, then codegen'd array
+    * lambdas (three ordered first-match scans) — no Window, no fact
+    * self-join; the final distribution is a summary-sized aggregate.
+    */
+  val q126 = Q(
+    "q126_sequence_next_node",
+    (spark, dir) => {
+      val s1 = "try_element_at(filter(evs, e1 -> e1.event_type = 'view'), 1)"
+      val s2 = "try_element_at(filter(evs, e2 -> e2.event_type = 'click'" +
+        s" AND ${chainAfter("e2", "s1")}), 1)"
+      val nx = s"try_element_at(filter(evs, e3 -> ${chainAfter("e3", "s2")}), 1)"
+      val r = s"""try_element_at(transform(array($s1),
+        s1 -> CASE WHEN s1 IS NULL
+          THEN named_struct('matched', 0, 'nxt', CAST(NULL AS STRING))
+          ELSE try_element_at(transform(array($s2),
+            s2 -> CASE WHEN s2 IS NULL
+              THEN named_struct('matched', 0, 'nxt', CAST(NULL AS STRING))
+              ELSE named_struct('matched', 1, 'nxt', ($nx).event_type)
+            END), 1)
+        END), 1)"""
+      userEvents(spark, dir,
+          Seq("view", "click", "purchase", "signup", "error"))
+        .select(col("user_id"), expr(r).as("r"))
+        .filter(col("r.matched") === 1)
+        .select(coalesce(col("r.nxt"), lit("(end)")).as("next_node"))
+        .groupBy(col("next_node"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("next_node"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type
+        FROM events),
+      v AS (SELECT user_id, ts_ns, event_id FROM (
+              SELECT user_id, ts_ns, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts_ns, event_id) AS rk
+              FROM ev WHERE event_type = 'view') t WHERE rk = 1),
+      c AS (SELECT user_id, ts_ns, event_id FROM (
+              SELECT e.user_id, e.ts_ns, e.event_id,
+                     row_number() OVER (PARTITION BY e.user_id
+                                        ORDER BY e.ts_ns, e.event_id) AS rk
+              FROM ev e JOIN v ON v.user_id = e.user_id
+              WHERE e.event_type = 'click'
+                AND (e.ts_ns > v.ts_ns
+                     OR (e.ts_ns = v.ts_ns AND e.event_id > v.event_id))) t
+            WHERE rk = 1),
+      nx AS (SELECT user_id, event_type FROM (
+              SELECT e.user_id, e.event_type,
+                     row_number() OVER (PARTITION BY e.user_id
+                                        ORDER BY e.ts_ns, e.event_id) AS rk
+              FROM ev e JOIN c ON c.user_id = e.user_id
+              WHERE (e.ts_ns > c.ts_ns
+                     OR (e.ts_ns = c.ts_ns AND e.event_id > c.event_id))) t
+            WHERE rk = 1)
+      SELECT COALESCE(nx.event_type, '(end)') AS next_node,
+             COUNT(*) AS n_users
+      FROM c LEFT JOIN nx USING (user_id)
+      GROUP BY 1
+      ORDER BY next_node"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
-    q122, q124, q125)
+    q122, q124, q125, q126)
 }
