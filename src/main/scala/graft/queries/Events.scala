@@ -1359,7 +1359,88 @@ object Events {
       GROUP BY 1
       ORDER BY next_node"""))
 
+  /** Conversion-lag quantiles — "how long does view → click take?":
+    * for every converting user (q126's deterministic first-match
+    * chain), the lag click.ts_ns − view.ts_ns, then the discrete
+    * p25/p50/p75 over all converting users' lags next to the
+    * min/max. Lags are exact integer nanoseconds and quantile
+    * outputs are SELECTED lags (q122's discrete form at exact-
+    * binary-fraction points), so the whole row is hash-exact.
+    *
+    * Scale shape: the chain match is the behavioral one-shuffle
+    * array fold; the lag ranking is `OrderedScan.runningTotal` under
+    * a lag-monotone bucket with a CONSTANT key — converting users
+    * are corpus-scale (billions at 100 TB), and the bucket
+    * decomposition is what keeps a global rank from funneling them
+    * onto one task. Targets come from one count row.
+    */
+  val q128 = Q(
+    "q128_conversion_lag",
+    (spark, dir) => {
+      val qs = Seq(("p25", 0.25), ("p50", 0.50), ("p75", 0.75))
+      val s1 = "try_element_at(filter(evs, e1 -> e1.event_type = 'view'), 1)"
+      val s2 = "try_element_at(filter(evs, e2 -> e2.event_type = 'click'" +
+        s" AND ${chainAfter("e2", "s1")}), 1)"
+      val lagNs = s"""try_element_at(transform(array($s1),
+        s1 -> CASE WHEN s1 IS NULL THEN CAST(NULL AS BIGINT) ELSE
+          try_element_at(transform(array($s2),
+            s2 -> s2.ts_ns - s1.ts_ns), 1)
+        END), 1)"""
+      val lag = userEvents(spark, dir, Seq("view", "click"))
+        .select(col("user_id"), expr(lagNs).as("lag_ns"))
+        .filter(col("lag_ns").isNotNull)
+      val ranked = graft.operators.OrderedScan.runningTotal(lag, lit("all"),
+        Seq(col("lag_ns"), col("user_id")), lit(1L),
+        floor(col("lag_ns") / lit(1L << 40)), "vr")
+      val n = lag.agg(count(lit(1)).as("n_users"),
+        min(col("lag_ns")).as("min_lag_ns"), max(col("lag_ns")).as("max_lag_ns"))
+      val targets = n.select(col("n_users"), col("min_lag_ns"),
+          col("max_lag_ns"),
+          explode(array(qs.map { case (nm, q) =>
+            struct(lit(nm).as("quantile"),
+              (lit(1L) + floor(lit(q) * (col("n_users") - 1))).as("idx"))
+          }: _*)).as("t"))
+        .select(col("n_users"), col("min_lag_ns"), col("max_lag_ns"),
+          col("t.quantile"), col("t.idx"))
+      ranked.join(targets, col("vr") === col("idx"))
+        .select(col("quantile"), col("n_users"), col("lag_ns"),
+          col("min_lag_ns"), col("max_lag_ns"))
+        .orderBy(col("quantile"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type
+        FROM events),
+      v AS (SELECT user_id, ts_ns, event_id FROM (
+              SELECT user_id, ts_ns, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts_ns, event_id) AS rk
+              FROM ev WHERE event_type = 'view') t WHERE rk = 1),
+      c AS (SELECT user_id, ts_ns FROM (
+              SELECT e.user_id, e.ts_ns,
+                     row_number() OVER (PARTITION BY e.user_id
+                                        ORDER BY e.ts_ns, e.event_id) AS rk
+              FROM ev e JOIN v ON v.user_id = e.user_id
+              WHERE e.event_type = 'click'
+                AND (e.ts_ns > v.ts_ns
+                     OR (e.ts_ns = v.ts_ns AND e.event_id > v.event_id))) t
+            WHERE rk = 1),
+      lag AS (SELECT c.user_id, c.ts_ns - v.ts_ns AS lag_ns
+              FROM c JOIN v USING (user_id)),
+      r AS (SELECT lag_ns,
+                   row_number() OVER (ORDER BY lag_ns, user_id) AS vr,
+                   COUNT(*) OVER () AS n_users,
+                   MIN(lag_ns) OVER () AS min_lag_ns,
+                   MAX(lag_ns) OVER () AS max_lag_ns
+            FROM lag),
+      qs AS (SELECT * FROM (VALUES ('p25', 0.25::DOUBLE),
+                                   ('p50', 0.50::DOUBLE),
+                                   ('p75', 0.75::DOUBLE)) AS t(quantile, qq))
+      SELECT qs.quantile, r.n_users, r.lag_ns, r.min_lag_ns, r.max_lag_ns
+      FROM r JOIN qs ON r.vr = 1 + FLOOR(qs.qq * (r.n_users - 1))
+      ORDER BY qs.quantile"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
-    q122, q124, q125, q126)
+    q122, q124, q125, q126, q128)
 }

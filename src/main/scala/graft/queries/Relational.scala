@@ -428,6 +428,72 @@ object Relational {
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""))
 
+  /** Exact weighted quantiles (ClickHouse `quantileExactWeighted`
+    * analog): per return flag, the smallest extended price whose
+    * cumulative quantity weight reaches ⌈q·W⌉ at q = 25/50/75% —
+    * "the price below which a quarter/half/three quarters of the
+    * SHIPPED UNITS sit", the weighted read a pricing analyst wants
+    * where the unweighted quantile would count a 1-unit line the
+    * same as a 50-unit line. All thresholds are INTEGER arithmetic
+    * ((k·W + 3) div 4 — quantities are integral in this data), and
+    * outputs are selected input prices, so every cell is hash-exact.
+    *
+    * Scale shape: the cumulative weight comes from
+    * `OrderedScan.runningTotal` with a price-monotone bucket (per-
+    * flag ranking never funnels a flag onto one task); selection is
+    * a keyed join against the summary-sized target table plus one
+    * min-struct aggregate (map-side partial). The oracle replays the
+    * cumulative sum with a naive full per-flag window — pruned ≡
+    * naive to the bit.
+    */
+  val q127 = Q(
+    "q127_weighted_quantiles",
+    (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice").as("price"),
+          col("l_quantity").cast("long").as("w"))
+      val ranked = graft.operators.OrderedScan.runningTotal(li, col("flag"),
+        Seq(col("price"), col("l_orderkey"), col("l_linenumber")), col("w"),
+        floor(col("price") / 5000), "cw")
+      val targets = li.groupBy(col("flag")).agg(sum(col("w")).as("tw"))
+        .select(col("flag"), col("tw"),
+          explode(expr("transform(array(1, 2, 3), k -> " +
+            "named_struct('quantile', concat('p', k * 25), " +
+            "'t', (tw * k + 3) div 4))")).as("tg"))
+        .select(col("flag"), col("tw"), col("tg.quantile"), col("tg.t"))
+      ranked.join(targets, Seq("flag"))
+        .filter(col("cw") >= col("t"))
+        .groupBy(col("flag"), col("quantile"))
+        .agg(min(struct(col("cw"), col("price"))).as("m"),
+          max(col("tw")).as("total_weight"))
+        .select(col("flag"), col("quantile"), col("m.price").as("value"),
+          col("total_weight"))
+        .orderBy(col("flag"), col("quantile"))
+    },
+    Some("""
+      WITH li AS (SELECT l_returnflag AS flag, l_orderkey, l_linenumber,
+                         l_extendedprice AS price,
+                         CAST(l_quantity AS BIGINT) AS w
+                  FROM lineitem),
+      r AS (SELECT flag, price, w,
+                   SUM(w) OVER (PARTITION BY flag
+                                ORDER BY price, l_orderkey, l_linenumber
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cw
+            FROM li),
+      tot AS (SELECT flag, CAST(SUM(w) AS BIGINT) AS tw FROM li GROUP BY 1),
+      tg AS (SELECT flag, tw, 'p' || (k * 25) AS quantile,
+                    (tw * k + 3) // 4 AS t
+             FROM tot, UNNEST([1, 2, 3]) AS u(k)),
+      sel AS (SELECT tg.flag, tg.quantile, tg.tw, MIN(r.cw) AS mcw
+              FROM tg JOIN r ON r.flag = tg.flag AND r.cw >= tg.t
+              GROUP BY 1, 2, 3)
+      SELECT sel.flag, sel.quantile, r.price AS value,
+             sel.tw AS total_weight
+      FROM sel JOIN r ON r.flag = sel.flag AND r.cw = sel.mcw
+      ORDER BY sel.flag, sel.quantile"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q44, q45, q46, q47)
+    q11, q12, q44, q45, q46, q47, q127)
 }
