@@ -195,7 +195,10 @@ object Bench {
       else try {
         val (rows, sec) = IngestBench.run(spark, rows = 1000000L)
         val rps = (rows / sec).toLong
-        s""","ingest":{"rows":$rows,"sec":${math.rint(sec * 1000) / 1000},"rows_per_sec":$rps}"""
+        // rows/sec detail on stderr; the record carries only the
+        // headline rate (stdout-capture budget at a 128-query surface)
+        System.err.println(f"[bench] ingest $rows rows in $sec%.3f s")
+        s""","ingest":{"rows_per_sec":$rps}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ingest bench failed: ${e.getMessage}")
         ""
@@ -221,7 +224,7 @@ object Bench {
       else try {
         val (rows, sec) = bestOf(() => WireBench.run(rows = 262144))
         val rps = (rows / sec).toLong
-        s""","wire_ingest":{"rows":$rows,"sec":${math.rint(sec * 1000) / 1000},"rows_per_sec":$rps,"reps":3}"""
+        s""","wire_ingest":{"rows_per_sec":$rps}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] wire bench failed: ${e.getMessage}")
         ""
@@ -235,7 +238,7 @@ object Bench {
         val (rows, sec) =
           bestOf(() => WireBench.run(rows = 262144, transport = "grpc"))
         val rps = (rows / sec).toLong
-        s""","grpc_ingest":{"rows":$rows,"sec":${math.rint(sec * 1000) / 1000},"rows_per_sec":$rps,"reps":3}"""
+        s""","grpc_ingest":{"rows_per_sec":$rps}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] grpc bench failed: ${e.getMessage}")
         ""
@@ -265,7 +268,8 @@ object Bench {
         graft.streaming.JdbcSink.sinkBatch(df, 0L, url, "t_bench")
         val sec = (System.nanoTime() - t0) / 1e9
         val rps = (n / sec).toLong
-        s""","jdbc_ingest":{"rows":$n,"sec":${math.rint(sec * 1000) / 1000},"rows_per_sec":$rps}"""
+        System.err.println(f"[bench] jdbc $n rows in $sec%.3f s")
+        s""","jdbc_ingest":{"rows_per_sec":$rps}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] jdbc bench failed: ${e.getMessage}")
         ""
@@ -369,7 +373,7 @@ object Bench {
                 Double.box(raw))
               val l = String.format(java.util.Locale.ROOT, "%.2f",
                 Double.box(landed))
-              s""""$k":{"raw":$r,"landed":$l}"""
+              s""""$k":[$r,$l]""" // [raw, landed] seconds
             }.mkString(",")
           s""","landed":{$body}"""
         } catch { case e: Throwable =>
