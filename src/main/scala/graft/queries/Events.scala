@@ -1440,7 +1440,227 @@ object Events {
       FROM r JOIN qs ON r.vr = 1 + FLOOR(qs.qq * (r.n_users - 1))
       ORDER BY qs.quantile"""))
 
+  /** Interval-union coverage (ClickHouse `intervalLengthSum` analog):
+    * each event opens a 5-minute activity interval [t, t+D); per user,
+    * the LENGTH OF THE UNION of those intervals (overlaps merged, in
+    * exact integer µs) and the number of merged islands — the "how
+    * much distinct active time" read that naive per-event sums
+    * double-count. Union length over sorted starts collapses to
+    * Σ min(D, next_t − t) + D and islands to 1 + #{gaps > D}, so the
+    * whole reduction is one pass over each user's sorted times — no
+    * pairwise interval join. Comparisons run in µs (ts_ns div 1000 vs
+    * epoch_us — the engines agree exactly there; ns would flake on
+    * DuckDB's µs truncation).
+    *
+    * Scale shape: ONE user_id shuffle into per-user sorted arrays,
+    * then codegen'd zip_with/aggregate lambdas — the q112-q128
+    * behavioral discipline (per-user density is the bounded axis; no
+    * Window over the fact table, no self-join).
+    */
+  val q129 = Q(
+    "q129_interval_coverage",
+    (spark, dir) => {
+      val D = 300000000L // 5 min in µs
+      Tables(spark, dir, "events")
+        .select(col("user_id"), expr("ts_ns div 1000").as("t"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("t"))).as("a"))
+        .select(col("user_id"), size(col("a")).cast("long").as("n_events"),
+          expr(s"""1L + cast(size(filter(
+              zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),
+                       (x, y) -> y - x),
+              g -> g > ${D}L)) as bigint)""").as("n_islands"),
+          expr(s"""aggregate(
+              zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),
+                       (x, y) -> least(${D}L, y - x)),
+              0L, (acc, g) -> acc + g) + ${D}L""").as("covered_us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+      g AS (SELECT user_id, t,
+                   lead(t) OVER (PARTITION BY user_id ORDER BY t) AS nxt
+            FROM ev)
+      SELECT user_id, COUNT(*) AS n_events,
+             1 + COUNT(CASE WHEN nxt - t > 300000000 THEN 1 END) AS n_islands,
+             CAST(SUM(CASE WHEN nxt IS NULL THEN 300000000
+                           ELSE LEAST(300000000, nxt - t) END) AS BIGINT)
+               AS covered_us
+      FROM g GROUP BY 1 ORDER BY user_id"""))
+
+  /** Peak interval concurrency (ClickHouse `maxIntersections` +
+    * `maxIntersectionsPosition` analog): with the same 5-minute
+    * activity intervals, the maximum number simultaneously open per
+    * event_type, and the earliest µs at which that peak is reached.
+    * Classic sweep: ±1 endpoint deltas ordered by (t, delta,
+    * event_id) — ends sort before starts at the same instant, so
+    * touching intervals don't count as overlapping — and a running
+    * sum whose max is the answer. The peak and its first position are
+    * order-independent under ties because the sort key is unique.
+    *
+    * Scale shape: endpoints are 2 rows/event and the running sum is
+    * `OrderedScan.runningTotal` under an hour-monotone bucket — a
+    * per-type global ordering that never funnels a type onto one
+    * task. The peak extraction is a summary-sized agg + rejoin.
+    */
+  val q130 = Q(
+    "q130_max_intersections",
+    (spark, dir) => {
+      val D = 300000000L
+      val ev = Tables(spark, dir, "events")
+        .select(col("event_type"), expr("ts_ns div 1000").as("t"),
+          col("event_id"))
+      val pts = ev.select(col("event_type"), col("event_id"),
+          explode(array(
+            struct(col("t"), lit(1L).as("delta")),
+            struct((col("t") + D).as("t"), lit(-1L).as("delta")))).as("p"))
+        .select(col("event_type"), col("p.t").as("t"),
+          col("p.delta").as("delta"), col("event_id"))
+      val run = graft.operators.OrderedScan.runningTotal(pts,
+        col("event_type"), Seq(col("t"), col("delta"), col("event_id")),
+        col("delta"), expr("t div 3600000000"), "run")
+      val mx = run.groupBy(col("event_type"))
+        .agg(max(col("run")).as("max_concurrent"))
+      val n = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_intervals"))
+      run.join(mx, Seq("event_type"))
+        .filter(col("run") === col("max_concurrent"))
+        .groupBy(col("event_type"), col("max_concurrent"))
+        .agg(min(col("t")).as("first_peak_us"))
+        .join(n, Seq("event_type"))
+        .select(col("event_type"), col("n_intervals"),
+          col("max_concurrent"), col("first_peak_us"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH ev AS (SELECT event_type, epoch_us(ts) AS t, event_id
+                  FROM events),
+      pts AS (SELECT event_type, t, 1 AS delta, event_id FROM ev
+              UNION ALL
+              SELECT event_type, t + 300000000, -1, event_id FROM ev),
+      r AS (SELECT event_type, t,
+                   SUM(delta) OVER (PARTITION BY event_type
+                                    ORDER BY t, delta, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS run
+            FROM pts),
+      m AS (SELECT event_type, CAST(MAX(run) AS BIGINT) AS max_concurrent
+            FROM r GROUP BY 1),
+      n AS (SELECT event_type, COUNT(*) AS n_intervals FROM ev GROUP BY 1)
+      SELECT r.event_type, n.n_intervals, m.max_concurrent,
+             MIN(r.t) AS first_peak_us
+      FROM r JOIN m ON r.event_type = m.event_type
+                   AND r.run = m.max_concurrent
+             JOIN n ON n.event_type = r.event_type
+      GROUP BY 1, 2, 3
+      ORDER BY r.event_type"""))
+
+  /** Positive-delta sum (ClickHouse `deltaSum` / `deltaSumTimestamp`
+    * analog): per series — a (user_id, event_type) pair — the sum of
+    * POSITIVE steps of the value sequence in time order, i.e. total
+    * upward movement with resets ignored (the counter-style read for
+    * gauges that get reset). Values enter as floor(value·64) — an
+    * exact integer both engines derive identically from the stored
+    * double — and series order is the unique (ts_us, event_id), so
+    * every cell is hash-exact. Rolled up per event_type: series
+    * count, row count, total and max per-series delta sum.
+    *
+    * Scale shape: one (user_id, event_type) shuffle into sorted
+    * arrays, zip_with over adjacent pairs, then a summary-sized
+    * keyed agg — no Window over the fact table.
+    */
+  val q131 = Q(
+    "q131_delta_sum",
+    (spark, dir) => {
+      val series = Tables(spark, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts_ns div 1000").as("t"), col("event_id"),
+          floor(col("value") * 64).as("v"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sort_array(collect_list(
+          struct(col("t"), col("event_id"), col("v")))).as("a"))
+        .select(col("event_type"), size(col("a")).cast("long").as("n_rows"),
+          expr("""aggregate(
+              zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),
+                       (x, y) -> greatest(0L, y.v - x.v)),
+              0L, (acc, d) -> acc + d)""").as("delta_sum"))
+      series.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_series"),
+          sum(col("n_rows")).as("n_rows"),
+          sum(col("delta_sum")).as("total_delta"),
+          max(col("delta_sum")).as("max_delta"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+                         CAST(FLOOR(value * 64) AS BIGINT) AS v
+                  FROM events),
+      d AS (SELECT user_id, event_type,
+                   v - lag(v) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY t, event_id) AS dv
+            FROM ev),
+      s AS (SELECT user_id, event_type, COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN dv > 0 THEN dv ELSE 0 END) AS BIGINT)
+                     AS delta_sum
+            FROM d GROUP BY 1, 2)
+      SELECT event_type, COUNT(*) AS n_series,
+             CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+             CAST(SUM(delta_sum) AS BIGINT) AS total_delta,
+             MAX(delta_sum) AS max_delta
+      FROM s GROUP BY 1 ORDER BY event_type"""))
+
+  /** Trailing exponential moving average (ClickHouse
+    * `exponentialMovingAverage` analog, made hash-checkable): per
+    * user, the EMA with α = 1/2 over the LAST m = min(n, 40) events
+    * in time order, kept EXACT by scaling — the reported
+    * ema_num = Σ v_j·2^(m-1-j) (j = 0 at the most recent event, v =
+    * floor(value·64)) and ema_den = 2^m − 1 are integers, and
+    * ema_num/ema_den is the α=1/2 truncated EMA. 40 binary orders ×
+    * v < 2^15 keeps the numerator under 2^55 — exact in BIGINT in
+    * both engines; the truncation at 40 terms is where a float EMA's
+    * tail contribution falls below one ulp anyway.
+    *
+    * Scale shape: the one user_id shuffle, slice(-m) of the sorted
+    * array, and a codegen'd fold acc·2 + v over the reversed slice —
+    * per-user cost bounded by the 40-term window regardless of
+    * per-user density.
+    */
+  val q132 = Q(
+    "q132_trailing_ema",
+    (spark, dir) => {
+      Tables(spark, dir, "events")
+        .select(col("user_id"), expr("ts_ns div 1000").as("t"),
+          col("event_id"), floor(col("value") * 64).as("v"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(
+          struct(col("t"), col("event_id"), col("v")))).as("a"))
+        .select(col("user_id"), size(col("a")).cast("long").as("n_events"),
+          least(size(col("a")), lit(40)).cast("long").as("m"),
+          expr("""aggregate(
+              reverse(slice(a, -least(size(a), 40), least(size(a), 40))),
+              0L, (acc, e) -> acc * 2L + e.v)""").as("ema_num"),
+          expr("shiftleft(1L, cast(least(size(a), 40) as int)) - 1L")
+            .as("ema_den"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+                         CAST(FLOOR(value * 64) AS BIGINT) AS v
+                  FROM events),
+      r AS (SELECT user_id, v,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY t DESC, event_id DESC) AS rr,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n
+            FROM ev)
+      SELECT user_id, ANY_VALUE(n) AS n_events,
+             LEAST(ANY_VALUE(n), 40) AS m,
+             CAST(SUM(v * (CAST(1 AS BIGINT)
+                           << (LEAST(n, 40) - rr))) AS BIGINT) AS ema_num,
+             (CAST(1 AS BIGINT) << LEAST(ANY_VALUE(n), 40)) - 1 AS ema_den
+      FROM r WHERE rr <= 40
+      GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
-    q122, q124, q125, q126, q128)
+    q122, q124, q125, q126, q128, q129, q130, q131, q132)
 }

@@ -385,4 +385,28 @@ class PlanSpec extends SparkSpec {
     assert(!lp.toLowerCase.contains("hint"),
       s"q123 must not carry broadcast hints:\n$lp")
   }
+
+  test("q129/q131/q132: interval/delta/ema folds have NO Window and no join") {
+    // the whole reduction is one keyed aggregation into sorted arrays
+    // plus codegen'd lambdas — a Window over the fact table or a
+    // self-join would be the per-user-serialization shape that dies
+    // at 100 TB (the q112/q119 discipline)
+    Seq(Events.q129, Events.q131, Events.q132).foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"${q.name} plans a Window:\n$p")
+      assert(!p.contains("Join"), s"${q.name} plans a join:\n$p")
+    }
+  }
+
+  test("q130: sweep running sum rides the bucket decomposition, joins stay keyed") {
+    // the per-type prefix sum must be OrderedScan's (key, bucket)
+    // two-level form — a bare per-type Window serializes each type
+    // onto one task at scale; peak extraction joins must stay keyed
+    val p = plan(Events.q130)
+    assert(p.contains("_os_bucket"),
+      s"q130 lost the runningTotal bucket decomposition:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q130 plans a non-keyed join:\n$p")
+  }
 }
