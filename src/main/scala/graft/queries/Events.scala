@@ -1660,7 +1660,153 @@ object Events {
       FROM r WHERE rr <= 40
       GROUP BY user_id ORDER BY user_id"""))
 
+  /** LTTB downsampling (ClickHouse `largestTriangleThreeBuckets`
+    * analog, made hash-checkable): each (event_type, day) series is
+    * reduced to B = 12 visually-representative points — first and
+    * last always kept, and each of the 10 middle equal-count buckets
+    * contributes the point forming the LARGEST TRIANGLE with the
+    * previously selected point and the next bucket's centroid
+    * (Steinarsson 2013, the algorithm those engines implement). Two
+    * determinism moves: geometry runs on integers (x = ms offset
+    * from the day start, y = floor(value·64); the 2·area·n_next
+    * cross-product stays < 2^52 at these magnitudes, exact in
+    * BIGINT in both engines), and argmax ties break to the earliest
+    * (x, event_id). Series of ≤ B points pass through whole.
+    *
+    * Scale shape: the selection is sequential ACROSS buckets — LTTB's
+    * own data dependency — so it runs as a per-series codegen'd fold
+    * over the 10 bucket ids (each step an O(bucket) argmax), after
+    * the ONE (type, day) shuffle into sorted arrays: per-series cost
+    * is bounded by daily density while series count scales out, the
+    * behavioral-family discipline. The oracle UNROLLS the 10 steps
+    * as chained CTEs — same chain, maximally different formulation.
+    */
+  val q133 = {
+    val B = 12
+    val mid = B - 2
+    // score of candidate x against anchor st.(ax, ay) and next-bucket
+    // centroid cent.(sx, sy, c): |2·area·c| with the centroid division
+    // multiplied through — all-integer
+    def scoreOf(x: String): String =
+      s"""abs((st.ax * cent.c - cent.sx) * ($x.v - st.ay)
+            - (st.ax - $x.xms) * (st.ay * cent.c - cent.sy))"""
+    def pt(x: String): String =
+      s"named_struct('t_us', $x.t_us, 'event_id', $x.event_id, 'v', $x.v)"
+    val fold = s"""aggregate(sequence(0, ${mid - 1}),
+      named_struct('sel', array(${pt("element_at(a, 1)")}),
+                   'ax', element_at(a, 1).xms, 'ay', element_at(a, 1).v),
+      (st, j) -> try_element_at(transform(array(
+          CASE WHEN j < ${mid - 1} THEN element_at(sums, j + 2)
+               ELSE named_struct('sx', element_at(a, n).xms,
+                                 'sy', element_at(a, n).v, 'c', 1L) END),
+        cent -> try_element_at(transform(array(
+            aggregate(filter(mb, e -> e.bk = j),
+              cast(null as struct<xms: bigint, t_us: bigint,
+                                  event_id: bigint, v: bigint>),
+              (best, e) -> CASE
+                WHEN best IS NULL THEN e.p
+                WHEN ${scoreOf("e.p")} > ${scoreOf("best")} THEN e.p
+                ELSE best END)),
+          cand -> named_struct('sel', concat(st.sel, array(${pt("cand")})),
+                               'ax', cand.xms, 'ay', cand.v)), 1)), 1),
+      st -> concat(st.sel, array(${pt("element_at(a, n)")})))"""
+    val steps = (0 until mid).map { j =>
+      val ct =
+        if (j < mid - 1)
+          s"(SELECT event_type, day, sx, sy, c FROM sums WHERE bk = ${j + 1}) ct"
+        else
+          "(SELECT event_type, day, xms AS sx, v AS sy," +
+            " CAST(1 AS BIGINT) AS c FROM lastp) ct"
+      s"""cand$j AS (
+        SELECT m.event_type, m.day, m.xms, m.t_us, m.event_id, m.v,
+               ABS((p.ax * ct.c - ct.sx) * (m.v - p.ay)
+                   - (p.ax - m.xms) * (p.ay * ct.c - ct.sy)) AS score
+        FROM mb m
+        JOIN sel$j p ON m.event_type = p.event_type AND m.day = p.day
+        JOIN $ct ON m.event_type = ct.event_type AND m.day = ct.day
+        WHERE m.bk = $j),
+      sel${j + 1} AS (
+        SELECT event_type, day, xms AS ax, v AS ay, t_us, event_id, v
+        FROM (SELECT *, row_number() OVER (PARTITION BY event_type, day
+                        ORDER BY score DESC, xms, event_id) AS rk
+              FROM cand$j)
+        WHERE rk = 1)"""
+    }.mkString(",\n")
+    val selUnions = (1 to mid).map(j =>
+      s"SELECT event_type, day, ${j + 1} AS seq, t_us, event_id, v" +
+        s" FROM sel$j").mkString("\n        UNION ALL ")
+    Q(
+      "q133_lttb_downsample",
+      (spark, dir) => {
+        val ev = Tables(spark, dir, "events").select(
+          col("event_type"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          expr("(ts_ns div 1000 - unix_micros(date_trunc('DAY', ts))) div 1000")
+            .as("xms"),
+          expr("ts_ns div 1000").as("t_us"),
+          col("event_id"), floor(col("value") * 64).as("v"))
+        ev.groupBy(col("event_type"), col("day"))
+          .agg(sort_array(collect_list(struct(col("xms"), col("t_us"),
+            col("event_id"), col("v")))).as("a"))
+          .withColumn("n", size(col("a")))
+          .withColumn("m", expr("slice(a, 2, n - 2)"))
+          .withColumn("mb", expr(s"""transform(m, (p, k) ->
+            named_struct('bk', cast((cast(k as bigint) * $mid)
+                                    div (n - 2) as int), 'p', p))"""))
+          .withColumn("sums", expr(s"""transform(sequence(0, ${mid - 1}), j ->
+            aggregate(filter(mb, e -> e.bk = j),
+              named_struct('sx', 0L, 'sy', 0L, 'c', 0L),
+              (acc, e) -> named_struct('sx', acc.sx + e.p.xms,
+                                       'sy', acc.sy + e.p.v,
+                                       'c', acc.c + 1L)))"""))
+          .withColumn("sel", expr(s"""CASE WHEN n <= $B
+              THEN transform(a, p -> ${pt("p")})
+              ELSE $fold END"""))
+          .select(col("event_type"), col("day"),
+            posexplode(col("sel")).as(Seq("pos", "p")))
+          .select(col("event_type"), col("day"),
+            (col("pos") + 1).cast("long").as("seq"),
+            col("p.t_us").as("t_us"), col("p.event_id").as("event_id"),
+            col("p.v").as("v"))
+          .orderBy(col("event_type"), col("day"), col("seq"))
+      },
+      Some(s"""
+      WITH ev AS (SELECT event_type,
+                         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                         (epoch_us(ts) - epoch_us(date_trunc('day', ts)))
+                           // 1000 AS xms,
+                         epoch_us(ts) AS t_us, event_id,
+                         CAST(FLOOR(value * 64) AS BIGINT) AS v
+                  FROM events),
+      s AS (SELECT *, row_number() OVER (PARTITION BY event_type, day
+                                         ORDER BY t_us, event_id) AS i,
+                   COUNT(*) OVER (PARTITION BY event_type, day) AS n
+            FROM ev),
+      small AS (SELECT event_type, day, i AS seq, t_us, event_id, v
+                FROM s WHERE n <= $B),
+      big AS (SELECT * FROM s WHERE n > $B),
+      mb AS (SELECT *, ((i - 2) * $mid) // (n - 2) AS bk
+             FROM big WHERE i >= 2 AND i <= n - 1),
+      sums AS (SELECT event_type, day, bk, SUM(xms) AS sx, SUM(v) AS sy,
+                      COUNT(*) AS c
+               FROM mb GROUP BY 1, 2, 3),
+      firstp AS (SELECT event_type, day, xms, t_us, event_id, v
+                 FROM big WHERE i = 1),
+      lastp AS (SELECT event_type, day, xms, t_us, event_id, v
+                FROM big WHERE i = n),
+      sel0 AS (SELECT event_type, day, xms AS ax, v AS ay, t_us, event_id, v
+               FROM firstp),
+      $steps
+      SELECT * FROM (
+        SELECT event_type, day, CAST(1 AS BIGINT) AS seq, t_us, event_id, v
+        FROM firstp
+        UNION ALL $selUnions
+        UNION ALL SELECT event_type, day, $B, t_us, event_id, v FROM lastp
+        UNION ALL SELECT event_type, day, seq, t_us, event_id, v FROM small
+      ) ORDER BY event_type, day, seq"""))
+  }
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
-    q122, q124, q125, q126, q128, q129, q130, q131, q132)
+    q122, q124, q125, q126, q128, q129, q130, q131, q132, q133)
 }

@@ -386,12 +386,14 @@ class PlanSpec extends SparkSpec {
       s"q123 must not carry broadcast hints:\n$lp")
   }
 
-  test("q129/q131/q132: interval/delta/ema folds have NO Window and no join") {
+  test("q129/q131/q132/q133: interval/delta/ema/lttb folds have NO Window and no join") {
     // the whole reduction is one keyed aggregation into sorted arrays
     // plus codegen'd lambdas — a Window over the fact table or a
     // self-join would be the per-user-serialization shape that dies
-    // at 100 TB (the q112/q119 discipline)
-    Seq(Events.q129, Events.q131, Events.q132).foreach { q =>
+    // at 100 TB (the q112/q119 discipline); q133's sequential bucket
+    // chain in particular must stay a per-series fold, not unrolled
+    // self-joins like its oracle
+    Seq(Events.q129, Events.q131, Events.q132, Events.q133).foreach { q =>
       val p = plan(q)
       assert(!p.contains("Window"), s"${q.name} plans a Window:\n$p")
       assert(!p.contains("Join"), s"${q.name} plans a join:\n$p")
