@@ -3969,10 +3969,52 @@ object Pipeline {
                LEFT JOIN inter ON inter.sa = agg.sa AND inter.sb = agg.sb
       ORDER BY source_a, source_b"""))
 
+  /** k-anonymity audit (Sweeney 2002) — the release-governance check a
+    * training-data pipeline runs next to PII detection (q102): treating
+    * (lang, source, length-bucket) as the quasi-identifier, every
+    * equivalence class smaller than k = 5 docs is re-identification
+    * risk. Reported per (lang, source): class count, violating-class
+    * count, docs at risk, smallest class, total docs — the summary a
+    * release gate thresholds on.
+    *
+    * Scale shape: two keyed aggregates (classes, then the per-pair
+    * rollup) with a summary-sized output; the scan reads exactly the
+    * three quasi-identifier columns — no text movement.
+    */
+  val q134 = Q(
+    "q134_k_anonymity",
+    (spark, dir) => {
+      val k = 5
+      val classes = Tables(spark, dir, "documents")
+        .select(col("lang"), col("source"),
+          expr("n_chars div 256").as("len_bucket"))
+        .groupBy(col("lang"), col("source"), col("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+      classes.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("n_docs") < k, 1L).otherwise(0L)).as("n_violating"),
+          sum(when(col("n_docs") < k, col("n_docs")).otherwise(0L))
+            .as("docs_at_risk"),
+          min(col("n_docs")).as("min_class"),
+          sum(col("n_docs")).as("n_docs"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some("""
+      WITH c AS (SELECT lang, source, n_chars // 256 AS len_bucket,
+                        COUNT(*) AS n_docs
+                 FROM documents GROUP BY 1, 2, 3)
+      SELECT lang, source, COUNT(*) AS n_classes,
+             COUNT(CASE WHEN n_docs < 5 THEN 1 END) AS n_violating,
+             CAST(SUM(CASE WHEN n_docs < 5 THEN n_docs ELSE 0 END) AS BIGINT)
+               AS docs_at_risk,
+             MIN(n_docs) AS min_class,
+             CAST(SUM(n_docs) AS BIGINT) AS n_docs
+      FROM c GROUP BY 1, 2 ORDER BY lang, source"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q115, q116, q117, q120, q121, q123)
+    q108, q109, q110, q111, q115, q116, q117, q120, q121, q123, q134)
 }

@@ -400,6 +400,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q134: k-anonymity audit never reads the text column") {
+    // the audit touches only the three quasi-identifier columns; a
+    // scan that drags `text` along moves the whole corpus for a
+    // summary-sized governance check
+    val p = plan(Pipeline.q134)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.nonEmpty && !readSchema.contains("text"),
+      s"scan reads unprojected columns: $readSchema")
+    assert(!p.contains("Window") && !p.contains("Join"), s"q134 shape:\n$p")
+  }
+
   test("q130: sweep running sum rides the bucket decomposition, joins stay keyed") {
     // the per-type prefix sum must be OrderedScan's (key, bucket)
     // two-level form — a bare per-type Window serializes each type
