@@ -1692,6 +1692,18 @@ object Events {
             - (st.ax - $x.xms) * (st.ay * cent.c - cent.sy))"""
     def pt(x: String): String =
       s"named_struct('t_us', $x.t_us, 'event_id', $x.event_id, 'v', $x.v)"
+    // bucket j of the sorted middle array is the CONTIGUOUS slice
+    // [ceil(j·(n-2)/10), ceil((j+1)·(n-2)/10)) — same membership as
+    // bk(k) = (k·10) div (n-2), but each bucket visit is O(bucket),
+    // not an O(n) filter: the fold's total work drops from (B-2)·n
+    // to n per series
+    def seg(j: String): String = {
+      val lo = s"cast((($j) * cast(n - 2 as bigint) + ${mid - 1})" +
+        s" div $mid as int)"
+      val hi = s"cast((($j) * cast(n - 2 as bigint) + cast(n - 2 as bigint)" +
+        s" + ${mid - 1}) div $mid as int)"
+      s"slice(m, $lo + 1, $hi - $lo)"
+    }
     val fold = s"""aggregate(sequence(0, ${mid - 1}),
       named_struct('sel', array(${pt("element_at(a, 1)")}),
                    'ax', element_at(a, 1).xms, 'ay', element_at(a, 1).v),
@@ -1700,12 +1712,12 @@ object Events {
                ELSE named_struct('sx', element_at(a, n).xms,
                                  'sy', element_at(a, n).v, 'c', 1L) END),
         cent -> try_element_at(transform(array(
-            aggregate(filter(mb, e -> e.bk = j),
+            aggregate(${seg("j")},
               cast(null as struct<xms: bigint, t_us: bigint,
                                   event_id: bigint, v: bigint>),
               (best, e) -> CASE
-                WHEN best IS NULL THEN e.p
-                WHEN ${scoreOf("e.p")} > ${scoreOf("best")} THEN e.p
+                WHEN best IS NULL THEN e
+                WHEN ${scoreOf("e")} > ${scoreOf("best")} THEN e
                 ELSE best END)),
           cand -> named_struct('sel', concat(st.sel, array(${pt("cand")})),
                                'ax', cand.xms, 'ay', cand.v)), 1)), 1),
@@ -1750,14 +1762,11 @@ object Events {
             col("event_id"), col("v")))).as("a"))
           .withColumn("n", size(col("a")))
           .withColumn("m", expr("slice(a, 2, n - 2)"))
-          .withColumn("mb", expr(s"""transform(m, (p, k) ->
-            named_struct('bk', cast((cast(k as bigint) * $mid)
-                                    div (n - 2) as int), 'p', p))"""))
           .withColumn("sums", expr(s"""transform(sequence(0, ${mid - 1}), j ->
-            aggregate(filter(mb, e -> e.bk = j),
+            aggregate(${seg("j")},
               named_struct('sx', 0L, 'sy', 0L, 'c', 0L),
-              (acc, e) -> named_struct('sx', acc.sx + e.p.xms,
-                                       'sy', acc.sy + e.p.v,
+              (acc, e) -> named_struct('sx', acc.sx + e.xms,
+                                       'sy', acc.sy + e.v,
                                        'c', acc.c + 1L)))"""))
           .withColumn("sel", expr(s"""CASE WHEN n <= $B
               THEN transform(a, p -> ${pt("p")})
