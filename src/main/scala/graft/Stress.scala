@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *
   * Usage: scripts/run.sh graft.Stress [sfDir] [mult] [stages]
   * where stages is a csv subset of
-  * dedup,prep,sim,forensics,r11,edit,spans,behav,audit,sketch
+  * dedup,prep,sim,forensics,r11,edit,spans,behav,series,audit,sketch
   * (default: all of them).
   */
 object Stress {
@@ -28,7 +28,7 @@ object Stress {
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
     val stages = args.lift(2).map(_.split(",").toSet)
       .getOrElse(Set("dedup", "prep", "sim", "forensics", "r11", "edit",
-        "spans", "behav", "audit", "sketch"))
+        "spans", "behav", "series", "audit", "sketch"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -458,6 +458,64 @@ object Stress {
       runBehav("warm", evbase.limit(2000))
       runBehav("1x", evbase)
       runBehav(s"${mult}x", evbig)
+      evbig.unpersist(blocking = false)
+    }
+
+    // interval/series folds (q129-q133): every one must scale as ONE
+    // keyed shuffle into per-key arrays plus O(n) lambda work — the
+    // replicas grow the scale-out axis (users for coverage/ema,
+    // (user,type) series for deltaSum, suffixed types for the sweep
+    // and LTTB series), keeping per-key density fixed
+    def runSeries(tag: String, ev: DataFrame): Unit = {
+      import graft.queries.Events
+      val t0 = System.nanoTime()
+      val cov = Events.intervalCoverageOf(ev)
+        .agg(sum(col("covered_us"))).collect()(0).getLong(0)
+      release(spark)
+      val t1 = System.nanoTime()
+      val sweep = Events.maxIntersectionsOf(ev)
+        .agg(sum(col("max_concurrent"))).collect()(0).getLong(0)
+      release(spark)
+      val t2 = System.nanoTime()
+      val ds = Events.deltaSumOf(ev)
+        .agg(sum(col("total_delta"))).collect()(0).getLong(0)
+      release(spark)
+      val t3 = System.nanoTime()
+      // ema_num is up to 2^55 per user: a plain SUM over Nx users
+      // overflows BIGINT (ANSI throws) — fold the checksum mod p
+      val ema = Events.trailingEmaOf(ev)
+        .agg(sum(col("ema_num") % 1000000007L)).collect()(0).getLong(0)
+      release(spark)
+      val t4 = System.nanoTime()
+      val lt = Events.lttbOf(ev).count()
+      release(spark)
+      val t5 = System.nanoTime()
+      def s(a: Long, b: Long) = f"${(b - a) / 1e9}%7.2f"
+      println(f"$tag%-4s coverage=${s(t0, t1)}s sweep=${s(t1, t2)}s " +
+        f"deltaSum=${s(t2, t3)}s ema=${s(t3, t4)}s lttb=${s(t4, t5)}s " +
+        f"[cov=$cov mx=$sweep ds=$ds ema=$ema lttbPts=$lt]")
+    }
+    if (stages("series")) {
+      val evbase = graft.Tables(spark, sfDir, "events")
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          col("event_type"), col("ts"), col("value"))
+      val mx = evbase.agg(max(col("user_id")), max(col("event_id")))
+        .collect()(0)
+      val (uShift, eShift) = (mx.getLong(0) + 1, mx.getLong(1) + 1)
+      def evrep(i: Int): DataFrame = evbase
+        .withColumn("user_id", col("user_id") + lit(i * uShift))
+        .withColumn("event_id", col("event_id") + lit(i * eShift))
+        .withColumn("event_type",
+          if (i == 0) col("event_type")
+          else concat(col("event_type"), lit(s"_r$i")))
+      val evbig = (0 until mult).map(evrep).reduce(_ union _)
+        .repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      corpusBlockIds ++= spark.sparkContext.getPersistentRDDs.keySet
+      println(s"events: ${evbase.count()} -> ${evbig.count()} (${mult}x)")
+      runSeries("warm", evbase.limit(2000))
+      runSeries("1x", evbase)
+      runSeries(s"${mult}x", evbig)
       evbig.unpersist(blocking = false)
     }
 

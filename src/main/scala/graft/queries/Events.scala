@@ -1457,25 +1457,30 @@ object Events {
     * behavioral discipline (per-user density is the bounded axis; no
     * Window over the fact table, no self-join).
     */
+  /** The q129 reduction over any frame with user_id/ts_ns — shared
+    * with Stress so the measured curve is the shipped plan.
+    */
+  private[graft] def intervalCoverageOf(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val D = 300000000L // 5 min in µs
+    ev.select(col("user_id"), expr("ts_ns div 1000").as("t"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("t"))).as("a"))
+      .select(col("user_id"), size(col("a")).cast("long").as("n_events"),
+        expr(s"""1L + cast(size(filter(
+            zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),
+                     (x, y) -> y - x),
+            g -> g > ${D}L)) as bigint)""").as("n_islands"),
+        expr(s"""aggregate(
+            zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),
+                     (x, y) -> least(${D}L, y - x)),
+            0L, (acc, g) -> acc + g) + ${D}L""").as("covered_us"))
+      .orderBy(col("user_id"))
+  }
+
   val q129 = Q(
     "q129_interval_coverage",
-    (spark, dir) => {
-      val D = 300000000L // 5 min in µs
-      Tables(spark, dir, "events")
-        .select(col("user_id"), expr("ts_ns div 1000").as("t"))
-        .groupBy(col("user_id"))
-        .agg(sort_array(collect_list(col("t"))).as("a"))
-        .select(col("user_id"), size(col("a")).cast("long").as("n_events"),
-          expr(s"""1L + cast(size(filter(
-              zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),
-                       (x, y) -> y - x),
-              g -> g > ${D}L)) as bigint)""").as("n_islands"),
-          expr(s"""aggregate(
-              zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),
-                       (x, y) -> least(${D}L, y - x)),
-              0L, (acc, g) -> acc + g) + ${D}L""").as("covered_us"))
-        .orderBy(col("user_id"))
-    },
+    (spark, dir) => intervalCoverageOf(Tables(spark, dir, "events")),
     Some("""
       WITH ev AS (SELECT user_id, epoch_us(ts) AS t FROM events),
       g AS (SELECT user_id, t,
@@ -1503,11 +1508,13 @@ object Events {
     * per-type global ordering that never funnels a type onto one
     * task. The peak extraction is a summary-sized agg + rejoin.
     */
-  val q130 = Q(
-    "q130_max_intersections",
-    (spark, dir) => {
+  /** The q130 sweep over any frame with event_type/ts_ns/event_id —
+    * shared with Stress so the measured curve is the shipped plan.
+    */
+  private[graft] def maxIntersectionsOf(raw: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
       val D = 300000000L
-      val ev = Tables(spark, dir, "events")
+      val ev = raw
         .select(col("event_type"), expr("ts_ns div 1000").as("t"),
           col("event_id"))
       val pts = ev.select(col("event_type"), col("event_id"),
@@ -1531,7 +1538,11 @@ object Events {
         .select(col("event_type"), col("n_intervals"),
           col("max_concurrent"), col("first_peak_us"))
         .orderBy(col("event_type"))
-    },
+  }
+
+  val q130 = Q(
+    "q130_max_intersections",
+    (spark, dir) => maxIntersectionsOf(Tables(spark, dir, "events")),
     Some("""
       WITH ev AS (SELECT event_type, epoch_us(ts) AS t, event_id
                   FROM events),
@@ -1569,10 +1580,13 @@ object Events {
     * arrays, zip_with over adjacent pairs, then a summary-sized
     * keyed agg — no Window over the fact table.
     */
-  val q131 = Q(
-    "q131_delta_sum",
-    (spark, dir) => {
-      val series = Tables(spark, dir, "events")
+  /** The q131 reduction over any frame with user_id/event_type/ts_ns/
+    * event_id/value — shared with Stress so the measured curve is the
+    * shipped plan.
+    */
+  private[graft] def deltaSumOf(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      val series = ev
         .select(col("user_id"), col("event_type"),
           expr("ts_ns div 1000").as("t"), col("event_id"),
           floor(col("value") * 64).as("v"))
@@ -1590,7 +1604,11 @@ object Events {
           sum(col("delta_sum")).as("total_delta"),
           max(col("delta_sum")).as("max_delta"))
         .orderBy(col("event_type"))
-    },
+  }
+
+  val q131 = Q(
+    "q131_delta_sum",
+    (spark, dir) => deltaSumOf(Tables(spark, dir, "events")),
     Some("""
       WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
                          CAST(FLOOR(value * 64) AS BIGINT) AS v
@@ -1625,10 +1643,13 @@ object Events {
     * per-user cost bounded by the 40-term window regardless of
     * per-user density.
     */
-  val q132 = Q(
-    "q132_trailing_ema",
-    (spark, dir) => {
-      Tables(spark, dir, "events")
+  /** The q132 reduction over any frame with user_id/ts_ns/event_id/
+    * value — shared with Stress so the measured curve is the shipped
+    * plan.
+    */
+  private[graft] def trailingEmaOf(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+      ev
         .select(col("user_id"), expr("ts_ns div 1000").as("t"),
           col("event_id"), floor(col("value") * 64).as("v"))
         .groupBy(col("user_id"))
@@ -1642,7 +1663,10 @@ object Events {
           expr("shiftleft(1L, cast(least(size(a), 40) as int)) - 1L")
             .as("ema_den"))
         .orderBy(col("user_id"))
-    },
+
+  val q132 = Q(
+    "q132_trailing_ema",
+    (spark, dir) => trailingEmaOf(Tables(spark, dir, "events")),
     Some("""
       WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id,
                          CAST(FLOOR(value * 64) AS BIGINT) AS v
@@ -1681,9 +1705,17 @@ object Events {
     * behavioral-family discipline. The oracle UNROLLS the 10 steps
     * as chained CTEs — same chain, maximally different formulation.
     */
-  val q133 = {
-    val B = 12
-    val mid = B - 2
+  private val LttbB = 12
+  private val LttbMid = LttbB - 2
+
+  /** The q133 selection over any frame with event_type/ts/ts_ns/
+    * event_id/value — shared with Stress so the measured curve is the
+    * shipped plan.
+    */
+  private[graft] def lttbOf(raw: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val B = LttbB
+    val mid = LttbMid
     // score of candidate x against anchor st.(ax, ay) and next-bucket
     // centroid cent.(sx, sy, c): |2·area·c| with the centroid division
     // multiplied through — all-integer
@@ -1722,6 +1754,39 @@ object Events {
           cand -> named_struct('sel', concat(st.sel, array(${pt("cand")})),
                                'ax', cand.xms, 'ay', cand.v)), 1)), 1),
       st -> concat(st.sel, array(${pt("element_at(a, n)")})))"""
+    val ev = raw.select(
+      col("event_type"),
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+      expr("(ts_ns div 1000 - unix_micros(date_trunc('DAY', ts))) div 1000")
+        .as("xms"),
+      expr("ts_ns div 1000").as("t_us"),
+      col("event_id"), floor(col("value") * 64).as("v"))
+    ev.groupBy(col("event_type"), col("day"))
+      .agg(sort_array(collect_list(struct(col("xms"), col("t_us"),
+        col("event_id"), col("v")))).as("a"))
+      .withColumn("n", size(col("a")))
+      .withColumn("m", expr("slice(a, 2, n - 2)"))
+      .withColumn("sums", expr(s"""transform(sequence(0, ${mid - 1}), j ->
+        aggregate(${seg("j")},
+          named_struct('sx', 0L, 'sy', 0L, 'c', 0L),
+          (acc, e) -> named_struct('sx', acc.sx + e.xms,
+                                   'sy', acc.sy + e.v,
+                                   'c', acc.c + 1L)))"""))
+      .withColumn("sel", expr(s"""CASE WHEN n <= $B
+          THEN transform(a, p -> ${pt("p")})
+          ELSE $fold END"""))
+      .select(col("event_type"), col("day"),
+        posexplode(col("sel")).as(Seq("pos", "p")))
+      .select(col("event_type"), col("day"),
+        (col("pos") + 1).cast("long").as("seq"),
+        col("p.t_us").as("t_us"), col("p.event_id").as("event_id"),
+        col("p.v").as("v"))
+      .orderBy(col("event_type"), col("day"), col("seq"))
+  }
+
+  val q133 = {
+    val B = LttbB
+    val mid = LttbMid
     val steps = (0 until mid).map { j =>
       val ct =
         if (j < mid - 1)
@@ -1749,36 +1814,7 @@ object Events {
         s" FROM sel$j").mkString("\n        UNION ALL ")
     Q(
       "q133_lttb_downsample",
-      (spark, dir) => {
-        val ev = Tables(spark, dir, "events").select(
-          col("event_type"),
-          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
-          expr("(ts_ns div 1000 - unix_micros(date_trunc('DAY', ts))) div 1000")
-            .as("xms"),
-          expr("ts_ns div 1000").as("t_us"),
-          col("event_id"), floor(col("value") * 64).as("v"))
-        ev.groupBy(col("event_type"), col("day"))
-          .agg(sort_array(collect_list(struct(col("xms"), col("t_us"),
-            col("event_id"), col("v")))).as("a"))
-          .withColumn("n", size(col("a")))
-          .withColumn("m", expr("slice(a, 2, n - 2)"))
-          .withColumn("sums", expr(s"""transform(sequence(0, ${mid - 1}), j ->
-            aggregate(${seg("j")},
-              named_struct('sx', 0L, 'sy', 0L, 'c', 0L),
-              (acc, e) -> named_struct('sx', acc.sx + e.xms,
-                                       'sy', acc.sy + e.v,
-                                       'c', acc.c + 1L)))"""))
-          .withColumn("sel", expr(s"""CASE WHEN n <= $B
-              THEN transform(a, p -> ${pt("p")})
-              ELSE $fold END"""))
-          .select(col("event_type"), col("day"),
-            posexplode(col("sel")).as(Seq("pos", "p")))
-          .select(col("event_type"), col("day"),
-            (col("pos") + 1).cast("long").as("seq"),
-            col("p.t_us").as("t_us"), col("p.event_id").as("event_id"),
-            col("p.v").as("v"))
-          .orderBy(col("event_type"), col("day"), col("seq"))
-      },
+      (spark, dir) => lttbOf(Tables(spark, dir, "events")),
       Some(s"""
       WITH ev AS (SELECT event_type,
                          strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
