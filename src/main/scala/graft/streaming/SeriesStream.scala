@@ -1,0 +1,153 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Live interval/series aggregates — q129 (interval-union coverage) and
+  * q132 (exact trailing EMA) maintained over an event stream with
+  * `mapGroupsWithState`, the [[FunnelStream]] discipline: bounded
+  * per-user state with an EXACT finalization argument, pure advance
+  * kernels property-checked against the batch formulas, and e2e parity
+  * with the oracle-checked batch queries.
+  *
+  * Coverage state is (finalized prefix sums, the LAST finalized time,
+  * kept events ≥ the watermark). Why the bound is exact: a pair of
+  * consecutive sorted times (a, b) with b < watermark is FINAL — any
+  * future arrival sits at or above the watermark > b, so nothing can
+  * ever land between them — while the pair bridging the last finalized
+  * time to the first kept event stays recomputable (the kept side may
+  * still change). State per user is O(events within one watermark
+  * delay), not O(stream).
+  *
+  * EMA state is the top-40 events by (t_us, event_id) — a monoid fold
+  * (merge, sort, take 40), so late and replayed arrivals are handled
+  * exactly WITHOUT a watermark: a replayed event either is already in
+  * the kept set (distinct no-op) or sorts below the 40th and is
+  * dropped. `m = kept.size` equals min(distinct events seen, 40) under
+  * replays for the same reason. State is 40 entries forever.
+  */
+object SeriesStream {
+
+  /** One event: time in µs (the q129/q132 grain), unique event id, and
+    * the scaled integer value v = floor(value·64) (unused by coverage).
+    */
+  case class Ev(user_id: Long, t_us: Long, event_id: Long, v: Long)
+
+  val D = 300000000L // 5 min in µs, q129's interval length
+
+  // ---------------------------------------------------------------- q129
+
+  /** Finalized-prefix coverage state: `partial` = Σ min(D, gap) over
+    * finalized consecutive pairs, `gapsOverD` = #{finalized gaps > D},
+    * `nDone` finalized events, `lastT` = last finalized time (the
+    * bridge anchor), `kept` = (t, eid) at or above the horizon.
+    */
+  case class CovSt(partial: Long, gapsOverD: Long, nDone: Long,
+      lastT: Option[Long], kept: Seq[(Long, Long)])
+
+  /** Pure transition: merge, finalize below `horizon`, emit the
+    * CURRENT (n_events, n_islands, covered_us) — batch-q129-equal on
+    * the events seen so far.
+    */
+  def covAdvance(st: CovSt, incoming: Seq[(Long, Long)],
+      horizon: Long): (CovSt, (Long, Long, Long)) = {
+    val all = (st.kept ++ incoming).distinct.sorted
+    val (done, keep) = all.partition(_._1 < horizon)
+    def pairs(ts: Seq[Long]): (Long, Long) =
+      if (ts.length < 2) (0L, 0L)
+      else ts.zip(ts.tail).foldLeft((0L, 0L)) { case ((s, g), (a, b)) =>
+        (s + math.min(D, b - a), if (b - a > D) g + 1 else g)
+      }
+    val doneChain = st.lastT.toSeq ++ done.map(_._1)
+    val (addS, addG) = pairs(doneChain)
+    val next = CovSt(st.partial + addS, st.gapsOverD + addG,
+      st.nDone + done.length,
+      done.lastOption.map(_._1).orElse(st.lastT), keep)
+    val liveChain = next.lastT.toSeq ++ keep.map(_._1)
+    val (liveS, liveG) = pairs(liveChain)
+    val n = next.nDone + keep.length
+    val out =
+      if (n == 0) (0L, 0L, 0L)
+      else (n, 1L + next.gapsOverD + liveG, next.partial + liveS + D)
+    (next, out)
+  }
+
+  /** Attach live coverage to an event stream. `events` must carry a
+    * watermark on an event-time column derived from `t_us` for the
+    * horizon to advance; without one, state holds the full history
+    * (still correct, unbounded).
+    */
+  def coverage(events: Dataset[Ev]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[CovSt, (Long, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[CovSt]) =>
+          val horizon = scala.util.Try(state.getCurrentWatermarkMs())
+            .getOrElse(0L) match {
+            case 0 => Long.MinValue
+            case wm => wm * 1000L // ms → µs
+          }
+          val (next, (n, isl, cov)) = covAdvance(
+            state.getOption.getOrElse(CovSt(0L, 0L, 0L, None, Seq.empty)),
+            it.map(e => (e.t_us, e.event_id)).toSeq, horizon)
+          state.update(next)
+          (uid, n, isl, cov)
+      }
+      .toDF("user_id", "n_events", "n_islands", "covered_us")
+  }
+
+  def startCoverage(events: Dataset[Ev])(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    coverage(events).writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(sink)
+      .start()
+
+  // ---------------------------------------------------------------- q132
+
+  /** Top-40 events by (t_us, event_id), DESCENDING. */
+  case class EmaSt(top: Seq[(Long, Long, Long)])
+
+  /** Pure transition: monoid merge of the kept window. Emits
+    * (m, ema_num, ema_den) — batch-q132-equal on the events seen so
+    * far, regardless of arrival order or replays.
+    */
+  def emaAdvance(st: EmaSt, incoming: Seq[(Long, Long, Long)])
+      : (EmaSt, (Long, Long, Long)) = {
+    val top = (st.top ++ incoming).distinct
+      .sortBy(e => (-e._1, -e._2)).take(40)
+    val m = top.length
+    // fold MOST-RECENT-FIRST: the first element of an acc·2 + v fold
+    // is doubled m-1 times, so descending order puts 2^(m-1) on the
+    // most recent event — q132's weighting
+    val num = top.foldLeft(0L)((acc, e) => acc * 2L + e._3)
+    (EmaSt(top), (m.toLong, num, (1L << m) - 1L))
+  }
+
+  def ema(events: Dataset[Ev]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EmaSt, (Long, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[EmaSt]) =>
+          val (next, (m, num, den)) = emaAdvance(
+            state.getOption.getOrElse(EmaSt(Seq.empty)),
+            it.map(e => (e.t_us, e.event_id, e.v)).toSeq)
+          state.update(next)
+          (uid, m, num, den)
+      }
+      .toDF("user_id", "m", "ema_num", "ema_den")
+  }
+
+  def startEma(events: Dataset[Ev])(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    ema(events).writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(sink)
+      .start()
+}

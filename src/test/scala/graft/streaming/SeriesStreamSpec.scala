@@ -1,0 +1,174 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Live interval coverage + trailing EMA: pure advance kernels against
+  * the batch formulas under random splits (coverage with the watermark
+  * contract emulated; EMA under ARBITRARY reorderings — its state is an
+  * order-free monoid), and the live mapGroupsWithState queries against
+  * the oracle-checked batch q129/q132 on real fixture rows.
+  */
+class SeriesStreamSpec extends SparkSpec {
+
+  private val D = SeriesStream.D
+
+  private def bruteCov(evs: Seq[(Long, Long)]): (Long, Long, Long) = {
+    val ts = evs.distinct.sorted.map(_._1)
+    if (ts.isEmpty) (0L, 0L, 0L)
+    else {
+      val gaps = ts.zip(ts.tail).map { case (a, b) => b - a }
+      (ts.length.toLong, 1L + gaps.count(_ > D),
+        gaps.map(g => math.min(D, g)).sum + D)
+    }
+  }
+
+  test("covAdvance ≡ batch formula under random splits + watermark pruning") {
+    val evGen = for {
+      t <- Gen.chooseNum(0L, 8L * D)
+      j <- Gen.chooseNum(0, 2) // deliberate time collisions
+    } yield (t / 3 * 3 + j, 0L)
+    val gen = for {
+      evs <- Gen.listOfN(24, evGen)
+      cuts <- Gen.listOfN(2, Gen.chooseNum(0, evs.length))
+    } yield (evs.zipWithIndex.map { case ((t, _), i) => (t, i.toLong) },
+      cuts.sorted)
+    val prop = Prop.forAll(gen) { case (evs, cuts) =>
+      val sorted = evs.sortBy(e => (e._1, e._2))
+      val batches = Seq(
+        sorted.take(cuts(0)),
+        sorted.slice(cuts(0), cuts(1)),
+        sorted.drop(cuts(1))).filter(_.nonEmpty)
+      var st = SeriesStream.CovSt(0L, 0L, 0L, None, Seq.empty)
+      var last = (0L, 0L, 0L)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val horizon = batches.drop(i + 1).flatten.map(_._1)
+          .minOption.getOrElse(Long.MaxValue)
+        val (next, out) = SeriesStream.covAdvance(st, b, horizon)
+        assert(next.kept.forall(_._1 >= horizon))
+        st = next; last = out
+      }
+      val expect = bruteCov(evs)
+      if (last != expect)
+        println(s"mismatch: got $last want $expect evs=$evs cuts=$cuts")
+      last == expect
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, s"covAdvance-vs-brute: ${res.status}")
+  }
+
+  test("covAdvance: replayed batch is a no-op within the kept window") {
+    val b = Seq((10L, 1L), (20L, 2L), (10L * D, 3L))
+    val (st1, o1) = SeriesStream.covAdvance(
+      SeriesStream.CovSt(0L, 0L, 0L, None, Seq.empty), b, Long.MinValue)
+    val (st2, o2) = SeriesStream.covAdvance(st1, b, Long.MinValue)
+    assert(st1 == st2 && o1 == o2)
+    assert(o1 == (3L, 2L, 10L + D + D)) // two islands: {10,20}, {10D}
+  }
+
+  test("emaAdvance ≡ batch formula under ARBITRARY splits and order") {
+    val evGen = for {
+      t <- Gen.chooseNum(0L, 500L)
+      v <- Gen.chooseNum(0L, 1000L)
+    } yield (t, v)
+    val gen = for {
+      n <- Gen.chooseNum(1, 60) // crosses the 40-term window
+      evs <- Gen.listOfN(n, evGen)
+      order <- Gen.listOfN(n, Gen.chooseNum(0, 1 << 20))
+      cuts <- Gen.listOfN(2, Gen.chooseNum(0, n))
+    } yield (evs.zipWithIndex.map { case ((t, v), i) => (t, i.toLong, v) },
+      order, cuts.sorted)
+    val prop = Prop.forAll(gen) { case (evs, order, cuts) =>
+      // NO watermark contract: shuffle arbitrarily before cutting
+      val shuffled = evs.zip(order).sortBy(_._2).map(_._1)
+      val batches = Seq(
+        shuffled.take(cuts(0)),
+        shuffled.slice(cuts(0), cuts(1)),
+        shuffled.drop(cuts(1))).filter(_.nonEmpty)
+      var st = SeriesStream.EmaSt(Seq.empty)
+      var last = (0L, 0L, 0L)
+      batches.foreach { b =>
+        val (next, out) = SeriesStream.emaAdvance(st, b)
+        assert(next.top.length <= 40)
+        st = next; last = out
+      }
+      val sorted = evs.sortBy(e => (e._1, e._2))
+      val m = math.min(sorted.length, 40)
+      // most-recent-first fold, q132's weighting (2^(m-1) on the
+      // newest event)
+      val win = sorted.takeRight(m).reverse
+      val num = win.foldLeft(0L)((acc, e) => acc * 2L + e._3)
+      last == ((m.toLong, num, (1L << m) - 1L))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, s"emaAdvance-vs-batch: ${res.status}")
+  }
+
+  test("live streams over fixture events converge to batch q129/q132") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.Tables(spark, sf, "events")
+      .select(col("user_id"), expr("ts_ns div 1000").as("t_us"),
+        col("event_id"), floor(col("value") * 64).as("v"))
+      .as[SeriesStream.Ev].collect().sortBy(e => (e.t_us, e.event_id))
+    assert(rows.length > 20, "fixture too small")
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val msC = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SeriesStream.Ev]
+    val dsC = msC.toDF()
+      .withColumn("et", timestamp_micros(col("t_us")))
+      .withWatermark("et", "1 second")
+      .as[SeriesStream.Ev]
+    val lastCov = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    val sqC = SeriesStream.startCoverage(dsC) { (df, _) =>
+      df.collect().foreach(r =>
+        lastCov(r.getLong(0)) = (r.getLong(1), r.getLong(2), r.getLong(3)))
+    }
+    try {
+      msC.addData(b1.toIndexedSeq: _*)
+      sqC.processAllAvailable()
+      msC.addData(b2.toIndexedSeq: _*)
+      sqC.processAllAvailable()
+    } finally sqC.stop()
+    val expectCov = graft.queries.Events.q129.fn(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(lastCov.nonEmpty && lastCov.keySet == expectCov.keySet)
+    lastCov.foreach { case (u, got) =>
+      assert(got == expectCov(u),
+        s"user $u: stream $got != batch ${expectCov(u)}")
+    }
+
+    // EMA: deliberately feed the batches in REVERSED order — the
+    // monoid state must absorb gross disorder without a watermark
+    val msE = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SeriesStream.Ev]
+    val lastEma = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    val sqE = SeriesStream.startEma(msE.toDS()) { (df, _) =>
+      df.collect().foreach(r =>
+        lastEma(r.getLong(0)) = (r.getLong(1), r.getLong(2), r.getLong(3)))
+    }
+    try {
+      msE.addData(b2.toIndexedSeq: _*)
+      sqE.processAllAvailable()
+      msE.addData(b1.toIndexedSeq: _*)
+      sqE.processAllAvailable()
+    } finally sqE.stop()
+    val expectEma = graft.queries.Events.q132.fn(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(lastEma.nonEmpty && lastEma.keySet == expectEma.keySet)
+    lastEma.foreach { case (u, got) =>
+      assert(got == expectEma(u),
+        s"user $u: stream $got != batch ${expectEma(u)}")
+    }
+  }
+}
