@@ -1736,6 +1736,11 @@ object Events {
         s" + ${mid - 1}) div $mid as int)"
       s"slice(m, $lo + 1, $hi - $lo)"
     }
+    // argmax via array_max over (score, -xms, -event_id, point)
+    // structs: lexicographic struct comparison makes the max the
+    // highest score with ties to the EARLIEST (xms, event_id), and the
+    // score is computed ONCE per element (the compare-twice CASE form
+    // doubled the work and the codegen size)
     val fold = s"""aggregate(sequence(0, ${mid - 1}),
       named_struct('sel', array(${pt("element_at(a, 1)")}),
                    'ax', element_at(a, 1).xms, 'ay', element_at(a, 1).v),
@@ -1744,13 +1749,10 @@ object Events {
                ELSE named_struct('sx', element_at(a, n).xms,
                                  'sy', element_at(a, n).v, 'c', 1L) END),
         cent -> try_element_at(transform(array(
-            aggregate(${seg("j")},
-              cast(null as struct<xms: bigint, t_us: bigint,
-                                  event_id: bigint, v: bigint>),
-              (best, e) -> CASE
-                WHEN best IS NULL THEN e
-                WHEN ${scoreOf("e")} > ${scoreOf("best")} THEN e
-                ELSE best END)),
+            array_max(transform(${seg("j")}, e -> named_struct(
+              's', ${scoreOf("e")}, 'nx', -e.xms, 'ne', -e.event_id,
+              'xms', e.xms, 't_us', e.t_us, 'event_id', e.event_id,
+              'v', e.v)))),
           cand -> named_struct('sel', concat(st.sel, array(${pt("cand")})),
                                'ax', cand.xms, 'ay', cand.v)), 1)), 1),
       st -> concat(st.sel, array(${pt("element_at(a, n)")})))"""
