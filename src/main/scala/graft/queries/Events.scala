@@ -1853,7 +1853,108 @@ object Events {
       ) ORDER BY event_type, day, seq"""))
   }
 
+  /** Time-constrained sequence match (ClickHouse
+    * `sequenceMatch('(?1)(?t<=T)(?2)(?t<=T)(?3)')` analog): does the
+    * user's timeline contain view → click → purchase in chain order
+    * with EACH ADJACENT GAP ≤ 2 h? Unlike q114 (no gaps), greedy
+    * first-match is NOT complete here — a later intermediate event
+    * relaxes the next gap — so the fold keeps, per level, the LATEST
+    * event time of any valid chain reaching it. That is lossless:
+    * events process in ascending chain order, so every state entry is
+    * chain-before the current event, and the gap test t − b ≤ T is
+    * monotone in b (the latest valid predecessor is the most
+    * permissive). One O(n) codegen'd fold per user; the oracle is the
+    * same reachability as layered EXISTS band joins — a maximally
+    * different formulation.
+    */
+  val q135 = Q(
+    "q135_sequence_match_gaps",
+    (spark, dir) => {
+      val T = 7200000000000L // 2 h in ns
+      val fold = s"""coalesce(aggregate(evs,
+        named_struct('b1', -1L, 'b2', -1L, 'ok', false),
+        (acc, e) -> CASE
+          WHEN e.event_type = 'view'
+            THEN named_struct('b1', greatest(acc.b1, e.ts_ns),
+                              'b2', acc.b2, 'ok', acc.ok)
+          WHEN e.event_type = 'click' AND acc.b1 >= 0L
+               AND e.ts_ns - acc.b1 <= ${T}L
+            THEN named_struct('b1', acc.b1,
+                              'b2', greatest(acc.b2, e.ts_ns), 'ok', acc.ok)
+          WHEN e.event_type = 'purchase' AND acc.b2 >= 0L
+               AND e.ts_ns - acc.b2 <= ${T}L
+            THEN named_struct('b1', acc.b1, 'b2', acc.b2, 'ok', true)
+          ELSE acc END,
+        acc -> acc.ok), false)"""
+      userEvents(spark, dir, Seq("view", "click", "purchase"))
+        .select(col("user_id"), expr(fold).cast("int").as("matched"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+                         event_type
+                  FROM events
+                  WHERE event_type IN ('view', 'click', 'purchase')),
+      cl AS (SELECT c.user_id, c.ts_ns, c.event_id FROM ev c
+             WHERE c.event_type = 'click' AND EXISTS (
+               SELECT 1 FROM ev v WHERE v.user_id = c.user_id
+                 AND v.event_type = 'view'
+                 AND (v.ts_ns < c.ts_ns
+                      OR (v.ts_ns = c.ts_ns AND v.event_id < c.event_id))
+                 AND c.ts_ns - v.ts_ns <= 7200000000000)),
+      pu AS (SELECT DISTINCT p.user_id FROM ev p
+             WHERE p.event_type = 'purchase' AND EXISTS (
+               SELECT 1 FROM cl c WHERE c.user_id = p.user_id
+                 AND (c.ts_ns < p.ts_ns
+                      OR (c.ts_ns = p.ts_ns AND c.event_id < p.event_id))
+                 AND p.ts_ns - c.ts_ns <= 7200000000000))
+      SELECT u.user_id,
+             CAST(CASE WHEN pu.user_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+               AS matched
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN pu ON pu.user_id = u.user_id
+      ORDER BY u.user_id"""))
+
+  /** Capped distinct count (ClickHouse `uniqUpTo(N)` analog): per
+    * (event_type, day), the EXACT distinct user count when ≤ N = 100,
+    * and N+1 (plus a saturated flag) beyond — the "do we have more
+    * than N distinct?" question answered without ever counting past
+    * N+1. The fixture covers both regimes: sf0.01 day-slices sit
+    * under the cap, sf0.1 saturates it.
+    *
+    * Scale shape: one (type, day, user) dedup shuffle, then
+    * `OrderedScan.bottomK` keeps rank ≤ N+1 per group with its bucket
+    * prune — group counts first, buckets that cannot host a rank ≤
+    * N+1 row are dropped BEFORE any sort, so the rank window touches
+    * ~N rows per group however many distinct users a day has. The
+    * final count is a summary-sized keyed agg.
+    */
+  val q136 = Q(
+    "q136_uniq_up_to",
+    (spark, dir) => {
+      val n = 100
+      val d = Tables(spark, dir, "events")
+        .select(col("event_type"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          col("user_id"))
+        .distinct()
+      graft.operators.OrderedScan.bottomK(d,
+          struct(col("event_type"), col("day")), col("user_id"),
+          col("user_id"), col("user_id") / 64, n + 1, "rk")
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("uniq_up_to"))
+        .withColumn("saturated", col("uniq_up_to") > n)
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""
+      SELECT event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             LEAST(COUNT(DISTINCT user_id), 101) AS uniq_up_to,
+             COUNT(DISTINCT user_id) > 100 AS saturated
+      FROM events GROUP BY 1, 2
+      ORDER BY event_type, day"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
-    q122, q124, q125, q126, q128, q129, q130, q131, q132, q133)
+    q122, q124, q125, q126, q128, q129, q130, q131, q132, q133, q135, q136)
 }

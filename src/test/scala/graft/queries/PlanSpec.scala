@@ -320,12 +320,22 @@ class PlanSpec extends SparkSpec {
     // the chain logic lives in codegen'd array lambdas after ONE
     // user_id aggregation — a Window or a second events join would be
     // the per-user-serialization shape that dies at scale
-    Seq(Events.q112, Events.q119).foreach { q =>
+    Seq(Events.q112, Events.q119, Events.q135).foreach { q =>
       val p = plan(q)
       assert(!p.contains("Window"), s"${q.name} plans a Window:\n$p")
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"), q.name)
     }
+  }
+
+  test("q136: uniqUpTo rides the bottomK prune, joins keyed and unhinted") {
+    val lp = Events.q136.fn(spark, sf).queryExecution.analyzed.toString
+    assert(!lp.toLowerCase.contains("hint"),
+      s"q136 must not carry a broadcast hint:\n$lp")
+    val p = plan(Events.q136)
+    assert(p.contains("_os_kb"),
+      s"q136 lost the bottomK bucket prune:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q136 plans a cartesian:\n$p")
   }
 
   test("q116: the shingle-df join carries NO broadcast hint — size decides") {
