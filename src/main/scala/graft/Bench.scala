@@ -301,7 +301,9 @@ object Bench {
             .candidateGroups(zDir, "user_id", 100L, 200L)
           val (tc, tt) = graft.sources.ZOrderLayout
             .candidateGroups(tDir, "user_id", 100L, 200L)
-          s""","zorder":{"z":$zc,"z_total":$zt,"t":$tc,"t_total":$tt}"""
+          // [z_touched, z_total, t_touched, t_total] row groups —
+          // array form for stdout-capture headroom at 136 queries
+          s""","zorder":[$zc,$zt,$tc,$tt]"""
         } catch { case e: Throwable =>
           System.err.println(s"[bench] zorder measure failed: ${e.getMessage}")
           ""
