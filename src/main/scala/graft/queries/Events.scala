@@ -1954,7 +1954,65 @@ object Events {
       FROM events GROUP BY 1, 2
       ORDER BY event_type, day"""))
 
+  /** Two-sample rank test (ClickHouse `mannWhitneyUTest` analog, made
+    * hash-checkable): per day, does the click value distribution
+    * differ from the view distribution? The U statistic is computed
+    * WITHOUT ranking any row: U_click = Σ_v n_c(v)·(#views below v) +
+    * ½·ties, so 2U = Σ n_c·(2·cumBefore + n_v) over DISTINCT values —
+    * all-integer from grouped counts plus a prefix sum, where the
+    * usual formulation ranks the full joint sample. (The p-value
+    * needs erf(); the statistic and sizes — what a monitoring rule
+    * thresholds on via the normal approximation — are exact. U_view
+    * follows as 2·n_c·n_v − u2_click.)
+    *
+    * Scale shape: one (day, v) count aggregate (distinct-value-sized),
+    * a runningTotal prefix under a value-monotone bucket over those
+    * summary rows, then a keyed rollup — no per-row rank, no window
+    * over the fact table.
+    */
+  val q137 = Q(
+    "q137_mann_whitney_u",
+    (spark, dir) => {
+      val g = Tables(spark, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          floor(col("value") * 64).as("v"), col("event_type"))
+        .groupBy(col("day"), col("v"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("nc"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("nv"))
+      graft.operators.OrderedScan.runningTotal(g, col("day"),
+          Seq(col("v")), col("nv"), expr("v div 1024"), "cum_incl")
+        .withColumn("cumv", col("cum_incl") - col("nv"))
+        .groupBy(col("day"))
+        .agg(sum(col("nc")).as("n_click"), sum(col("nv")).as("n_view"),
+          sum(col("nc") * (col("cumv") * 2 + col("nv"))).as("u2_click"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH ev AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                         event_type,
+                         CAST(FLOOR(value * 64) AS BIGINT) AS v
+                  FROM events WHERE event_type IN ('click', 'view')),
+      g AS (SELECT day, v,
+                   COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS nc,
+                   COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS nv
+            FROM ev GROUP BY 1, 2),
+      c AS (SELECT day, v, nc, nv,
+                   COALESCE(SUM(nv) OVER (PARTITION BY day ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS cumv
+            FROM g)
+      SELECT day, CAST(SUM(nc) AS BIGINT) AS n_click,
+             CAST(SUM(nv) AS BIGINT) AS n_view,
+             CAST(SUM(nc * (2 * cumv + nv)) AS BIGINT) AS u2_click
+      FROM c GROUP BY 1 ORDER BY day"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
-    q122, q124, q125, q126, q128, q129, q130, q131, q132, q133, q135, q136)
+    q122, q124, q125, q126, q128, q129, q130, q131, q132, q133, q135, q136,
+    q137)
 }

@@ -421,6 +421,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("Join"), s"q134 shape:\n$p")
   }
 
+  test("q137: U statistic never ranks rows — counts first, then bucketed prefix") {
+    // the aggregate must come BEFORE the prefix sum: the runningTotal
+    // window may only see distinct-value summary rows, never the fact
+    // table (the whole point of the count-based U formulation)
+    val p = plan(Events.q137)
+    assert(p.contains("_os_bucket"),
+      s"q137 lost the runningTotal bucket decomposition:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q137 joins:\n$p")
+  }
+
   test("q130: sweep running sum rides the bucket decomposition, joins stay keyed") {
     // the per-type prefix sum must be OrderedScan's (key, bucket)
     // two-level form — a bare per-type Window serializes each type
