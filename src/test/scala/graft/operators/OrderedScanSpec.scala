@@ -201,4 +201,25 @@ class OrderedScanSpec extends SparkSpec {
     // 30-row sort: cheapest observable = output ranks are exactly 1..3
     assert(got.select("rk").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("bottomK with a STRUCT key == full sort (q136's composite-group shape)") {
+    // q136 groups by struct(event_type, day): the key rides groupBy,
+    // window partition and the survivor equi-join — struct equality
+    // must behave identically in all three or ranks silently shift
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_id"))
+    val key = struct(col("event_type"), col("day"))
+    val ref = ev.withColumn("rk",
+        row_number().over(Window.partitionBy(col("event_type"), col("day"))
+          .orderBy(col("event_id"))).cast("long"))
+      .filter(col("rk") <= 7)
+    val got = OrderedScan.bottomK(ev, key, col("event_id"),
+      col("event_id"), col("event_id") / 64, 7, "rk")
+    assert(ref.select("event_type", "day", "event_id", "rk")
+      .exceptAll(got.select("event_type", "day", "event_id", "rk")).isEmpty &&
+      got.count() == ref.count(),
+      "struct-keyed bottomK diverges from full sort")
+  }
 }
