@@ -150,4 +150,78 @@ object SeriesStream {
       .outputMode(OutputMode.Update())
       .foreachBatch(sink)
       .start()
+
+  // ---------------------------------------------------------------- q130
+
+  /** One typed event for the sweep (key = event_type). */
+  case class TEv(event_type: String, t_us: Long, event_id: Long)
+
+  /** Finalized sweep-prefix state: the running endpoint sum after all
+    * finalized endpoints, the max so far and the FIRST time it was
+    * reached, the finalized interval (start-endpoint) count, and kept
+    * endpoints (t, delta, eid) at or above the horizon.
+    */
+  case class SweepSt(run: Long, mx: Long, pos: Long, nDone: Long,
+      kept: Seq[(Long, Long, Long)])
+
+  /** Pure transition for the q130 sweep. Every endpoint with
+    * t < watermark is FINAL: an arriving event has event time ≥
+    * watermark and creates endpoints at t and t + D, both ≥ watermark,
+    * so nothing can ever be inserted before the horizon — the running
+    * sum, max, and first-peak position commit exactly. Emits the
+    * CURRENT (n_intervals, max_concurrent, first_peak_us), batch-q130-
+    * equal on the events seen so far.
+    */
+  def sweepAdvance(st: SweepSt, incoming: Seq[(Long, Long, Long)],
+      horizon: Long): (SweepSt, (Long, Long, Long)) = {
+    val all = (st.kept ++ incoming).distinct.sorted
+    val (done, keep) = all.partition(_._1 < horizon)
+    def fold(run0: Long, mx0: Long, pos0: Long,
+        pts: Seq[(Long, Long, Long)]): (Long, Long, Long) =
+      pts.foldLeft((run0, mx0, pos0)) { case ((r, m, p), (t, d, _)) =>
+        val r2 = r + d
+        if (r2 > m) (r2, r2, t) else (r2, m, p)
+      }
+    val (run1, mx1, pos1) = fold(st.run, st.mx, st.pos, done)
+    val next = SweepSt(run1, mx1, pos1,
+      st.nDone + done.count(_._2 == 1L), keep)
+    val (_, mx2, pos2) = fold(run1, mx1, pos1, keep)
+    val n = next.nDone + keep.count(_._2 == 1L)
+    (next, (n, mx2, pos2))
+  }
+
+  /** Attach the live sweep to an event stream; requires a watermark on
+    * an event-time column derived from `t_us` for finalization (state
+    * is unbounded but still correct without one).
+    */
+  def sweep(events: Dataset[TEv]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[SweepSt, (String, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (tp: String, it: Iterator[TEv], state: GroupState[SweepSt]) =>
+          val horizon = scala.util.Try(state.getCurrentWatermarkMs())
+            .getOrElse(0L) match {
+            case 0 => Long.MinValue
+            case wm => wm * 1000L
+          }
+          val (next, (n, mx, pos)) = sweepAdvance(
+            state.getOption.getOrElse(
+              SweepSt(0L, 0L, Long.MinValue, 0L, Seq.empty)),
+            it.flatMap(e => Seq((e.t_us, 1L, e.event_id),
+              (e.t_us + D, -1L, e.event_id))).toSeq, horizon)
+          state.update(next)
+          (tp, n, mx, pos)
+      }
+      .toDF("event_type", "n_intervals", "max_concurrent", "first_peak_us")
+  }
+
+  def startSweep(events: Dataset[TEv])(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    sweep(events).writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(sink)
+      .start()
 }

@@ -107,6 +107,91 @@ class SeriesStreamSpec extends SparkSpec {
     assert(res.passed, s"emaAdvance-vs-batch: ${res.status}")
   }
 
+  private def bruteSweep(evs: Seq[(Long, Long)]): (Long, Long, Long) = {
+    // all endpoints, (t, delta, eid) order, running sum, max + first pos
+    val pts = evs.distinct.flatMap { case (t, eid) =>
+      Seq((t, 1L, eid), (t + D, -1L, eid)) }.sorted
+    var (r, m, p) = (0L, 0L, Long.MinValue)
+    pts.foreach { case (t, d, _) =>
+      r += d; if (r > m) { m = r; p = t }
+    }
+    (evs.distinct.length.toLong, m, p)
+  }
+
+  test("sweepAdvance ≡ brute sweep under random splits + watermark pruning") {
+    val evGen = for {
+      t <- Gen.chooseNum(0L, 3L * D)
+    } yield t / 7 * 7 // deliberate endpoint collisions
+    val gen = for {
+      ts <- Gen.listOfN(20, evGen)
+      cuts <- Gen.listOfN(2, Gen.chooseNum(0, ts.length))
+    } yield (ts.zipWithIndex.map { case (t, i) => (t, i.toLong) },
+      cuts.sorted)
+    val prop = Prop.forAll(gen) { case (evs, cuts) =>
+      val sorted = evs.sortBy(e => (e._1, e._2))
+      val batches = Seq(
+        sorted.take(cuts(0)),
+        sorted.slice(cuts(0), cuts(1)),
+        sorted.drop(cuts(1))).filter(_.nonEmpty)
+      var st = SeriesStream.SweepSt(0L, 0L, Long.MinValue, 0L, Seq.empty)
+      var last = (0L, 0L, 0L)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        // the event-time watermark: min event time of future batches;
+        // every endpoint of a future event sits at or above it
+        val wm = batches.drop(i + 1).flatten.map(_._1)
+          .minOption.getOrElse(Long.MaxValue)
+        val pts = b.flatMap { case (t, eid) =>
+          Seq((t, 1L, eid), (t + D, -1L, eid)) }
+        val (next, out) = SeriesStream.sweepAdvance(st, pts, wm)
+        assert(next.kept.forall(_._1 >= wm))
+        st = next; last = out
+      }
+      val expect = bruteSweep(evs)
+      if (last != expect)
+        println(s"mismatch: got $last want $expect evs=$evs cuts=$cuts")
+      last == expect
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, s"sweepAdvance-vs-brute: ${res.status}")
+  }
+
+  test("live sweep over fixture events converges to batch q130") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.Tables(spark, sf, "events")
+      .select(col("event_type"), expr("ts_ns div 1000").as("t_us"),
+        col("event_id"))
+      .as[SeriesStream.TEv].collect().sortBy(e => (e.t_us, e.event_id))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SeriesStream.TEv]
+    val ds = ms.toDF()
+      .withColumn("et", timestamp_micros(col("t_us")))
+      .withWatermark("et", "1 second")
+      .as[SeriesStream.TEv]
+    val last = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
+    val sq = SeriesStream.startSweep(ds) { (df, _) =>
+      df.collect().foreach(r =>
+        last(r.getString(0)) = (r.getLong(1), r.getLong(2), r.getLong(3)))
+    }
+    try {
+      ms.addData(b1.toIndexedSeq: _*)
+      sq.processAllAvailable()
+      ms.addData(b2.toIndexedSeq: _*)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val expect = graft.queries.Events.q130.fn(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(last.nonEmpty && last.keySet == expect.keySet)
+    last.foreach { case (tp, got) =>
+      assert(got == expect(tp), s"type $tp: stream $got != batch ${expect(tp)}")
+    }
+  }
+
   test("live streams over fixture events converge to batch q129/q132") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
