@@ -2011,8 +2011,80 @@ object Events {
              CAST(SUM(nc * (2 * cumv + nv)) AS BIGINT) AS u2_click
       FROM c GROUP BY 1 ORDER BY day"""))
 
+  /** Tukey-fence outlier audit (ClickHouse `seriesOutliersDetectTukey`
+    * analog): per event_type, flag values outside [Q1 − 1.5·IQR,
+    * Q3 + 1.5·IQR] with EXACT arithmetic — quartiles are SELECTED
+    * values at the discrete ranks 1+⌊q·(n−1)⌋ (q122's exact-binary-
+    * fraction argument) and the half-integer fences are compared
+    * scaled ×2: v is an outlier iff 2v < 2·Q1 − 3·IQR or 2v >
+    * 2·Q3 + 3·IQR — all-BIGINT, hash-exact. On this fixture the value
+    * distribution is right-skewed, so the high fence genuinely binds
+    * while n_low = 0 (values are bounded below).
+    *
+    * Scale shape: the quartile rank is `OrderedScan.runningTotal`
+    * under a value-monotone bucket (q125's discipline — never a
+    * per-type serial sort); the fence table is 1 row/type, and the
+    * outlier count is one more scan+agg with the fences joined on the
+    * type key (AQE broadcasts the measured-tiny side; no hint).
+    */
+  val q138 = Q(
+    "q138_tukey_outliers",
+    (spark, dir) => {
+      val ev = Tables(spark, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 64).as("v"))
+      val ranked = graft.operators.OrderedScan.runningTotal(ev,
+        col("event_type"), Seq(col("v"), col("event_id")), lit(1L),
+        floor(col("v") / 512), "vr")
+      val n = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val fences = ranked.join(n, Seq("event_type"))
+        .withColumn("i1", lit(1L) + floor(lit(0.25) * (col("n") - 1)))
+        .withColumn("i3", lit(1L) + floor(lit(0.75) * (col("n") - 1)))
+        .filter(col("vr") === col("i1") || col("vr") === col("i3"))
+        .groupBy(col("event_type"), col("n"))
+        .agg(min(when(col("vr") === col("i1"), col("v"))).as("q1"),
+          min(when(col("vr") === col("i3"), col("v"))).as("q3"))
+        .withColumn("lo2", col("q1") * 2 - (col("q3") - col("q1")) * 3)
+        .withColumn("hi2", col("q3") * 2 + (col("q3") - col("q1")) * 3)
+      ev.join(fences, Seq("event_type"))
+        .groupBy(col("event_type"), col("n"), col("q1"), col("q3"))
+        .agg(
+          sum(when(col("v") * 2 < col("lo2"), 1L).otherwise(0L))
+            .as("n_low"),
+          sum(when(col("v") * 2 > col("hi2"), 1L).otherwise(0L))
+            .as("n_high"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH ev AS (SELECT event_type, event_id,
+                         CAST(FLOOR(value * 64) AS BIGINT) AS v
+                  FROM events),
+      r AS (SELECT event_type, v,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY v, event_id) AS vr,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM ev),
+      q AS (SELECT event_type, ANY_VALUE(n) AS n,
+                   MIN(CASE WHEN vr = 1 + FLOOR(0.25::DOUBLE * (n - 1))
+                            THEN v END) AS q1,
+                   MIN(CASE WHEN vr = 1 + FLOOR(0.75::DOUBLE * (n - 1))
+                            THEN v END) AS q3
+            FROM r GROUP BY 1),
+      f AS (SELECT event_type, n, q1, q3,
+                   2 * q1 - 3 * (q3 - q1) AS lo2,
+                   2 * q3 + 3 * (q3 - q1) AS hi2
+            FROM q)
+      SELECT f.event_type, f.n, f.q1, f.q3,
+             COUNT(CASE WHEN 2 * e.v < f.lo2 THEN 1 END) AS n_low,
+             COUNT(CASE WHEN 2 * e.v > f.hi2 THEN 1 END) AS n_high,
+             MIN(e.v) AS min_v, MAX(e.v) AS max_v
+      FROM ev e JOIN f ON e.event_type = f.event_type
+      GROUP BY 1, 2, 3, 4
+      ORDER BY f.event_type"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
     q122, q124, q125, q126, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137)
+    q137, q138)
 }

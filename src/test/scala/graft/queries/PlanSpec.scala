@@ -432,6 +432,16 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), s"q137 joins:\n$p")
   }
 
+  test("q138: quartile rank is bucketed and the fence join is unhinted") {
+    val lp = Events.q138.fn(spark, sf).queryExecution.analyzed.toString
+    assert(!lp.toLowerCase.contains("hint"),
+      s"q138 must not carry a broadcast hint:\n$lp")
+    val p = plan(Events.q138)
+    assert(p.contains("_os_bucket"),
+      s"q138 lost the runningTotal bucket decomposition:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q138 plans a cartesian:\n$p")
+  }
+
   test("q130: sweep running sum rides the bucket decomposition, joins stay keyed") {
     // the per-type prefix sum must be OrderedScan's (key, bucket)
     // two-level form — a bare per-type Window serializes each type
