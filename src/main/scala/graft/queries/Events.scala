@@ -2083,8 +2083,250 @@ object Events {
       GROUP BY 1, 2, 3, 4
       ORDER BY f.event_type"""))
 
+  /** Keyed map aggregation (ClickHouse `sumMap` analog,
+    * https://clickhouse.com/docs/sql-reference/aggregate-functions/parametric-functions —
+    * the reference's target DDL stores `tags Nested(key, value)`
+    * exactly to serve this merge-maps-by-key pattern,
+    * `/root/reference/examples/example.sql:6`): per event_type, merge
+    * the per-event (key → value) maps by summing values under each
+    * key. Keys come from the props JSON `k` (bucketed k div 10, the
+    * q15 extraction), values are the integer-exact floor(value·64).
+    * The aligned sorted key/sum arrays — ClickHouse's sumMap output
+    * shape — are serialized canonically (comma-joined) so the driver
+    * compare stays cell-sortable.
+    *
+    * Scale shape: two keyed aggregates, both summary-sized after the
+    * first map-side partial ((type × 10 buckets) rows shuffle); the
+    * collect_list runs over ≤10 rows per group by construction.
+    */
+  val q139 = Q(
+    "q139_sum_map",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "events")
+        .select(col("event_type"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+            .as("k"),
+          floor(col("value") * 64).as("v"))
+        .filter(col("k").isNotNull)
+        .withColumn("kb", expr("k div 10"))
+      e.groupBy(col("event_type"), col("kb"))
+        .agg(sum(col("v")).as("s"))
+        .groupBy(col("event_type"))
+        .agg(
+          sort_array(collect_list(struct(col("kb"), col("s")))).as("a"),
+          count(lit(1)).as("n_keys"),
+          sum(col("s")).as("tot_v"))
+        .select(col("event_type"), col("n_keys"), col("tot_v"),
+          concat_ws(",", expr("transform(a, x -> cast(x.kb as string))"))
+            .as("map_keys"),
+          concat_ws(",", expr("transform(a, x -> cast(x.s as string))"))
+            .as("map_sums"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(regexp_extract(props, '"k": (\d+)', 1)
+                             AS BIGINT) // 10 AS kb,
+                        CAST(FLOOR(value * 64) AS BIGINT) AS v
+                 FROM events
+                 WHERE regexp_extract(props, '"k": (\d+)', 1) IS NOT NULL
+                   AND regexp_extract(props, '"k": (\d+)', 1) <> ''),
+      g AS (SELECT event_type, kb, CAST(SUM(v) AS BIGINT) AS s
+            FROM e GROUP BY 1, 2)
+      SELECT event_type, COUNT(*) AS n_keys,
+             CAST(SUM(s) AS BIGINT) AS tot_v,
+             string_agg(CAST(kb AS VARCHAR), ',' ORDER BY kb) AS map_keys,
+             string_agg(CAST(s AS VARCHAR), ',' ORDER BY kb) AS map_sums
+      FROM g GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** Rate-of-change between series endpoints (ClickHouse
+    * `boundingRatio` analog): per (event_type, day), the value delta
+    * between the FIRST and LAST event (ordered by the unique
+    * (ts_ns, event_id)) and the elapsed time, as exact integers; the
+    * per-second rate is the single final divide (two exact longs →
+    * IEEE-correctly-rounded in both engines, the q117 discipline).
+    * first/last are argmin/argmax via lexicographic struct min/max —
+    * the (t_us, event_id) prefix is unique, so the comparison never
+    * reaches the carried value and the result is deterministic where
+    * first()/last() would not be. Time runs on µs (`ts_ns div 1000`
+    * vs `epoch_us(ts)`) — the q43/q50/q51 band-edge discipline that
+    * stays exact under both generator time-spine shapes.
+    *
+    * Scale shape: ONE keyed aggregate with map-side partials (struct
+    * min/max are commutative monoids); no window, no sort, no join.
+    */
+  val q140 = Q(
+    "q140_bounding_ratio",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "events")
+        .select(col("event_type"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          expr("ts_ns div 1000").as("t_us"),
+          col("event_id"), floor(col("value") * 64).as("v"))
+      e.groupBy(col("event_type"), col("day"))
+        .agg(
+          min(struct(col("t_us"), col("event_id"), col("v"))).as("f"),
+          max(struct(col("t_us"), col("event_id"), col("v"))).as("l"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("day"), col("n"),
+          (col("l.v") - col("f.v")).as("dv"),
+          (col("l.t_us") - col("f.t_us")).as("dt_us"))
+        .withColumn("rate_per_s",
+          when(col("dt_us") === 0, lit(null).cast("double"))
+            .otherwise(round(col("dv").cast("double") /
+              (col("dt_us").cast("double") / lit(1.0e6)), 6)))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""
+      WITH e AS (SELECT event_type,
+                        strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                        epoch_us(ts) AS t_us, event_id,
+                        CAST(FLOOR(value * 64) AS BIGINT) AS v
+                 FROM events),
+      r AS (SELECT *,
+                   row_number() OVER (PARTITION BY event_type, day
+                                      ORDER BY t_us, event_id) AS ra,
+                   row_number() OVER (PARTITION BY event_type, day
+                                      ORDER BY t_us DESC, event_id DESC)
+                     AS rd
+            FROM e),
+      g AS (SELECT event_type, day, COUNT(*) AS n,
+                   MIN(CASE WHEN rd = 1 THEN v END)
+                     - MIN(CASE WHEN ra = 1 THEN v END) AS dv,
+                   MIN(CASE WHEN rd = 1 THEN t_us END)
+                     - MIN(CASE WHEN ra = 1 THEN t_us END) AS dt_us
+            FROM r GROUP BY 1, 2)
+      SELECT event_type, day, n, dv, dt_us,
+             CASE WHEN dt_us = 0 THEN NULL
+                  ELSE ROUND(CAST(dv AS DOUBLE)
+                             / (CAST(dt_us AS DOUBLE) / 1e6), 6)
+             END AS rate_per_s
+      FROM g ORDER BY event_type, day"""))
+
+  /** Two-sample Welch t-test (ClickHouse `welchTTest` analog, the
+    * q137 discipline extended to moments): per day, does the click
+    * value mean differ from the view mean? All moments (n, Σv, Σv²)
+    * are exact BIGINTs from ONE keyed aggregate; the t statistic and
+    * Welch–Satterthwaite df are a fixed-order IEEE double chain over
+    * those exact integers — both engines evaluate the identical
+    * expression tree (the q91 χ² precedent), rounded to 6 dp. Days
+    * where either sample has n ≤ 1 (variance undefined) are excluded
+    * by both formulations.
+    *
+    * Scale shape: one map-side-partial aggregate to day-sized summary
+    * rows; the double chain runs on the summary only.
+    */
+  val q141 = Q(
+    "q141_welch_t",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          col("event_type"), floor(col("value") * 64).as("v"))
+      def side(t: String, pre: String) = Seq(
+        sum(when(col("event_type") === t, 1L).otherwise(0L))
+          .as(s"n_$pre"),
+        sum(when(col("event_type") === t, col("v")).otherwise(0L))
+          .as(s"s_$pre"),
+        sum(when(col("event_type") === t, col("v") * col("v"))
+          .otherwise(0L)).as(s"ss_$pre"))
+      val aggs = side("click", "c") ++ side("view", "v")
+      val g = e.groupBy(col("day"))
+        .agg(aggs.head, aggs.tail: _*)
+        .filter(col("n_c") > 1 && col("n_v") > 1)
+      val n1 = col("n_c").cast("double")
+      val n2 = col("n_v").cast("double")
+      val m1 = col("s_c").cast("double") / n1
+      val m2 = col("s_v").cast("double") / n2
+      val va = (col("ss_c").cast("double") -
+        col("s_c").cast("double") * m1) / (col("n_c") - 1).cast("double")
+      val vb = (col("ss_v").cast("double") -
+        col("s_v").cast("double") * m2) / (col("n_v") - 1).cast("double")
+      val ua = va / n1
+      val ub = vb / n2
+      val se2 = ua + ub
+      g.select(col("day"), col("n_c"), col("n_v"), col("s_c"), col("s_v"),
+          col("ss_c"), col("ss_v"),
+          round((m1 - m2) / sqrt(se2), 6).as("t_stat"),
+          round(se2 * se2 /
+            (ua * ua / (col("n_c") - 1).cast("double") +
+             ub * ub / (col("n_v") - 1).cast("double")), 6).as("df"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH e AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                        event_type,
+                        CAST(FLOOR(value * 64) AS BIGINT) AS v
+                 FROM events WHERE event_type IN ('click', 'view')),
+      g AS (SELECT day,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_c,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN v
+                                 ELSE 0 END) AS BIGINT) AS s_c,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN v * v
+                                 ELSE 0 END) AS BIGINT) AS ss_c,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_v,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN v
+                                 ELSE 0 END) AS BIGINT) AS s_v,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN v * v
+                                 ELSE 0 END) AS BIGINT) AS ss_v
+            FROM e GROUP BY day
+            HAVING n_c > 1 AND n_v > 1)
+      SELECT day, n_c, n_v, s_c, s_v, ss_c, ss_v,
+             ROUND((CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)
+                    - CAST(s_v AS DOUBLE) / CAST(n_v AS DOUBLE))
+                   / SQRT(
+                     ((CAST(ss_c AS DOUBLE)
+                       - CAST(s_c AS DOUBLE)
+                         * (CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)))
+                      / CAST(n_c - 1 AS DOUBLE)) / CAST(n_c AS DOUBLE)
+                     + ((CAST(ss_v AS DOUBLE)
+                         - CAST(s_v AS DOUBLE)
+                           * (CAST(s_v AS DOUBLE) / CAST(n_v AS DOUBLE)))
+                        / CAST(n_v - 1 AS DOUBLE)) / CAST(n_v AS DOUBLE)),
+                   6) AS t_stat,
+             ROUND((((CAST(ss_c AS DOUBLE)
+                      - CAST(s_c AS DOUBLE)
+                        * (CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)))
+                     / CAST(n_c - 1 AS DOUBLE)) / CAST(n_c AS DOUBLE)
+                    + ((CAST(ss_v AS DOUBLE)
+                        - CAST(s_v AS DOUBLE)
+                          * (CAST(s_v AS DOUBLE) / CAST(n_v AS DOUBLE)))
+                       / CAST(n_v - 1 AS DOUBLE)) / CAST(n_v AS DOUBLE))
+                   * (((CAST(ss_c AS DOUBLE)
+                        - CAST(s_c AS DOUBLE)
+                          * (CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)))
+                       / CAST(n_c - 1 AS DOUBLE)) / CAST(n_c AS DOUBLE)
+                      + ((CAST(ss_v AS DOUBLE)
+                          - CAST(s_v AS DOUBLE)
+                            * (CAST(s_v AS DOUBLE) / CAST(n_v AS DOUBLE)))
+                         / CAST(n_v - 1 AS DOUBLE)) / CAST(n_v AS DOUBLE))
+                   / ((((CAST(ss_c AS DOUBLE)
+                         - CAST(s_c AS DOUBLE)
+                           * (CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)))
+                        / CAST(n_c - 1 AS DOUBLE)) / CAST(n_c AS DOUBLE))
+                      * (((CAST(ss_c AS DOUBLE)
+                           - CAST(s_c AS DOUBLE)
+                             * (CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)))
+                          / CAST(n_c - 1 AS DOUBLE)) / CAST(n_c AS DOUBLE))
+                      / CAST(n_c - 1 AS DOUBLE)
+                      + (((CAST(ss_v AS DOUBLE)
+                           - CAST(s_v AS DOUBLE)
+                             * (CAST(s_v AS DOUBLE) / CAST(n_v AS DOUBLE)))
+                          / CAST(n_v - 1 AS DOUBLE)) / CAST(n_v AS DOUBLE))
+                      * (((CAST(ss_v AS DOUBLE)
+                           - CAST(s_v AS DOUBLE)
+                             * (CAST(s_v AS DOUBLE) / CAST(n_v AS DOUBLE)))
+                          / CAST(n_v - 1 AS DOUBLE)) / CAST(n_v AS DOUBLE))
+                      / CAST(n_v - 1 AS DOUBLE)),
+                   6) AS df
+      FROM g ORDER BY day"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
     q122, q124, q125, q126, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138)
+    q137, q138, q139, q140, q141)
 }

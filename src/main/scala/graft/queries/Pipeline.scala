@@ -4011,10 +4011,73 @@ object Pipeline {
              CAST(SUM(n_docs) AS BIGINT) AS n_docs
       FROM c GROUP BY 1, 2 ORDER BY lang, source"""))
 
+  /** Importance-resampling scores (DSIR, Xie et al. 2023 — "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how much its hashed-unigram profile looks like
+    * a TARGET slice (here lang = 'en') vs the full corpus. Features
+    * are the q29 word codes hashed into 4096 buckets; the per-bucket
+    * weight is the scaled rate difference
+    * floor(2^20·ct/Nt) − floor(2^20·cc/Nc) — ALL-integer (floor
+    * division in both engines), where DSIR's log-likelihood ratio
+    * would hang cross-engine equality on libm (the q91 χ²-over-PSI
+    * argument). A doc's score is the sum of its tokens' bucket
+    * weights; the top 20 (score, doc_id) rows are the resampling
+    * head.
+    *
+    * Scale shape: explode → ONE groupBy(bucket) to a ≤4096-row stats
+    * frame; totals are a 1-row broadcast; the stats frame joins back
+    * to the token stream on the bucket key (AQE broadcasts the
+    * measured-tiny side — no hint); per-doc keyed agg; the top-20 is
+    * a TakeOrdered, never a full sort.
+    */
+  val q142 = Q(
+    "q142_dsir_importance",
+    (spark, dir) => {
+      val S = 1L << 20
+      val toks = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(TextOps.words(col("text"))).as("w"))
+        .withColumn("b", pmod(TextOps.wordCode(col("w")), lit(4096L)))
+      val stats = toks.groupBy(col("b"))
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+          count(lit(1)).as("cc"))
+      val tot = stats.agg(sum(col("ct")).as("nt"), sum(col("cc")).as("nc"))
+      val wgt = stats.crossJoin(broadcast(tot))
+        .select(col("b"),
+          (expr(s"($S * ct) div nt") - expr(s"($S * cc) div nc")).as("wt"))
+      toks.join(wgt, Seq("b"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("wt")).as("score"), count(lit(1)).as("n_tokens"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, lang,
+                        ((unicode(w) * 31 + length(w))::BIGINT % 4096) AS b
+                 FROM (SELECT doc_id, lang,
+                              unnest(string_split(text, ' ')) AS w
+                       FROM documents)),
+      s AS (SELECT b,
+                   COUNT(CASE WHEN lang = 'en' THEN 1 END) AS ct,
+                   COUNT(*) AS cc
+            FROM t GROUP BY 1),
+      tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+                     CAST(SUM(cc) AS BIGINT) AS nc FROM s),
+      w AS (SELECT b, CAST((1048576 * ct) // nt
+                           - (1048576 * cc) // nc AS BIGINT) AS wt
+            FROM s CROSS JOIN tot)
+      SELECT t.doc_id, ANY_VALUE(t.lang) AS lang,
+             CAST(SUM(w.wt) AS BIGINT) AS score,
+             COUNT(*) AS n_tokens
+      FROM t JOIN w ON t.b = w.b
+      GROUP BY t.doc_id
+      ORDER BY score DESC, t.doc_id
+      LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q115, q116, q117, q120, q121, q123, q134)
+    q108, q109, q110, q111, q115, q116, q117, q120, q121, q123, q134, q142)
 }

@@ -24,7 +24,9 @@ class ExplainAudit extends SparkSpec {
         "q110" -> Pipeline.q110, "q112" -> Events.q112,
         "q116" -> Pipeline.q116, "q130" -> Events.q130,
         "q133" -> Events.q133, "q136" -> Events.q136,
-        "q137" -> Events.q137, "q138" -> Events.q138).foreach { case (n, q) =>
+        "q137" -> Events.q137, "q138" -> Events.q138,
+        "q139" -> Events.q139, "q140" -> Events.q140,
+        "q141" -> Events.q141).foreach { case (n, q) =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$n has a cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$n has a nested loop:\n$p")

@@ -442,6 +442,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q138 plans a cartesian:\n$p")
   }
 
+  test("q139/q140/q141: map-merge, bounding ratio, and Welch t are pure keyed aggregates") {
+    // sumMap = two keyed aggs over summary rows; boundingRatio = ONE
+    // agg of struct-min/max monoids; Welch t = one agg to day rows
+    // plus arithmetic. A Window or a join in any of them would be
+    // the per-group-serialization shape the count-based forms avoid.
+    Seq(Events.q139, Events.q140, Events.q141).foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"${q.name} plans a Window:\n$p")
+      assert(!p.contains("Join"), s"${q.name} plans a join:\n$p")
+    }
+  }
+
+  test("q142: importance scores join keyed, never read n_chars, top-20 takes ordered") {
+    val p = plan(Pipeline.q142)
+    // the only nested-loop allowed is the 1-row totals broadcast; the
+    // bucket-stats join back to the token stream must stay keyed
+    assert(!p.contains("CartesianProduct"), s"q142 plans a cartesian:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q142 lost the TakeOrdered top-20 (global sort?):\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse("")
+    assert(readSchema.nonEmpty && !readSchema.contains("n_chars"),
+      s"scan reads unprojected columns: $readSchema")
+  }
+
   test("q130: sweep running sum rides the bucket decomposition, joins stay keyed") {
     // the per-type prefix sum must be OrderedScan's (key, bucket)
     // two-level form — a bare per-type Window serializes each type
