@@ -224,4 +224,114 @@ object SeriesStream {
       .outputMode(OutputMode.Update())
       .foreachBatch(sink)
       .start()
+
+  // ---------------------------------------------------------------- q140
+
+  /** One typed+dated event for the live bounding ratio (key =
+    * (event_type, day), q140's grouping).
+    */
+  case class BEv(event_type: String, day: String, t_us: Long,
+      event_id: Long, v: Long)
+
+  /** Endpoint state: the min and max (t_us, event_id, v) seen so far.
+    * Lexicographic min/max over the unique (t_us, event_id) prefix is
+    * a commutative idempotent monoid, so late and replayed arrivals
+    * are EXACT without any watermark — a replayed endpoint merges to
+    * itself, an out-of-order one simply takes its place. State is two
+    * triples forever.
+    */
+  case class BrSt(fT: Long, fE: Long, fV: Long,
+      lT: Long, lE: Long, lV: Long)
+
+  /** Pure transition: merge endpoints, emit the CURRENT (dv, dt_us) —
+    * batch-q140-equal on the events seen so far, regardless of
+    * arrival order or replays.
+    */
+  def brAdvance(st: Option[BrSt], incoming: Seq[(Long, Long, Long)])
+      : (BrSt, (Long, Long)) = {
+    val all = st.map(s => Seq((s.fT, s.fE, s.fV), (s.lT, s.lE, s.lV)))
+      .getOrElse(Seq.empty) ++ incoming
+    val f = all.min
+    val l = all.max
+    (BrSt(f._1, f._2, f._3, l._1, l._2, l._3), (l._3 - f._3, l._1 - f._1))
+  }
+
+  /** Attach the live q140 bounding ratio to an event stream. */
+  def boundingRatio(events: Dataset[BEv]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(e => (e.event_type, e.day))
+      .mapGroupsWithState[BrSt, (String, String, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (key: (String, String), it: Iterator[BEv],
+            state: GroupState[BrSt]) =>
+          val (next, (dv, dt)) = brAdvance(state.getOption,
+            it.map(e => (e.t_us, e.event_id, e.v)).toSeq)
+          state.update(next)
+          (key._1, key._2, dv, dt)
+      }
+      .toDF("event_type", "day", "dv", "dt_us")
+  }
+
+  def startBoundingRatio(events: Dataset[BEv])(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    boundingRatio(events).writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(sink)
+      .start()
+
+  // ---------------------------------------------------------------- q139
+
+  /** One event for the live map merge (key = event_type; kb/v are
+    * q139's bucketed map key and scaled integer value).
+    */
+  case class MEv(event_type: String, kb: Long, v: Long)
+
+  /** Per-key sums — a commutative Map-monoid, so arrival ORDER never
+    * matters; like [[CmStream]] (and unlike the min/max and register
+    * states) the semantics are counting, so a replayed batch adds
+    * again — exactly-once delivery is the sink's job (JdbcRollup's
+    * batch-id ledger is the worked example). State is ≤10 keys by
+    * q139's bucket construction — geometry-bounded forever.
+    */
+  case class SmSt(sums: Map[Long, Long])
+
+  /** Pure transition: merge the incoming (kb, v) pairs, emit the
+    * CURRENT q139 row (n_keys, tot_v, canonical serialized arrays).
+    */
+  def smAdvance(st: SmSt, incoming: Seq[(Long, Long)])
+      : (SmSt, (Long, Long, String, String)) = {
+    val sums = incoming.foldLeft(st.sums) { case (m, (k, v)) =>
+      m.updated(k, m.getOrElse(k, 0L) + v)
+    }
+    val sorted = sums.toSeq.sorted
+    (SmSt(sums), (sorted.length.toLong, sorted.map(_._2).sum,
+      sorted.map(_._1).mkString(","), sorted.map(_._2).mkString(",")))
+  }
+
+  /** Attach the live q139 sumMap to an event stream. */
+  def sumMap(events: Dataset[MEv]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[SmSt, (String, Long, Long, String, String)](
+        GroupStateTimeout.NoTimeout) {
+        (tp: String, it: Iterator[MEv], state: GroupState[SmSt]) =>
+          val (next, (n, tot, ks, vs)) = smAdvance(
+            state.getOption.getOrElse(SmSt(Map.empty)),
+            it.map(e => (e.kb, e.v)).toSeq)
+          state.update(next)
+          (tp, n, tot, ks, vs)
+      }
+      .toDF("event_type", "n_keys", "tot_v", "map_keys", "map_sums")
+  }
+
+  def startSumMap(events: Dataset[MEv])(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    sumMap(events).writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(sink)
+      .start()
 }

@@ -156,6 +156,146 @@ class SeriesStreamSpec extends SparkSpec {
     assert(res.passed, s"sweepAdvance-vs-brute: ${res.status}")
   }
 
+  test("brAdvance ≡ endpoint min/max under ARBITRARY splits and order") {
+    val evGen = for {
+      t <- Gen.chooseNum(0L, 500L)
+      v <- Gen.chooseNum(-100L, 100L)
+    } yield (t, v)
+    val gen = for {
+      n <- Gen.chooseNum(1, 40)
+      evs <- Gen.listOfN(n, evGen)
+      order <- Gen.listOfN(n, Gen.chooseNum(0, 1 << 20))
+      cuts <- Gen.listOfN(2, Gen.chooseNum(0, n))
+    } yield (evs.zipWithIndex.map { case ((t, v), i) => (t, i.toLong, v) },
+      order, cuts.sorted)
+    val prop = Prop.forAll(gen) { case (evs, order, cuts) =>
+      val shuffled = evs.zip(order).sortBy(_._2).map(_._1)
+      // replay the first batch at the end: idempotent-merge exactness
+      val batches = (Seq(
+        shuffled.take(cuts(0)),
+        shuffled.slice(cuts(0), cuts(1)),
+        shuffled.drop(cuts(1))) ++ Seq(shuffled.take(cuts(0))))
+        .filter(_.nonEmpty)
+      var st = Option.empty[SeriesStream.BrSt]
+      var last = (0L, 0L)
+      batches.foreach { b =>
+        val (next, out) = SeriesStream.brAdvance(st, b)
+        st = Some(next); last = out
+      }
+      val f = evs.min
+      val l = evs.max
+      last == ((l._3 - f._3, l._1 - f._1))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, s"brAdvance-vs-endpoints: ${res.status}")
+  }
+
+  test("smAdvance: order-free map merge matches a single-batch fold") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 50)
+      evs <- Gen.listOfN(n, for {
+        k <- Gen.chooseNum(0L, 9L)
+        v <- Gen.chooseNum(-50L, 50L)
+      } yield (k, v))
+      order <- Gen.listOfN(n, Gen.chooseNum(0, 1 << 20))
+      cut <- Gen.chooseNum(0, n)
+    } yield (evs, order, cut)
+    val prop = Prop.forAll(gen) { case (evs, order, cut) =>
+      val shuffled = evs.zip(order).sortBy(_._2).map(_._1)
+      val batches = Seq(shuffled.take(cut), shuffled.drop(cut))
+        .filter(_.nonEmpty)
+      var st = SeriesStream.SmSt(Map.empty)
+      var last = (0L, 0L, "", "")
+      batches.foreach { b =>
+        val (next, out) = SeriesStream.smAdvance(st, b)
+        st = next; last = out
+      }
+      val (_, once) = SeriesStream.smAdvance(
+        SeriesStream.SmSt(Map.empty), evs)
+      last == once
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, s"smAdvance-vs-once: ${res.status}")
+  }
+
+  test("live bounding ratio and sumMap converge to batch q140/q139") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+
+    // q140 live: feed REVERSED batches — the endpoint monoid needs no
+    // watermark to stay exact under gross disorder
+    val bRows = graft.Tables(spark, sf, "events")
+      .select(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        expr("ts_ns div 1000").as("t_us"), col("event_id"),
+        floor(col("value") * 64).as("v"))
+      .as[SeriesStream.BEv].collect().sortBy(e => (e.t_us, e.event_id))
+    val (bb1, bb2) = bRows.splitAt(bRows.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val msB = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SeriesStream.BEv]
+    val lastBr =
+      scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+    val sqB = SeriesStream.startBoundingRatio(msB.toDS()) { (df, _) =>
+      df.collect().foreach(r =>
+        lastBr((r.getString(0), r.getString(1))) =
+          (r.getLong(2), r.getLong(3)))
+    }
+    try {
+      msB.addData(bb2.toIndexedSeq: _*)
+      sqB.processAllAvailable()
+      msB.addData(bb1.toIndexedSeq: _*)
+      sqB.processAllAvailable()
+    } finally sqB.stop()
+    val expectBr = graft.queries.Events.q140.fn(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(lastBr.nonEmpty && lastBr.keySet == expectBr.keySet)
+    lastBr.foreach { case (k, got) =>
+      assert(got == expectBr(k), s"$k: stream $got != batch ${expectBr(k)}")
+    }
+
+    // q139 live: shuffled single-delivery feed matches the batch rows
+    val mRows = graft.Tables(spark, sf, "events")
+      .select(col("event_type"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+          .as("k"),
+        floor(col("value") * 64).as("v"))
+      .filter(col("k").isNotNull)
+      .select(col("event_type"), expr("k div 10").as("kb"), col("v"))
+      .as[SeriesStream.MEv].collect()
+    val shuffled = mRows.sortBy(e => (e.v * 2654435761L + e.kb).toInt)
+    val (mb1, mb2) = shuffled.splitAt(shuffled.length / 2)
+    val msM = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SeriesStream.MEv]
+    val lastSm =
+      scala.collection.mutable.Map.empty[String, (Long, Long, String, String)]
+    val sqM = SeriesStream.startSumMap(msM.toDS()) { (df, _) =>
+      df.collect().foreach(r =>
+        lastSm(r.getString(0)) =
+          (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+    }
+    try {
+      msM.addData(mb1.toIndexedSeq: _*)
+      sqM.processAllAvailable()
+      msM.addData(mb2.toIndexedSeq: _*)
+      sqM.processAllAvailable()
+    } finally sqM.stop()
+    val expectSm = graft.queries.Events.q139.fn(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .toMap
+    assert(lastSm.nonEmpty && lastSm.keySet == expectSm.keySet)
+    lastSm.foreach { case (k, got) =>
+      assert(got == expectSm(k), s"$k: stream $got != batch ${expectSm(k)}")
+    }
+  }
+
   test("live sweep over fixture events converges to batch q130") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
