@@ -490,15 +490,31 @@ object Stress {
       val lt = Events.lttbOf(ev).count()
       release(spark)
       val t5 = System.nanoTime()
+      // q140/q141/q139: one keyed aggregate each — the flat-curve
+      // claim carried with numbers like the rest of the family
+      val br = Events.boundingRatioOf(ev)
+        .agg(sum(col("dv"))).collect()(0).getLong(0)
+      release(spark)
+      val t6 = System.nanoTime()
+      val wt = Events.welchTOf(ev)
+        .agg(sum(col("n_c"))).collect()(0).getLong(0)
+      release(spark)
+      val t7 = System.nanoTime()
+      val sm = Events.sumMapOf(ev)
+        .agg(sum(col("tot_v"))).collect()(0).getLong(0)
+      release(spark)
+      val t8 = System.nanoTime()
       def s(a: Long, b: Long) = f"${(b - a) / 1e9}%7.2f"
       println(f"$tag%-4s coverage=${s(t0, t1)}s sweep=${s(t1, t2)}s " +
         f"deltaSum=${s(t2, t3)}s ema=${s(t3, t4)}s lttb=${s(t4, t5)}s " +
-        f"[cov=$cov mx=$sweep ds=$ds ema=$ema lttbPts=$lt]")
+        f"bound=${s(t5, t6)}s welch=${s(t6, t7)}s sumMap=${s(t7, t8)}s " +
+        f"[cov=$cov mx=$sweep ds=$ds ema=$ema lttbPts=$lt " +
+        f"dv=$br nC=$wt totV=$sm]")
     }
     if (stages("series")) {
       val evbase = graft.Tables(spark, sfDir, "events")
         .select(col("user_id"), col("ts_ns"), col("event_id"),
-          col("event_type"), col("ts"), col("value"))
+          col("event_type"), col("ts"), col("value"), col("props"))
       val mx = evbase.agg(max(col("user_id")), max(col("event_id")))
         .collect()(0)
       val (uShift, eShift) = (mx.getLong(0) + 1, mx.getLong(1) + 1)
@@ -538,9 +554,15 @@ object Stress {
         .agg(sum(col("n"))).collect()(0).getLong(0)
       release(spark)
       val t2 = System.nanoTime()
+      // q142: explode → 4096-bucket stats → join back on the bucket
+      // key → per-doc agg; must scale as one token shuffle
+      val dsir = Pipeline.dsirOf(docs)
+        .agg(sum(col("score"))).collect()(0).getLong(0)
+      release(spark)
+      val t3 = System.nanoTime()
       def s(a: Long, b: Long) = f"${(b - a) / 1e9}%7.2f"
       println(f"$tag%-4s boiler=${s(t0, t1)}s hll=${s(t1, t2)}s " +
-        f"[sharedSum=$boiler regs=$hll]")
+        f"dsir=${s(t2, t3)}s [sharedSum=$boiler regs=$hll top20=$dsir]")
     }
     if (stages("audit")) {
       runAudit("warm", base.limit(500))

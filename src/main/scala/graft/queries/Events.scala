@@ -2099,30 +2099,36 @@ object Events {
     * first map-side partial ((type × 10 buckets) rows shuffle); the
     * collect_list runs over ≤10 rows per group by construction.
     */
+  /** The q139 selection over any frame with event_type/props/value —
+    * shared with Stress so the measured curve is the shipped plan.
+    */
+  private[graft] def sumMapOf(raw: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val e = raw
+      .select(col("event_type"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+          .as("k"),
+        floor(col("value") * 64).as("v"))
+      .filter(col("k").isNotNull)
+      .withColumn("kb", expr("k div 10"))
+    e.groupBy(col("event_type"), col("kb"))
+      .agg(sum(col("v")).as("s"))
+      .groupBy(col("event_type"))
+      .agg(
+        sort_array(collect_list(struct(col("kb"), col("s")))).as("a"),
+        count(lit(1)).as("n_keys"),
+        sum(col("s")).as("tot_v"))
+      .select(col("event_type"), col("n_keys"), col("tot_v"),
+        concat_ws(",", expr("transform(a, x -> cast(x.kb as string))"))
+          .as("map_keys"),
+        concat_ws(",", expr("transform(a, x -> cast(x.s as string))"))
+          .as("map_sums"))
+      .orderBy(col("event_type"))
+  }
+
   val q139 = Q(
     "q139_sum_map",
-    (spark, dir) => {
-      val e = Tables(spark, dir, "events")
-        .select(col("event_type"),
-          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
-            .as("k"),
-          floor(col("value") * 64).as("v"))
-        .filter(col("k").isNotNull)
-        .withColumn("kb", expr("k div 10"))
-      e.groupBy(col("event_type"), col("kb"))
-        .agg(sum(col("v")).as("s"))
-        .groupBy(col("event_type"))
-        .agg(
-          sort_array(collect_list(struct(col("kb"), col("s")))).as("a"),
-          count(lit(1)).as("n_keys"),
-          sum(col("s")).as("tot_v"))
-        .select(col("event_type"), col("n_keys"), col("tot_v"),
-          concat_ws(",", expr("transform(a, x -> cast(x.kb as string))"))
-            .as("map_keys"),
-          concat_ws(",", expr("transform(a, x -> cast(x.s as string))"))
-            .as("map_sums"))
-        .orderBy(col("event_type"))
-    },
+    (spark, dir) => sumMapOf(Tables(spark, dir, "events")),
     Some("""
       WITH e AS (SELECT event_type,
                         CAST(regexp_extract(props, '"k": (\d+)', 1)
@@ -2156,28 +2162,34 @@ object Events {
     * Scale shape: ONE keyed aggregate with map-side partials (struct
     * min/max are commutative monoids); no window, no sort, no join.
     */
+  /** The q140 selection over any frame with event_type/ts/ts_ns/
+    * event_id/value — shared with Stress.
+    */
+  private[graft] def boundingRatioOf(raw: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val e = raw
+      .select(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        expr("ts_ns div 1000").as("t_us"),
+        col("event_id"), floor(col("value") * 64).as("v"))
+    e.groupBy(col("event_type"), col("day"))
+      .agg(
+        min(struct(col("t_us"), col("event_id"), col("v"))).as("f"),
+        max(struct(col("t_us"), col("event_id"), col("v"))).as("l"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("day"), col("n"),
+        (col("l.v") - col("f.v")).as("dv"),
+        (col("l.t_us") - col("f.t_us")).as("dt_us"))
+      .withColumn("rate_per_s",
+        when(col("dt_us") === 0, lit(null).cast("double"))
+          .otherwise(round(col("dv").cast("double") /
+            (col("dt_us").cast("double") / lit(1.0e6)), 6)))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val q140 = Q(
     "q140_bounding_ratio",
-    (spark, dir) => {
-      val e = Tables(spark, dir, "events")
-        .select(col("event_type"),
-          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
-          expr("ts_ns div 1000").as("t_us"),
-          col("event_id"), floor(col("value") * 64).as("v"))
-      e.groupBy(col("event_type"), col("day"))
-        .agg(
-          min(struct(col("t_us"), col("event_id"), col("v"))).as("f"),
-          max(struct(col("t_us"), col("event_id"), col("v"))).as("l"),
-          count(lit(1)).as("n"))
-        .select(col("event_type"), col("day"), col("n"),
-          (col("l.v") - col("f.v")).as("dv"),
-          (col("l.t_us") - col("f.t_us")).as("dt_us"))
-        .withColumn("rate_per_s",
-          when(col("dt_us") === 0, lit(null).cast("double"))
-            .otherwise(round(col("dv").cast("double") /
-              (col("dt_us").cast("double") / lit(1.0e6)), 6)))
-        .orderBy(col("event_type"), col("day"))
-    },
+    (spark, dir) => boundingRatioOf(Tables(spark, dir, "events")),
     Some("""
       WITH e AS (SELECT event_type,
                         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
@@ -2217,10 +2229,12 @@ object Events {
     * Scale shape: one map-side-partial aggregate to day-sized summary
     * rows; the double chain runs on the summary only.
     */
-  val q141 = Q(
-    "q141_welch_t",
-    (spark, dir) => {
-      val e = Tables(spark, dir, "events")
+  /** The q141 selection over any frame with event_type/ts/value —
+    * shared with Stress.
+    */
+  private[graft] def welchTOf(raw: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      val e = raw
         .filter(col("event_type").isin("click", "view"))
         .select(
           date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
@@ -2254,7 +2268,11 @@ object Events {
             (ua * ua / (col("n_c") - 1).cast("double") +
              ub * ub / (col("n_v") - 1).cast("double")), 6).as("df"))
         .orderBy(col("day"))
-    },
+  }
+
+  val q141 = Q(
+    "q141_welch_t",
+    (spark, dir) => welchTOf(Tables(spark, dir, "events")),
     Some("""
       WITH e AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                         event_type,

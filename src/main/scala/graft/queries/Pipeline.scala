@@ -4030,27 +4030,33 @@ object Pipeline {
     * measured-tiny side — no hint); per-doc keyed agg; the top-20 is
     * a TakeOrdered, never a full sort.
     */
+  /** The q142 selection over any frame with doc_id/lang/text — shared
+    * with Stress so the measured curve is the shipped plan.
+    */
+  private[graft] def dsirOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val S = 1L << 20
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.words(col("text"))).as("w"))
+      .withColumn("b", pmod(TextOps.wordCode(col("w")), lit(4096L)))
+    val stats = toks.groupBy(col("b"))
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cc"))
+    val tot = stats.agg(sum(col("ct")).as("nt"), sum(col("cc")).as("nc"))
+    val wgt = stats.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (expr(s"($S * ct) div nt") - expr(s"($S * cc) div nc")).as("wt"))
+    toks.join(wgt, Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("wt")).as("score"), count(lit(1)).as("n_tokens"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val q142 = Q(
     "q142_dsir_importance",
-    (spark, dir) => {
-      val S = 1L << 20
-      val toks = Tables(spark, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          explode(TextOps.words(col("text"))).as("w"))
-        .withColumn("b", pmod(TextOps.wordCode(col("w")), lit(4096L)))
-      val stats = toks.groupBy(col("b"))
-        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
-          count(lit(1)).as("cc"))
-      val tot = stats.agg(sum(col("ct")).as("nt"), sum(col("cc")).as("nc"))
-      val wgt = stats.crossJoin(broadcast(tot))
-        .select(col("b"),
-          (expr(s"($S * ct) div nt") - expr(s"($S * cc) div nc")).as("wt"))
-      toks.join(wgt, Seq("b"))
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(sum(col("wt")).as("score"), count(lit(1)).as("n_tokens"))
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(20)
-    },
+    (spark, dir) => dsirOf(Tables(spark, dir, "documents")),
     Some("""
       WITH t AS (SELECT doc_id, lang,
                         ((unicode(w) * 31 + length(w))::BIGINT % 4096) AS b
