@@ -496,7 +496,13 @@ object Stress {
         .agg(sum(col("dv"))).collect()(0).getLong(0)
       release(spark)
       val t6 = System.nanoTime()
-      val wt = Events.welchTOf(ev)
+      // strip the replica suffix first: welchTOf filters to the two
+      // literal types, so suffixed replicas would vanish before the
+      // aggregate and the curve would measure a constant-size input —
+      // de-suffixed, the replicas land IN the click/view day groups
+      // and the grouped data genuinely grows Nx
+      val wt = Events.welchTOf(ev.withColumn("event_type",
+          regexp_replace(col("event_type"), "_r\\d+$", "")))
         .agg(sum(col("n_c"))).collect()(0).getLong(0)
       release(spark)
       val t7 = System.nanoTime()

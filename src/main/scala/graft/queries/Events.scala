@@ -2292,56 +2292,25 @@ object Events {
                    CAST(SUM(CASE WHEN event_type = 'view' THEN v * v
                                  ELSE 0 END) AS BIGINT) AS ss_v
             FROM e GROUP BY day
-            HAVING n_c > 1 AND n_v > 1)
+            HAVING n_c > 1 AND n_v > 1),
+      m AS (SELECT day, n_c, n_v, s_c, s_v, ss_c, ss_v,
+                   ((CAST(ss_c AS DOUBLE)
+                     - CAST(s_c AS DOUBLE)
+                       * (CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)))
+                    / CAST(n_c - 1 AS DOUBLE)) / CAST(n_c AS DOUBLE) AS ua,
+                   ((CAST(ss_v AS DOUBLE)
+                     - CAST(s_v AS DOUBLE)
+                       * (CAST(s_v AS DOUBLE) / CAST(n_v AS DOUBLE)))
+                    / CAST(n_v - 1 AS DOUBLE)) / CAST(n_v AS DOUBLE) AS ub
+            FROM g)
       SELECT day, n_c, n_v, s_c, s_v, ss_c, ss_v,
              ROUND((CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)
                     - CAST(s_v AS DOUBLE) / CAST(n_v AS DOUBLE))
-                   / SQRT(
-                     ((CAST(ss_c AS DOUBLE)
-                       - CAST(s_c AS DOUBLE)
-                         * (CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)))
-                      / CAST(n_c - 1 AS DOUBLE)) / CAST(n_c AS DOUBLE)
-                     + ((CAST(ss_v AS DOUBLE)
-                         - CAST(s_v AS DOUBLE)
-                           * (CAST(s_v AS DOUBLE) / CAST(n_v AS DOUBLE)))
-                        / CAST(n_v - 1 AS DOUBLE)) / CAST(n_v AS DOUBLE)),
-                   6) AS t_stat,
-             ROUND((((CAST(ss_c AS DOUBLE)
-                      - CAST(s_c AS DOUBLE)
-                        * (CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)))
-                     / CAST(n_c - 1 AS DOUBLE)) / CAST(n_c AS DOUBLE)
-                    + ((CAST(ss_v AS DOUBLE)
-                        - CAST(s_v AS DOUBLE)
-                          * (CAST(s_v AS DOUBLE) / CAST(n_v AS DOUBLE)))
-                       / CAST(n_v - 1 AS DOUBLE)) / CAST(n_v AS DOUBLE))
-                   * (((CAST(ss_c AS DOUBLE)
-                        - CAST(s_c AS DOUBLE)
-                          * (CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)))
-                       / CAST(n_c - 1 AS DOUBLE)) / CAST(n_c AS DOUBLE)
-                      + ((CAST(ss_v AS DOUBLE)
-                          - CAST(s_v AS DOUBLE)
-                            * (CAST(s_v AS DOUBLE) / CAST(n_v AS DOUBLE)))
-                         / CAST(n_v - 1 AS DOUBLE)) / CAST(n_v AS DOUBLE))
-                   / ((((CAST(ss_c AS DOUBLE)
-                         - CAST(s_c AS DOUBLE)
-                           * (CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)))
-                        / CAST(n_c - 1 AS DOUBLE)) / CAST(n_c AS DOUBLE))
-                      * (((CAST(ss_c AS DOUBLE)
-                           - CAST(s_c AS DOUBLE)
-                             * (CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)))
-                          / CAST(n_c - 1 AS DOUBLE)) / CAST(n_c AS DOUBLE))
-                      / CAST(n_c - 1 AS DOUBLE)
-                      + (((CAST(ss_v AS DOUBLE)
-                           - CAST(s_v AS DOUBLE)
-                             * (CAST(s_v AS DOUBLE) / CAST(n_v AS DOUBLE)))
-                          / CAST(n_v - 1 AS DOUBLE)) / CAST(n_v AS DOUBLE))
-                      * (((CAST(ss_v AS DOUBLE)
-                           - CAST(s_v AS DOUBLE)
-                             * (CAST(s_v AS DOUBLE) / CAST(n_v AS DOUBLE)))
-                          / CAST(n_v - 1 AS DOUBLE)) / CAST(n_v AS DOUBLE))
-                      / CAST(n_v - 1 AS DOUBLE)),
-                   6) AS df
-      FROM g ORDER BY day"""))
+                   / SQRT(ua + ub), 6) AS t_stat,
+             ROUND((ua + ub) * (ua + ub)
+                   / (ua * ua / CAST(n_c - 1 AS DOUBLE)
+                      + ub * ub / CAST(n_v - 1 AS DOUBLE)), 6) AS df
+      FROM m ORDER BY day"""))
 
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,

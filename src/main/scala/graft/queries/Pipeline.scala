@@ -4039,6 +4039,11 @@ object Pipeline {
     val toks = docs
       .select(col("doc_id"), col("lang"),
         explode(TextOps.words(col("text"))).as("w"))
+      // empty tokens (double/leading spaces) would bucket differently
+      // cross-engine (Spark ascii('') = 0 vs DuckDB unicode('') = −1,
+      // and pmod vs signed %) — exclude them on BOTH sides instead of
+      // leaning on the fixture's single-space invariant
+      .filter(col("w") =!= "")
       .withColumn("b", pmod(TextOps.wordCode(col("w")), lit(4096L)))
     val stats = toks.groupBy(col("b"))
       .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
@@ -4062,7 +4067,8 @@ object Pipeline {
                         ((unicode(w) * 31 + length(w))::BIGINT % 4096) AS b
                  FROM (SELECT doc_id, lang,
                               unnest(string_split(text, ' ')) AS w
-                       FROM documents)),
+                       FROM documents)
+                 WHERE w <> ''),
       s AS (SELECT b,
                    COUNT(CASE WHEN lang = 'en' THEN 1 END) AS ct,
                    COUNT(*) AS cc

@@ -238,7 +238,12 @@ object SeriesStream {
     * a commutative idempotent monoid, so late and replayed arrivals
     * are EXACT without any watermark — a replayed endpoint merges to
     * itself, an out-of-order one simply takes its place. State is two
-    * triples forever.
+    * triples PER KEY; the (type, day) key space grows one key per day
+    * per type, kept NoTimeout here so arbitrarily late replays stay
+    * exact. A deployment that prefers bounded keys evicts closed days
+    * with an event-time timeout — at the cost of a late arrival past
+    * the eviction recreating a partial (wrong-endpoint) row, the
+    * usual lateness/state trade the exact legs above avoid.
     */
   case class BrSt(fT: Long, fE: Long, fV: Long,
       lT: Long, lE: Long, lV: Long)
@@ -249,6 +254,10 @@ object SeriesStream {
     */
   def brAdvance(st: Option[BrSt], incoming: Seq[(Long, Long, Long)])
       : (BrSt, (Long, Long)) = {
+    // a timeout invocation (empty incoming, state present) re-emits
+    // the current delta; state AND input both empty has no answer
+    require(st.nonEmpty || incoming.nonEmpty,
+      "brAdvance needs existing state or at least one event")
     val all = st.map(s => Seq((s.fT, s.fE, s.fV), (s.lT, s.lE, s.lV)))
       .getOrElse(Seq.empty) ++ incoming
     val f = all.min
