@@ -2312,8 +2312,117 @@ object Events {
                       + ub * ub / CAST(n_v - 1 AS DOUBLE)), 6) AS df
       FROM m ORDER BY day"""))
 
+  /** Weighted heavy hitters (ClickHouse `topKWeighted` analog): the
+    * top-3 users per event_type by SUMMED weight (the scaled integer
+    * value), not occurrence count — q56's two-level top-N discipline
+    * on a weighted aggregate. Level 1 takes the top-3 per (type,
+    * user-hash-bucket) — provably a superset of the per-type top-3 —
+    * so the final rank window sees ≤ 3×32 survivors per type instead
+    * of the full user histogram.
+    */
+  val q143 = Q(
+    "q143_topk_weighted",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sums = Tables(spark, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          floor(col("value") * 64).as("v"))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("v")).as("w"))
+      val w1 = Window.partitionBy(col("event_type"),
+          pmod(col("user_id"), lit(32)))
+        .orderBy(col("w").desc, col("user_id").asc)
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("w").desc, col("user_id").asc)
+      sums.withColumn("r1", row_number().over(w1)).filter(col("r1") <= 3)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("event_type"), col("rank"), col("user_id"), col("w"))
+        .orderBy(col("event_type"), col("rank"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_type, user_id,
+               CAST(SUM(CAST(FLOOR(value * 64) AS BIGINT)) AS BIGINT) AS w
+        FROM events
+        GROUP BY event_type, user_id),
+      r AS (
+        SELECT event_type, user_id, w,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY w DESC, user_id) AS rank
+        FROM c)
+      SELECT event_type, rank::INT AS rank, user_id, w
+      FROM r WHERE rank <= 3
+      ORDER BY event_type, rank"""))
+
+  /** Population skewness + kurtosis (ClickHouse `skewPop`/`kurtPop`
+    * analogs, the q141 discipline extended to 3rd/4th moments): per
+    * event_type, all four raw moment sums (n, Σv, Σv², Σv³, Σv⁴) are
+    * exact BIGINTs from ONE keyed aggregate; the central moments and
+    * the two statistics are a fixed-order IEEE double chain over
+    * those integers, rounded 6 dp. v is the UNIT bucket floor(value)
+    * — chosen for overflow headroom: max v = 560 keeps Σv⁴ under
+    * 2^60 even at 30× the sf0.1 fixture, all-BIGINT in both engines
+    * (finer buckets would push Σv⁴ past int64; at petabyte row counts
+    * the accumulator swaps to decimal(38,0), one line).
+    *
+    * Scale shape: one map-side-partial aggregate to type-sized
+    * summary rows; the finale runs on the summary only.
+    */
+  val q144 = Q(
+    "q144_skew_kurt",
+    (spark, dir) => {
+      val g = Tables(spark, dir, "events")
+        .select(col("event_type"), floor(col("value")).as("v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).as("s1"),
+          sum(col("v") * col("v")).as("s2"),
+          sum(col("v") * col("v") * col("v")).as("s3"),
+          sum(col("v") * col("v") * col("v") * col("v")).as("s4"))
+      val nd = col("n").cast("double")
+      val m = col("s1").cast("double") / nd
+      val q2 = col("s2").cast("double") / nd
+      val q3 = col("s3").cast("double") / nd
+      val q4 = col("s4").cast("double") / nd
+      val m2 = q2 - m * m
+      val m3 = q3 - lit(3.0) * m * q2 + lit(2.0) * m * m * m
+      val m4 = q4 - lit(4.0) * m * q3 + lit(6.0) * m * m * q2 -
+        lit(3.0) * m * m * m * m
+      g.select(col("event_type"), col("n"), col("s1"), col("s2"),
+          col("s3"), col("s4"),
+          round(m3 / (m2 * sqrt(m2)), 6).as("skew_pop"),
+          round(m4 / (m2 * m2), 6).as("kurt_pop"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS v
+                 FROM events),
+      g AS (SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(v) AS BIGINT) AS s1,
+                   CAST(SUM(v * v) AS BIGINT) AS s2,
+                   CAST(SUM(v * v * v) AS BIGINT) AS s3,
+                   CAST(SUM(v * v * v * v) AS BIGINT) AS s4
+            FROM e GROUP BY 1),
+      m AS (SELECT event_type, n, s1, s2, s3, s4,
+                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                   CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+                   CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+                   CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+            FROM g),
+      c AS (SELECT event_type, n, s1, s2, s3, s4,
+                   r2 - mu * mu AS m2,
+                   r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+                   r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+                      - 3.0 * mu * mu * mu * mu AS m4
+            FROM m)
+      SELECT event_type, n, s1, s2, s3, s4,
+             ROUND(m3 / (m2 * SQRT(m2)), 6) AS skew_pop,
+             ROUND(m4 / (m2 * m2), 6) AS kurt_pop
+      FROM c ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
     q122, q124, q125, q126, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141)
+    q137, q138, q139, q140, q141, q143, q144)
 }

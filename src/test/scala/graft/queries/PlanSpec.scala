@@ -88,6 +88,28 @@ class PlanSpec extends SparkSpec {
       "expected the candidate window to partition by (event_type, bucket)")
   }
 
+  test("q143: weighted top-K rides the same two-level window discipline") {
+    // same structural requirement as q56: the heavy window partitions
+    // by (event_type, user bucket); only the ≤3×32-survivor ranking
+    // window may partition by event_type alone
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val windows = try {
+      Events.q143.fn(spark, sf).queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    assert(windows.nonEmpty)
+    assert(windows.exists(_.partitionSpec.length > 1),
+      "expected the candidate window to partition by (event_type, bucket)")
+  }
+
+  test("q144: moment sums are ONE keyed aggregate — no window, no join") {
+    val p = plan(Events.q144)
+    assert(!p.contains("Window"), s"q144 plans a Window:\n$p")
+    assert(!p.contains("Join"), s"q144 plans a join:\n$p")
+  }
+
   test("q63: both slice predicates are pushed to the z-layout scan") {
     val p = plan(Events.q63)
     val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
