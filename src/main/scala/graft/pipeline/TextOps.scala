@@ -416,15 +416,15 @@ object TextOps extends Serializable {
       .orderBy(col("merge_rank"))
   }
 
-  /** DuckDB oracle for [[bpeMerges]]: the merge loop unrolled into one
-    * CTE chain per round (the same generated-constant discipline as the
-    * q30 hyperplane oracle — the ALGORITHM is replayed, not the
-    * output).
+  /** The unrolled DuckDB merge-round CTE chain shared by the train and
+    * encode oracles. `carry` is the extra column list each round's
+    * vocab CTE threads through unchanged ("" for train, "w, " for
+    * encode — the word key the encode join needs at the end).
     */
-  def bpeMergesOracleSql(n: Int): String = {
+  private def bpeStagesSql(n: Int, carry: String): String = {
     val sep = "chr(31)"
     val ss = s"$sep || $sep"
-    val stages = (1 to n).map { k =>
+    (1 to n).map { k =>
       s"""p$k AS (
         SELECT p.l AS l, p.r AS r, CAST(SUM(cnt) AS BIGINT) AS c FROM (
           SELECT cnt, unnest(list_transform(range(1, len(syms)),
@@ -435,28 +435,128 @@ object TextOps extends Serializable {
       ),
       b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
       v$k AS (
-        SELECT replace(s, $sep || l || $ss || r || $sep,
+        SELECT ${carry}replace(s, $sep || l || $ss || r || $sep,
                        $sep || l || r || $sep) AS s, cnt
         FROM v${k - 1}, b$k
       )"""
     }.mkString(",\n")
-    val unions = (1 to n).map(k =>
-      s"SELECT $k AS merge_rank, l AS lhs, r AS rhs, l || r AS merged, c AS pair_count FROM b$k")
-      .mkString("\n        UNION ALL ")
-    s"""
-      WITH words AS (
+  }
+
+  private def bpeVocabSql(carry: String): String = {
+    val sep = "chr(31)"
+    val ss = s"$sep || $sep"
+    s"""words AS (
         SELECT w, COUNT(*) AS cnt FROM (
           SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
         WHERE w <> '' GROUP BY w
       ),
       v0 AS (
-        SELECT $sep || array_to_string(string_split_regex(w, ''), $ss)
+        SELECT $carry$sep || array_to_string(string_split_regex(w, ''), $ss)
                  || $ss || '</w>' || $sep AS s, cnt
         FROM words
-      ),
-      $stages
+      )"""
+  }
+
+  /** DuckDB oracle for [[bpeMerges]]: the merge loop unrolled into one
+    * CTE chain per round (the same generated-constant discipline as the
+    * q30 hyperplane oracle — the ALGORITHM is replayed, not the
+    * output).
+    */
+  def bpeMergesOracleSql(n: Int): String = {
+    val unions = (1 to n).map(k =>
+      s"SELECT $k AS merge_rank, l AS lhs, r AS rhs, l || r AS merged, c AS pair_count FROM b$k")
+      .mkString("\n        UNION ALL ")
+    s"""
+      WITH ${bpeVocabSql("")},
+      ${bpeStagesSql(n, "")}
       SELECT * FROM (
         $unions
       ) m ORDER BY merge_rank"""
+  }
+
+  // ── BPE application (encode under the learned merges) ──────────────
+  //
+  // q115 learns the table; this applies it — the fertility audit a
+  // tokenizer build runs before committing (tokens/word under the
+  // LEARNED vocab, vs q28's fixed-regex proxy). The corpus is never
+  // re-tokenized row by row: merges act on the distinct-word
+  // vocabulary (the same n rounds as training — replay, not storage),
+  // the per-word symbol count is read off the final vocab, and the
+  // corpus joins to that vocab-sized frame on the word key.
+
+  /** Per-source token counts under the first `n` learned BPE merges:
+    * (source, n_words, bpe_tokens, tokens_per_word). Same
+    * one-corpus-scan + n vocab-sized-rounds shape as [[bpeMerges]];
+    * the final encode is a (source, word)-collapsed join against the
+    * vocab-sized symbol-count frame — corpus text never moves twice.
+    */
+  def bpeEncodedCounts(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, srcCol: String, n: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val ss = BpeSep + BpeSep
+    val cached = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("w"),
+        concat(lit(BpeSep),
+          array_join(filter(split(col("w"), ""), x => x =!= ""), ss),
+          lit(ss + "</w>" + BpeSep)).as("s"),
+        col("cnt"))
+      .cache()
+    cached.count()
+    var vocab: org.apache.spark.sql.DataFrame = cached
+    try {
+      for (_ <- 1 to n) {
+        val best = bpePairs(vocab)
+          .orderBy(col("c").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (best.nonEmpty) {
+          val (l, r) = (best(0).getString(0), best(0).getString(1))
+          val pat = lit(BpeSep + l + BpeSep + BpeSep + r + BpeSep)
+          vocab = vocab.withColumn("s",
+            call_function("replace", col("s"), pat,
+              lit(BpeSep + l + r + BpeSep)))
+        }
+      }
+      val perWord = vocab.select(col("w"),
+        size(split(substring(col("s"), lit(2), length(col("s")) - 2),
+          BpeSep + BpeSep)).cast("long").as("toks"))
+      docs.select(col(srcCol).as("source"),
+          explode(split(col(textCol), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("k"))
+        .join(perWord, "w")
+        .groupBy(col("source"))
+        .agg(sum(col("k")).as("n_words"),
+          sum(col("k") * col("toks")).as("bpe_tokens"))
+        .withColumn("tokens_per_word",
+          col("bpe_tokens").cast("double") / col("n_words").cast("double"))
+        .orderBy(col("source"))
+    } finally cached.unpersist(false)
+  }
+
+  /** DuckDB oracle for [[bpeEncodedCounts]]: the same unrolled merge
+    * chain (word key carried through) plus the encode join.
+    */
+  def bpeEncodeOracleSql(n: Int): String = {
+    val sep = "chr(31)"
+    val ss = s"$sep || $sep"
+    s"""
+      WITH ${bpeVocabSql("w, ")},
+      ${bpeStagesSql(n, "w, ")},
+      pw AS (SELECT w, CAST(len(string_split(substr(s, 2, length(s) - 2),
+                  $ss)) AS BIGINT) AS toks
+             FROM v$n),
+      sw AS (SELECT source, w, COUNT(*) AS k FROM (
+               SELECT source, unnest(string_split(text, ' ')) AS w
+               FROM documents) t
+             WHERE w <> '' GROUP BY 1, 2)
+      SELECT source, CAST(SUM(k) AS BIGINT) AS n_words,
+             CAST(SUM(k * toks) AS BIGINT) AS bpe_tokens,
+             CAST(SUM(k * toks) AS BIGINT)::DOUBLE
+               / CAST(SUM(k) AS BIGINT) AS tokens_per_word
+      FROM sw JOIN pw USING (w)
+      GROUP BY source ORDER BY source"""
   }
 }

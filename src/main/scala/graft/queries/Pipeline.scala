@@ -3515,6 +3515,21 @@ object Pipeline {
       TextOps.bpeMerges(Tables(spark, dir, "documents"), "text", 8),
     Some(TextOps.bpeMergesOracleSql(8)))
 
+  /** Tokenizer APPLICATION — the q115 table put to work: per-source
+    * token counts under the first 8 learned merges (the fertility
+    * audit that decides whether a vocab is worth committing; q28's
+    * fixed-regex proxy, replaced by the corpus's own learned vocab).
+    * Merges replay on the distinct-word vocabulary exactly as in
+    * training; the corpus then joins word→symbol-count on the vocab-
+    * sized frame — text is scanned, never re-tokenized per row.
+    */
+  val q145 = Q(
+    "q145_bpe_encode",
+    (spark, dir) =>
+      TextOps.bpeEncodedCounts(
+        Tables(spark, dir, "documents"), "text", "source", 8),
+    Some(TextOps.bpeEncodeOracleSql(8)))
+
   /** Boilerplate audit: per document, the fraction of its distinct
     * 3-gram shingles that also appear in at least one OTHER document —
     * the C4/RefinedWeb "shared span" signal at audit granularity
@@ -4091,5 +4106,6 @@ object Pipeline {
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q115, q116, q117, q120, q121, q123, q134, q142)
+    q108, q109, q110, q111, q115, q116, q117, q120, q121, q123, q134, q142,
+    q145)
 }

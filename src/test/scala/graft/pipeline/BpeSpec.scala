@@ -54,4 +54,21 @@ class BpeSpec extends SparkSpec {
     assert(m(0) == ((1, "a", "</w>", "a</w>", 3L)))
     assert(m(1)._5 == 1L) // some pair of "bc" with count 1
   }
+
+  test("encode applies the learned merges (q145's per-word symbol counts)") {
+    import org.apache.spark.sql.functions.col
+    // corpus "aaa" x2 (one source): the 3-round trace above ends with
+    // the whole word as ONE symbol aaa</w>, so 3 merges encode each
+    // "aaa" to 1 token; at 2 merges the vocab is [aa, a</w>] → 2;
+    // at 0 merges it's the 4 raw symbols a a a </w>
+    val docs = Seq(("s1", "aaa aaa")).toDF("source", "text")
+    def counts(n: Int): (Long, Long) = {
+      val r = TextOps.bpeEncodedCounts(docs, "text", "source", n)
+        .select(col("n_words"), col("bpe_tokens")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(counts(0) == ((2L, 8L)))
+    assert(counts(2) == ((2L, 4L)))
+    assert(counts(3) == ((2L, 2L)))
+  }
 }
