@@ -566,9 +566,18 @@ object Stress {
         .agg(sum(col("score"))).collect()(0).getLong(0)
       release(spark)
       val t3 = System.nanoTime()
+      // q145: 8 vocab-sized replay rounds + the word-keyed encode
+      // join; replication grows the vocab N× (salted words), so this
+      // measures the rounds' vocab-aggregate cost, not a fixed table
+      val bpe = TextOps.bpeEncodedCounts(
+          docs.withColumn("source", lit("all")), "text", "source", 8)
+        .agg(sum(col("bpe_tokens"))).collect()(0).getLong(0)
+      release(spark)
+      val t4 = System.nanoTime()
       def s(a: Long, b: Long) = f"${(b - a) / 1e9}%7.2f"
       println(f"$tag%-4s boiler=${s(t0, t1)}s hll=${s(t1, t2)}s " +
-        f"dsir=${s(t2, t3)}s [sharedSum=$boiler regs=$hll top20=$dsir]")
+        f"dsir=${s(t2, t3)}s bpeEnc=${s(t3, t4)}s " +
+        f"[sharedSum=$boiler regs=$hll top20=$dsir bpeToks=$bpe]")
     }
     if (stages("audit")) {
       runAudit("warm", base.limit(500))

@@ -2421,8 +2421,81 @@ object Events {
              ROUND(m4 / (m2 * m2), 6) AS kurt_pop
       FROM c ORDER BY event_type"""))
 
+  /** Population covariance + Pearson correlation (ClickHouse
+    * `covarPop`/`corr` analogs): per event_type, between the props
+    * key x = k and the scaled value y = floor(value·64). All five
+    * cross/raw moment sums are exact BIGINTs from ONE keyed aggregate
+    * (x ≤ 99 and y ≤ ~36k keep every sum far inside int64 at fixture
+    * scale); covar and corr are the q141/q144 fixed-order IEEE finale
+    * over those integers, rounded 6 dp, with a NULL guard on zero
+    * variance (sqrt(0) denominators would hang the compare on
+    * inf/NaN form).
+    *
+    * Scale shape: one map-side-partial aggregate to type-sized
+    * summary rows; the finale runs on the summary only.
+    */
+  val q146 = Q(
+    "q146_corr_pop",
+    (spark, dir) => {
+      val g = Tables(spark, dir, "events")
+        .select(col("event_type"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+            .as("x"),
+          floor(col("value") * 64).as("y"))
+        .filter(col("x").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+      val nd = col("n").cast("double")
+      val mx = col("sx").cast("double") / nd
+      val my = col("sy").cast("double") / nd
+      val cov = col("sxy").cast("double") / nd - mx * my
+      val vx = col("sxx").cast("double") / nd - mx * mx
+      val vy = col("syy").cast("double") / nd - my * my
+      g.select(col("event_type"), col("n"), col("sx"), col("sy"),
+          col("sxx"), col("syy"), col("sxy"),
+          round(cov, 6).as("covar_pop"),
+          when(vx * vy === 0.0, lit(null).cast("double"))
+            .otherwise(round(cov / sqrt(vx * vy), 6)).as("corr"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(regexp_extract(props, '"k": (\d+)', 1)
+                             AS BIGINT) AS x,
+                        CAST(FLOOR(value * 64) AS BIGINT) AS y
+                 FROM events
+                 WHERE regexp_extract(props, '"k": (\d+)', 1) IS NOT NULL
+                   AND regexp_extract(props, '"k": (\d+)', 1) <> ''),
+      g AS (SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM e GROUP BY 1),
+      m AS (SELECT event_type, n, sx, sy, sxx, syy, sxy,
+                   CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cov,
+                   CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS vx,
+                   CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS vy
+            FROM g)
+      SELECT event_type, n, sx, sy, sxx, syy, sxy,
+             ROUND(cov, 6) AS covar_pop,
+             CASE WHEN vx * vy = 0.0 THEN NULL
+                  ELSE ROUND(cov / SQRT(vx * vy), 6) END AS corr
+      FROM m ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
     q122, q124, q125, q126, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q143, q144)
+    q137, q138, q139, q140, q141, q143, q144, q146)
 }

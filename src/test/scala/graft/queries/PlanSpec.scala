@@ -104,10 +104,12 @@ class PlanSpec extends SparkSpec {
       "expected the candidate window to partition by (event_type, bucket)")
   }
 
-  test("q144: moment sums are ONE keyed aggregate — no window, no join") {
-    val p = plan(Events.q144)
-    assert(!p.contains("Window"), s"q144 plans a Window:\n$p")
-    assert(!p.contains("Join"), s"q144 plans a join:\n$p")
+  test("q144/q146: moment sums are ONE keyed aggregate — no window, no join") {
+    Seq(Events.q144, Events.q146).foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"${q.name} plans a Window:\n$p")
+      assert(!p.contains("Join"), s"${q.name} plans a join:\n$p")
+    }
   }
 
   test("q63: both slice predicates are pushed to the z-layout scan") {
