@@ -2494,8 +2494,73 @@ object Events {
                   ELSE ROUND(cov / SQRT(vx * vy), 6) END AS corr
       FROM m ORDER BY event_type"""))
 
+  /** Per-type value trend (ClickHouse `simpleLinearRegression` analog,
+    * x = time): slope and intercept of v = floor(value·64) regressed
+    * on the absolute DAY index x = ts_ns div 86400e9 — the monitoring
+    * "is this metric drifting?" regression. The day grain keeps
+    * Σx² exact in BIGINT (epoch-seconds x² would overflow at two
+    * rows); slope/intercept are the q146 finale over the same five
+    * sums (slope = cov/var(x)), NULL when all of a type's events land
+    * on one day.
+    *
+    * Scale shape: one map-side-partial aggregate to type-sized rows.
+    */
+  val q147 = Q(
+    "q147_linreg_trend",
+    (spark, dir) => {
+      val g = Tables(spark, dir, "events")
+        .select(col("event_type"),
+          expr("ts_ns div 86400000000000").as("x"),
+          floor(col("value") * 64).as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+      val nd = col("n").cast("double")
+      val mx = col("sx").cast("double") / nd
+      val my = col("sy").cast("double") / nd
+      val cov = col("sxy").cast("double") / nd - mx * my
+      val vx = col("sxx").cast("double") / nd - mx * mx
+      val slope = cov / vx
+      g.select(col("event_type"), col("n"), col("sx"), col("sy"),
+          col("sxx"), col("sxy"),
+          when(vx === 0.0, lit(null).cast("double"))
+            .otherwise(round(slope, 6)).as("slope_per_day"),
+          when(vx === 0.0, lit(null).cast("double"))
+            .otherwise(round(my - slope * mx, 6)).as("intercept"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (SELECT event_type,
+                        epoch_us(ts) // 86400000000 AS x,
+                        CAST(FLOOR(value * 64) AS BIGINT) AS y
+                 FROM events),
+      g AS (SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM e GROUP BY 1),
+      m AS (SELECT event_type, n, sx, sy, sxx, sxy,
+                   CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cov,
+                   CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS vx,
+                   CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+                   CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my
+            FROM g)
+      SELECT event_type, n, sx, sy, sxx, sxy,
+             CASE WHEN vx = 0.0 THEN NULL
+                  ELSE ROUND(cov / vx, 6) END AS slope_per_day,
+             CASE WHEN vx = 0.0 THEN NULL
+                  ELSE ROUND(my - (cov / vx) * mx, 6) END AS intercept
+      FROM m ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
     q122, q124, q125, q126, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q143, q144, q146)
+    q137, q138, q139, q140, q141, q143, q144, q146, q147)
 }

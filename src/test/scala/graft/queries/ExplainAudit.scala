@@ -28,7 +28,8 @@ class ExplainAudit extends SparkSpec {
         "q139" -> Events.q139, "q140" -> Events.q140,
         "q141" -> Events.q141, "q143" -> Events.q143,
         "q144" -> Events.q144, "q145" -> Pipeline.q145,
-        "q146" -> Events.q146).foreach { case (n, q) =>
+        "q146" -> Events.q146, "q147" -> Events.q147)
+        .foreach { case (n, q) =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$n has a cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$n has a nested loop:\n$p")

@@ -104,8 +104,8 @@ class PlanSpec extends SparkSpec {
       "expected the candidate window to partition by (event_type, bucket)")
   }
 
-  test("q144/q146: moment sums are ONE keyed aggregate — no window, no join") {
-    Seq(Events.q144, Events.q146).foreach { q =>
+  test("q144/q146/q147: moment sums are ONE keyed aggregate — no window, no join") {
+    Seq(Events.q144, Events.q146, Events.q147).foreach { q =>
       val p = plan(q)
       assert(!p.contains("Window"), s"${q.name} plans a Window:\n$p")
       assert(!p.contains("Join"), s"${q.name} plans a join:\n$p")
