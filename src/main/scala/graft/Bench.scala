@@ -395,23 +395,32 @@ object Bench {
         s""","load1":${String.format(java.util.Locale.ROOT, "%.2f",
           Double.box(loadAtStart))}"""
       else ""
-    def record(queriesJson: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$queriesJson,"failed":$fs$ingestJson$wireJson$grpcJson$jdbcJson$zorderJson$landedJson$loadJson,"sf":"$sfJson"}"""
+    def record(queriesJson: String, extras: Boolean): String = {
+      val x = if (extras) s"$zorderJson$landedJson" else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$queriesJson,"failed":$fs$ingestJson$wireJson$grpcJson$jdbcJson$x$loadJson,"sf":"$sfJson"}"""
+    }
     // The harness keeps only the LAST ~2000 stdout chars; a record
     // past that arrives decapitated (the BENCH_r04-r08 failure mode).
-    // If surface growth ever pushes the 2-dp line over the safe
-    // margin, degrade the per-query block to 1 dp (still seconds)
-    // rather than lose the record's head.
+    // Degradation ladder as the surface grows: 2-dp per-query → 1-dp
+    // per-query → 1-dp WITHOUT the zorder/landed extras (they are
+    // beyond the driver contract; the full values still go to stderr).
     val line = {
-      val at2 = record(qs)
+      def r1(v: Double): Double = math.rint(v * 10) / 10
+      lazy val qs1 = results.map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + r1(v) }
+        .mkString("{", ",", "}")
+      val at2 = record(qs, extras = true)
+      lazy val at1 = record(qs1, extras = true)
       if (at2.length <= 1950) at2
-      else {
-        def r1(v: Double): Double = math.rint(v * 10) / 10
+      else if (at1.length <= 1950) {
         System.err.println(s"[bench] record ${at2.length} chars > 1950 — " +
           "per-query keys degraded to 1 dp for stdout-capture safety")
-        record(results.map { case (k, v) =>
-          "\"" + k.takeWhile(_ != '_') + "\":" + r1(v) }
-          .mkString("{", ",", "}"))
+        at1
+      } else {
+        System.err.println(s"[bench] record ${at1.length} chars > 1950 " +
+          "even at 1 dp — dropping the zorder/landed extras " +
+          s"(stderr keeps them: zorder=$zorderJson landed=$landedJson)")
+        record(qs1, extras = false)
       }
     }
     println(line)
