@@ -2261,12 +2261,18 @@ object Events {
       val ua = va / n1
       val ub = vb / n2
       val se2 = ua + ub
+      // se2 = 0 (both samples constant on a day) would make t_stat
+      // (m1-m2)/sqrt(0) and df 0/0 — Inf/NaN whose serialized text can
+      // diverge cross-engine. NULL them like q146/q147 null zero
+      // variance.
       g.select(col("day"), col("n_c"), col("n_v"), col("s_c"), col("s_v"),
           col("ss_c"), col("ss_v"),
-          round((m1 - m2) / sqrt(se2), 6).as("t_stat"),
-          round(se2 * se2 /
-            (ua * ua / (col("n_c") - 1).cast("double") +
-             ub * ub / (col("n_v") - 1).cast("double")), 6).as("df"))
+          when(se2 === 0.0, lit(null).cast("double"))
+            .otherwise(round((m1 - m2) / sqrt(se2), 6)).as("t_stat"),
+          when(se2 === 0.0, lit(null).cast("double"))
+            .otherwise(round(se2 * se2 /
+              (ua * ua / (col("n_c") - 1).cast("double") +
+               ub * ub / (col("n_v") - 1).cast("double")), 6)).as("df"))
         .orderBy(col("day"))
   }
 
@@ -2304,12 +2310,15 @@ object Events {
                     / CAST(n_v - 1 AS DOUBLE)) / CAST(n_v AS DOUBLE) AS ub
             FROM g)
       SELECT day, n_c, n_v, s_c, s_v, ss_c, ss_v,
-             ROUND((CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)
-                    - CAST(s_v AS DOUBLE) / CAST(n_v AS DOUBLE))
-                   / SQRT(ua + ub), 6) AS t_stat,
-             ROUND((ua + ub) * (ua + ub)
-                   / (ua * ua / CAST(n_c - 1 AS DOUBLE)
-                      + ub * ub / CAST(n_v - 1 AS DOUBLE)), 6) AS df
+             CASE WHEN ua + ub = 0.0 THEN NULL
+                  ELSE ROUND((CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)
+                              - CAST(s_v AS DOUBLE) / CAST(n_v AS DOUBLE))
+                             / SQRT(ua + ub), 6) END AS t_stat,
+             CASE WHEN ua + ub = 0.0 THEN NULL
+                  ELSE ROUND((ua + ub) * (ua + ub)
+                             / (ua * ua / CAST(n_c - 1 AS DOUBLE)
+                                + ub * ub / CAST(n_v - 1 AS DOUBLE)), 6)
+             END AS df
       FROM m ORDER BY day"""))
 
   /** Weighted heavy hitters (ClickHouse `topKWeighted` analog): the
@@ -2389,10 +2398,15 @@ object Events {
       val m3 = q3 - lit(3.0) * m * q2 + lit(2.0) * m * m * m
       val m4 = q4 - lit(4.0) * m * q3 + lit(6.0) * m * m * q2 -
         lit(3.0) * m * m * m * m
+      // m2 = 0 (a type whose floor(value) is constant) would divide by
+      // zero into NaN/Inf with engine-dependent text forms — the q146
+      // zero-variance NULL guard applies here too.
       g.select(col("event_type"), col("n"), col("s1"), col("s2"),
           col("s3"), col("s4"),
-          round(m3 / (m2 * sqrt(m2)), 6).as("skew_pop"),
-          round(m4 / (m2 * m2), 6).as("kurt_pop"))
+          when(m2 === 0.0, lit(null).cast("double"))
+            .otherwise(round(m3 / (m2 * sqrt(m2)), 6)).as("skew_pop"),
+          when(m2 === 0.0, lit(null).cast("double"))
+            .otherwise(round(m4 / (m2 * m2), 6)).as("kurt_pop"))
         .orderBy(col("event_type"))
     },
     Some("""
@@ -2417,8 +2431,10 @@ object Events {
                       - 3.0 * mu * mu * mu * mu AS m4
             FROM m)
       SELECT event_type, n, s1, s2, s3, s4,
-             ROUND(m3 / (m2 * SQRT(m2)), 6) AS skew_pop,
-             ROUND(m4 / (m2 * m2), 6) AS kurt_pop
+             CASE WHEN m2 = 0.0 THEN NULL
+                  ELSE ROUND(m3 / (m2 * SQRT(m2)), 6) END AS skew_pop,
+             CASE WHEN m2 = 0.0 THEN NULL
+                  ELSE ROUND(m4 / (m2 * m2), 6) END AS kurt_pop
       FROM c ORDER BY event_type"""))
 
   /** Population covariance + Pearson correlation (ClickHouse

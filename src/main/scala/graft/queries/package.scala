@@ -15,15 +15,31 @@ package object queries {
       fn: (SparkSession, String) => DataFrame,
       oracle: Option[String])
 
+  /** Above 2^53 a double's spacing exceeds 1, and the double→decimal
+    * conversion behind [[dsum]] is only PROVEN bit-identical to the
+    * oracle's below that magnitude (q144 chose unit buckets for exactly
+    * this reason). The guard turns a silent cross-engine drift into a
+    * loud per-row error: widen to an exact decimal source first.
+    */
+  val dsumExactMax: Double = 9007199254740992.0 // 2^53
+
   /** Sum doubles exactly and deterministically across engines: accumulate
     * in decimal (associative, order-independent), convert to double once.
     * A plain double sum is order-dependent and would hash-mismatch the
     * oracle, whose partial-aggregation order differs from Spark's.
     * Scale 6 covers every derived value in the testdata (prices are 2 dp,
     * price*(1-disc)*(1+tax) is 6 dp), so the cast never rounds near a
-    * decimal midpoint.
+    * decimal midpoint. Inputs past [[dsumExactMax]] raise instead of
+    * converting (one codegen'd compare per row; NULLs pass through to
+    * the sum's usual NULL handling).
     */
-  def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+  def dsum(c: Column): Column =
+    sum(when(c.isNull || abs(c) <= dsumExactMax, c)
+      .otherwise(raise_error(concat(
+        lit("dsum: |value| > 2^53 ("), c.cast("string"),
+        lit(") — double->decimal parity unproven past that bound; " +
+          "use an exact decimal source"))))
+      .cast("decimal(38,6)")).cast("double")
 
   /** Order-stable mean built on [[dsum]]. The count-0 guard turns the
     * degenerate all-NULL/empty group into NULL (the oracle's answer)
