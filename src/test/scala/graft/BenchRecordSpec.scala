@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench-record degradation ladder (VERDICT r11 #2 + ADVICE
+  * r11 #3): every rung must keep the one stdout line under the
+  * harness's ~1950-char capture, the next growth wave (a 160-query
+  * surface) must fit with real slack, and an overflow of even the last
+  * rung must WARN instead of silently printing a decapitated record.
+  */
+class BenchRecordSpec extends AnyFunSuite {
+
+  /** Synthetic surface shaped like the real one: qNN_snake_names with
+    * 1-3 digit numbers and two-digit-second values (worst-ish widths).
+    */
+  private def surface(n: Int): Seq[(String, Double)] =
+    (1 to n).map(i => (f"q$i%02d_some_operator_name", (i % 37) + 0.87))
+
+  private def choose(results: Seq[(String, Double)],
+      warnings: StringBuilder = new StringBuilder): String =
+    BenchRecord.choose(results, failedJson = "[]",
+      total = results.map(_._2).sum,
+      fixed = ""","ingest":{"rows_per_sec":671234},""" +
+        """"wire_ingest":{"rows_per_sec":1130000},""" +
+        """"grpc_ingest":{"rows_per_sec":668000},""" +
+        """"jdbc_ingest":{"rows_per_sec":55000},"grpc_wire_ratio":0.59""",
+      extras = ""","zorder":[6,53,53,53],"landed":{"q01":[1.86,0.42],""" +
+        """"q03":[1.90,0.55],"q13":[0.80,0.30],"q14":[0.40,0.10],""" +
+        """"q34":[0.40,0.20]}""",
+      tail = ""","load1":0.26,"load_max":0.41,"reps":1,"sf":"/root/testdata/sf0.1"""",
+      warn = m => { warnings ++= m; () })
+
+  test("the current 147-query surface fits (some rung) under the cap") {
+    val r = choose(surface(147))
+    assert(r.length <= BenchRecord.MaxChars)
+    assert(r.startsWith("{\"metric\":\"total\""))
+    assert(r.contains("\"load_max\":0.41"))
+    assert(r.contains("\"grpc_wire_ratio\":0.59"))
+  }
+
+  test("a 160-query surface fits with >= 100 chars of slack") {
+    val r = choose(surface(160))
+    assert(r.length <= BenchRecord.MaxChars - 100,
+      s"record is ${r.length} chars; need <= ${BenchRecord.MaxChars - 100}")
+  }
+
+  test("a small surface stays on the verbose rung: 2 dp + extras, no warning") {
+    val w = new StringBuilder
+    val r = choose(surface(20), w)
+    assert(r.contains("\"zorder\":"))
+    assert(r.contains("\"q01\":"))
+    assert(w.isEmpty)
+  }
+
+  test("rungs strip prefixes before dropping queries; drops are marked") {
+    // find the first size where queries get dropped, and check the
+    // q_dropped marker plus warning appear — and that at 200 queries
+    // stripped keys (rung 4) are tried before dropping
+    val w200 = new StringBuilder
+    val r200 = choose(surface(200), w200)
+    assert(r200.length <= BenchRecord.MaxChars)
+    if (r200.contains("\"q_dropped\":")) assert(w200.nonEmpty)
+    val w400 = new StringBuilder
+    val r400 = choose(surface(400), w400)
+    assert(r400.length <= BenchRecord.MaxChars)
+    assert(r400.contains("\"q_dropped\":370"))
+    assert(w400.nonEmpty)
+  }
+
+  test("every rung emits valid JSON with the fixed blocks intact") {
+    for (n <- Seq(10, 147, 160, 200, 400)) {
+      val r = choose(surface(n))
+      // cheap structural checks (no JSON lib on the test classpath):
+      // balanced braces, the trailing sf key, one top-level object
+      assert(r.count(_ == '{') == r.count(_ == '}'), s"n=$n braces")
+      assert(r.endsWith("\"sf\":\"/root/testdata/sf0.1\"}"), s"n=$n tail")
+      assert(r.contains("\"failed\":[]"), s"n=$n failed")
+    }
+  }
+}
