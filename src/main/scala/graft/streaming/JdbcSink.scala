@@ -36,19 +36,45 @@ import org.apache.spark.sql.{DataFrame, Row}
   */
 object JdbcSink {
 
+  /** Delimit a column name only when it is not a plain identifier —
+    * the Nested flatten's `tags.key`/`tags.value` names
+    * (`clickhouse_table.go:183-201`) need ANSI double quotes, while
+    * plain names stay unquoted so tables created with undelimited DDL
+    * (case-folded by the engine) keep matching.
+    */
+  private def ident(name: String): String =
+    if (name.forall(c => c.isLetterOrDigit || c == '_') &&
+        name.headOption.exists(c => c.isLetter || c == '_')) name
+    else "\"" + name.replace("\"", "\"\"") + "\""
+
   /** `INSERT INTO t (c1,…) VALUES (?,…)` — mirror of the reference's
     * cached insert query (clickhouse_table.go:87-111), built once and
     * reused for every batch.
     */
   def insertSql(table: String, cols: Seq[String]): String =
-    s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+    s"INSERT INTO $table (${cols.map(ident).mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
 
-  /** ANSI-ish DDL for a scalar Spark schema (+ the batch_key column),
-    * for creating the landing table on engines like Derby/Postgres.
-    * Array columns are deliberately rejected here: their SQL mapping
-    * is driver-specific (ClickHouse's JDBC driver takes them straight
-    * through setObject; ANSI engines need a serialization the caller
-    * must choose) — the one remaining dialect seam of the D5 path.
+  /** The array dialect seam (VERDICT r11 #3; reference parity
+    * `clickhouse_table.go:375-377`, `examples/finnhub.sql:6`
+    * `tradeConditions Array(LowCardinality(String))`, and the Nested
+    * map flatten's two parallel arrays `clickhouse_table.go:183-201`):
+    * engines whose JDBC drivers take java arrays straight through
+    * `setObject` get them natively; every ANSI engine without array
+    * columns (Derby, the test twin) lands Array(T) as canonical JSON
+    * text — `to_json` on the write side, `from_json` the exact inverse
+    * on read-back for the binder's scalar element types.
+    */
+  val nativeArrayUrlPrefixes: Seq[String] =
+    Seq("jdbc:clickhouse:", "jdbc:ch:", "jdbc:postgresql:")
+  def arraysNative(url: String): Boolean =
+    nativeArrayUrlPrefixes.exists(url.startsWith)
+
+  /** ANSI-ish DDL for a Spark schema (+ the batch_key column), for
+    * creating the landing table on engines like Derby/Postgres. Array
+    * columns map to the JSON-text serialization column (see
+    * [[arraysNative]]); native-array engines own their DDL — the
+    * reference never creates tables either, it introspects ones the
+    * engine already has (`clickhouse_cluster.go:74-91`).
     */
   def ddlFor(table: String, schema: org.apache.spark.sql.types.StructType,
       keyCol: String = "batch_key"): String = {
@@ -66,12 +92,49 @@ object JdbcSink {
       case TimestampType => "TIMESTAMP"
       case DateType => "DATE"
       case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      // JSON text of an Array(T) column; 32672 is Derby's VARCHAR cap
+      case ArrayType(e, _) if sqlType(e) != null => "VARCHAR(32672)"
       case other => throw new IllegalArgumentException(
         s"no generic JDBC mapping for $other — dialect-specific (see scaladoc)")
     }
     val cols = schema.fields.map(f =>
-      s"${f.name} ${sqlType(f.dataType)}${if (f.nullable) "" else " NOT NULL"}")
+      s"${ident(f.name)} ${sqlType(f.dataType)}${if (f.nullable) "" else " NOT NULL"}")
     s"CREATE TABLE $table ($keyCol VARCHAR(64) NOT NULL, ${cols.mkString(", ")})"
+  }
+
+  /** Write-side half of the ANSI arm: Array(T) columns → canonical
+    * JSON text via `to_json` (codegen'd, runs where the rows are — the
+    * serialization never visits the driver). Scalar columns pass
+    * through untouched.
+    */
+  def serializeArrays(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.to_json
+    import org.apache.spark.sql.types.ArrayType
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        // df(name) resolves dotted Nested names (tags.key) exactly
+        case _: ArrayType => to_json(df(s"`${f.name}`")).as(f.name)
+        case _ => df(s"`${f.name}`")
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Read-back inverse of [[serializeArrays]]: parse the JSON-text
+    * columns back to `target`'s array types (exact for the binder's
+    * long/string element types — the round-trip the spec pins).
+    */
+  def parseArrays(df: DataFrame,
+      target: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.from_json
+    import org.apache.spark.sql.types.ArrayType
+    val cols = target.fields.map { f =>
+      f.dataType match {
+        case a: ArrayType => from_json(df(s"`${f.name}`"), a).as(f.name)
+        case _ => df(s"`${f.name}`")
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
   }
 
   /** Connection pool with checkout/ping/evict/limit semantics —
@@ -174,7 +237,7 @@ object JdbcSink {
     */
   def writeBatch(pool: Pool, table: String, cols: Seq[String],
       batchKey: String, rows: Iterator[Seq[Any]],
-      keyCol: String = "batch_key"): Int = {
+      keyCol: String = "batch_key", nativeArrays: Boolean = false): Int = {
     val conn = pool.get()
     var committed = false
     var n = 0
@@ -189,7 +252,19 @@ object JdbcSink {
           stmt.setString(1, batchKey)
           var i = 0
           while (i < row.length) {
-            stmt.setObject(i + 2, row(i).asInstanceOf[AnyRef])
+            row(i) match {
+              // the Spark entry serializes arrays before rows reach
+              // here (serializeArrays); this arm covers direct callers
+              // handing Seq cells: native drivers take a java array
+              // through setObject, ANSI engines get the same JSON text
+              // the to_json arm writes
+              case s: scala.collection.Seq[_] =>
+                if (nativeArrays)
+                  stmt.setObject(i + 2,
+                    s.map(_.asInstanceOf[AnyRef]).toArray[AnyRef])
+                else stmt.setString(i + 2, jsonArrayText(s))
+              case v => stmt.setObject(i + 2, v.asInstanceOf[AnyRef])
+            }
             i += 1
           }
           stmt.executeUpdate()
@@ -230,15 +305,42 @@ object JdbcSink {
     */
   def sinkBatch(df: DataFrame, batchId: Long, url: String,
       table: String): Unit = {
-    val cols = df.columns.toSeq
-    df.rdd.foreachPartition { (it: Iterator[Row]) =>
+    // dialect arm: serialize Array(T) columns to JSON text for ANSI
+    // engines BEFORE rows leave Spark (codegen, executor-side); native
+    // drivers get the arrays untouched
+    val native = arraysNative(url)
+    val out = if (native) df else serializeArrays(df)
+    val cols = out.columns.toSeq
+    out.rdd.foreachPartition { (it: Iterator[Row]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val pool = new Pool(url, 1)
       try {
         writeBatch(pool, table, cols, s"$batchId:$pid",
-          it.map(_.toSeq))
+          it.map(_.toSeq), nativeArrays = native)
         ()
       } finally pool.close()
     }
   }
+
+  /** JSON text of one array cell, matching `to_json`'s canonical form
+    * (no spaces, JSON string escaping, numbers/booleans raw) so direct
+    * writeBatch callers and the Spark entry land byte-identical text.
+    */
+  private[streaming] def jsonArrayText(s: scala.collection.Seq[_]): String =
+    s.map {
+      case null => "null"
+      case v: String =>
+        val b = new StringBuilder("\"")
+        v.foreach {
+          case '"' => b ++= "\\\""
+          case '\\' => b ++= "\\\\"
+          case '\n' => b ++= "\\n"
+          case '\r' => b ++= "\\r"
+          case '\t' => b ++= "\\t"
+          case c if c < ' ' => b ++= f"\\u${c.toInt}%04x"
+          case c => b += c
+        }
+        (b += '"').result()
+      case v => v.toString
+    }.mkString("[", ",", "]")
 }

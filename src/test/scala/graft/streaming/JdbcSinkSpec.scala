@@ -204,6 +204,79 @@ class JdbcSinkSpec extends SparkSpec {
     assert(countRows("t_spark") === 41L)
   }
 
+  test("array columns land through the ANSI dialect arm and round-trip " +
+      "exactly (VERDICT r11 #3 — the finnhub/example table shape)") {
+    // tradeConditions Array(String) (examples/finnhub.sql:6) plus the
+    // Nested map flatten's parallel arrays (clickhouse_table.go:183-201)
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    withConn { c =>
+      val st = c.createStatement()
+      try st.execute("DROP TABLE t_arr") catch { case _: SQLException => () }
+      st.close()
+    }
+    val df = Seq(
+      (1L, Seq("T", "I"), Seq("k0", "k1"), Seq(10L, 11L)),
+      (2L, Seq.empty[String], Seq.empty[String], Seq.empty[Long]),
+      (3L, Seq("a\"b", "c\\d", "e\nf"), Seq("k"), Seq(-7L)))
+      .toDF("trade_id", "tradeConditions", "tags_key", "tags_value")
+    // the landing DDL comes from the drain's own schema — arrays map
+    // to the JSON text column
+    val ddl = JdbcSink.ddlFor("t_arr", df.schema)
+    assert(ddl.contains("tradeConditions VARCHAR(32672)"))
+    withConn(c => { val st = c.createStatement(); st.execute(ddl); st.close() })
+    JdbcSink.sinkBatch(df, batchId = 1L, url, "t_arr")
+    // replay converges (the idempotence contract holds for arrays too)
+    JdbcSink.sinkBatch(df, batchId = 1L, url, "t_arr")
+    val back = JdbcSink.parseArrays(
+      spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "t_arr").load()
+        .select("trade_id", "tradeConditions", "tags_key", "tags_value"),
+      df.schema)
+    val got = back.orderBy(col("trade_id")).collect()
+    val want = df.orderBy(col("trade_id")).collect()
+    assert(got.length === 3)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) === w.getLong(0))
+      assert(g.getSeq[String](1) === w.getSeq[String](1))
+      assert(g.getSeq[String](2) === w.getSeq[String](2))
+      assert(g.getSeq[Long](3) === w.getSeq[Long](3))
+    }
+  }
+
+  test("direct writeBatch Seq cells serialize to the same JSON text as " +
+      "the Spark to_json arm") {
+    import spark.implicits._
+    withConn { c =>
+      val st = c.createStatement()
+      try st.execute("DROP TABLE t_arr2") catch { case _: SQLException => () }
+      st.close()
+    }
+    val df = Seq((1L, Seq("x\"y", "z\\w", "p\tq", ""), Seq(1L, -2L)))
+      .toDF("id", "ss", "vs")
+    withConn { c =>
+      val st = c.createStatement()
+      st.execute(JdbcSink.ddlFor("t_arr2", df.schema)); st.close()
+    }
+    // leg A: the Spark arm (to_json)
+    JdbcSink.sinkBatch(df, batchId = 1L, url, "t_arr2")
+    // leg B: a direct caller handing Seq cells to writeBatch
+    val pool = new JdbcSink.Pool(url, 1)
+    try JdbcSink.writeBatch(pool, "t_arr2", Seq("id", "ss", "vs"), "direct",
+      Iterator(Seq[Any](1L, Seq("x\"y", "z\\w", "p\tq", ""),
+        Seq(1L, -2L))))
+    finally pool.close()
+    val texts = withConn { c =>
+      val rs = c.createStatement()
+        .executeQuery("SELECT ss, vs FROM t_arr2 ORDER BY batch_key")
+      val b = scala.collection.mutable.Buffer.empty[(String, String)]
+      while (rs.next()) b += ((rs.getString(1), rs.getString(2)))
+      b.toSeq
+    }
+    assert(texts.size === 2)
+    assert(texts(0) === texts(1), "both arms must write identical JSON text")
+  }
+
   test("writeStream.foreachBatch lands micro-batches transactionally") {
     freshTable("t_stream")
     import spark.implicits._
