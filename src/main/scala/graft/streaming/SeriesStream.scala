@@ -239,11 +239,13 @@ object SeriesStream {
     * are EXACT without any watermark — a replayed endpoint merges to
     * itself, an out-of-order one simply takes its place. State is two
     * triples PER KEY; the (type, day) key space grows one key per day
-    * per type, kept NoTimeout here so arbitrarily late replays stay
-    * exact. A deployment that prefers bounded keys evicts closed days
-    * with an event-time timeout — at the cost of a late arrival past
-    * the eviction recreating a partial (wrong-endpoint) row, the
-    * usual lateness/state trade the exact legs above avoid.
+    * per type. [[boundingRatio]] keeps NoTimeout so arbitrarily late
+    * replays stay exact; [[boundingRatioEvicting]] is the bounded-key
+    * deployment shape (VERDICT r11 #6): closed days evict at the
+    * event-time watermark, state is O(types × days inside the
+    * horizon) forever — at the cost of an arrival later than the
+    * declared watermark recreating a partial (wrong-endpoint) row,
+    * exactly the lateness contract the watermark declares.
     */
   case class BrSt(fT: Long, fE: Long, fV: Long,
       lT: Long, lE: Long, lV: Long)
@@ -286,6 +288,54 @@ object SeriesStream {
   def startBoundingRatio(events: Dataset[BEv])(
       sink: (DataFrame, Long) => Unit): StreamingQuery =
     boundingRatio(events).writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(sink)
+      .start()
+
+  /** Bounded-key live q140: a (type, day) group EVICTS once the
+    * event-time watermark passes the end of its day — the group is
+    * final by the watermark contract (no arrival below the watermark),
+    * so the last emitted row already carries the exact endpoints and
+    * the state slot is reclaimed. Requires `events` to carry a
+    * watermark on an event-time column; state is O(types × watermark
+    * horizon in days) no matter how many days the stream spans.
+    */
+  def boundingRatioEvicting(events: Dataset[BEv]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(e => (e.event_type, e.day))
+      .mapGroupsWithState[BrSt, (String, String, Long, Long)](
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, String), it: Iterator[BEv],
+            state: GroupState[BrSt]) =>
+          if (state.hasTimedOut) {
+            // the watermark passed end-of-day: re-emit the final exact
+            // row and reclaim the slot
+            val s = state.get
+            state.remove()
+            (key._1, key._2, s.lV - s.fV, s.lT - s.fT)
+          } else {
+            val (next, (dv, dt)) = brAdvance(state.getOption,
+              it.map(e => (e.t_us, e.event_id, e.v)).toSeq)
+            state.update(next)
+            val endOfDayMs = java.time.LocalDate.parse(key._2)
+              .plusDays(1).atStartOfDay(java.time.ZoneOffset.UTC)
+              .toInstant.toEpochMilli
+            // a timeout timestamp must sit above the current watermark
+            // (a late-created group whose day already closed times out
+            // on the next trigger)
+            state.setTimeoutTimestamp(
+              math.max(endOfDayMs, state.getCurrentWatermarkMs() + 1))
+            (key._1, key._2, dv, dt)
+          }
+      }
+      .toDF("event_type", "day", "dv", "dt_us")
+  }
+
+  def startBoundingRatioEvicting(events: Dataset[BEv])(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    boundingRatioEvicting(events).writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch(sink)
       .start()

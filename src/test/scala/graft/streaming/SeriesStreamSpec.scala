@@ -296,6 +296,113 @@ class SeriesStreamSpec extends SparkSpec {
     }
   }
 
+  test("evicting bounding ratio: state pinned to the watermark horizon " +
+      "under a multi-day replay (VERDICT r11 #6)") {
+    import spark.implicits._
+    // 2 types × 6 days, 3 events per group, fed day by day in order so
+    // the watermark marches: without eviction state would hold 12
+    // groups; with it, closed days reclaim and the state operator ends
+    // with only the horizon's worth of rows.
+    val dayUs = 86400000000L
+    val baseUs = 1704067200000000L // 2024-01-01T00:00:00Z in µs — t_us
+    // must MATCH the day strings, or end-of-day timeouts never align
+    // with the watermark the events actually advance
+    def evs(d: Int): Seq[SeriesStream.BEv] =
+      for {
+        tp <- Seq("click", "view")
+        j <- 0 until 3
+      } yield SeriesStream.BEv(tp, f"2024-01-${d + 1}%02d",
+        baseUs + d * dayUs + j * 3600000000L, d * 100L + j,
+        (d * 10 + j).toLong)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SeriesStream.BEv]
+    val ds = ms.toDF()
+      .withColumn("et", timestamp_micros(col("t_us")))
+      .withWatermark("et", "1 second")
+      .as[SeriesStream.BEv]
+    val last =
+      scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+    val sq = SeriesStream.startBoundingRatioEvicting(ds) { (df, _) =>
+      df.collect().foreach(r =>
+        last((r.getString(0), r.getString(1))) =
+          (r.getLong(2), r.getLong(3)))
+    }
+    try {
+      (0 until 6).foreach { d =>
+        ms.addData(evs(d).toIndexedSeq: _*)
+        sq.processAllAvailable()
+      }
+      // every group's LAST emitted row is the exact endpoint delta
+      // (the final re-emit at eviction carries it too)
+      for (d <- 0 until 6; tp <- Seq("click", "view")) {
+        val got = last((tp, f"2024-01-${d + 1}%02d"))
+        assert(got == ((2L, 2 * 3600000000L)),
+          s"($tp, day $d): $got")
+      }
+      // the state operator holds only the un-evicted horizon: far
+      // fewer than the 12 groups the stream created (the NoTimeout
+      // variant would hold all 12 forever)
+      val stateRows = sq.lastProgress.stateOperators
+        .map(_.numRowsTotal).sum
+      assert(stateRows <= 4,
+        s"state holds $stateRows rows; eviction should cap it at the " +
+          "watermark horizon (~2 types x <=2 open days)")
+    } finally sq.stop()
+  }
+
+  test("smAdvance replay behind a batch-id ledger converges exactly once " +
+      "(ADVICE r11 #4 — the documented JdbcRollup pairing)") {
+    // smAdvance counts, so an at-least-once source that redelivers a
+    // batch would double-count — exactly-once is the sink's job. The
+    // documented composition: a SQL ledger claims each batch id with a
+    // primary-key INSERT (JdbcRollup's discipline, ANSI SQLState 23505
+    // on replay); only a successful claim advances the state.
+    val url = "jdbc:derby:memory:smledger;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      try c.createStatement().execute("DROP TABLE sm_ledger")
+      catch { case _: java.sql.SQLException => () }
+      c.createStatement().execute(
+        "CREATE TABLE sm_ledger (batch_id BIGINT NOT NULL PRIMARY KEY)")
+    } finally c.close()
+    def claim(id: Long): Boolean = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.prepareStatement(
+          "INSERT INTO sm_ledger (batch_id) VALUES (?)")
+        try { st.setLong(1, id); st.executeUpdate(); true }
+        catch {
+          case e: java.sql.SQLException if e.getSQLState == "23505" => false
+        } finally st.close()
+      } finally conn.close()
+    }
+    val b1 = Seq((1L, 5L), (2L, 7L))
+    val b2 = Seq((1L, 3L), (9L, -4L))
+    val b3 = Seq((2L, 1L))
+    // at-least-once delivery: batch 2 arrives twice
+    val delivered = Seq((1L, b1), (2L, b2), (2L, b2), (3L, b3))
+    var st = SeriesStream.SmSt(Map.empty)
+    var lastOut = (0L, 0L, "", "")
+    delivered.foreach { case (id, b) =>
+      if (claim(id)) {
+        val (next, out) = SeriesStream.smAdvance(st, b)
+        st = next; lastOut = out
+      }
+    }
+    val (_, once) = SeriesStream.smAdvance(
+      SeriesStream.SmSt(Map.empty), b1 ++ b2 ++ b3)
+    assert(lastOut == once, "ledger-gated replay must equal single fold")
+    // and the hazard is real: WITHOUT the ledger the replay drifts
+    var stNo = SeriesStream.SmSt(Map.empty)
+    var lastNo = (0L, 0L, "", "")
+    delivered.foreach { case (_, b) =>
+      val (next, out) = SeriesStream.smAdvance(stNo, b)
+      stNo = next; lastNo = out
+    }
+    assert(lastNo != once, "unledgered replay double-counts (documented)")
+  }
+
   test("live sweep over fixture events converges to batch q130") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
