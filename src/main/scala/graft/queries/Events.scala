@@ -2575,8 +2575,389 @@ object Events {
                   ELSE ROUND(my - (cov / vx) * mx, 6) END AS intercept
       FROM m ORDER BY event_type"""))
 
+  /** Categorical association between event_type and the props
+    * k-bucket (ClickHouse `cramersV` analog): chi-square over the
+    * contingency table, V = sqrt(chi2 / (N * (min(r,c) - 1))). The
+    * contingency table is ONE keyed aggregate to (type × 10 buckets)
+    * summary rows; row/column totals and N are re-aggregations of that
+    * summary; every join below runs on summary-sized frames. The
+    * per-cell term n²·N/(rt·ct) is a fixed-order double chain over
+    * exact BIGINT counts, QUANTIZED to 6 dp per cell and accumulated
+    * in decimal — summation order can then never change the result
+    * across engines (the defined semantics of this query; absent
+    * cells contribute via the closed form chi2 = Σ_present - N).
+    *
+    * Scale shape: one map-side-partial aggregate to ≤ r·c rows; the
+    * finale never touches facts again.
+    */
+  val q148 = Q(
+    "q148_cramers_v",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "events")
+        .select(col("event_type"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+            .as("k"))
+        .filter(col("k").isNotNull)
+        .select(col("event_type"), expr("k div 10").as("kb"))
+      val cont = e.groupBy(col("event_type"), col("kb"))
+        .agg(count(lit(1)).as("n"))
+      val rt = cont.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("rt"))
+      val ct = cont.groupBy(col("kb")).agg(sum(col("n")).as("ct"))
+      val tot = cont.agg(sum(col("n")).as("big_n"),
+        countDistinct(col("event_type")).as("r_used"),
+        countDistinct(col("kb")).as("c_used"))
+      val cell = cont
+        .join(broadcast(rt), "event_type")
+        .join(broadcast(ct), "kb")
+        .crossJoin(broadcast(tot))
+      val nd = col("n").cast("double")
+      val term = round(
+        nd * nd * col("big_n").cast("double") /
+          (col("rt").cast("double") * col("ct").cast("double")), 6)
+      val s = cell.groupBy(col("big_n"), col("r_used"), col("c_used"))
+        .agg(sum(term.cast("decimal(38,6)")).as("s"))
+      val chi2 = (col("s") - col("big_n").cast("decimal(38,6)"))
+        .cast("double")
+      val minRc = least(col("r_used"), col("c_used")) - 1
+      s.select(col("big_n").as("n"), col("r_used"), col("c_used"),
+          round(chi2, 6).as("chi2"),
+          when(minRc === 0 || col("n") === 0, lit(null).cast("double"))
+            .otherwise(round(sqrt(chi2 /
+              (col("big_n").cast("double") * minRc.cast("double"))), 6))
+            .as("cramers_v"))
+    },
+    Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(regexp_extract(props, '"k": (\d+)', 1)
+                             AS BIGINT) // 10 AS kb
+                 FROM events
+                 WHERE regexp_extract(props, '"k": (\d+)', 1) IS NOT NULL
+                   AND regexp_extract(props, '"k": (\d+)', 1) <> ''),
+      cont AS (SELECT event_type, kb, COUNT(*) AS n FROM e GROUP BY 1, 2),
+      rt AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS rt
+             FROM cont GROUP BY 1),
+      ct AS (SELECT kb, CAST(SUM(n) AS BIGINT) AS ct FROM cont GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS big_n,
+                     COUNT(DISTINCT event_type) AS r_used,
+                     COUNT(DISTINCT kb) AS c_used
+              FROM cont),
+      s AS (SELECT big_n, r_used, c_used,
+                   SUM(CAST(ROUND(CAST(n AS DOUBLE) * n * big_n
+                                  / (CAST(rt AS DOUBLE) * ct), 6)
+                            AS DECIMAL(38,6))) AS s
+            FROM cont
+            JOIN rt USING (event_type)
+            JOIN ct USING (kb)
+            CROSS JOIN tot
+            GROUP BY 1, 2, 3)
+      SELECT big_n AS n, r_used, c_used,
+             ROUND(CAST(s - CAST(big_n AS DECIMAL(38,6)) AS DOUBLE), 6)
+               AS chi2,
+             CASE WHEN LEAST(r_used, c_used) - 1 = 0 OR big_n = 0 THEN NULL
+                  ELSE ROUND(SQRT(
+                    CAST(s - CAST(big_n AS DECIMAL(38,6)) AS DOUBLE)
+                    / (CAST(big_n AS DOUBLE)
+                       * (LEAST(r_used, c_used) - 1))), 6) END AS cramers_v
+      FROM s"""))
+
+  /** Two-sample pooled-variance t (ClickHouse `studentTTest` analog):
+    * the q141 Welch summary sums re-finalized with the pooled
+    * estimator — sp² = ((n1-1)·s1² + (n2-1)·s2²)/(n1+n2-2), t =
+    * (m1-m2)/sqrt(sp²·(1/n1+1/n2)), df = n1+n2-2 EXACT as a BIGINT.
+    * Same zero-variance NULL guard, same one-aggregate scale shape.
+    */
+  val q149 = Q(
+    "q149_student_t",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          col("event_type"), floor(col("value") * 64).as("v"))
+      def side(t: String, pre: String) = Seq(
+        sum(when(col("event_type") === t, 1L).otherwise(0L))
+          .as(s"n_$pre"),
+        sum(when(col("event_type") === t, col("v")).otherwise(0L))
+          .as(s"s_$pre"),
+        sum(when(col("event_type") === t, col("v") * col("v"))
+          .otherwise(0L)).as(s"ss_$pre"))
+      val aggs = side("click", "c") ++ side("view", "v")
+      val g = e.groupBy(col("day"))
+        .agg(aggs.head, aggs.tail: _*)
+        .filter(col("n_c") > 1 && col("n_v") > 1)
+      val n1 = col("n_c").cast("double")
+      val n2 = col("n_v").cast("double")
+      val m1 = col("s_c").cast("double") / n1
+      val m2 = col("s_v").cast("double") / n2
+      val va = (col("ss_c").cast("double") -
+        col("s_c").cast("double") * m1) / (col("n_c") - 1).cast("double")
+      val vb = (col("ss_v").cast("double") -
+        col("s_v").cast("double") * m2) / (col("n_v") - 1).cast("double")
+      val sp2 = ((col("n_c") - 1).cast("double") * va +
+        (col("n_v") - 1).cast("double") * vb) /
+        (col("n_c") + col("n_v") - 2).cast("double")
+      g.select(col("day"), col("n_c"), col("n_v"), col("s_c"), col("s_v"),
+          col("ss_c"), col("ss_v"),
+          when(sp2 === 0.0, lit(null).cast("double"))
+            .otherwise(round((m1 - m2) /
+              sqrt(sp2 * (lit(1.0) / n1 + lit(1.0) / n2)), 6)).as("t_stat"),
+          (col("n_c") + col("n_v") - 2).as("df"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH e AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                        event_type,
+                        CAST(FLOOR(value * 64) AS BIGINT) AS v
+                 FROM events WHERE event_type IN ('click', 'view')),
+      g AS (SELECT day,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_c,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN v
+                                 ELSE 0 END) AS BIGINT) AS s_c,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN v * v
+                                 ELSE 0 END) AS BIGINT) AS ss_c,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_v,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN v
+                                 ELSE 0 END) AS BIGINT) AS s_v,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN v * v
+                                 ELSE 0 END) AS BIGINT) AS ss_v
+            FROM e GROUP BY day
+            HAVING n_c > 1 AND n_v > 1),
+      m AS (SELECT day, n_c, n_v, s_c, s_v, ss_c, ss_v,
+                   (CAST(ss_c AS DOUBLE)
+                    - CAST(s_c AS DOUBLE)
+                      * (CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)))
+                   / CAST(n_c - 1 AS DOUBLE) AS va,
+                   (CAST(ss_v AS DOUBLE)
+                    - CAST(s_v AS DOUBLE)
+                      * (CAST(s_v AS DOUBLE) / CAST(n_v AS DOUBLE)))
+                   / CAST(n_v - 1 AS DOUBLE) AS vb
+            FROM g),
+      p AS (SELECT day, n_c, n_v, s_c, s_v, ss_c, ss_v,
+                   (CAST(n_c - 1 AS DOUBLE) * va
+                    + CAST(n_v - 1 AS DOUBLE) * vb)
+                   / CAST(n_c + n_v - 2 AS DOUBLE) AS sp2
+            FROM m)
+      SELECT day, n_c, n_v, s_c, s_v, ss_c, ss_v,
+             CASE WHEN sp2 = 0.0 THEN NULL
+                  ELSE ROUND((CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)
+                              - CAST(s_v AS DOUBLE) / CAST(n_v AS DOUBLE))
+                             / SQRT(sp2 * (1.0 / CAST(n_c AS DOUBLE)
+                                           + 1.0 / CAST(n_v AS DOUBLE))), 6)
+             END AS t_stat,
+             CAST(n_c + n_v - 2 AS BIGINT) AS df
+      FROM p ORDER BY day"""))
+
+  /** Spearman rank correlation per event_type (ClickHouse `rankCorr`
+    * analog) between the props key x and y = floor(value·64), with
+    * AVERAGE ranks for ties — computed WITHOUT ranking the fact table:
+    * ranks come from the two value HISTOGRAMS (cumulative counts over
+    * summary-sized frames; doubled ranks 2·c_less + c_eq + 1 keep the
+    * tie-average integer-exact), the joint (x, y) histogram carries
+    * the co-occurrence weights, and both rank joins run summary ×
+    * summary. Pearson on the doubled ranks (scale cancels) with exact
+    * BIGINT sums and the fixed-order IEEE finale, NULL on zero rank
+    * variance. The only fact-sized operation is the joint-histogram
+    * aggregate (one shuffle, map-side partial); the windows run over
+    * histograms whose size is bounded by VALUE CARDINALITY (≤100 ×
+    * ≤~36k buckets), not row count — at petabyte rows the shape is
+    * unchanged (product sums widen to decimal(38,0), one line, the
+    * q144 note).
+    */
+  val q150 = Q(
+    "q150_rank_corr",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(spark, dir, "events")
+        .select(col("event_type"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+            .as("x"),
+          floor(col("value") * 64).as("y"))
+        .filter(col("x").isNotNull)
+      def ranks(vc: String, rk: String) = {
+        val h = e.groupBy(col("event_type"), col(vc))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col(vc))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        h.select(col("event_type"), col(vc),
+          (lit(2L) * coalesce(sum(col("c")).over(w), lit(0L)) +
+            col("c") + 1L).as(rk))
+      }
+      val j = e.groupBy(col("event_type"), col("x"), col("y"))
+        .agg(count(lit(1)).as("c"))
+      val sums = j
+        .join(ranks("x", "rx"), Seq("event_type", "x"))
+        .join(ranks("y", "ry"), Seq("event_type", "y"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("c")).as("n"),
+          sum(col("c") * col("rx")).as("sx"),
+          sum(col("c") * col("ry")).as("sy"),
+          sum(col("c") * col("rx") * col("rx")).as("sxx"),
+          sum(col("c") * col("ry") * col("ry")).as("syy"),
+          sum(col("c") * col("rx") * col("ry")).as("sxy"))
+      val nd = col("n").cast("double")
+      val cov = col("sxy").cast("double") / nd -
+        (col("sx").cast("double") / nd) * (col("sy").cast("double") / nd)
+      val vx = col("sxx").cast("double") / nd -
+        (col("sx").cast("double") / nd) * (col("sx").cast("double") / nd)
+      val vy = col("syy").cast("double") / nd -
+        (col("sy").cast("double") / nd) * (col("sy").cast("double") / nd)
+      sums.select(col("event_type"), col("n"),
+          when(vx * vy === 0.0, lit(null).cast("double"))
+            .otherwise(round(cov / sqrt(vx * vy), 6)).as("rho"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(regexp_extract(props, '"k": (\d+)', 1)
+                             AS BIGINT) AS x,
+                        CAST(FLOOR(value * 64) AS BIGINT) AS y
+                 FROM events
+                 WHERE regexp_extract(props, '"k": (\d+)', 1) IS NOT NULL
+                   AND regexp_extract(props, '"k": (\d+)', 1) <> ''),
+      hx AS (SELECT event_type, x, COUNT(*) AS c FROM e GROUP BY 1, 2),
+      rx AS (SELECT event_type, x,
+                    2 * COALESCE(SUM(c) OVER (PARTITION BY event_type
+                                              ORDER BY x
+                                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING), 0)
+                      + c + 1 AS rx
+             FROM hx),
+      hy AS (SELECT event_type, y, COUNT(*) AS c FROM e GROUP BY 1, 2),
+      ry AS (SELECT event_type, y,
+                    2 * COALESCE(SUM(c) OVER (PARTITION BY event_type
+                                              ORDER BY y
+                                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING), 0)
+                      + c + 1 AS ry
+             FROM hy),
+      j AS (SELECT event_type, x, y, COUNT(*) AS c FROM e GROUP BY 1, 2, 3),
+      s AS (SELECT event_type,
+                   CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(c * rx) AS BIGINT) AS sx,
+                   CAST(SUM(c * ry) AS BIGINT) AS sy,
+                   CAST(SUM(c * rx * rx) AS BIGINT) AS sxx,
+                   CAST(SUM(c * ry * ry) AS BIGINT) AS syy,
+                   CAST(SUM(c * rx * ry) AS BIGINT) AS sxy
+            FROM j
+            JOIN rx USING (event_type, x)
+            JOIN ry USING (event_type, y)
+            GROUP BY 1),
+      m AS (SELECT event_type, n,
+                   CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cov,
+                   CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS vx,
+                   CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS vy
+            FROM s)
+      SELECT event_type, n,
+             CASE WHEN vx * vy = 0.0 THEN NULL
+                  ELSE ROUND(cov / SQRT(vx * vy), 6) END AS rho
+      FROM m ORDER BY event_type"""))
+
+  /** Per-key min/max over the bucketed props map (ClickHouse
+    * `minMap`/`maxMap` analogs): q139's aligned-array shape with
+    * min/max in place of sums — ONE keyed aggregate to (type × 10
+    * buckets) summary rows, arrays assembled from ≤10 rows per group,
+    * canonical comma-joined serialization so the driver compare stays
+    * cell-sortable.
+    */
+  val q151 = Q(
+    "q151_min_max_map",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "events")
+        .select(col("event_type"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+            .as("k"),
+          floor(col("value") * 64).as("v"))
+        .filter(col("k").isNotNull)
+        .withColumn("kb", expr("k div 10"))
+      e.groupBy(col("event_type"), col("kb"))
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .groupBy(col("event_type"))
+        .agg(
+          sort_array(collect_list(struct(col("kb"), col("mn"), col("mx"))))
+            .as("a"),
+          count(lit(1)).as("n_keys"))
+        .select(col("event_type"), col("n_keys"),
+          concat_ws(",", expr("transform(a, x -> cast(x.kb as string))"))
+            .as("map_keys"),
+          concat_ws(",", expr("transform(a, x -> cast(x.mn as string))"))
+            .as("map_mins"),
+          concat_ws(",", expr("transform(a, x -> cast(x.mx as string))"))
+            .as("map_maxs"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(regexp_extract(props, '"k": (\d+)', 1)
+                             AS BIGINT) // 10 AS kb,
+                        CAST(FLOOR(value * 64) AS BIGINT) AS v
+                 FROM events
+                 WHERE regexp_extract(props, '"k": (\d+)', 1) IS NOT NULL
+                   AND regexp_extract(props, '"k": (\d+)', 1) <> ''),
+      g AS (SELECT event_type, kb,
+                   CAST(MIN(v) AS BIGINT) AS mn,
+                   CAST(MAX(v) AS BIGINT) AS mx
+            FROM e GROUP BY 1, 2)
+      SELECT event_type, COUNT(*) AS n_keys,
+             string_agg(CAST(kb AS VARCHAR), ',' ORDER BY kb) AS map_keys,
+             string_agg(CAST(mn AS VARCHAR), ',' ORDER BY kb) AS map_mins,
+             string_agg(CAST(mx AS VARCHAR), ',' ORDER BY kb) AS map_maxs
+      FROM g GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** Weighted mean of the props key by event weight (ClickHouse
+    * `avgWeighted` analog): x = k weighted by w = floor(value·64).
+    * Σxw and Σw are exact BIGINTs from ONE keyed aggregate; the mean
+    * is the single final divide, NULL when the weight mass is zero.
+    */
+  val q152 = Q(
+    "q152_avg_weighted",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "events")
+        .select(col("event_type"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+            .as("x"),
+          floor(col("value") * 64).as("w"))
+        .filter(col("x").isNotNull)
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x") * col("w")).as("sxw"),
+          sum(col("w")).as("sw"))
+        .select(col("event_type"), col("n"), col("sxw"), col("sw"),
+          when(col("sw") === 0L, lit(null).cast("double"))
+            .otherwise(round(col("sxw").cast("double") /
+              col("sw").cast("double"), 6)).as("avg_weighted"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(regexp_extract(props, '"k": (\d+)', 1)
+                             AS BIGINT) AS x,
+                        CAST(FLOOR(value * 64) AS BIGINT) AS w
+                 FROM events
+                 WHERE regexp_extract(props, '"k": (\d+)', 1) IS NOT NULL
+                   AND regexp_extract(props, '"k": (\d+)', 1) <> ''),
+      g AS (SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(x * w) AS BIGINT) AS sxw,
+                   CAST(SUM(w) AS BIGINT) AS sw
+            FROM e GROUP BY 1)
+      SELECT event_type, n, sxw, sw,
+             CASE WHEN sw = 0 THEN NULL
+                  ELSE ROUND(CAST(sxw AS DOUBLE) / CAST(sw AS DOUBLE), 6)
+             END AS avg_weighted
+      FROM g ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
     q122, q124, q125, q126, q128, q129, q130, q131, q132, q133, q135, q136,
-    q137, q138, q139, q140, q141, q143, q144, q146, q147)
+    q137, q138, q139, q140, q141, q143, q144, q146, q147, q148, q149, q150,
+    q151, q152)
 }

@@ -13,7 +13,8 @@ class ExplainAudit extends SparkSpec {
   test("top-cost queries contain no cartesian/nested-loop operators") {
     // q80/q94/q96/q97/q98/q101 are deliberately absent: their scoring
     // joins / 1-row stat rides ARE broadcast nested loops (tiny side
-    // × corpus scan), pinned in PlanSpec
+    // × corpus scan), pinned in PlanSpec; q148 likewise rides its
+    // 1-row totals frame across the ≤ r·c contingency summary
     Seq("q03" -> Relational.q03, "q24" -> Pipeline.q24,
         "q30" -> Pipeline.q30, "q59" -> Events.q59,
         "q37" -> Pipeline.q37, "q55" -> Pipeline.q55,
@@ -28,7 +29,9 @@ class ExplainAudit extends SparkSpec {
         "q139" -> Events.q139, "q140" -> Events.q140,
         "q141" -> Events.q141, "q143" -> Events.q143,
         "q144" -> Events.q144, "q145" -> Pipeline.q145,
-        "q146" -> Events.q146, "q147" -> Events.q147)
+        "q146" -> Events.q146, "q147" -> Events.q147,
+        "q149" -> Events.q149, "q150" -> Events.q150,
+        "q151" -> Events.q151, "q152" -> Events.q152)
         .foreach { case (n, q) =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$n has a cartesian:\n$p")

@@ -112,6 +112,48 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q149/q151/q152: single-pass aggregates — no window; q149/q152 no join") {
+    Seq(Events.q149, Events.q152).foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"${q.name} plans a Window:\n$p")
+      assert(!p.contains("Join"), s"${q.name} plans a join:\n$p")
+    }
+    val p151 = plan(Events.q151)
+    assert(!p151.contains("Window") && !p151.contains("Join"),
+      s"q151 must be two stacked aggregates only:\n$p151")
+  }
+
+  test("q148: contingency finale joins BROADCAST summary frames only") {
+    // the contingency table is the one fact-sized aggregate; the
+    // row/col/total attachments must broadcast (summary × summary) —
+    // a sort-merge here would mean a fact-sized frame leaked through
+    val p = plan(Events.q148)
+    assert(p.contains("BroadcastHashJoin"), s"q148 totals not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q148 sort-merges a summary:\n$p")
+  }
+
+  test("q150: rank windows run over HISTOGRAMS, never over the fact table") {
+    // every WindowExec's input subtree must already contain an
+    // aggregate (the value histogram) — ranks are computed on
+    // cardinality-bounded summaries, not by sorting facts
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val windows = try {
+      Events.q150.fn(spark, sf).queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    assert(windows.nonEmpty, "q150 expected rank windows")
+    windows.foreach { w =>
+      val hasAgg = w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      }.nonEmpty
+      assert(hasAgg, s"q150 window reads un-aggregated facts:\n$w")
+    }
+  }
+
   test("q63: both slice predicates are pushed to the z-layout scan") {
     val p = plan(Events.q63)
     val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
