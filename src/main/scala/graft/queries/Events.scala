@@ -2955,9 +2955,139 @@ object Events {
              END AS avg_weighted
       FROM g ORDER BY event_type"""))
 
+  /** Two-sample Kolmogorov-Smirnov statistic per day (ClickHouse
+    * `kolmogorovSmirnovTest` analog), click vs view over v =
+    * floor(value·64): D = max_v |F1(v) - F2(v)|. EXACT up to the one
+    * final divide — the sup runs on the integer cross-multiplication
+    * |F1·n2 - F2·n1| (BIGINT; F ≤ n keeps the product far inside
+    * int64), so engines can never disagree about WHICH v attains the
+    * sup. Both ECDFs come from one (day, v) conditional-count
+    * aggregate (summary-sized, bounded by value cardinality like
+    * q150); the cumulative window runs over that summary; day totals
+    * attach by broadcast join.
+    *
+    * Scale shape: one fact-sized keyed aggregate; windows and joins on
+    * cardinality-bounded summaries only.
+    */
+  val q153 = Q(
+    "q153_ks_test",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(spark, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          col("event_type"), floor(col("value") * 64).as("v"))
+      val h = e.groupBy(col("day"), col("v"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("c1"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("c2"))
+      val tot = h.groupBy(col("day"))
+        .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      val w = Window.partitionBy(col("day")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val ecdf = h
+        .select(col("day"), col("v"),
+          sum(col("c1")).over(w).as("f1"),
+          sum(col("c2")).over(w).as("f2"))
+        .join(broadcast(tot), "day")
+        .filter(col("n1") > 0 && col("n2") > 0)
+      ecdf.groupBy(col("day"), col("n1"), col("n2"))
+        .agg(max(abs(col("f1") * col("n2") - col("f2") * col("n1")))
+          .as("d_num"))
+        .select(col("day"), col("n1"), col("n2"), col("d_num"),
+          round(col("d_num").cast("double") /
+            (col("n1").cast("double") * col("n2").cast("double")), 6)
+            .as("d_stat"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH e AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                        event_type,
+                        CAST(FLOOR(value * 64) AS BIGINT) AS v
+                 FROM events WHERE event_type IN ('click', 'view')),
+      h AS (SELECT day, v,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS c1,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS c2
+            FROM e GROUP BY 1, 2),
+      tot AS (SELECT day, CAST(SUM(c1) AS BIGINT) AS n1,
+                     CAST(SUM(c2) AS BIGINT) AS n2
+              FROM h GROUP BY 1),
+      ecdf AS (SELECT day, v,
+                      CAST(SUM(c1) OVER (PARTITION BY day ORDER BY v
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT) AS f1,
+                      CAST(SUM(c2) OVER (PARTITION BY day ORDER BY v
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT) AS f2
+               FROM h),
+      d AS (SELECT day, n1, n2,
+                   CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS BIGINT) AS d_num
+            FROM ecdf JOIN tot USING (day)
+            WHERE n1 > 0 AND n2 > 0
+            GROUP BY 1, 2, 3)
+      SELECT day, n1, n2, d_num,
+             ROUND(CAST(d_num AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d_stat
+      FROM d ORDER BY day"""))
+
+  /** Shannon entropy of the props-key distribution per event_type
+    * (ClickHouse `entropy` analog): H = -Σ p·log2 p over the ≤100-key
+    * histogram. The per-cell term is a fixed-order double chain over
+    * exact BIGINT counts, QUANTIZED to 6 dp and decimal-accumulated —
+    * the q148 discipline that makes both the summation order AND any
+    * last-ulp log2 divergence between engines irrelevant.
+    *
+    * Scale shape: one fact-sized keyed aggregate to histogram rows;
+    * the finale never touches facts.
+    */
+  val q154 = Q(
+    "q154_entropy",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "events")
+        .select(col("event_type"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+            .as("x"))
+        .filter(col("x").isNotNull)
+      val h = e.groupBy(col("event_type"), col("x"))
+        .agg(count(lit(1)).as("c"))
+      val tot = h.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+      val p = col("c").cast("double") / col("n").cast("double")
+      val term = round(-p * log(2.0, p), 6)
+      h.join(broadcast(tot), "event_type")
+        .groupBy(col("event_type"), col("n"), col("n_distinct"))
+        .agg(sum(term.cast("decimal(38,6)")).as("s"))
+        .select(col("event_type"), col("n"), col("n_distinct"),
+          col("s").cast("double").as("entropy"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(regexp_extract(props, '"k": (\d+)', 1)
+                             AS BIGINT) AS x
+                 FROM events
+                 WHERE regexp_extract(props, '"k": (\d+)', 1) IS NOT NULL
+                   AND regexp_extract(props, '"k": (\d+)', 1) <> ''),
+      h AS (SELECT event_type, x, COUNT(*) AS c FROM e GROUP BY 1, 2),
+      tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+                     COUNT(*) AS n_distinct
+              FROM h GROUP BY 1)
+      SELECT event_type, n, n_distinct,
+             CAST(SUM(CAST(ROUND(-(CAST(c AS DOUBLE) / n)
+                                 * log2(CAST(c AS DOUBLE) / n), 6)
+                           AS DECIMAL(38,6))) AS DOUBLE) AS entropy
+      FROM h JOIN tot USING (event_type)
+      GROUP BY event_type, n, n_distinct
+      ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
     q122, q124, q125, q126, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q143, q144, q146, q147, q148, q149, q150,
-    q151, q152)
+    q151, q152, q153, q154)
 }

@@ -132,6 +132,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"q148 sort-merges a summary:\n$p")
   }
 
+  test("q153/q154: ECDF window over the summary; totals attach broadcast") {
+    val p153 = plan(Events.q153)
+    assert(p153.contains("BroadcastHashJoin"),
+      s"q153 day totals not broadcast:\n$p153")
+    assert(!p153.contains("SortMergeJoin"), s"q153 sort-merges:\n$p153")
+    val p154 = plan(Events.q154)
+    assert(p154.contains("BroadcastHashJoin"),
+      s"q154 totals not broadcast:\n$p154")
+    assert(!p154.contains("SortMergeJoin"), s"q154 sort-merges:\n$p154")
+    // the q150 structural requirement holds for q153's window too:
+    // the cumulative ECDF reads the (day, v) histogram, not facts
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val windows = try {
+      Events.q153.fn(spark, sf).queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    assert(windows.nonEmpty, "q153 expected the ECDF window")
+    windows.foreach { w =>
+      val hasAgg = w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      }.nonEmpty
+      assert(hasAgg, s"q153 window reads un-aggregated facts:\n$w")
+    }
+  }
+
   test("q150: rank windows run over HISTOGRAMS, never over the fact table") {
     // every WindowExec's input subtree must already contain an
     // aggregate (the value histogram) — ranks are computed on
