@@ -510,12 +510,27 @@ object Stress {
         .agg(sum(col("tot_v"))).collect()(0).getLong(0)
       release(spark)
       val t8 = System.nanoTime()
+      // q150: suffixed replicas are new types — per-type histograms
+      // stay fixture-sized while the joint-histogram aggregate (the
+      // one fact-sized op) grows Nx: exactly the claim to measure
+      val rc = Events.rankCorrOf(ev)
+        .agg(sum(col("n"))).collect()(0).getLong(0)
+      release(spark)
+      val t9 = System.nanoTime()
+      // q153: de-suffix like welch — replicas must land IN click/view
+      // so the per-day ECDF histograms genuinely grow
+      val ks = Events.ksOf(ev.withColumn("event_type",
+          regexp_replace(col("event_type"), "_r\\d+$", "")))
+        .agg(sum(col("n1"))).collect()(0).getLong(0)
+      release(spark)
+      val t10 = System.nanoTime()
       def s(a: Long, b: Long) = f"${(b - a) / 1e9}%7.2f"
       println(f"$tag%-4s coverage=${s(t0, t1)}s sweep=${s(t1, t2)}s " +
         f"deltaSum=${s(t2, t3)}s ema=${s(t3, t4)}s lttb=${s(t4, t5)}s " +
         f"bound=${s(t5, t6)}s welch=${s(t6, t7)}s sumMap=${s(t7, t8)}s " +
+        f"rankCorr=${s(t8, t9)}s ks=${s(t9, t10)}s " +
         f"[cov=$cov mx=$sweep ds=$ds ema=$ema lttbPts=$lt " +
-        f"dv=$br nC=$wt totV=$sm]")
+        f"dv=$br nC=$wt totV=$sm rcN=$rc ksN=$ks]")
     }
     if (stages("series")) {
       val evbase = graft.Tables(spark, sfDir, "events")

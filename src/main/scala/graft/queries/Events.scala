@@ -2766,11 +2766,13 @@ object Events {
     * unchanged (product sums widen to decimal(38,0), one line, the
     * q144 note).
     */
-  val q150 = Q(
-    "q150_rank_corr",
-    (spark, dir) => {
+  /** The q150 selection over any frame with event_type/props/value —
+    * shared with Stress so the measured curve is the shipped plan.
+    */
+  private[graft] def rankCorrOf(raw: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val e = Tables(spark, dir, "events")
+      val e = raw
         .select(col("event_type"),
           regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
             .as("x"),
@@ -2808,7 +2810,11 @@ object Events {
           when(vx * vy === 0.0, lit(null).cast("double"))
             .otherwise(round(cov / sqrt(vx * vy), 6)).as("rho"))
         .orderBy(col("event_type"))
-    },
+  }
+
+  val q150 = Q(
+    "q150_rank_corr",
+    (spark, dir) => rankCorrOf(Tables(spark, dir, "events")),
     Some("""
       WITH e AS (SELECT event_type,
                         CAST(regexp_extract(props, '"k": (\d+)', 1)
@@ -2969,11 +2975,13 @@ object Events {
     * Scale shape: one fact-sized keyed aggregate; windows and joins on
     * cardinality-bounded summaries only.
     */
-  val q153 = Q(
-    "q153_ks_test",
-    (spark, dir) => {
+  /** The q153 selection over any frame with event_type/ts/value —
+    * shared with Stress so the measured curve is the shipped plan.
+    */
+  private[graft] def ksOf(raw: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val e = Tables(spark, dir, "events")
+      val e = raw
         .filter(col("event_type").isin("click", "view"))
         .select(
           date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
@@ -3002,7 +3010,11 @@ object Events {
             (col("n1").cast("double") * col("n2").cast("double")), 6)
             .as("d_stat"))
         .orderBy(col("day"))
-    },
+  }
+
+  val q153 = Q(
+    "q153_ks_test",
+    (spark, dir) => ksOf(Tables(spark, dir, "events")),
     Some("""
       WITH e AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                         event_type,
