@@ -58,7 +58,8 @@ object Verify {
     // agree on the approximate answer, recall@k vs q23's exact dump
     // from THIS run proves the approximation is any good.
     // Floors match PipelineSpec (LSH >= 0.45, IVF >= 0.30).
-    try {
+    val annTrio = Set("q23_cosine_topk", "q30_ann_topk", "q38_ivf_topk")
+    if (only.forall(annTrio.subsetOf(_))) try {
       def pairs(name: String): Set[(Long, Long)] =
         spark.read.parquet(s"$outDir/$name")
           .select("query_id", "neighbor_id").collect()

@@ -3097,9 +3097,168 @@ object Events {
       GROUP BY event_type, n, n_distinct
       ORDER BY event_type"""))
 
+  /** The remaining ClickHouse contingency-family analogs — `theilsU`,
+    * `contingency` (coefficient), `cramersVBiasCorrected` — over the
+    * SAME event_type × k-bucket table as q148, all in one pass:
+    *   - chi² exactly as q148 (per-cell term quantized to 6 dp,
+    *     decimal-accumulated, closed form Σ_present − N);
+    *   - C = sqrt(chi² / (chi² + N));
+    *   - bias-corrected V (Bergsma 2013): φ² = chi²/N, φ²⁺ =
+    *     max(0, φ² − (r−1)(c−1)/(N−1)), r⁺ = r − (r−1)²/(N−1),
+    *     c⁺ = c − (c−1)²/(N−1), V = sqrt(φ²⁺ / (min(r⁺,c⁺) − 1)),
+    *     NULL when N ≤ 1 or the denominator is ≤ 0;
+    *   - Theil's U(X|Y) = (H(X) + H(Y) − H(X,Y)) / H(X) with the
+    *     three entropies computed the q154 way (log2 terms quantized
+    *     to 6 dp, decimal-accumulated — order- and last-ulp-proof),
+    *     NULL on H(X) = 0.
+    *
+    * Scale shape: ONE fact-sized keyed aggregate to ≤ r·c summary
+    * rows; marginals, totals, chi² and all three entropies are
+    * re-aggregations of that summary joined broadcast; the finale is
+    * a single row. At petabyte rows the shape is unchanged.
+    */
+  val q155 = Q(
+    "q155_contingency_family",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "events")
+        .select(col("event_type"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+            .as("k"))
+        .filter(col("k").isNotNull)
+        .select(col("event_type"), expr("k div 10").as("kb"))
+      val cont = e.groupBy(col("event_type"), col("kb"))
+        .agg(count(lit(1)).as("n"))
+      val rt = cont.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("rt"))
+      val ct = cont.groupBy(col("kb")).agg(sum(col("n")).as("ct"))
+      val tot = cont.agg(sum(col("n")).as("big_n"),
+        countDistinct(col("event_type")).as("r_used"),
+        countDistinct(col("kb")).as("c_used"))
+      val nn = col("big_n").cast("double")
+      // chi² exactly as q148: quantized cell terms, decimal sum, −N
+      val cell = cont
+        .join(broadcast(rt), "event_type")
+        .join(broadcast(ct), "kb")
+        .crossJoin(broadcast(tot))
+      val nd = col("n").cast("double")
+      val chiTerm = round(
+        nd * nd * nn /
+          (col("rt").cast("double") * col("ct").cast("double")), 6)
+      val sChi = cell.agg(
+        sum(chiTerm.cast("decimal(38,6)")).as("s_chi"))
+      // the q154 entropy discipline over a count column `c` vs total N
+      def hSum(df: org.apache.spark.sql.DataFrame, c: String,
+               out: String) = {
+        val p = col(c).cast("double") / nn
+        df.crossJoin(broadcast(tot.select(col("big_n"))))
+          .agg(sum(round(-p * log(2.0, p), 6).cast("decimal(38,6)"))
+            .as(out))
+      }
+      val hx = hSum(rt, "rt", "hx")
+      val hy = hSum(ct, "ct", "hy")
+      val hxy = hSum(cont, "n", "hxy")
+      val f = tot
+        .crossJoin(broadcast(sChi))
+        .crossJoin(broadcast(hx))
+        .crossJoin(broadcast(hy))
+        .crossJoin(broadcast(hxy))
+        .select(col("big_n"), col("r_used"), col("c_used"),
+          greatest(
+            (col("s_chi") - col("big_n").cast("decimal(38,6)"))
+              .cast("double"), lit(0.0)).as("chi2"),
+          col("hx").cast("double").as("hxd"),
+          col("hy").cast("double").as("hyd"),
+          col("hxy").cast("double").as("hxyd"))
+      val n1 = (col("big_n") - 1).cast("double")
+      val rr = (col("r_used") - 1).cast("double")
+      val cc = (col("c_used") - 1).cast("double")
+      val phi2c = greatest(
+        col("chi2") / col("big_n").cast("double") - rr * cc / n1, lit(0.0))
+      val rCorr = col("r_used").cast("double") - rr * rr / n1
+      val cCorr = col("c_used").cast("double") - cc * cc / n1
+      val den = least(rCorr, cCorr) - 1.0
+      f.select(col("big_n").as("n"), col("r_used"), col("c_used"),
+        round(col("chi2"), 6).as("chi2"),
+        when(col("big_n") === 0, lit(null).cast("double"))
+          .otherwise(round(sqrt(col("chi2") /
+            (col("chi2") + col("big_n").cast("double"))), 6))
+          .as("contingency_coeff"),
+        when(col("big_n") <= 1 || den <= 0.0, lit(null).cast("double"))
+          .otherwise(round(sqrt(phi2c / den), 6)).as("cramers_v_bc"),
+        when(col("hxd") === 0.0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("hxd") + col("hyd") - col("hxyd")) / col("hxd"), 6))
+          .as("theils_u"))
+    },
+    Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(regexp_extract(props, '"k": (\d+)', 1)
+                             AS BIGINT) // 10 AS kb
+                 FROM events
+                 WHERE regexp_extract(props, '"k": (\d+)', 1) IS NOT NULL
+                   AND regexp_extract(props, '"k": (\d+)', 1) <> ''),
+      cont AS (SELECT event_type, kb, COUNT(*) AS n FROM e GROUP BY 1, 2),
+      rt AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS rt
+             FROM cont GROUP BY 1),
+      ct AS (SELECT kb, CAST(SUM(n) AS BIGINT) AS ct FROM cont GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS big_n,
+                     COUNT(DISTINCT event_type) AS r_used,
+                     COUNT(DISTINCT kb) AS c_used
+              FROM cont),
+      schi AS (SELECT SUM(CAST(ROUND(CAST(n AS DOUBLE) * n * big_n
+                                     / (CAST(rt AS DOUBLE) * ct), 6)
+                               AS DECIMAL(38,6))) AS s_chi
+               FROM cont
+               JOIN rt USING (event_type)
+               JOIN ct USING (kb)
+               CROSS JOIN tot),
+      hx AS (SELECT SUM(CAST(ROUND(-(CAST(rt AS DOUBLE) / big_n)
+                                   * log2(CAST(rt AS DOUBLE) / big_n), 6)
+                             AS DECIMAL(38,6))) AS hx
+             FROM rt CROSS JOIN tot),
+      hy AS (SELECT SUM(CAST(ROUND(-(CAST(ct AS DOUBLE) / big_n)
+                                   * log2(CAST(ct AS DOUBLE) / big_n), 6)
+                             AS DECIMAL(38,6))) AS hy
+             FROM ct CROSS JOIN tot),
+      hxy AS (SELECT SUM(CAST(ROUND(-(CAST(n AS DOUBLE) / big_n)
+                                    * log2(CAST(n AS DOUBLE) / big_n), 6)
+                              AS DECIMAL(38,6))) AS hxy
+              FROM cont CROSS JOIN tot),
+      f AS (SELECT big_n, r_used, c_used,
+                   GREATEST(CAST(s_chi - CAST(big_n AS DECIMAL(38,6))
+                                 AS DOUBLE), 0.0) AS chi2,
+                   CAST(hx AS DOUBLE) AS hxd,
+                   CAST(hy AS DOUBLE) AS hyd,
+                   CAST(hxy AS DOUBLE) AS hxyd
+            FROM tot CROSS JOIN schi CROSS JOIN hx
+            CROSS JOIN hy CROSS JOIN hxy)
+      SELECT big_n AS n, r_used, c_used,
+             ROUND(chi2, 6) AS chi2,
+             CASE WHEN big_n = 0 THEN NULL
+                  ELSE ROUND(SQRT(chi2 / (chi2 + big_n)), 6)
+             END AS contingency_coeff,
+             CASE WHEN big_n <= 1
+                    OR LEAST(r_used - (r_used - 1.0) * (r_used - 1.0)
+                               / (big_n - 1.0),
+                             c_used - (c_used - 1.0) * (c_used - 1.0)
+                               / (big_n - 1.0)) - 1.0 <= 0.0 THEN NULL
+                  ELSE ROUND(SQRT(
+                    GREATEST(chi2 / big_n
+                             - (r_used - 1.0) * (c_used - 1.0)
+                               / (big_n - 1.0), 0.0)
+                    / (LEAST(r_used - (r_used - 1.0) * (r_used - 1.0)
+                               / (big_n - 1.0),
+                             c_used - (c_used - 1.0) * (c_used - 1.0)
+                               / (big_n - 1.0)) - 1.0)), 6)
+             END AS cramers_v_bc,
+             CASE WHEN hxd = 0.0 THEN NULL
+                  ELSE ROUND((hxd + hyd - hxyd) / hxd, 6)
+             END AS theils_u
+      FROM f"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
     q122, q124, q125, q126, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q143, q144, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154)
+    q151, q152, q153, q154, q155)
 }

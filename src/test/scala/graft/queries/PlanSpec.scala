@@ -132,6 +132,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"q148 sort-merges a summary:\n$p")
   }
 
+  test("q155: ONE fact-sized aggregate; every join is a broadcast ride") {
+    // marginals/totals/entropies are all re-aggregations of the
+    // contingency summary; a sort-merge or exchange-heavy join here
+    // would mean a fact-sized frame leaked past the first aggregate
+    val p = plan(Events.q155)
+    assert(!p.contains("SortMergeJoin"), s"q155 sort-merges a summary:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q155 has a cartesian:\n$p")
+    // the single-row stat frames ride as broadcast joins (hash for the
+    // keyed marginals, nested-loop only for 1-row crossJoins)
+    assert(p.contains("BroadcastHashJoin"), s"q155 marginals not broadcast:\n$p")
+  }
+
   test("q153/q154: ECDF window over the summary; totals attach broadcast") {
     val p153 = plan(Events.q153)
     assert(p153.contains("BroadcastHashJoin"),
