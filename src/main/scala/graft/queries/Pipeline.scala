@@ -4101,11 +4101,96 @@ object Pipeline {
       ORDER BY score DESC, t.doc_id
       LIMIT 20"""))
 
+  /** Hashed-bigram LM perplexity filter (the CCNet / Gopher quality
+    * gate, Wenzek et al. 2020 / Rae et al. 2021): train an add-one
+    * smoothed bigram model on the reference slice (lang = 'en'),
+    * score EVERY document by per-bigram cross-entropy under it, and
+    * emit the 20 highest-perplexity docs — the head a quality filter
+    * would drop. Features are the q29/q142 word codes feature-hashed
+    * into B = 4096 buckets (pair hash code1·131 + code2), so the
+    * "LM" is the standard hashed approximation:
+    * p(bigram) = (c(b12) + 1) / (c(b1) + B). Each −log2 p term is
+    * quantized to 6 dp and decimal-accumulated per doc (the q154
+    * entropy discipline — order- and last-ulp-proof); the finale is
+    * one fixed-order IEEE divide by the bigram count + round.
+    *
+    * Scale shape: the bigram stream is scanned once per leg (train,
+    * score); BOTH model frames are ≤ 4096 rows by construction —
+    * single-key buckets, not pairs — so the score-leg joins are
+    * broadcast at ANY corpus size; the per-doc entropy is one keyed
+    * aggregate; the top-20 is a TakeOrdered, never a global sort.
+    */
+  val q156 = Q(
+    "q156_perplexity_filter",
+    (spark, dir) => {
+      val B = 4096L
+      val big = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+        .select(col("doc_id"), col("lang"),
+          explode(expr(
+            "transform(sequence(0, size(ws) - 2), i -> " +
+              "struct(element_at(ws, i + 1) AS w1, " +
+              "element_at(ws, i + 2) AS w2))")).as("bg"))
+        .select(col("doc_id"), col("lang"),
+          pmod(TextOps.wordCode(col("bg.w1")), lit(B)).as("b1"),
+          pmod(TextOps.wordCode(col("bg.w1")) * 131L +
+            TextOps.wordCode(col("bg.w2")), lit(B)).as("b12"))
+      val train = big.where(col("lang") === "en")
+      val c12 = train.groupBy(col("b12")).agg(count(lit(1)).as("c12"))
+      val c1 = train.groupBy(col("b1")).agg(count(lit(1)).as("c1"))
+      big
+        .join(broadcast(c12), Seq("b12"), "left")
+        .join(broadcast(c1), Seq("b1"), "left")
+        .select(col("doc_id"),
+          round(-log(2.0,
+            (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
+              (coalesce(col("c1"), lit(0L)) + lit(B)).cast("double")), 6)
+            .as("t"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("t").cast("decimal(38,6)")).as("hsum"),
+          count(lit(1)).as("n_bigrams"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("hsum").cast("double") /
+            col("n_bigrams").cast("double"), 6).as("h_bits"))
+        .orderBy(col("h_bits").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, lang,
+                        list_filter(string_split(text, ' '),
+                                    x -> x <> '') AS ws
+                 FROM documents),
+      bg AS (SELECT doc_id, lang,
+                    ((unicode(ws[i]) * 31 + length(ws[i])) % 4096) AS b1,
+                    (((unicode(ws[i]) * 31 + length(ws[i])) * 131
+                      + unicode(ws[i+1]) * 31 + length(ws[i+1]))
+                     % 4096) AS b12
+             FROM d, UNNEST(range(1, len(ws))) AS t(i)),
+      c12 AS (SELECT b12, COUNT(*) AS c12 FROM bg
+              WHERE lang = 'en' GROUP BY 1),
+      c1 AS (SELECT b1, COUNT(*) AS c1 FROM bg
+             WHERE lang = 'en' GROUP BY 1),
+      s AS (SELECT bg.doc_id,
+                   ROUND(-log2((COALESCE(c12.c12, 0) + CAST(1 AS BIGINT))
+                               / CAST(COALESCE(c1.c1, 0) + 4096 AS DOUBLE)),
+                         6) AS t
+            FROM bg LEFT JOIN c12 ON c12.b12 = bg.b12
+                    LEFT JOIN c1 ON c1.b1 = bg.b1),
+      h AS (SELECT doc_id, SUM(CAST(t AS DECIMAL(38,6))) AS hsum,
+                   COUNT(*) AS n_bigrams
+            FROM s GROUP BY 1)
+      SELECT doc_id, n_bigrams,
+             ROUND(CAST(hsum AS DOUBLE) / n_bigrams, 6) AS h_bits
+      FROM h
+      ORDER BY h_bits DESC, doc_id
+      LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q115, q116, q117, q120, q121, q123, q134, q142,
-    q145)
+    q145, q156)
 }

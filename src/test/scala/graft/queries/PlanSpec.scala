@@ -574,6 +574,19 @@ class PlanSpec extends SparkSpec {
       s"scan reads unprojected columns: $readSchema")
   }
 
+  test("q156: model frames broadcast onto the bigram stream, top-20 takes ordered") {
+    // both LM count frames are <= 4096 rows by construction; if either
+    // sort-merges, the model stopped being broadcast-able and the
+    // score leg would shuffle the full bigram stream twice at scale
+    val p = plan(Pipeline.q156)
+    assert(p.contains("BroadcastHashJoin"), s"q156 model not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q156 sort-merges the model:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q156 plans a cartesian:\n$p")
+    assert(!p.contains("Window"), s"q156 plans a Window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q156 lost the TakeOrdered top-20 (global sort?):\n$p")
+  }
+
   test("q130: sweep running sum rides the bucket decomposition, joins stay keyed") {
     // the per-type prefix sum must be OrderedScan's (key, bucket)
     // two-level form — a bare per-type Window serializes each type
