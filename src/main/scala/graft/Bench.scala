@@ -38,6 +38,34 @@ object Bench {
       }
     waitQuiet(10)
     val loadAtStart = load1()
+    // Mid-run co-tenancy evidence. load1 cannot provide it: a 32-thread
+    // bench IS ~4-30 of system load while it runs, so any load sample
+    // taken between queries measures the bench itself (r12 first
+    // capture: every tail query stamped ~3.8 on a co-tenant-free host,
+    // and the load-gated retry passes futilely re-ran the whole tail).
+    // The honest signal is EXTERNAL cpu: /proc/stat total busy jiffies
+    // minus this JVM's own /proc/self/stat utime+stime over the same
+    // window — co-tenant cores in use while the query ran, with the
+    // bench's own work subtracted exactly. USER_HZ is 100 on Linux.
+    def cpuJiffies(): (Long, Long) =
+      try {
+        val stat = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).get(0)
+        val p = stat.trim.split("\\s+").drop(1).map(_.toLong)
+        // user+nice+system+irq+softirq+steal (idle/iowait excluded)
+        val busy = p(0) + p(1) + p(2) + p(5) + p(6) + p(7)
+        val self0 = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/self/stat")))
+        // comm (field 2) may contain spaces; fields resume after ')'
+        val rest = self0.substring(self0.lastIndexOf(')') + 2).split(" ")
+        val selfJ = rest(11).toLong + rest(12).toLong // utime + stime
+        (busy, selfJ)
+      } catch { case _: Throwable => (-1L, -1L) }
+    def extCores(before: (Long, Long), after: (Long, Long),
+        wallSec: Double): Double =
+      if (before._1 < 0 || after._1 < 0 || wallSec <= 0) -1.0
+      else math.max(0.0,
+        ((after._1 - before._1) - (after._2 - before._2)) / 100.0) / wallSec
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -148,12 +176,13 @@ object Bench {
     // timer: a full GC inside a timed query shows up as a phantom
     // 5-10x regression on whichever query it lands in. Amortized
     // (~every 15 s of query time) so the pause cost stays a few percent
-    // of wall clock. Returns (seconds, load1 sampled right after the
-    // timed window) — the per-query load evidence VERDICT r11 #1 asks
-    // the record to carry.
+    // of wall clock. Returns (seconds, external cores measured over the
+    // same window) — the per-query co-tenancy evidence VERDICT r11 #1
+    // asks the record to carry, self-load subtracted exactly.
     def runOne(q: graft.queries.Q, recordFailure: Boolean)
         : (Double, Double, Boolean) = {
       var ok = true
+      val j0 = cpuJiffies()
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
@@ -163,56 +192,57 @@ object Bench {
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      val load = load1()
+      val ext = extCores(j0, cpuJiffies(), sec)
       graft.pipeline.Similarity.releaseResult()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       sinceGc += sec
       if (sinceGc > 15.0) { System.gc(); sinceGc = 0.0 }
-      (sec, load, ok)
+      (sec, ext, ok)
     }
     // Pass 1: every query once, in registry order.
     val first = registry.map { q =>
-      val (sec, load, _) = runOne(q, recordFailure = true)
-      q.name -> (sec, load)
+      val (sec, ext, _) = runOne(q, recordFailure = true)
+      q.name -> (sec, ext)
     }
-    // keep = per-query (best seconds, quietest load across runs). min
-    // seconds is sound because a co-tenant only ever inflates wall
-    // clock; min load is the honest verification stamp: it is the load
-    // of SOME run whose measured time bounds the kept time from above,
-    // so loadq < retry gate means the kept number has a quiet-window
-    // witness. (BENCH_r09-r11 all archived mid-run co-tenant captures
-    // the start-only gate could not see — VERDICT r11 #1.)
+    // keep = per-query (best seconds, quietest external load across
+    // runs). min seconds is sound because a co-tenant only ever
+    // inflates wall clock; min ext is the honest verification stamp:
+    // it is the external-cores reading of SOME run whose measured time
+    // bounds the kept time from above, so extq < retry gate means the
+    // kept number has a co-tenant-free witness. (BENCH_r09-r11 all
+    // archived mid-run co-tenant captures the start-only gate could
+    // not see — VERDICT r11 #1.)
     val keep = scala.collection.mutable.LinkedHashMap[String, (Double, Double)](
       first: _*)
-    val retryGate = sys.env.get("SPARK_GRAFT_LOAD_RETRY").map(_.toDouble)
-      .getOrElse(1.0)
+    val retryGate = sys.env.get("SPARK_GRAFT_EXT_RETRY").map(_.toDouble)
+      .getOrElse(0.5)
     val failedSet = failed.toSet
     var pass = 1
-    while (retryGate > 0 && pass <= 2 && keep.exists { case (n, (_, l)) =>
-        l >= retryGate && !failedSet(n) }) {
+    while (retryGate > 0 && pass <= 2 && keep.exists { case (n, (_, x)) =>
+        x >= retryGate && !failedSet(n) }) {
       val tainted = registry.filter(q =>
         !failedSet(q.name) && keep(q.name)._2 >= retryGate)
       System.err.println(s"[bench] retry pass $pass: ${tainted.size} " +
-        s"queries measured at load1 >= $retryGate — re-running " +
+        s"queries measured at >= $retryGate external cores — re-running " +
         s"(${tainted.map(_.name.takeWhile(_ != '_')).mkString(",")})")
       waitQuiet(5)
       tainted.foreach { q =>
-        val (sec, load, ok) = runOne(q, recordFailure = false)
+        val (sec, ext, ok) = runOne(q, recordFailure = false)
         // a flaky retry failure must not contribute its time-to-error
         // as a (tiny, fake) minimum
         if (ok) {
-          val (s0, l0) = keep(q.name)
-          keep(q.name) = (math.min(s0, sec), math.min(l0, load))
+          val (s0, x0) = keep(q.name)
+          keep(q.name) = (math.min(s0, sec), math.min(x0, ext))
         }
       }
       pass += 1
     }
     val reps = pass
-    val loadMax = if (keep.isEmpty) 0.0 else keep.values.map(_._2).max
+    val extMax = if (keep.isEmpty) 0.0 else keep.values.map(_._2).max
     val results = keep.toSeq.map { case (n, (s, _)) => n -> s }
-    keep.foreach { case (n, (s, l)) =>
-      System.err.println(f"[bench] load $n%-32s ${s}%8.3f s @ load1 $l%.2f")
+    keep.foreach { case (n, (s, x)) =>
+      System.err.println(f"[bench] kept $n%-32s ${s}%8.3f s @ ext $x%.2f cores")
     }
     // The harness records only the last ~2000 chars of stdout. The
     // verbose record (full query names, ns-precision doubles) grew
@@ -444,14 +474,16 @@ object Bench {
     // comma-decimal locale would corrupt the JSON record
     def f2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    // load1 = start sample (the r10 gate); load_max = the WORST kept
-    // measurement window across queries after the retry passes, with
-    // reps = total passes — the record carries its own load evidence
-    // (VERDICT r11 #1: load_max under the retry gate means every kept
-    // number has a quiet-window witness).
+    // load1 = start sample (the r10 gate); ext_max = the WORST kept
+    // per-query EXTERNAL-cores reading (co-tenant cpu with the bench's
+    // own work subtracted — load1 mid-run only measures the bench
+    // itself) after the retry passes, with reps = total passes — the
+    // record carries its own co-tenancy evidence (VERDICT r11 #1:
+    // ext_max under the retry gate means every kept number has a
+    // co-tenant-free witness).
     val loadJson =
       (if (loadAtStart >= 0) s""","load1":${f2(loadAtStart)}""" else "") +
-        s""","load_max":${f2(loadMax)},"reps":$reps"""
+        s""","ext_max":${f2(extMax)},"reps":$reps"""
     val line = BenchRecord.choose(
       results, fs, total,
       fixed = s"$ingestJson$wireJson$grpcJson$jdbcJson$ratioJson",

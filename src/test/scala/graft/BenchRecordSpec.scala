@@ -27,14 +27,14 @@ class BenchRecordSpec extends AnyFunSuite {
       extras = ""","zorder":[6,53,53,53],"landed":{"q01":[1.86,0.42],""" +
         """"q03":[1.90,0.55],"q13":[0.80,0.30],"q14":[0.40,0.10],""" +
         """"q34":[0.40,0.20]}""",
-      tail = ""","load1":0.26,"load_max":0.41,"reps":1,"sf":"/root/testdata/sf0.1"""",
+      tail = ""","load1":0.26,"ext_max":0.41,"reps":1,"sf":"/root/testdata/sf0.1"""",
       warn = m => { warnings ++= m; () })
 
   test("the current 147-query surface fits (some rung) under the cap") {
     val r = choose(surface(147))
     assert(r.length <= BenchRecord.MaxChars)
     assert(r.startsWith("{\"metric\":\"total\""))
-    assert(r.contains("\"load_max\":0.41"))
+    assert(r.contains("\"ext_max\":0.41"))
     assert(r.contains("\"grpc_wire_ratio\":0.59"))
   }
 
