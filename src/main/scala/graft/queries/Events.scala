@@ -3256,9 +3256,101 @@ object Events {
              END AS theils_u
       FROM f"""))
 
+  /** Weight-of-evidence / information value (ClickHouse
+    * `categoricalInformationValue` analog — the credit-scoring
+    * feature-selection statistic): treating click as the positive tag
+    * and view as the negative, per props-k-bucket
+    *   WoE_b = ln( (g_b/G) / (v_b/V) ),
+    *   IV    = Σ_b (g_b/G − v_b/V) · WoE_b,
+    * NULL WoE (and no IV contribution) where either class count is
+    * zero — exact, no smoothing. Each WoE is ONE fixed-order IEEE
+    * chain over exact BIGINT counts (g·V / (v·G), one ln), rounded
+    * 6 dp; each IV term multiplies the ROUNDED WoE by the fixed-order
+    * rate difference and is itself rounded 6 dp, then
+    * decimal-accumulated — the q148 discipline, so neither summation
+    * order nor libm last-ulp divergence can split the engines.
+    *
+    * Scale shape: ONE fact-sized keyed aggregate to ≤10 bucket rows;
+    * class totals and the IV sum are re-aggregations of that summary
+    * attached broadcast. The finale never touches facts.
+    */
+  val q157 = Q(
+    "q157_information_value",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+            .as("k"),
+          col("event_type"))
+        .filter(col("k").isNotNull)
+        .select(expr("k div 10").as("kb"), col("event_type"))
+      val cnt = e.groupBy(col("kb"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("n_click"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("n_view"))
+      val tot = cnt.agg(sum(col("n_click")).as("g"),
+        sum(col("n_view")).as("v"))
+      val gd = col("n_click").cast("double")
+      val vd = col("n_view").cast("double")
+      val woe = when(col("n_click") === 0 || col("n_view") === 0,
+        lit(null).cast("double"))
+        .otherwise(round(log(
+          gd * col("v").cast("double") /
+            (vd * col("g").cast("double"))), 6))
+      val rows = cnt.crossJoin(broadcast(tot))
+        .select(col("kb"), col("n_click"), col("n_view"),
+          woe.as("woe"),
+          when(woe.isNull, lit(null).cast("double"))
+            .otherwise(round(
+              (gd / col("g").cast("double") -
+                vd / col("v").cast("double")) * woe, 6)).as("iv_term"))
+      val iv = rows.agg(
+        sum(col("iv_term").cast("decimal(38,6)")).as("iv_dec"))
+      rows.crossJoin(broadcast(iv))
+        .select(col("kb"), col("n_click"), col("n_view"), col("woe"),
+          col("iv_term"), col("iv_dec").cast("double").as("iv"))
+        .orderBy(col("kb"))
+    },
+    Some("""
+      WITH e AS (SELECT CAST(regexp_extract(props, '"k": (\d+)', 1)
+                             AS BIGINT) // 10 AS kb,
+                        event_type
+                 FROM events
+                 WHERE event_type IN ('click', 'view')
+                   AND regexp_extract(props, '"k": (\d+)', 1) IS NOT NULL
+                   AND regexp_extract(props, '"k": (\d+)', 1) <> ''),
+      cnt AS (SELECT kb,
+                     CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                          AS BIGINT) AS n_click,
+                     CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+                          AS BIGINT) AS n_view
+              FROM e GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n_click) AS BIGINT) AS g,
+                     CAST(SUM(n_view) AS BIGINT) AS v FROM cnt),
+      r AS (SELECT kb, n_click, n_view,
+                   CASE WHEN n_click = 0 OR n_view = 0 THEN NULL
+                        ELSE ROUND(ln(CAST(n_click AS DOUBLE) * v
+                                      / (CAST(n_view AS DOUBLE) * g)), 6)
+                   END AS woe,
+                   CASE WHEN n_click = 0 OR n_view = 0 THEN NULL
+                        ELSE ROUND((CAST(n_click AS DOUBLE) / g
+                                    - CAST(n_view AS DOUBLE) / v)
+                                   * ROUND(ln(CAST(n_click AS DOUBLE) * v
+                                              / (CAST(n_view AS DOUBLE) * g)),
+                                           6), 6)
+                   END AS iv_term
+            FROM cnt CROSS JOIN tot),
+      iv AS (SELECT SUM(CAST(iv_term AS DECIMAL(38,6))) AS iv_dec FROM r)
+      SELECT kb, n_click, n_view, woe, iv_term,
+             CAST(iv_dec AS DOUBLE) AS iv
+      FROM r CROSS JOIN iv
+      ORDER BY kb"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
     q122, q124, q125, q126, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q143, q144, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155)
+    q151, q152, q153, q154, q155, q157)
 }

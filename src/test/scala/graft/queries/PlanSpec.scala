@@ -132,6 +132,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"q148 sort-merges a summary:\n$p")
   }
 
+  test("q157: WoE/IV finale rides broadcast summaries, no window") {
+    // the bucket counts are the one fact-sized aggregate; class totals
+    // and the IV sum attach as <= 10-row broadcasts
+    val p = plan(Events.q157)
+    assert(!p.contains("SortMergeJoin"), s"q157 sort-merges a summary:\n$p")
+    assert(!p.contains("Window"), s"q157 plans a Window:\n$p")
+  }
+
   test("q155: ONE fact-sized aggregate; every join is a broadcast ride") {
     // marginals/totals/entropies are all re-aggregations of the
     // contingency summary; a sort-merge or exchange-heavy join here
