@@ -2590,17 +2590,27 @@ object Events {
     * Scale shape: one map-side-partial aggregate to ≤ r·c rows; the
     * finale never touches facts again.
     */
-  val q148 = Q(
-    "q148_cramers_v",
-    (spark, dir) => {
-      val e = Tables(spark, dir, "events")
-        .select(col("event_type"),
-          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
-            .as("k"))
-        .filter(col("k").isNotNull)
-        .select(col("event_type"), expr("k div 10").as("kb"))
-      val cont = e.groupBy(col("event_type"), col("kb"))
-        .agg(count(lit(1)).as("n"))
+  /** The q148 (event_type, k-bucket) contingency projection — shared
+    * with `streaming/ContingencyStream`, whose live state is exactly
+    * this grouped count over the fixed ≤ r·c key space.
+    */
+  private[graft] def contingencyOf(raw: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    raw
+      .select(col("event_type"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+          .as("k"))
+      .filter(col("k").isNotNull)
+      .select(col("event_type"), expr("k div 10").as("kb"))
+      .groupBy(col("event_type"), col("kb"))
+      .agg(count(lit(1)).as("n"))
+
+  /** The q148 finale over any (event_type, kb, n) contingency frame —
+    * the cheap downstream read a live sketch store (or the batch
+    * query) runs over summary rows.
+    */
+  private[graft] def cramersVFromCont(cont: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
       val rt = cont.groupBy(col("event_type"))
         .agg(sum(col("n")).as("rt"))
       val ct = cont.groupBy(col("kb")).agg(sum(col("n")).as("ct"))
@@ -2626,7 +2636,12 @@ object Events {
             .otherwise(round(sqrt(chi2 /
               (col("big_n").cast("double") * minRc.cast("double"))), 6))
             .as("cramers_v"))
-    },
+  }
+
+  val q148 = Q(
+    "q148_cramers_v",
+    (spark, dir) =>
+      cramersVFromCont(contingencyOf(Tables(spark, dir, "events"))),
     Some("""
       WITH e AS (SELECT event_type,
                         CAST(regexp_extract(props, '"k": (\d+)', 1)

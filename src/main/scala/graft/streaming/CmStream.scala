@@ -60,3 +60,35 @@ object HllStream {
       .foreachBatch(sink)
       .start()
 }
+
+/** Streaming contingency table — the q148/q155 association family
+  * maintained live, by the same argument as [[CmStream]]: the
+  * (event_type, k-bucket) table is a grouped COUNT over a fixed
+  * ≤ r·c key space (≤ 5×10 cells on this schema), so Structured
+  * Streaming's built-in stateful aggregation is the whole operator —
+  * state stays cell-bounded on an unbounded stream, and counts are
+  * associative so micro-batch boundaries cannot change them (replays
+  * are the sink's exactly-once job, as for [[CmStream]]).
+  *
+  * χ², Cramér's V, the contingency coefficient and Theil's U stay
+  * CHEAP downstream reads over the summary rows
+  * (`Events.cramersVFromCont` is the worked finale), computed by the
+  * sink whenever it wants the statistics — the stream maintains the
+  * table, not the coefficients, exactly like a production sketch
+  * store.
+  */
+object ContingencyStream {
+
+  /** `events` must be a streaming frame with event_type + props
+    * columns (the landed-events projection both transports drain).
+    */
+  def table(events: DataFrame): DataFrame =
+    graft.queries.Events.contingencyOf(events)
+
+  def start(events: DataFrame)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    table(events).writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(sink)
+      .start()
+}

@@ -77,4 +77,50 @@ class CmStreamSpec extends SparkSpec {
         "drained stream registers != batch registers")
     } finally sq.stop()
   }
+
+  test("streamed contingency table converges per prefix; the q148 finale " +
+      "over it equals the batch statistic") {
+    import spark.implicits._
+    val events = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_type"), col("props"))
+      .as[(String, String)].collect()
+    assert(events.length > 100)
+    val (b1, b2) = events.splitAt(events.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    val cells = scala.collection.mutable.Map.empty[(String, Long), Long]
+    var lastEmit = 0
+    val sq = ContingencyStream.start(
+      ms.toDF().toDF("event_type", "props")) { (df, _) =>
+      val rows = df.collect()
+      lastEmit = rows.length
+      rows.foreach(r =>
+        cells((r.getString(0), r.getLong(1))) = r.getLong(2))
+    }
+    def batch(rows: Seq[(String, String)]): Map[(String, Long), Long] =
+      ContingencyStream.table(rows.toDF("event_type", "props"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    def vOf(cellsNow: Map[(String, Long), Long]): Seq[org.apache.spark.sql.Row] =
+      graft.queries.Events.cramersVFromCont(
+        cellsNow.toSeq.map { case ((t, kb), n) => (t, kb, n) }
+          .toDF("event_type", "kb", "n")).collect().toSeq
+    try {
+      ms.addData(b1.toIndexedSeq: _*)
+      sq.processAllAvailable()
+      assert(cells.toMap == batch(b1.toSeq),
+        "prefix 1: stream contingency != batch contingency")
+      ms.addData(b2.toIndexedSeq: _*)
+      sq.processAllAvailable()
+      assert(cells.toMap == batch(events.toSeq),
+        "full stream: contingency != batch contingency")
+      // the downstream read over the live table IS the batch statistic
+      assert(vOf(cells.toMap) == vOf(batch(events.toSeq)),
+        "cramersV finale over the live table != batch")
+      // geometry bound: the fixture's 5 types x 10 buckets
+      assert(cells.size <= 50)
+      assert(lastEmit <= 50)
+    } finally sq.stop()
+  }
 }
