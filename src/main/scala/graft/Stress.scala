@@ -589,10 +589,18 @@ object Stress {
         .agg(sum(col("bpe_tokens"))).collect()(0).getLong(0)
       release(spark)
       val t4 = System.nanoTime()
+      // q156: bigram stream → two ≤4096-row model aggregates → score
+      // leg with broadcast joins → per-doc agg → top-20; must scale as
+      // two bigram-stream scans (the model side is constant-bounded)
+      val ppl = Pipeline.perplexityOf(docs)
+        .agg(sum(col("n_bigrams"))).collect()(0).getLong(0)
+      release(spark)
+      val t5 = System.nanoTime()
       def s(a: Long, b: Long) = f"${(b - a) / 1e9}%7.2f"
       println(f"$tag%-4s boiler=${s(t0, t1)}s hll=${s(t1, t2)}s " +
-        f"dsir=${s(t2, t3)}s bpeEnc=${s(t3, t4)}s " +
-        f"[sharedSum=$boiler regs=$hll top20=$dsir bpeToks=$bpe]")
+        f"dsir=${s(t2, t3)}s bpeEnc=${s(t3, t4)}s ppl=${s(t4, t5)}s " +
+        f"[sharedSum=$boiler regs=$hll top20=$dsir bpeToks=$bpe " +
+        f"pplBigrams=$ppl]")
     }
     if (stages("audit")) {
       runAudit("warm", base.limit(500))

@@ -4120,11 +4120,13 @@ object Pipeline {
     * broadcast at ANY corpus size; the per-doc entropy is one keyed
     * aggregate; the top-20 is a TakeOrdered, never a global sort.
     */
-  val q156 = Q(
-    "q156_perplexity_filter",
-    (spark, dir) => {
+  /** The q156 selection over any frame with doc_id/lang/text — shared
+    * with Stress so the measured curve is the shipped plan.
+    */
+  private[graft] def perplexityOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
       val B = 4096L
-      val big = Tables(spark, dir, "documents")
+      val big = docs
         .select(col("doc_id"), col("lang"),
           expr("filter(split(text, ' '), x -> x != '')").as("ws"))
         .select(col("doc_id"), col("lang"),
@@ -4155,7 +4157,11 @@ object Pipeline {
             col("n_bigrams").cast("double"), 6).as("h_bits"))
         .orderBy(col("h_bits").desc, col("doc_id"))
         .limit(20)
-    },
+  }
+
+  val q156 = Q(
+    "q156_perplexity_filter",
+    (spark, dir) => perplexityOf(Tables(spark, dir, "documents")),
     Some("""
       WITH d AS (SELECT doc_id, lang,
                         list_filter(string_split(text, ' '),
