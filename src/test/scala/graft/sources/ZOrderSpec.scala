@@ -58,10 +58,14 @@ class ZOrderSpec extends SparkSpec {
     // STRICTLY more groups than files, or parquet.block.size was
     // ignored and this would silently measure whole-file skipping
     assert(zTotal > 8 && tTotal > 8, s"too few row groups ($zTotal/$tTotal)")
-    assert(tCand == tTotal,
+    // the control skips essentially nothing on the user dimension; an
+    // exact == is flaky under suite concurrency because row-group
+    // flush boundaries shift with memory pressure and a tiny
+    // remainder group can by chance miss the narrow slice
+    assert(tCand >= tTotal - 2 && tCand > tTotal / 2,
       s"time sort unexpectedly skips user-id groups ($tCand/$tTotal)")
-    assert(zCand < tCand,
-      s"z-order must touch fewer groups: z=$zCand/$zTotal vs t=$tCand/$tTotal")
+    assert(zCand < tCand / 2,
+      s"z-order must touch far fewer groups: z=$zCand/$zTotal vs t=$tCand/$tTotal")
 
     // layout invariance: identical answers from either layout
     val q = (df: org.apache.spark.sql.DataFrame) =>
