@@ -122,7 +122,11 @@ object GrpcIngestClient {
           sslCtx.foreach(ssl =>
             ch.pipeline().addLast(ssl.newHandler(ch.alloc(), host, port)))
           ch.pipeline().addLast(
-            Http2FrameCodecBuilder.forClient().build(),
+            // same enlarged windows/frames as the server advertises
+            // (GrpcIngestServer.h2Settings) so the ack direction and
+            // any server-push control traffic get the same treatment
+            Http2FrameCodecBuilder.forClient()
+              .initialSettings(GrpcIngestServer.h2Settings).build(),
             // server-initiated streams are not part of gRPC; drop them
             new Http2MultiplexHandler(new ChannelInboundHandlerAdapter()))
           ()

@@ -105,7 +105,7 @@ final class GrpcIngestServer(engine: IngestEngine, port: Int = 0,
             }
           }
           def h2Handlers(): Seq[io.netty.channel.ChannelHandler] = Seq(
-            Http2FrameCodecBuilder.forServer().build(),
+            GrpcIngestServer.serverCodec(),
             new Http2MultiplexHandler(streamInit))
           sslCtx match {
             case Some(ssl) =>
@@ -141,7 +141,7 @@ final class GrpcIngestServer(engine: IngestEngine, port: Int = 0,
                     if (AsciiString.contentEquals(
                         Http2CodecUtil.HTTP_UPGRADE_PROTOCOL_NAME, protocol))
                       new Http2ServerUpgradeCodec(
-                        Http2FrameCodecBuilder.forServer().build(),
+                        GrpcIngestServer.serverCodec(),
                         new Http2MultiplexHandler(streamInit))
                     else null
                 }
@@ -173,6 +173,24 @@ object GrpcIngestServer {
     */
   final case class Tls(certificate: java.nio.file.Path,
       key: java.nio.file.Path)
+
+  /** HTTP/2 settings advertised to the peer. Netty's defaults (64 KiB
+    * windows, 16 KiB frames) make flow control the per-batch hot path:
+    * a ~35 KiB batch splits into 3 DATA frames and triggers a
+    * stream + connection WINDOW_UPDATE nearly every message (netty
+    * refills at 50% consumption). Real gRPC grows the receive window
+    * dynamically (grpc-go's BDP estimator); the static equivalent —
+    * 1 MiB windows, 128 KiB frames — cuts the update traffic to ~1 in
+    * 15 batches and sends a whole batch as one frame. Flow-control
+    * window ≠ message-size limit: `max_receive_message_size`
+    * enforcement (and the gzip bomb cap) is unchanged downstream.
+    */
+  private[net] def h2Settings: Http2Settings = Http2Settings.defaultSettings()
+    .initialWindowSize(1 << 20)
+    .maxFrameSize(1 << 17)
+
+  private[net] def serverCodec(): Http2FrameCodec =
+    Http2FrameCodecBuilder.forServer().initialSettings(h2Settings).build()
 
   private[net] val alpnH2 = new io.netty.handler.ssl.ApplicationProtocolConfig(
     io.netty.handler.ssl.ApplicationProtocolConfig.Protocol.ALPN,
