@@ -233,13 +233,22 @@ object Bench {
         // as a (tiny, fake) minimum
         if (ok) {
           val (s0, x0) = keep(q.name)
-          keep(q.name) = (math.min(s0, sec), math.min(x0, ext))
+          // a failed /proc read (ext = -1) must not min-merge over a
+          // genuine co-tenancy reading and spuriously certify it
+          val x1 = if (ext >= 0 && x0 >= 0) math.min(x0, ext)
+                   else math.max(x0, ext)
+          keep(q.name) = (math.min(s0, sec), x1)
         }
       }
       pass += 1
     }
     val reps = pass
-    val extMax = if (keep.isEmpty) 0.0 else keep.values.map(_._2).max
+    // any query without a /proc reading (-1) poisons the whole stamp:
+    // ext_max certifies EVERY kept window, or it is not emitted at all
+    val extMax =
+      if (keep.isEmpty) 0.0
+      else if (keep.values.exists(_._2 < 0)) -1.0
+      else keep.values.map(_._2).max
     val results = keep.toSeq.map { case (n, (s, _)) => n -> s }
     keep.foreach { case (n, (s, x)) =>
       System.err.println(f"[bench] kept $n%-32s ${s}%8.3f s @ ext $x%.2f cores")
@@ -276,8 +285,9 @@ object Bench {
       }
     // Wire half of the same path: concurrent socket sessions → server
     // decode-check → queue admission, acked per batch (WireBench).
-    // The wire benches run three reps and archive the best: the first
-    // rep JITs the transport stack (the netty/HTTP2 classes are
+    // The wire benches archive the best of several reps (count in
+    // bestOf below): the first rep JITs the transport stack (the
+    // netty/HTTP2 classes are
     // untouched by the query workload), and a class-loading artifact
     // in the record is not a transport measurement. A full GC ahead of
     // the block keeps 105 queries' worth of heap out of the timing —
@@ -494,9 +504,13 @@ object Bench {
     // record carries its own co-tenancy evidence (VERDICT r11 #1:
     // ext_max under the retry gate means every kept number has a
     // co-tenant-free witness).
+    // ext_max is omitted (not stamped as -1) when /proc was unreadable
+    // anywhere: a record without the key carries NO co-tenancy
+    // evidence, which is honest; a -1 would read like evidence
     val loadJson =
       (if (loadAtStart >= 0) s""","load1":${f2(loadAtStart)}""" else "") +
-        s""","ext_max":${f2(extMax)},"reps":$reps"""
+        (if (extMax >= 0) s""","ext_max":${f2(extMax)}""" else "") +
+        s""","reps":$reps"""
     val line = BenchRecord.choose(
       results, fs, total,
       fixed = s"$ingestJson$wireJson$grpcJson$jdbcJson$ratioJson",

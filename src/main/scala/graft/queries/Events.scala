@@ -3135,14 +3135,8 @@ object Events {
   val q155 = Q(
     "q155_contingency_family",
     (spark, dir) => {
-      val e = Tables(spark, dir, "events")
-        .select(col("event_type"),
-          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
-            .as("k"))
-        .filter(col("k").isNotNull)
-        .select(col("event_type"), expr("k div 10").as("kb"))
-      val cont = e.groupBy(col("event_type"), col("kb"))
-        .agg(count(lit(1)).as("n"))
+      // the SAME table as q148 and the live stream — one definition
+      val cont = contingencyOf(Tables(spark, dir, "events"))
       val rt = cont.groupBy(col("event_type"))
         .agg(sum(col("n")).as("rt"))
       val ct = cont.groupBy(col("kb")).agg(sum(col("n")).as("ct"))

@@ -4129,6 +4129,11 @@ object Pipeline {
       val big = docs
         .select(col("doc_id"), col("lang"),
           expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+        // guard short docs BEFORE the transform: sequence(0, -1)
+        // DESCENDS in Spark (the TextOps.shingles hazard) and
+        // element_at(ws, 0) then throws — a 0/1-word doc must simply
+        // yield no bigrams, as the oracle's range(1, len) does
+        .where(size(col("ws")) >= 2)
         .select(col("doc_id"), col("lang"),
           explode(expr(
             "transform(sequence(0, size(ws) - 2), i -> " +

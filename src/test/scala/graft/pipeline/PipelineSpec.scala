@@ -925,4 +925,17 @@ class PipelineSpec extends SparkSpec {
     }
     assert(rrfs.sliding(2).forall(w => w(0) >= w(1)))
   }
+
+  test("perplexityOf: 0/1-word docs yield no bigrams instead of throwing") {
+    // sequence(0, size-2) DESCENDS on short docs in Spark and
+    // element_at(ws, 0) throws — the guard must drop them, exactly as
+    // the oracle's range(1, len) emits nothing for them
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", ""), (2L, "en", "hello"), (3L, "en", "  "),
+      (4L, "en", "a b c")).toDF("doc_id", "lang", "text")
+    val out = graft.queries.Pipeline.perplexityOf(docs).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(4L))
+    assert(out.head.getLong(1) == 2L) // "a b c" has two bigrams
+  }
 }
