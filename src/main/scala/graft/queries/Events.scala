@@ -3357,9 +3357,100 @@ object Events {
       FROM r CROSS JOIN iv
       ORDER BY kb"""))
 
+  /** One-way ANOVA across event types (ClickHouse
+    * `analysisOfVariance` analog): per day, the F statistic for
+    * "do the k event-type groups share a mean scaled value" from
+    * exact BIGINT per-group moments (n_g, Σv, Σv²) in ONE keyed
+    * aggregate. The fractional group terms s_g²/n_g are quantized to
+    * µ-units (×10⁶) as EXACT integers via round(a/b) = (2a+b) div 2b
+    * in 128-bit arithmetic — a double round() here lands on .5 ties
+    * for small denominators and the engines break them on different
+    * representations (this query found that; the q148 chi² terms
+    * divide by rt·ct and never hit it). SSB/SSW stay exact integers
+    * through the subtraction (clamped at 0), and the only IEEE ops
+    * are the final fixed-order F chain and the /10⁶ display divides.
+    * F = (SSB/(k−1))/(SSW/(N−k)), NULL when k ≤ 1, N ≤ k, or SSW = 0.
+    *
+    * Scale shape: one fact-sized keyed aggregate to ≤ k rows/day;
+    * the finale re-aggregates the summary. No window, no join.
+    */
+  val q158 = Q(
+    "q158_anova_f",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "events")
+        .select(
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          col("event_type"), floor(col("value") * 64).as("v"))
+      val g = e.groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+          sum(col("v") * col("v")).as("ss"))
+        // µ-unit (×10⁶) group terms as EXACT integers via
+        // round(a/b) = (2a+b) div 2b in 128-bit decimal: a double
+        // round() here sits on .5 boundaries for small n and the two
+        // engines break ties on different representations
+        .withColumn("t6", expr(
+          "(cast(s as decimal(38,0)) * s * 2000000 + n) div (2 * n)"))
+        .withColumn("w6", expr(
+          "cast(cast(ss as decimal(38,0)) * 1000000 - t6 as decimal(38,0))"))
+      val agg = g.groupBy(col("day"))
+        .agg(sum(col("n")).as("big_n"), count(lit(1)).as("k"),
+          sum(col("s")).as("big_s"),
+          sum(col("t6").cast("decimal(38,0)")).as("sb6"),
+          sum(col("w6")).as("sw6"))
+        .withColumn("s2n6", expr(
+          "(cast(big_s as decimal(38,0)) * big_s * 2000000 + big_n) " +
+            "div (2 * big_n)"))
+      // everything below is arithmetic on exact integers (< 2^53 at
+      // harness scale — the q144 decimal-swap note applies beyond)
+      val ssb6 = greatest(
+        (col("sb6") - col("s2n6")).cast("double"), lit(0.0))
+      val ssw6 = col("sw6").cast("double")
+      val f = (ssb6 / (col("k") - 1).cast("double")) /
+        (ssw6 / (col("big_n") - col("k")).cast("double"))
+      agg.select(col("day"), col("big_n").as("n"), col("k"),
+          (ssb6 / 1000000.0).as("ssb"), (ssw6 / 1000000.0).as("ssw"),
+          when(col("k") <= 1 || col("big_n") <= col("k") || ssw6 === 0.0,
+            lit(null).cast("double"))
+            .otherwise(round(f, 6)).as("f_stat"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH e AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                        event_type,
+                        CAST(FLOOR(value * 64) AS BIGINT) AS v
+                 FROM events),
+      g AS (SELECT day, event_type, COUNT(*) AS n,
+                   CAST(SUM(v) AS BIGINT) AS s,
+                   CAST(SUM(v * v) AS BIGINT) AS ss,
+                   (2 * CAST(SUM(v) AS HUGEINT) * CAST(SUM(v) AS HUGEINT)
+                    * 1000000 + COUNT(*)) // (2 * COUNT(*)) AS t6
+            FROM e GROUP BY 1, 2),
+      g2 AS (SELECT day, n, s,
+                    CAST(ss AS HUGEINT) * 1000000 - t6 AS w6, t6
+             FROM g),
+      a AS (SELECT day, CAST(SUM(n) AS BIGINT) AS big_n,
+                   COUNT(*) AS k,
+                   CAST(SUM(s) AS BIGINT) AS big_s,
+                   SUM(t6) AS sb6, SUM(w6) AS sw6
+            FROM g2 GROUP BY 1),
+      d AS (SELECT day, big_n, k,
+                   GREATEST(CAST(sb6
+                            - ((2 * CAST(big_s AS HUGEINT) * big_s * 1000000
+                                + big_n) // (2 * big_n)) AS DOUBLE),
+                            0.0) AS ssb6,
+                   CAST(sw6 AS DOUBLE) AS ssw6
+            FROM a)
+      SELECT day, big_n AS n, k,
+             ssb6 / 1000000.0 AS ssb, ssw6 / 1000000.0 AS ssw,
+             CASE WHEN k <= 1 OR big_n <= k OR ssw6 = 0.0 THEN NULL
+                  ELSE ROUND((ssb6 / (k - 1.0))
+                             / (ssw6 / CAST(big_n - k AS DOUBLE)), 6)
+             END AS f_stat
+      FROM d ORDER BY day"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
     q122, q124, q125, q126, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q143, q144, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q157)
+    q151, q152, q153, q154, q155, q157, q158)
 }

@@ -562,7 +562,8 @@ class PlanSpec extends SparkSpec {
     // agg of struct-min/max monoids; Welch t = one agg to day rows
     // plus arithmetic. A Window or a join in any of them would be
     // the per-group-serialization shape the count-based forms avoid.
-    Seq(Events.q139, Events.q140, Events.q141).foreach { q =>
+    // q158 ANOVA is the same discipline: two stacked keyed aggregates
+    Seq(Events.q139, Events.q140, Events.q141, Events.q158).foreach { q =>
       val p = plan(q)
       assert(!p.contains("Window"), s"${q.name} plans a Window:\n$p")
       assert(!p.contains("Join"), s"${q.name} plans a join:\n$p")
