@@ -3448,9 +3448,107 @@ object Events {
              END AS f_stat
       FROM d ORDER BY day"""))
 
+  /** Kendall rank correlation τ-b (ClickHouse `kendallTau` analog,
+    * tie-corrected) between the props key and the scaled value, per
+    * event_type — WITHOUT enumerating row pairs: concordant and
+    * discordant counts come from the (x, y) CELL histogram's
+    * self-join (a.x < b.x, classify by y), where the cell count is
+    * bounded BY CONSTRUCTION (≤ 100 keys × 65 value buckets) however
+    * large the corpus — the O(cells²) pair frame is a constant-sized
+    * summary at any scale, the q123-style answer to a quadratic
+    * statistic. Tie terms n1/n2 from the marginal histograms; every
+    * count is an exact BIGINT; τ-b = (C−D)/√((n0−n1)(n0−n2)) is the
+    * single fixed-order IEEE finale, rounded 6 dp, NULL on a zero
+    * denominator.
+    */
+  val q159 = Q(
+    "q159_kendall_tau",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "events")
+        .select(col("event_type"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+            .as("x"),
+          floor(col("value") * 64).as("y"))
+        .filter(col("x").isNotNull)
+      val cells = e.groupBy(col("event_type"), col("x"), col("y"))
+        .agg(count(lit(1)).as("c"))
+      val a = cells.select(col("event_type"), col("x").as("ax"),
+        col("y").as("ay"), col("c").as("ca"))
+      val b = cells.select(col("event_type").as("bt"), col("x").as("bx"),
+        col("y").as("by"), col("c").as("cb"))
+      val cd = a.join(b, col("event_type") === col("bt") &&
+          col("ax") < col("bx"))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("ay") < col("by"), col("ca") * col("cb"))
+            .otherwise(0L)).as("concordant"),
+          sum(when(col("ay") > col("by"), col("ca") * col("cb"))
+            .otherwise(0L)).as("discordant"))
+      val nTot = cells.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("n"))
+      def tiePairs(key: String, out: String) = cells
+        .groupBy(col("event_type"), col(key))
+        .agg(sum(col("c")).as("t"))
+        .groupBy(col("event_type"))
+        .agg(sum(expr("t * (t - 1) div 2")).as(out))
+      val r = cd
+        .join(broadcast(nTot), "event_type")
+        .join(broadcast(tiePairs("x", "n1")), "event_type")
+        .join(broadcast(tiePairs("y", "n2")), "event_type")
+        .withColumn("n0", expr("n * (n - 1) div 2"))
+      val den = sqrt((col("n0") - col("n1")).cast("double") *
+        (col("n0") - col("n2")).cast("double"))
+      r.select(col("event_type"), col("n"),
+          col("concordant"), col("discordant"),
+          when(col("n0") === col("n1") || col("n0") === col("n2"),
+            lit(null).cast("double"))
+            .otherwise(round(
+              (col("concordant") - col("discordant")).cast("double") / den,
+              6)).as("tau_b"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(regexp_extract(props, '"k": (\d+)', 1)
+                             AS BIGINT) AS x,
+                        CAST(FLOOR(value * 64) AS BIGINT) AS y
+                 FROM events
+                 WHERE regexp_extract(props, '"k": (\d+)', 1) IS NOT NULL
+                   AND regexp_extract(props, '"k": (\d+)', 1) <> ''),
+      cells AS (SELECT event_type, x, y, COUNT(*) AS c
+                FROM e GROUP BY 1, 2, 3),
+      cd AS (SELECT a.event_type,
+                    CAST(SUM(CASE WHEN a.y < b.y THEN a.c * b.c
+                             ELSE 0 END) AS BIGINT) AS concordant,
+                    CAST(SUM(CASE WHEN a.y > b.y THEN a.c * b.c
+                             ELSE 0 END) AS BIGINT) AS discordant
+             FROM cells a JOIN cells b
+               ON a.event_type = b.event_type AND a.x < b.x
+             GROUP BY 1),
+      nt AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+             FROM cells GROUP BY 1),
+      t1 AS (SELECT event_type, CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS n1
+             FROM (SELECT event_type, x, CAST(SUM(c) AS BIGINT) AS t
+                   FROM cells GROUP BY 1, 2) GROUP BY 1),
+      t2 AS (SELECT event_type, CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS n2
+             FROM (SELECT event_type, y, CAST(SUM(c) AS BIGINT) AS t
+                   FROM cells GROUP BY 1, 2) GROUP BY 1),
+      r AS (SELECT cd.event_type, n, concordant, discordant,
+                   n * (n - 1) // 2 AS n0, n1, n2
+            FROM cd JOIN nt USING (event_type)
+                    JOIN t1 USING (event_type)
+                    JOIN t2 USING (event_type))
+      SELECT event_type, n, concordant, discordant,
+             CASE WHEN n0 = n1 OR n0 = n2 THEN NULL
+                  ELSE ROUND(CAST(concordant - discordant AS DOUBLE)
+                             / SQRT(CAST(n0 - n1 AS DOUBLE)
+                                    * CAST(n0 - n2 AS DOUBLE)), 6)
+             END AS tau_b
+      FROM r ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
     q122, q124, q125, q126, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q143, q144, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q157, q158)
+    q151, q152, q153, q154, q155, q157, q158, q159)
 }

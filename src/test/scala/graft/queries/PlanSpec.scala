@@ -140,6 +140,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"q157 plans a Window:\n$p")
   }
 
+  test("q159: pair counts come from the bounded cell self-join, facts never pair") {
+    // the O(cells^2) frame is constant-sized by construction; the one
+    // fact-sized operation must be the first aggregate, and the tie /
+    // total attachments ride broadcast
+    val p = plan(Events.q159)
+    assert(!p.contains("CartesianProduct"), s"q159 plans a cartesian:\n$p")
+    assert(!p.contains("Window"), s"q159 plans a Window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q159 tie/total frames not broadcast:\n$p")
+  }
+
   test("q155: ONE fact-sized aggregate; every join is a broadcast ride") {
     // marginals/totals/entropies are all re-aggregations of the
     // contingency summary; a sort-merge or exchange-heavy join here
