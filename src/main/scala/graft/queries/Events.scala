@@ -3546,9 +3546,281 @@ object Events {
              END AS tau_b
       FROM r ORDER BY event_type"""))
 
+  /** Two-sample mean z-test with KNOWN population variances
+    * (ClickHouse `meanZTest(pop_var_x, pop_var_y, conf)` analog) —
+    * purchase vs signup per day. Unlike the t family (q141/q149) the
+    * variances are caller-supplied constants, so the denominator
+    * needs no sample moments and the analog also emits the
+    * confidence-interval bounds ClickHouse returns:
+    * z = (m1−m2)/sqrt(σx²/n1 + σy²/n2), CI = (m1−m2) ∓ z₀.975·se.
+    * All inputs exact BIGINT sums of v = floor(value·64); the only
+    * IEEE ops are the fixed-order finale (divide/sqrt/± are
+    * correctly-rounded required IEEE ops, identical cross-engine —
+    * no libm). p-value is omitted deliberately: it needs erf(), a
+    * libm call with no cross-engine bit contract.
+    */
+  val q160 = Q(
+    "q160_mean_z",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "events")
+        .filter(col("event_type").isin("purchase", "signup"))
+        .select(
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          col("event_type"), floor(col("value") * 64).as("v"))
+      def side(t: String, pre: String) = Seq(
+        sum(when(col("event_type") === t, 1L).otherwise(0L))
+          .as(s"n_$pre"),
+        sum(when(col("event_type") === t, col("v")).otherwise(0L))
+          .as(s"s_$pre"))
+      val aggs = side("purchase", "p") ++ side("signup", "s")
+      val g = e.groupBy(col("day"))
+        .agg(aggs.head, aggs.tail: _*)
+        .filter(col("n_p") > 0 && col("n_s") > 0)
+      // population variances are test PARAMETERS (exact double
+      // literals), per the ClickHouse signature — not estimated
+      val varX = lit(4.0e7)
+      val varY = lit(4.0e7)
+      val z975 = lit(1.959964)
+      val m1 = col("s_p").cast("double") / col("n_p").cast("double")
+      val m2 = col("s_s").cast("double") / col("n_s").cast("double")
+      val d = m1 - m2
+      val se = sqrt(varX / col("n_p").cast("double") +
+        varY / col("n_s").cast("double"))
+      g.select(col("day"), col("n_p"), col("n_s"), col("s_p"), col("s_s"),
+          round(d / se, 6).as("z_stat"),
+          round(d - z975 * se, 6).as("ci_low"),
+          round(d + z975 * se, 6).as("ci_high"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH e AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                        event_type,
+                        CAST(FLOOR(value * 64) AS BIGINT) AS v
+                 FROM events WHERE event_type IN ('purchase', 'signup')),
+      g AS (SELECT day,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_p,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN v
+                                 ELSE 0 END) AS BIGINT) AS s_p,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_s,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN v
+                                 ELSE 0 END) AS BIGINT) AS s_s
+            FROM e GROUP BY day
+            HAVING n_p > 0 AND n_s > 0),
+      m AS (SELECT day, n_p, n_s, s_p, s_s,
+                   CAST(s_p AS DOUBLE) / CAST(n_p AS DOUBLE)
+                   - CAST(s_s AS DOUBLE) / CAST(n_s AS DOUBLE) AS d,
+                   SQRT(4.0e7 / CAST(n_p AS DOUBLE)
+                        + 4.0e7 / CAST(n_s AS DOUBLE)) AS se
+            FROM g)
+      SELECT day, n_p, n_s, s_p, s_s,
+             ROUND(d / se, 6) AS z_stat,
+             ROUND(d - 1.959964 * se, 6) AS ci_low,
+             ROUND(d + 1.959964 * se, 6) AS ci_high
+      FROM m ORDER BY day"""))
+
+  /** bfloat16 quantiles per event_type (ClickHouse `quantileBFloat16`
+    * analog): values are truncated to bfloat16 precision (8
+    * significant bits — 1 implicit + 7 explicit mantissa bits), then
+    * the DISCRETE quantile is exact over the bounded histogram of
+    * distinct bf16 values (≤ 128 mantissa patterns × octaves spanned,
+    * a few thousand keys however large the corpus — ClickHouse's
+    * 65 536-bucket argument, and why the sketch is mergeable with a
+    * fixed footprint at 100 TB).
+    *
+    * The truncation needs NO bit-reinterpret and NO libm: the octave
+    * 2^e ≤ x < 2^(e+1) comes from a broadcast range-join against a
+    * 61-row powers-of-two frame (built by exact doubling in Scala —
+    * `math.scalb`), and bf = floor(x·(128/p))·(p/128) where p = 2^e —
+    * multiply/divide by a power of two and floor are all EXACT double
+    * ops, bit-identical in any IEEE engine (DuckDB rebuilds the same
+    * frame from exact bit-shifted integers — a recursive-CTE doubling
+    * formulation was rejected because DuckDB treats every UNION CTE
+    * under WITH RECURSIVE as recursive and kept a duplicate p = 1.0
+    * row, double-matching the octave join). Quantile ranks use integer
+    * rationals (1 + (9·(n−1)) div 10 for p90) — no double product to
+    * straddle an ulp. The in-histogram running total is a per-type
+    * window over summary rows, safe by construction.
+    */
+  val q161 = Q(
+    "q161_quantile_bf16",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val pows = (-30 to 30)
+        .map(e => math.scalb(1.0, e)).toDF("p")
+      val e = Tables(spark, dir, "events")
+        .filter(col("value") > 0.0)
+        .select(col("event_type"), col("value"))
+        .join(broadcast(pows),
+          col("value") >= col("p") && col("value") < col("p") * 2)
+        .select(col("event_type"),
+          (floor(col("value") * (lit(128.0) / col("p"))) *
+            (col("p") / lit(128.0))).as("bf"))
+      val hist = e.groupBy(col("event_type"), col("bf"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bf"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c"))
+          .over(Window.partitionBy(col("event_type"))))
+      def qAt(num: Int, den: Int, out: String) =
+        min(when(col("cum") >= expr(s"1 + ($num * (n - 1)) div $den"),
+          col("bf"))).as(out)
+      cum.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), qAt(1, 2, "p50"), qAt(9, 10, "p90"),
+          qAt(99, 100, "p99"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH pows AS (
+        SELECT CASE WHEN e >= 0 THEN CAST((1::BIGINT << e) AS DOUBLE)
+                    ELSE CAST(1.0 AS DOUBLE)
+                         / CAST((1::BIGINT << -e) AS DOUBLE)
+               END AS p
+        FROM range(-30, 31) t(e)),
+      e AS (SELECT event_type,
+                   FLOOR(value * (128.0 / p)) * (p / 128.0) AS bf
+            FROM events JOIN pows
+              ON value >= p AND value < p * 2
+            WHERE value > 0.0),
+      hist AS (SELECT event_type, bf, COUNT(*) AS c FROM e GROUP BY 1, 2),
+      cum AS (SELECT event_type, bf, c,
+                     SUM(c) OVER (PARTITION BY event_type ORDER BY bf
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     SUM(c) OVER (PARTITION BY event_type) AS n
+              FROM hist)
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             MIN(CASE WHEN cum >= 1 + (1 * (n - 1)) // 2 THEN bf END) AS p50,
+             MIN(CASE WHEN cum >= 1 + (9 * (n - 1)) // 10 THEN bf END) AS p90,
+             MIN(CASE WHEN cum >= 1 + (99 * (n - 1)) // 100 THEN bf END)
+               AS p99
+      FROM cum GROUP BY event_type ORDER BY event_type"""))
+
+  /** Pairwise correlation matrix (ClickHouse `corrMatrix` analog)
+    * across four per-event metrics — v = floor(value·8), p =
+    * length(props), h = hour(ts), u = user_id mod 97 — per
+    * event_type, from ONE fact-sized aggregate (n, 4 first moments,
+    * 4 raw second moments, 6 cross moments — 15 exact BIGINT sums).
+    * The 6 upper-triangle pairs are unpivoted from the type-sized
+    * summary with `stack` (UNION ALL in the oracle), so the matrix
+    * shape costs nothing extra at scale: the m² blow-up happens on
+    * summary rows only. Each corr is the q146 fixed-order IEEE
+    * finale (moments divided by n BEFORE multiplying keeps every
+    * double conversion far inside 2^53), rounded 6 dp, NULL on zero
+    * variance.
+    */
+  val q162 = Q(
+    "q162_corr_matrix",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * 8).as("v"),
+          length(col("props")).cast("long").as("p"),
+          hour(col("ts")).cast("long").as("h"),
+          (col("user_id") % 97).as("u"))
+      val ms = Seq("v", "p", "h", "u")
+      val firsts = ms.map(m => sum(col(m)).as(s"s_$m"))
+      val pairs = for {
+        (a, i) <- ms.zipWithIndex; (b, j) <- ms.zipWithIndex
+        if i <= j
+      } yield (a, b)
+      val seconds = pairs.map { case (a, b) =>
+        sum(col(a) * col(b)).as(s"s_${a}${b}") }
+      val aggs = (count(lit(1)).as("n") +: (firsts ++ seconds))
+      val g = e.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+      val nd = col("n").cast("double")
+      def mean(m: String) = col(s"s_$m").cast("double") / nd
+      def varOf(m: String) =
+        col(s"s_$m$m").cast("double") / nd - mean(m) * mean(m)
+      def corrOf(a: String, b: String) = {
+        val cov = col(s"s_$a$b").cast("double") / nd - mean(a) * mean(b)
+        when(varOf(a) * varOf(b) === 0.0, lit(null).cast("double"))
+          .otherwise(round(cov / sqrt(varOf(a) * varOf(b)), 6))
+      }
+      val offDiag = pairs.filter { case (a, b) => a != b }
+      val stackArgs = offDiag.map { case (a, b) =>
+        s"'$a', '$b', corr_$a$b" }.mkString(", ")
+      g.select(col("event_type") +: col("n") +:
+          offDiag.map { case (a, b) => corrOf(a, b).as(s"corr_$a$b") }: _*)
+        .select(col("event_type"), col("n"),
+          expr(s"stack(${offDiag.size}, $stackArgs) as (mx, my, corr)"))
+        .orderBy(col("event_type"), col("mx"), col("my"))
+    },
+    Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(FLOOR(value * 8) AS BIGINT) AS v,
+                        CAST(LENGTH(props) AS BIGINT) AS p,
+                        CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+                        user_id % 97 AS u
+                 FROM events),
+      g AS (SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(v) AS BIGINT) AS s_v,
+                   CAST(SUM(p) AS BIGINT) AS s_p,
+                   CAST(SUM(h) AS BIGINT) AS s_h,
+                   CAST(SUM(u) AS BIGINT) AS s_u,
+                   CAST(SUM(v * v) AS BIGINT) AS s_vv,
+                   CAST(SUM(v * p) AS BIGINT) AS s_vp,
+                   CAST(SUM(v * h) AS BIGINT) AS s_vh,
+                   CAST(SUM(v * u) AS BIGINT) AS s_vu,
+                   CAST(SUM(p * p) AS BIGINT) AS s_pp,
+                   CAST(SUM(p * h) AS BIGINT) AS s_ph,
+                   CAST(SUM(p * u) AS BIGINT) AS s_pu,
+                   CAST(SUM(h * h) AS BIGINT) AS s_hh,
+                   CAST(SUM(h * u) AS BIGINT) AS s_hu,
+                   CAST(SUM(u * u) AS BIGINT) AS s_uu
+            FROM e GROUP BY 1),
+      m AS (SELECT event_type, n,
+                   CAST(s_v AS DOUBLE) / n AS m_v,
+                   CAST(s_p AS DOUBLE) / n AS m_p,
+                   CAST(s_h AS DOUBLE) / n AS m_h,
+                   CAST(s_u AS DOUBLE) / n AS m_u,
+                   CAST(s_vv AS DOUBLE) / n AS r_vv,
+                   CAST(s_vp AS DOUBLE) / n AS r_vp,
+                   CAST(s_vh AS DOUBLE) / n AS r_vh,
+                   CAST(s_vu AS DOUBLE) / n AS r_vu,
+                   CAST(s_pp AS DOUBLE) / n AS r_pp,
+                   CAST(s_ph AS DOUBLE) / n AS r_ph,
+                   CAST(s_pu AS DOUBLE) / n AS r_pu,
+                   CAST(s_hh AS DOUBLE) / n AS r_hh,
+                   CAST(s_hu AS DOUBLE) / n AS r_hu,
+                   CAST(s_uu AS DOUBLE) / n AS r_uu
+            FROM g),
+      c AS (SELECT event_type, n,
+                   r_vv - m_v * m_v AS var_v,
+                   r_pp - m_p * m_p AS var_p,
+                   r_hh - m_h * m_h AS var_h,
+                   r_uu - m_u * m_u AS var_u,
+                   r_vp - m_v * m_p AS cov_vp,
+                   r_vh - m_v * m_h AS cov_vh,
+                   r_vu - m_v * m_u AS cov_vu,
+                   r_ph - m_p * m_h AS cov_ph,
+                   r_pu - m_p * m_u AS cov_pu,
+                   r_hu - m_h * m_u AS cov_hu
+            FROM m)
+      SELECT event_type, n, mx, my,
+             CASE WHEN vx * vy = 0.0 THEN NULL
+                  ELSE ROUND(cov / SQRT(vx * vy), 6) END AS corr
+      FROM (
+        SELECT event_type, n, 'v' AS mx, 'p' AS my,
+               cov_vp AS cov, var_v AS vx, var_p AS vy FROM c
+        UNION ALL SELECT event_type, n, 'v', 'h',
+               cov_vh, var_v, var_h FROM c
+        UNION ALL SELECT event_type, n, 'v', 'u',
+               cov_vu, var_v, var_u FROM c
+        UNION ALL SELECT event_type, n, 'p', 'h',
+               cov_ph, var_p, var_h FROM c
+        UNION ALL SELECT event_type, n, 'p', 'u',
+               cov_pu, var_p, var_u FROM c
+        UNION ALL SELECT event_type, n, 'h', 'u',
+               cov_hu, var_h, var_u FROM c)
+      ORDER BY event_type, mx, my"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
     q122, q124, q125, q126, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q143, q144, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q157, q158, q159)
+    q151, q152, q153, q154, q155, q157, q158, q159, q160, q161, q162)
 }
