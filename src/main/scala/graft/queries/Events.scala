@@ -3818,9 +3818,107 @@ object Events {
                cov_hu, var_h, var_u FROM c)
       ORDER BY event_type, mx, my"""))
 
+  /** 7-day moving sum + moving average of the daily event count per
+    * type (ClickHouse `groupArrayMovingSum(7)` /
+    * `groupArrayMovingAvg(7)` analogs, unrolled to rows). The facts
+    * collapse to (type, day) summary rows in ONE keyed aggregate;
+    * the moving window runs per type over that day series only —
+    * rows/key bounded by the calendar horizon, never by corpus size,
+    * so the window is safe by construction (the q122 argument). The
+    * moving sum is an exact BIGINT; the avg divides by the FIXED
+    * window size 7 (ClickHouse semantics: the head of the series
+    * averages over fewer real elements but the same divisor),
+    * one IEEE divide rounded 6 dp.
+    */
+  val q163 = Q(
+    "q163_moving_sum",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables(spark, dir, "events")
+        .groupBy(col("event_type"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, Window.currentRow)
+      daily
+        .withColumn("mov_sum", sum(col("c")).over(w))
+        .select(col("event_type"), col("day"), col("c"), col("mov_sum"),
+          round(col("mov_sum").cast("double") / 7.0, 6).as("mov_avg"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""
+      WITH daily AS (SELECT event_type,
+                            strftime(date_trunc('day', ts), '%Y-%m-%d')
+                              AS day,
+                            COUNT(*) AS c
+                     FROM events GROUP BY 1, 2),
+      m AS (SELECT event_type, day, c,
+                   CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY day
+                                     ROWS BETWEEN 6 PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS mov_sum
+            FROM daily)
+      SELECT event_type, day, CAST(c AS BIGINT) AS c, mov_sum,
+             ROUND(CAST(mov_sum AS DOUBLE) / 7.0, 6) AS mov_avg
+      FROM m ORDER BY event_type, day"""))
+
+  /** Inline bar chart of the daily count series per event_type
+    * (ClickHouse `sparkbar` analog): each day maps to one of 8 block
+    * glyphs by ALL-INTEGER height math — idx = ((c−mn)·7) div (mx−mn),
+    * full-height when the series is constant — and the per-type string
+    * is assembled in day order. Glyph lookup is element_at on an
+    * 8-element literal array (not substring arithmetic on a multi-byte
+    * string); ordering inside the aggregate is array_sort on (day,
+    * glyph) structs — lexicographic on the unique day key — so the
+    * result never depends on row arrival order. Facts collapse to
+    * (type, day) summary rows first; min/max ride a broadcast back.
+    */
+  val q164 = Q(
+    "q164_sparkbar",
+    (spark, dir) => {
+      val glyphs = Seq("▁", "▂", "▃", "▄",
+        "▅", "▆", "▇", "█")
+      val daily = Tables(spark, dir, "events")
+        .groupBy(col("event_type"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val ext = daily.groupBy(col("event_type"))
+        .agg(min(col("c")).as("mn"), max(col("c")).as("mx"),
+          count(lit(1)).as("days"), sum(col("c")).as("n"))
+      val idx = when(col("mx") === col("mn"), lit(7L))
+        .otherwise(expr("((c - mn) * 7) div (mx - mn)"))
+      daily.join(broadcast(ext), "event_type")
+        .withColumn("g", element_at(
+          array(glyphs.map(lit): _*), (idx + 1).cast("int")))
+        .groupBy(col("event_type"))
+        .agg(max(col("days")).as("days"), max(col("n")).as("n"),
+          array_join(expr("transform(array_sort(collect_list(" +
+            "struct(day, g))), x -> x.g)"), "").as("bar"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH daily AS (SELECT event_type,
+                            strftime(date_trunc('day', ts), '%Y-%m-%d')
+                              AS day,
+                            COUNT(*) AS c
+                     FROM events GROUP BY 1, 2),
+      ext AS (SELECT event_type, MIN(c) AS mn, MAX(c) AS mx,
+                     COUNT(*) AS days, CAST(SUM(c) AS BIGINT) AS n
+              FROM daily GROUP BY 1),
+      g AS (SELECT d.event_type, d.day, ext.days, ext.n,
+                   ['▁', '▂', '▃', '▄',
+                    '▅', '▆', '▇', '█'][
+                     CAST(CASE WHEN mx = mn THEN 7
+                               ELSE ((c - mn) * 7) // (mx - mn)
+                          END AS INT) + 1] AS gl
+            FROM daily d JOIN ext USING (event_type))
+      SELECT event_type, CAST(MAX(days) AS BIGINT) AS days, MAX(n) AS n,
+             STRING_AGG(gl, '' ORDER BY day) AS bar
+      FROM g GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
     q122, q124, q125, q126, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q143, q144, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q157, q158, q159, q160, q161, q162)
+    q151, q152, q153, q154, q155, q157, q158, q159, q160, q161, q162, q163,
+    q164)
 }
