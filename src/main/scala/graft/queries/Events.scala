@@ -3915,10 +3915,128 @@ object Events {
              STRING_AGG(gl, '' ORDER BY day) AS bar
       FROM g GROUP BY event_type ORDER BY event_type"""))
 
+  /** Two-feature linear regression per event_type, fit in-engine by
+    * the NORMAL EQUATIONS (the deterministic answer to ClickHouse's
+    * `stochasticLinearRegression`, whose SGD result depends on row
+    * order and so can never be oracle-checked): y = b0 + b1·h + b2·p
+    * with y = floor(value·64), h = hour, p = length(props). ONE
+    * fact-sized aggregate produces the 9 exact BIGINT moments of the
+    * 3×3 Gram system; the coefficients are Cramer determinants
+    * computed ENTIRELY in 128-bit integer arithmetic (decimal(38,0) /
+    * HUGEINT — exact, so summation and factor order are irrelevant
+    * cross-engine), quantized to µ-units by the q158 sign-split
+    * round(a/b) = (2a+b) div 2b, and only then displayed as doubles.
+    * det(Gram) > 0 unless the features are collinear → NULL guard on
+    * det = 0. Bounds: triple products stay under 10^38 up to ~10^4×
+    * this fixture (documented; the q144 decimal-swap note applies
+    * beyond). Scale shape: map-side partials to 5 summary rows; the
+    * entire solve is a projection on the summary.
+    */
+  val q165 = Q(
+    "q165_linreg_normal",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * 64).as("y"),
+          hour(col("ts")).cast("long").as("h"),
+          length(col("props")).cast("long").as("p"))
+      val g = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("h")).as("sx1"), sum(col("p")).as("sx2"),
+          sum(col("h") * col("h")).as("s11"),
+          sum(col("h") * col("p")).as("s12"),
+          sum(col("p") * col("p")).as("s22"),
+          sum(col("y")).as("sy"),
+          sum(col("h") * col("y")).as("sx1y"),
+          sum(col("p") * col("y")).as("sx2y"))
+        // all four determinants in exact decimal(38,0) — cofactor
+        // expansion along the first row/column of the (symmetric)
+        // Gram matrix with column i replaced by the moment vector
+        .withColumn("m1122", expr(
+          "cast(s11 as decimal(38,0)) * s22 - cast(s12 as decimal(38,0)) * s12"))
+        .withColumn("detD", expr(
+          "cast(n as decimal(38,0)) * m1122" +
+            " - cast(sx1 as decimal(38,0)) * (cast(sx1 as decimal(38,0)) * s22 - cast(s12 as decimal(38,0)) * sx2)" +
+            " + cast(sx2 as decimal(38,0)) * (cast(sx1 as decimal(38,0)) * s12 - cast(s11 as decimal(38,0)) * sx2)"))
+        .withColumn("det0", expr(
+          "cast(sy as decimal(38,0)) * m1122" +
+            " - cast(sx1 as decimal(38,0)) * (cast(sx1y as decimal(38,0)) * s22 - cast(s12 as decimal(38,0)) * sx2y)" +
+            " + cast(sx2 as decimal(38,0)) * (cast(sx1y as decimal(38,0)) * s12 - cast(s11 as decimal(38,0)) * sx2y)"))
+        .withColumn("det1", expr(
+          "cast(n as decimal(38,0)) * (cast(sx1y as decimal(38,0)) * s22 - cast(s12 as decimal(38,0)) * sx2y)" +
+            " - cast(sy as decimal(38,0)) * (cast(sx1 as decimal(38,0)) * s22 - cast(s12 as decimal(38,0)) * sx2)" +
+            " + cast(sx2 as decimal(38,0)) * (cast(sx1 as decimal(38,0)) * sx2y - cast(sx1y as decimal(38,0)) * sx2)"))
+        .withColumn("det2", expr(
+          "cast(n as decimal(38,0)) * (cast(s11 as decimal(38,0)) * sx2y - cast(sx1y as decimal(38,0)) * s12)" +
+            " - cast(sx1 as decimal(38,0)) * (cast(sx1 as decimal(38,0)) * sx2y - cast(sx1y as decimal(38,0)) * sx2)" +
+            " + cast(sy as decimal(38,0)) * (cast(sx1 as decimal(38,0)) * s12 - cast(s11 as decimal(38,0)) * sx2)"))
+      def coef(det: String) = when(col("detD") === 0,
+        lit(null).cast("double"))
+        .otherwise(expr(
+          s"case when $det < 0" +
+            s" then -((2 * (-$det) * 1000000 + detD) div (2 * detD))" +
+            s" else (2 * $det * 1000000 + detD) div (2 * detD) end")
+          .cast("double") / 1000000.0)
+      g.select(col("event_type"), col("n"), col("sy"),
+          coef("det0").as("b0"), coef("det1").as("b1"),
+          coef("det2").as("b2"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(FLOOR(value * 64) AS BIGINT) AS y,
+                        CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+                        CAST(LENGTH(props) AS BIGINT) AS p
+                 FROM events),
+      g AS (SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(h) AS HUGEINT) AS sx1,
+                   CAST(SUM(p) AS HUGEINT) AS sx2,
+                   CAST(SUM(h * h) AS HUGEINT) AS s11,
+                   CAST(SUM(h * p) AS HUGEINT) AS s12,
+                   CAST(SUM(p * p) AS HUGEINT) AS s22,
+                   CAST(SUM(y) AS HUGEINT) AS sy,
+                   CAST(SUM(h * y) AS HUGEINT) AS sx1y,
+                   CAST(SUM(p * y) AS HUGEINT) AS sx2y
+            FROM e GROUP BY 1),
+      d AS (SELECT event_type, n, sy,
+                   n * (s11 * s22 - s12 * s12)
+                   - sx1 * (sx1 * s22 - s12 * sx2)
+                   + sx2 * (sx1 * s12 - s11 * sx2) AS detD,
+                   sy * (s11 * s22 - s12 * s12)
+                   - sx1 * (sx1y * s22 - s12 * sx2y)
+                   + sx2 * (sx1y * s12 - s11 * sx2y) AS det0,
+                   n * (sx1y * s22 - s12 * sx2y)
+                   - sy * (sx1 * s22 - s12 * sx2)
+                   + sx2 * (sx1 * sx2y - sx1y * sx2) AS det1,
+                   n * (s11 * sx2y - sx1y * s12)
+                   - sx1 * (sx1 * sx2y - sx1y * sx2)
+                   + sy * (sx1 * s12 - s11 * sx2) AS det2
+            FROM g)
+      SELECT event_type, CAST(n AS BIGINT) AS n, CAST(sy AS BIGINT) AS sy,
+             CASE WHEN detD = 0 THEN NULL
+                  ELSE CAST(CASE WHEN det0 < 0
+                            THEN -((2 * (-det0) * 1000000 + detD)
+                                   // (2 * detD))
+                            ELSE (2 * det0 * 1000000 + detD) // (2 * detD)
+                       END AS DOUBLE) / 1000000.0 END AS b0,
+             CASE WHEN detD = 0 THEN NULL
+                  ELSE CAST(CASE WHEN det1 < 0
+                            THEN -((2 * (-det1) * 1000000 + detD)
+                                   // (2 * detD))
+                            ELSE (2 * det1 * 1000000 + detD) // (2 * detD)
+                       END AS DOUBLE) / 1000000.0 END AS b1,
+             CASE WHEN detD = 0 THEN NULL
+                  ELSE CAST(CASE WHEN det2 < 0
+                            THEN -((2 * (-det2) * 1000000 + detD)
+                                   // (2 * detD))
+                            ELSE (2 * det2 * 1000000 + detD) // (2 * detD)
+                       END AS DOUBLE) / 1000000.0 END AS b2
+      FROM d ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
     q122, q124, q125, q126, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q143, q144, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q157, q158, q159, q160, q161, q162, q163,
-    q164)
+    q164, q165)
 }
