@@ -509,6 +509,80 @@ object Dedup extends Serializable {
     Similarity.materializeAndRelease(verified, Seq(sh, prefix))
   }
 
+  /** Containment of the FIRST argument's distinct shingles in the
+    * second's: |A∩B| / |A|. Exact integer intersection divided once
+    * as doubles — bit-exact across engines.
+    */
+  val containmentKernel: UserDefinedFunction =
+    udf { (a: Seq[String], b: Seq[String]) =>
+      val sb = b.toSet
+      var inter = 0
+      a.foreach(s => if (sb.contains(s)) inter += 1)
+      inter.toDouble / a.length
+    }
+
+  /** ASYMMETRIC containment join — the quote/subset detector Jaccard
+    * near-dup cannot express: emit directed pairs (a, b) where at
+    * least `threshold` of a's distinct n-gram shingles also occur in
+    * b (C(a→b) = |A∩B|/|A| ≥ t). A short document quoted inside a
+    * much longer one has high containment but near-zero Jaccard, so
+    * the symmetric passes (q24/q37) structurally miss it — and a
+    * MinHash band index cannot find it either (bands estimate
+    * Jaccard). This is the training-data leak/quotation scrub next to
+    * q65's decontamination.
+    *
+    * Candidate generation is the containment prefix filter (the
+    * asymmetric half of the q37 SSJoin theorem): C(a→b) ≥ t forces
+    * overlap ≥ ceil(t·|A|), so a qualifying pair shares a token among
+    * a's FIRST |A| − ceil(t·|A|) + 1 tokens in any global order —
+    * only a's prefix is indexed. The probe side has no length bound
+    * (that is what asymmetric means), so b contributes its full
+    * token list; making the global token order rarest-first puts the
+    * RARE tokens in a's prefix, keeping the probe-side posting lists
+    * the join touches short. Complete by the theorem (no recall
+    * luck); survivors verify on exact string shingle sets. Shuffle
+    * volume: candidates × 8-byte token hashes, never all-pairs.
+    */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double, n: Int = 3): DataFrame = {
+    val sh = graft.operators.FanOut(docs)
+      .select(col(idCol).as("id"),
+        TextOps.shinglesKernel(n)(TextOps.words(col(textCol))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // 64-bit token hashes (collisions only ADD candidates — exact
+    // verification removes them) + global rarest-first order
+    val tok = sh.select(col("id"), explode(col("toks")).as("tokS"))
+      .select(col("id"), xxhash64(col("tokS")).as("tok"))
+    val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ordered = tok.join(dfreq, "tok")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+        .getField("tok").as("sorted"))
+    val prefLen = (size(col("sorted")) -
+      ceil(lit(threshold) * size(col("sorted"))).cast("int") + 1)
+    val prefix = ordered
+      .select(col("id"), explode(slice(col("sorted"), lit(1), prefLen))
+        .as("tok"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    prefix.count() // materialize before the candidate join
+
+    val cand = prefix.as("x")
+      .join(tok.as("y"),
+        col("x.tok") === col("y.tok") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+
+    val shA = sh.select(col("id").as("a"), col("toks").as("t_a"))
+    val shB = sh.select(col("id").as("b"), col("toks").as("t_b"))
+    val verified = cand.join(shA, "a").join(shB, "b")
+      .select(col("a"), col("b"),
+        containmentKernel(col("t_a"), col("t_b")).as("containment"))
+      .filter(col("containment") >= threshold)
+    Similarity.materializeAndRelease(verified, Seq(sh, prefix))
+  }
+
   /** Connected components over an undirected pair list — the cluster
     * collapse step after any near-dup pass: pairs say "these two are
     * dups", components say "keep ONE canonical doc per dup set", and

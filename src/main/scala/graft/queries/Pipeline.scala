@@ -4197,11 +4197,37 @@ object Pipeline {
       ORDER BY h_bits DESC, doc_id
       LIMIT 20"""))
 
+  /** Directed containment near-dup at ≥ 0.8 (quote/subset detection —
+    * the asymmetric case Jaccard structurally misses: a short doc
+    * quoted inside a long one). Candidates via the containment prefix
+    * filter (complete by theorem, like q37), verified on exact
+    * shingle sets, so the DuckDB all-shared-shingles oracle is a true
+    * differential test of candidate+verify with no recall luck.
+    */
+  val q166 = Q(
+    "q166_containment",
+    (spark, dir) =>
+      Dedup.containmentPairs(Tables(spark, dir, "documents"),
+        "text", "doc_id", threshold = 0.8, n = 3)
+        .orderBy(col("a"), col("b")),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id <> y.doc_id
+                GROUP BY 1, 2)
+      SELECT a, b, inter*1.0/sa.n AS containment
+      FROM pairs JOIN sizes sa ON sa.doc_id = a
+      WHERE inter*1.0/sa.n >= 0.8
+      ORDER BY a, b"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q115, q116, q117, q120, q121, q123, q134, q142,
-    q145, q156)
+    q145, q156, q166)
 }
