@@ -744,6 +744,24 @@ class PipelineSpec extends SparkSpec {
       "verification let a false pair through")
   }
 
+  test("containment prefix filter: complete AND precise vs directed all-pairs") {
+    val sh = docs.select(col("doc_id"),
+        TextOps.shinglesKernel(2)(TextOps.words(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // directed truth: every ordered pair (a != b), C(a→b) = |A∩B|/|A|
+    val truth = sh.as("x").join(sh.as("y"), col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        Dedup.containmentKernel(col("x.sh"), col("y.sh")).as("c"))
+      .filter(col("c") >= 0.7)
+      .select("a", "b")
+    val found = Dedup.containmentPairs(docs, "text", "doc_id", 0.7, n = 2)
+      .select("a", "b")
+    assert(truth.exceptAll(found).isEmpty,
+      "containment prefix filter missed a true directed pair")
+    assert(found.exceptAll(truth).isEmpty,
+      "containment verification let a false pair through")
+  }
+
   test("ivf top-k: recall@5 >= 0.30 vs brute force; probes nprobe/nlist of corpus") {
     val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 20, 5)
       .select("query_id", "neighbor_id")

@@ -151,6 +151,49 @@ class PlanSpec extends SparkSpec {
       s"q159 tie/total frames not broadcast:\n$p")
   }
 
+  test("q160/q162/q165: one fact-sized aggregate, no window, no join") {
+    // mean-z, corr-matrix, and the normal-equations solve are all
+    // moments-only statistics: a single keyed aggregate to summary
+    // rows, then a projection finale — any join or window here means
+    // a fact-sized frame leaked past the aggregate
+    Seq(Events.q160, Events.q162, Events.q165).foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"${q.name} plans a Window:\n$p")
+      assert(!p.contains("Join"), s"${q.name} plans a join:\n$p")
+    }
+  }
+
+  test("q161: octave join is the 61-row broadcast, never a shuffle join") {
+    // the powers-of-two frame rides BroadcastNestedLoopJoin (range
+    // condition on a 61-row side — intended); the quantile window runs
+    // over the bounded bf16 histogram only
+    val p = plan(Events.q161)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q161 powers frame not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q161 shuffle-joins the octave:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q161 plans a cartesian:\n$p")
+  }
+
+  test("q163: moving window runs over the day-summary series only") {
+    // facts collapse to (type, day) in the keyed aggregate BEFORE the
+    // window; a join would mean the series was rebuilt fact-sized
+    val p = plan(Events.q163)
+    assert(!p.contains("Join"), s"q163 plans a join:\n$p")
+    assert(p.contains("Window"), s"q163 lost its moving window:\n$p")
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx < aggIdx,
+      s"q163 window does not sit above the day aggregate:\n$p")
+  }
+
+  test("q164: extremes ride a broadcast back onto the day summary") {
+    val p = plan(Events.q164)
+    assert(p.contains("BroadcastHashJoin"),
+      s"q164 min/max frame not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q164 sort-merges a summary:\n$p")
+    assert(!p.contains("Window"), s"q164 plans a Window:\n$p")
+  }
+
   test("q155: ONE fact-sized aggregate; every join is a broadcast ride") {
     // marginals/totals/entropies are all re-aggregations of the
     // contingency summary; a sort-merge or exchange-heavy join here
