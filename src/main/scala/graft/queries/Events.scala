@@ -4033,10 +4033,105 @@ object Events {
                        END AS DOUBLE) / 1000000.0 END AS b2
       FROM d ORDER BY event_type"""))
 
+  /** Dominant period of the daily count series per event_type
+    * (ClickHouse `seriesPeriodDetectFFT` analog, answered WITHOUT the
+    * FFT — float transforms have no cross-engine bit contract): the
+    * lag L ∈ [2, 14] maximizing the autocorrelation of the day series,
+    * computed on EXACT integers end to end. Mean-centering is cleared
+    * of fractions by scaling deviations by n (dev_d = n·c_d − S, exact
+    * BIGINT); r_L = Σ dev_d·dev_{d+L} over the overlapping days; the
+    * per-term normalization r_L/(n−L) quantizes to µ-units by the
+    * q165 sign-split integer rounding, so the argmax (max_by on
+    * (score, −lag) / ORDER BY score DESC, lag ASC) compares exact
+    * integers — no IEEE op anywhere before the display divide.
+    *
+    * Scale shape: facts collapse to the (type, day) summary in ONE
+    * keyed aggregate; the lag self-join runs on day-series rows ×
+    * 13 lags — calendar-bounded however large the corpus (the q159
+    * bounded-frame answer to a quadratic statistic).
+    */
+  val q168 = Q(
+    "q168_series_period",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = Tables(spark, dir, "events")
+        .groupBy(col("event_type"),
+          expr("ts_ns div 86400000000000").as("di"))
+        .agg(count(lit(1)).as("c"))
+      val stats = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+      val dev = daily.join(broadcast(stats), "event_type")
+        .select(col("event_type"), col("di"), col("n"),
+          (col("n") * col("c") - col("s")).as("dev"))
+      val lags = (2 to 14).toDF("lag")
+      val a = dev.select(col("event_type"), col("di"), col("n"),
+        col("dev").as("dev_a"))
+      val b = dev.select(col("event_type").as("bt"), col("di").as("bdi"),
+        col("dev").as("dev_b"))
+      val r = a.crossJoin(broadcast(lags))
+        .join(b, col("event_type") === col("bt") &&
+          col("bdi") === col("di") + col("lag"))
+        .groupBy(col("event_type"), col("lag"))
+        .agg(max(col("n")).as("n"),
+          sum(col("dev_a") * col("dev_b")).as("r"),
+          count(lit(1)).as("terms"))
+        .filter(col("terms") > 0)
+        // µ-unit normalized score as an exact integer (q165 sign-split)
+        .withColumn("score6", expr(
+          "case when r < 0" +
+            " then -((2 * cast(-r as decimal(38,0)) * 1000000 + terms)" +
+            " div (2 * terms))" +
+            " else (2 * cast(r as decimal(38,0)) * 1000000 + terms)" +
+            " div (2 * terms) end"))
+      r.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_days"),
+          max(struct(col("score6"), (-col("lag")).as("nl")))
+            .as("best"))
+        .select(col("event_type"), col("n_days"),
+          (-col("best.nl")).cast("long").as("period"),
+          round(col("best.score6").cast("double") / 1000000.0, 6)
+            .as("score"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS di,
+                            COUNT(*) AS c
+                     FROM events GROUP BY 1, 2),
+      stats AS (SELECT event_type, COUNT(*) AS n,
+                       CAST(SUM(c) AS BIGINT) AS s
+                FROM daily GROUP BY 1),
+      dev AS (SELECT d.event_type, d.di, st.n,
+                     st.n * d.c - st.s AS dev
+              FROM daily d JOIN stats st USING (event_type)),
+      r AS (SELECT a.event_type, l.lag, MAX(a.n) AS n,
+                   CAST(SUM(a.dev * b.dev) AS BIGINT) AS r,
+                   COUNT(*) AS terms
+            FROM dev a
+            CROSS JOIN (SELECT UNNEST(range(2, 15)) AS lag) l
+            JOIN dev b ON b.event_type = a.event_type
+                      AND b.di = a.di + l.lag
+            GROUP BY 1, 2),
+      sc AS (SELECT event_type, lag, n,
+                    CASE WHEN r < 0
+                         THEN -((2 * CAST(-r AS HUGEINT) * 1000000 + terms)
+                                // (2 * terms))
+                         ELSE (2 * CAST(r AS HUGEINT) * 1000000 + terms)
+                              // (2 * terms) END AS score6
+             FROM r WHERE terms > 0),
+      best AS (SELECT event_type, n, lag, score6,
+                      ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY score6 DESC, lag ASC)
+                        AS rn
+               FROM sc)
+      SELECT event_type, CAST(n AS BIGINT) AS n_days,
+             CAST(lag AS BIGINT) AS period,
+             ROUND(CAST(score6 AS DOUBLE) / 1000000.0, 6) AS score
+      FROM best WHERE rn = 1 ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
     q122, q124, q125, q126, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q143, q144, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q157, q158, q159, q160, q161, q162, q163,
-    q164, q165)
+    q164, q165, q168)
 }

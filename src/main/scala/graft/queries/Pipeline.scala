@@ -4120,49 +4120,60 @@ object Pipeline {
     * broadcast at ANY corpus size; the per-doc entropy is one keyed
     * aggregate; the top-20 is a TakeOrdered, never a global sort.
     */
-  /** The q156 selection over any frame with doc_id/lang/text — shared
-    * with Stress so the measured curve is the shipped plan.
+  /** Per-bigram −log2 p terms under the q156 hashed add-one bigram LM,
+    * carrying the caller's columns — the shared core of q156 (per-doc
+    * perplexity) and q167 (per-source reweighting). Emits `keep` + the
+    * 6-dp-quantized term `t`; both model frames are ≤ 4096 rows by
+    * construction so the score-leg joins broadcast at any corpus size.
     */
-  private[graft] def perplexityOf(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+  private[graft] def bigramEntropyTerms(docs: org.apache.spark.sql.DataFrame,
+      keep: Seq[String]): org.apache.spark.sql.DataFrame = {
       val B = 4096L
+      val kc = keep.map(col)
       val big = docs
-        .select(col("doc_id"), col("lang"),
-          expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+        .select(kc :+ col("lang") :+
+          expr("filter(split(text, ' '), x -> x != '')").as("ws"): _*)
         // guard short docs BEFORE the transform: sequence(0, -1)
         // DESCENDS in Spark (the TextOps.shingles hazard) and
         // element_at(ws, 0) then throws — a 0/1-word doc must simply
         // yield no bigrams, as the oracle's range(1, len) does
         .where(size(col("ws")) >= 2)
-        .select(col("doc_id"), col("lang"),
+        .select(kc :+ col("lang") :+
           explode(expr(
             "transform(sequence(0, size(ws) - 2), i -> " +
               "struct(element_at(ws, i + 1) AS w1, " +
-              "element_at(ws, i + 2) AS w2))")).as("bg"))
-        .select(col("doc_id"), col("lang"),
-          pmod(TextOps.wordCode(col("bg.w1")), lit(B)).as("b1"),
-          pmod(TextOps.wordCode(col("bg.w1")) * 131L +
-            TextOps.wordCode(col("bg.w2")), lit(B)).as("b12"))
+              "element_at(ws, i + 2) AS w2))")).as("bg"): _*)
+        .select(kc :+ col("lang") :+
+          pmod(TextOps.wordCode(col("bg.w1")), lit(B)).as("b1") :+
+          (pmod(TextOps.wordCode(col("bg.w1")) * 131L +
+            TextOps.wordCode(col("bg.w2")), lit(B)).as("b12")): _*)
       val train = big.where(col("lang") === "en")
       val c12 = train.groupBy(col("b12")).agg(count(lit(1)).as("c12"))
       val c1 = train.groupBy(col("b1")).agg(count(lit(1)).as("c1"))
       big
         .join(broadcast(c12), Seq("b12"), "left")
         .join(broadcast(c1), Seq("b1"), "left")
-        .select(col("doc_id"),
+        .select(kc :+
           round(-log(2.0,
             (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
               (coalesce(col("c1"), lit(0L)) + lit(B)).cast("double")), 6)
-            .as("t"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("t").cast("decimal(38,6)")).as("hsum"),
-          count(lit(1)).as("n_bigrams"))
-        .select(col("doc_id"), col("n_bigrams"),
-          round(col("hsum").cast("double") /
-            col("n_bigrams").cast("double"), 6).as("h_bits"))
-        .orderBy(col("h_bits").desc, col("doc_id"))
-        .limit(20)
+            .as("t"): _*)
   }
+
+  /** The q156 selection over any frame with doc_id/lang/text — shared
+    * with Stress so the measured curve is the shipped plan.
+    */
+  private[graft] def perplexityOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    bigramEntropyTerms(docs, Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("t").cast("decimal(38,6)")).as("hsum"),
+        count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("hsum").cast("double") /
+          col("n_bigrams").cast("double"), 6).as("h_bits"))
+      .orderBy(col("h_bits").desc, col("doc_id"))
+      .limit(20)
 
   val q156 = Q(
     "q156_perplexity_filter",
@@ -4223,11 +4234,94 @@ object Pipeline {
       WHERE inter*1.0/sa.n >= 0.8
       ORDER BY a, b"""))
 
+  /** Domain reweighting from LM loss (the DoReMi/Xie 2023 shape on
+    * the q156 machinery): per source, the mean hashed-bigram
+    * cross-entropy under the lang='en' reference model; sources whose
+    * loss EXCEEDS the corpus mean get sampling weight proportional to
+    * their excess (hard domains upweighted), the rest 0 — the
+    * deterministic, oracle-checkable core of the DoReMi proxy-loss
+    * loop. The global baseline re-aggregates the per-source summary
+    * (no second corpus pass); the weight normalizer accumulates
+    * 6-dp-quantized excesses as decimals (order-proof); each
+    * weight/mean is one fixed-order IEEE divide, rounded 6 dp, NULL
+    * when no source exceeds the mean. Scale shape: ONE bigram-stream
+    * pass into a source-keyed aggregate, everything after runs on
+    * ≤ #sources summary rows with 1-row frames attached broadcast.
+    */
+  val q167 = Q(
+    "q167_domain_reweight",
+    (spark, dir) => {
+      val terms = bigramEntropyTerms(
+        Tables(spark, dir, "documents"), Seq("doc_id", "source"))
+      val perSrc = terms.groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_bigrams"),
+          sum(col("t").cast("decimal(38,6)")).as("hsum"))
+        .withColumn("h_bits", round(col("hsum").cast("double") /
+          col("n_bigrams").cast("double"), 6))
+      val glob = perSrc.agg(
+        round(sum(col("hsum")).cast("double") /
+          sum(col("n_bigrams")).cast("double"), 6).as("h0"))
+      val e = perSrc.crossJoin(broadcast(glob))
+        .withColumn("excess_bits", round(col("h_bits") - col("h0"), 6))
+      val tot = e.agg(sum(greatest(col("excess_bits"), lit(0.0))
+        .cast("decimal(38,6)")).as("tot"))
+      e.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_bigrams"),
+          col("h_bits"), col("excess_bits"),
+          when(col("tot") === 0, lit(null).cast("double"))
+            .otherwise(round(greatest(col("excess_bits"), lit(0.0)) /
+              col("tot").cast("double"), 6)).as("weight"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, source, lang,
+                        list_filter(string_split(text, ' '),
+                                    x -> x <> '') AS ws
+                 FROM documents),
+      bg AS (SELECT doc_id, source, lang,
+                    ((unicode(ws[i]) * 31 + length(ws[i])) % 4096) AS b1,
+                    (((unicode(ws[i]) * 31 + length(ws[i])) * 131
+                      + unicode(ws[i+1]) * 31 + length(ws[i+1]))
+                     % 4096) AS b12
+             FROM d, UNNEST(range(1, len(ws))) AS t(i)),
+      c12 AS (SELECT b12, COUNT(*) AS c12 FROM bg
+              WHERE lang = 'en' GROUP BY 1),
+      c1 AS (SELECT b1, COUNT(*) AS c1 FROM bg
+             WHERE lang = 'en' GROUP BY 1),
+      s AS (SELECT bg.doc_id, bg.source,
+                   ROUND(-log2((COALESCE(c12.c12, 0) + CAST(1 AS BIGINT))
+                               / CAST(COALESCE(c1.c1, 0) + 4096 AS DOUBLE)),
+                         6) AS t
+            FROM bg LEFT JOIN c12 ON c12.b12 = bg.b12
+                    LEFT JOIN c1 ON c1.b1 = bg.b1),
+      ps AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
+                    COUNT(*) AS n_bigrams,
+                    SUM(CAST(t AS DECIMAL(38,6))) AS hsum
+             FROM s GROUP BY 1),
+      ps2 AS (SELECT source, n_docs, n_bigrams, hsum,
+                     ROUND(CAST(hsum AS DOUBLE)
+                           / CAST(n_bigrams AS DOUBLE), 6) AS h_bits
+              FROM ps),
+      g AS (SELECT ROUND(CAST(SUM(hsum) AS DOUBLE)
+                         / CAST(SUM(n_bigrams) AS DOUBLE), 6) AS h0
+            FROM ps),
+      e AS (SELECT source, n_docs, n_bigrams, h_bits,
+                   ROUND(h_bits - h0, 6) AS excess_bits
+            FROM ps2 CROSS JOIN g),
+      tot AS (SELECT SUM(CAST(GREATEST(excess_bits, 0.0)
+                              AS DECIMAL(38,6))) AS tot FROM e)
+      SELECT source, n_docs, n_bigrams, h_bits, excess_bits,
+             CASE WHEN tot = 0 THEN NULL
+                  ELSE ROUND(GREATEST(excess_bits, 0.0)
+                             / CAST(tot AS DOUBLE), 6) END AS weight
+      FROM e CROSS JOIN tot ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q115, q116, q117, q120, q121, q123, q134, q142,
-    q145, q156, q166)
+    q145, q156, q166, q167)
 }
