@@ -44,6 +44,15 @@ class BenchRecordSpec extends AnyFunSuite {
       s"record is ${r.length} chars; need <= ${BenchRecord.MaxChars - 100}")
   }
 
+  test("the current 166-query surface and the next wave (175) keep slack") {
+    for (n <- Seq(166, 175)) {
+      val r = choose(surface(n))
+      assert(r.length <= BenchRecord.MaxChars - 100,
+        s"$n-query record is ${r.length} chars; " +
+          s"need <= ${BenchRecord.MaxChars - 100}")
+    }
+  }
+
   test("a small surface stays on the verbose rung: 2 dp + extras, no warning") {
     val w = new StringBuilder
     val r = choose(surface(20), w)

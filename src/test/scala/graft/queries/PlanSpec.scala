@@ -194,6 +194,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"q164 plans a Window:\n$p")
   }
 
+  test("q167: one bigram pass; model and normalizer frames broadcast") {
+    // the per-source aggregate is the only fact-sized operation; the
+    // <= 4096-row model joins and the 1-row h0/tot frames must ride
+    // broadcast, never a shuffle join
+    val p = plan(Pipeline.q167)
+    assert(!p.contains("SortMergeJoin"), s"q167 shuffle-joins a frame:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q167 plans a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q167 model not broadcast:\n$p")
+  }
+
+  test("q168: lag self-join runs on the day summary, facts never pair") {
+    // daily collapse first, then (days x 13 lags) on summary rows —
+    // a cartesian or a fact-sized join side means the collapse leaked
+    val p = plan(Events.q168)
+    assert(!p.contains("CartesianProduct"), s"q168 plans a cartesian:\n$p")
+    assert(!p.contains("Window"), s"q168 plans a Window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"q168 lag frame not broadcast:\n$p")
+  }
+
   test("q155: ONE fact-sized aggregate; every join is a broadcast ride") {
     // marginals/totals/entropies are all re-aggregations of the
     // contingency summary; a sort-merge or exchange-heavy join here
