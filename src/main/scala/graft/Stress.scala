@@ -88,6 +88,13 @@ object Stress {
         threshold = 0.6, n = 3).count()
       release(sp)
       val t4 = System.nanoTime()
+      // q166's production parameters — the directed containment join's
+      // probe side is unbounded by the prefix theorem, so its curve is
+      // the one to watch as replicas multiply shared shingles
+      val cont = Dedup.containmentPairs(docs, "text", "doc_id",
+        threshold = 0.8, n = 3).count()
+      release(sp)
+      val t4c = System.nanoTime()
       val spans = {
         val ch = docs.select(col("doc_id"),
             explode(TextOps.chunksKernel(3)(TextOps.words(col("text"))))
@@ -103,8 +110,10 @@ object Stress {
       val t5 = System.nanoTime()
       def s(a: Long, b: Long) = f"${(b - a) / 1e9}%7.2f"
       println(f"$tag%-4s exact=${s(t0, t1)}s minhash=${s(t1, t2)}s " +
-        f"cc=${s(t2, t3)}s ngram=${s(t3, t4)}s span=${s(t4, t5)}s " +
-        f"[pairs=$np cc=$cc ngram=$ng sharedOcc=$spans exact=$exact]")
+        f"cc=${s(t2, t3)}s ngram=${s(t3, t4)}s cont=${s(t4, t4c)}s " +
+        f"span=${s(t4c, t5)}s " +
+        f"[pairs=$np cc=$cc ngram=$ng cont=$cont sharedOcc=$spans " +
+        f"exact=$exact]")
     }
 
     // corpus-prep side: chunking/scrub are map-side (must be ~linear
