@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.{col, round}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Live interval/series aggregates — q129 (interval-union coverage) and
@@ -393,4 +394,112 @@ object SeriesStream {
       .outputMode(OutputMode.Update())
       .foreachBatch(sink)
       .start()
+
+  // ---------------------------------------------------------------- q163
+
+  /** One event for the live daily-count series (key = (type, day)). */
+  case class DEv(event_type: String, day: String, event_id: Long)
+
+  /** Daily count per (type, day) — a commutative counter monoid, so
+    * arrival ORDER never matters; like [[SmSt]] the semantics are
+    * counting, so a replayed batch adds again — exactly-once delivery
+    * is the sink's job (the batch-id ledger composition demonstrated
+    * for smAdvance in SeriesStreamSpec applies verbatim). State is one
+    * long per (type, day); [[dailyCountsEvicting]] is the bounded-key
+    * deployment shape (closed days reclaim at the watermark, the
+    * [[boundingRatioEvicting]] contract).
+    */
+  case class CntSt(n: Long)
+
+  /** Pure transition: add the batch's arrivals, emit the CURRENT
+    * count.
+    */
+  def cntAdvance(st: Option[CntSt], arrived: Long): (CntSt, Long) = {
+    val next = CntSt(st.map(_.n).getOrElse(0L) + arrived)
+    (next, next.n)
+  }
+
+  /** Live (type, day, c) counts — the q163 day SERIES maintained as
+    * the stream lands. The moving-sum finale ([[movingSumOver]]) is a
+    * downstream read over this live table: state here is one counter
+    * per key, and the window runs on calendar-bounded summary rows
+    * exactly like batch q163.
+    */
+  def dailyCounts(events: Dataset[DEv]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(e => (e.event_type, e.day))
+      .mapGroupsWithState[CntSt, (String, String, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (key: (String, String), it: Iterator[DEv],
+            state: GroupState[CntSt]) =>
+          val (next, n) = cntAdvance(state.getOption, it.size.toLong)
+          state.update(next)
+          (key._1, key._2, n)
+      }
+      .toDF("event_type", "day", "c")
+  }
+
+  def startDailyCounts(events: Dataset[DEv])(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    dailyCounts(events).writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(sink)
+      .start()
+
+  /** Bounded-key live day series: a (type, day) group evicts once the
+    * event-time watermark passes its end of day (final by the
+    * watermark contract — the [[boundingRatioEvicting]] shape), so
+    * state is O(types × horizon days) however long the stream runs.
+    */
+  def dailyCountsEvicting(events: Dataset[DEv]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(e => (e.event_type, e.day))
+      .mapGroupsWithState[CntSt, (String, String, Long)](
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, String), it: Iterator[DEv],
+            state: GroupState[CntSt]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            (key._1, key._2, s.n)
+          } else {
+            val (next, n) = cntAdvance(state.getOption, it.size.toLong)
+            state.update(next)
+            val endOfDayMs = java.time.LocalDate.parse(key._2)
+              .plusDays(1).atStartOfDay(java.time.ZoneOffset.UTC)
+              .toInstant.toEpochMilli
+            state.setTimeoutTimestamp(
+              math.max(endOfDayMs, state.getCurrentWatermarkMs() + 1))
+            (key._1, key._2, n)
+          }
+      }
+      .toDF("event_type", "day", "c")
+  }
+
+  def startDailyCountsEvicting(events: Dataset[DEv])(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    dailyCountsEvicting(events).writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(sink)
+      .start()
+
+  /** The q163 moving-window finale over ANY (event_type, day, c)
+    * frame — the identical 7-row window and fixed-divisor average the
+    * batch query runs, so live-table ∘ this ≡ batch q163 per prefix
+    * (spec-pinned). Runs on day-series summary rows only.
+    */
+  def movingSumOver(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("mov_sum", org.apache.spark.sql.functions.sum(col("c"))
+        .over(w))
+      .select(col("event_type"), col("day"), col("c"), col("mov_sum"),
+        round(col("mov_sum").cast("double") / 7.0, 6).as("mov_avg"))
+  }
 }

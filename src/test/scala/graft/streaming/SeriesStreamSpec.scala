@@ -403,6 +403,90 @@ class SeriesStreamSpec extends SparkSpec {
     assert(lastNo != once, "unledgered replay double-counts (documented)")
   }
 
+  test("live daily counts + movingSumOver converge to batch q163") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    // shuffled single-delivery feed: the counter monoid is order-free
+    val rows = graft.Tables(spark, sf, "events")
+      .select(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_id"))
+      .as[SeriesStream.DEv].collect()
+    val shuffled = rows.sortBy(e => (e.event_id * 2654435761L).toInt)
+    val (b1, b2) = shuffled.splitAt(shuffled.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SeriesStream.DEv]
+    val lastCnt =
+      scala.collection.mutable.Map.empty[(String, String), Long]
+    val sq = SeriesStream.startDailyCounts(ms.toDS()) { (df, _) =>
+      df.collect().foreach(r =>
+        lastCnt((r.getString(0), r.getString(1))) = r.getLong(2))
+    }
+    try {
+      ms.addData(b1.toIndexedSeq: _*)
+      sq.processAllAvailable()
+      ms.addData(b2.toIndexedSeq: _*)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    // downstream read: the q163 finale over the live table
+    val live = lastCnt.toSeq.map { case ((tp, d), c) => (tp, d, c) }
+      .toDF("event_type", "day", "c")
+    val got = SeriesStream.movingSumOver(live)
+      .orderBy(col("event_type"), col("day"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val expect = graft.queries.Events.q163.fn(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.nonEmpty && got.sameElements(expect),
+      s"live moving sum diverges from batch q163 " +
+        s"(${got.length} vs ${expect.length} rows)")
+  }
+
+  test("evicting daily counts: state pinned to the watermark horizon") {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    val baseUs = 1704067200000000L // 2024-01-01T00:00:00Z in µs
+    def evs(d: Int): Seq[SeriesStream.DEv] =
+      for {
+        tp <- Seq("click", "view")
+        j <- 0 until 3
+      } yield SeriesStream.DEv(tp, f"2024-01-${d + 1}%02d",
+        d * 100L + j)
+    def t(d: Int, j: Int): Long = baseUs + d * dayUs + j * 3600000000L
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, Long, Long)]
+    val ds = ms.toDF()
+      .toDF("event_type", "day", "event_id", "t_us")
+      .withColumn("et", timestamp_micros(col("t_us")))
+      .withWatermark("et", "1 second")
+      .as[SeriesStream.DEv]
+    val last = scala.collection.mutable.Map.empty[(String, String), Long]
+    val sq = SeriesStream.startDailyCountsEvicting(ds) { (df, _) =>
+      df.collect().foreach(r =>
+        last((r.getString(0), r.getString(1))) = r.getLong(2))
+    }
+    try {
+      (0 until 6).foreach { d =>
+        ms.addData(evs(d).zipWithIndex.map { case (e, i) =>
+          (e.event_type, e.day, e.event_id, t(d, i % 3))
+        }.toIndexedSeq: _*)
+        sq.processAllAvailable()
+      }
+      for (d <- 0 until 6; tp <- Seq("click", "view")) {
+        val got = last((tp, f"2024-01-${d + 1}%02d"))
+        assert(got == 3L, s"($tp, day $d): $got")
+      }
+      val stateRows = sq.lastProgress.stateOperators
+        .map(_.numRowsTotal).sum
+      assert(stateRows <= 4,
+        s"state holds $stateRows rows; eviction should cap it at the " +
+          "watermark horizon")
+    } finally sq.stop()
+  }
+
   test("live sweep over fixture events converges to batch q130") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
