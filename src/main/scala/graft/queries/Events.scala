@@ -4128,10 +4128,134 @@ object Events {
              ROUND(CAST(score6 AS DOUBLE) / 1000000.0, 6) AS score
       FROM best WHERE rn = 1 ORDER BY event_type"""))
 
+  /** Time-decayed daily-count sum per event_type (ClickHouse
+    * `exponentialTimeDecayedSum` analog): S = Σ_d c_d · r^(D−d) with
+    * r = 0.9 and D the newest day — the "recent data counts more"
+    * rollup. The decay weights are NOT computed with pow()/exp()
+    * (libm, no cross-engine bit contract): both engines build the
+    * 61-row weight table by SEQUENTIAL IEEE multiplication (w_k =
+    * w_{k−1}·0.9 — each step correctly rounded, so the chain is
+    * bit-identical; Scala fold here, recursive CTE in the oracle) and
+    * the day series joins it broadcast. Per-day terms c_d·w_k are
+    * single IEEE products quantized 6 dp and decimal-accumulated (the
+    * q154/q156 discipline — order- and last-ulp-proof).
+    *
+    * Scale shape: facts collapse to the (type, day) summary first;
+    * everything after runs on calendar-bounded rows with the weight
+    * frame and the 1-row max-day frame attached broadcast. Days more
+    * than 60 lags old drop out of the inner join BY DESIGN (w < 0.002
+    * there — this is the windowed deployment shape of the decayed
+    * rollup, and it keeps the weight table finite).
+    */
+  val q169 = Q(
+    "q169_time_decayed_sum",
+    (spark, dir) => {
+      import spark.implicits._
+      // w(k) = 0.9^k by sequential correctly-rounded multiplication
+      val ws = Iterator.iterate(1.0)(_ * 0.9).take(61).toSeq
+      val weights = ws.zipWithIndex.map { case (w, k) => (k.toLong, w) }
+        .toDF("k", "w")
+      val daily = Tables(spark, dir, "events")
+        .groupBy(col("event_type"),
+          expr("ts_ns div 86400000000000").as("di"))
+        .agg(count(lit(1)).as("c"))
+      val top = daily.agg(max(col("di")).as("dmax"))
+      daily.crossJoin(broadcast(top))
+        .withColumn("k", col("dmax") - col("di"))
+        .join(broadcast(weights), "k")
+        .select(col("event_type"),
+          round(col("c").cast("double") * col("w"), 6).as("t"),
+          col("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("c")).as("n"),
+          sum(col("t").cast("decimal(38,6)")).as("dsum"))
+        .select(col("event_type"), col("n_days"), col("n"),
+          col("dsum").cast("double").as("decayed_sum"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH RECURSIVE wt AS (
+        SELECT 0 AS k, CAST(1.0 AS DOUBLE) AS w
+        UNION ALL SELECT k + 1, w * 0.9 FROM wt WHERE k < 60),
+      daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS di,
+                       COUNT(*) AS c
+                FROM events GROUP BY 1, 2),
+      top AS (SELECT MAX(di) AS dmax FROM daily),
+      t AS (SELECT d.event_type, d.c,
+                   ROUND(CAST(d.c AS DOUBLE) * wt.w, 6) AS t
+            FROM daily d CROSS JOIN top
+            JOIN wt ON wt.k = top.dmax - d.di)
+      SELECT event_type, COUNT(*) AS n_days, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CAST(t AS DECIMAL(38,6))) AS DOUBLE) AS decayed_sum
+      FROM t GROUP BY event_type ORDER BY event_type"""))
+
+  /** ROC AUC of the scaled value as a click-vs-view classifier score
+    * (ClickHouse `arrayAUC` analog), computed WITHOUT materializing or
+    * sorting scored rows: facts collapse to the per-score histogram
+    * (score = floor(value·64), label = event_type), and the
+    * tie-corrected rank statistic comes from the cumulative counts —
+    * AUC = Σ_s [neg(<s)·pos(s) + ½·neg(s)·pos(s)] / (P·N). Doubling
+    * the numerator clears the ½ so EVERYTHING up to the final divide
+    * is exact BIGINT (the q150 fractional-ranks trick); the running
+    * neg(<s) prefix is a window over the bounded score histogram.
+    * NULL when either class is empty.
+    */
+  val q170 = Q(
+    "q170_auc",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(spark, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(floor(col("value") * 64).as("s"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("y"))
+      val hist = e.groupBy(col("s"))
+        .agg(sum(col("y")).as("pos"),
+          sum(lit(1L) - col("y")).as("neg"))
+      val cum = hist
+        .withColumn("neg_below",
+          coalesce(sum(col("neg")).over(
+            Window.orderBy(col("s"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val agg = cum.agg(
+        sum(col("pos")).as("p"), sum(col("neg")).as("nn"),
+        sum(col("neg_below") * col("pos") * 2 + col("neg") * col("pos"))
+          .as("num2"))
+      agg.select(col("p").as("n_pos"), col("nn").as("n_neg"),
+        when(col("p") === 0 || col("nn") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("num2").cast("double") /
+            (lit(2.0) * (col("p") * col("nn")).cast("double")), 6))
+          .as("auc"))
+    },
+    Some("""
+      WITH e AS (SELECT CAST(FLOOR(value * 64) AS BIGINT) AS s,
+                        CASE WHEN event_type = 'click' THEN 1
+                             ELSE 0 END AS y
+                 FROM events WHERE event_type IN ('click', 'view')),
+      hist AS (SELECT s, CAST(SUM(y) AS BIGINT) AS pos,
+                      CAST(SUM(1 - y) AS BIGINT) AS neg
+               FROM e GROUP BY 1),
+      cum AS (SELECT s, pos, neg,
+                     COALESCE(CAST(SUM(neg) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS BIGINT), 0) AS neg_below
+              FROM hist),
+      a AS (SELECT CAST(SUM(pos) AS BIGINT) AS p,
+                   CAST(SUM(neg) AS BIGINT) AS nn,
+                   CAST(SUM(neg_below * pos * 2 + neg * pos) AS BIGINT)
+                     AS num2
+            FROM cum)
+      SELECT p AS n_pos, nn AS n_neg,
+             CASE WHEN p = 0 OR nn = 0 THEN NULL
+                  ELSE ROUND(CAST(num2 AS DOUBLE)
+                             / (2.0 * CAST(p * nn AS DOUBLE)), 6)
+             END AS auc
+      FROM a"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
     q122, q124, q125, q126, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q143, q144, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q157, q158, q159, q160, q161, q162, q163,
-    q164, q165, q168)
+    q164, q165, q168, q169, q170)
 }
