@@ -17,11 +17,13 @@ import org.apache.spark.sql.types._
   * half is ALSO implemented for real against the JDK's own codec
   * ([[imageFeatures]]/[[imageResize]], javax.imageio PNG/BMP/GIF):
   * real decode, real pixels, nearest-neighbor resize, PNG re-encode —
-  * unit-tested on generated PNG fixtures. Video/audio keep the
-  * stand-in (no pure-JVM codec exists). Everything around both legs —
-  * the media schema, the binary column handling, partitioning, the
-  * batched iterator plumbing, and the feature shapes — is shared and
-  * tested.
+  * unit-tested on generated PNG fixtures. The AUDIO half likewise
+  * ([[audioFeatures]], javax.sound.sampled WAV/16-bit PCM): real
+  * sample decode, all-integer features, unit-tested on generated WAV
+  * fixtures. VIDEO keeps the stand-in (the JVM ships no video codec).
+  * Everything around the legs — the media schema, the binary column
+  * handling, partitioning, the batched iterator plumbing, and the
+  * feature shapes — is shared and tested.
   */
 object Multimodal {
 
@@ -276,6 +278,85 @@ object Multimodal {
           }
           Row(id, modality, j, frame, frame.length, checksum)
         }
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------------------
+  // Real-codec leg, audio half: WAV/PCM via the JDK's own
+  // javax.sound.sampled (pure JVM, on every executor classpath) — the
+  // same proof the image leg gives: schema, partitioning, one decoder
+  // per partition, corrupt-row drop, against REAL decoded samples.
+  // Video remains the one declared byte-walk stand-in (the JVM ships
+  // no video codec).
+  // ------------------------------------------------------------------
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("peak", IntegerType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false),
+    StructField("amp_hist", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+
+  /** Per-partition REAL audio decode + feature extraction over 16-bit
+    * signed PCM WAV: sample rate, channel count, per-channel sample
+    * count, integer peak |amplitude|, exact sum of squares (the RMS
+    * numerator — samples² ≤ 2³⁰, so int64 holds ~2³³ samples), and an
+    * integer |amplitude| histogram in [[HistBins]] bins — all-integer
+    * features, so every JVM agrees bit-for-bit. Rows that are not
+    * decodable 16-bit PCM are DROPPED (the corrupt-media posture at
+    * 100 TB is filter-and-count, not fail-the-job).
+    */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(audioFeatureSchema))
+    media.select("media_id", "modality", "bytes").mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](2)
+        val decoded =
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val fmt = ais.getFormat
+              if (fmt.getEncoding !=
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                  fmt.getSampleSizeInBits != 16) None
+              else {
+                val data = ais.readAllBytes()
+                val n = data.length / 2
+                val hist = new Array[Long](HistBins)
+                var peak = 0
+                var sumSq = 0L
+                var i = 0
+                while (i < n) {
+                  val lo = data(2 * i) & 0xff
+                  val hi = data(2 * i + 1)
+                  val s =
+                    if (fmt.isBigEndian) (data(2 * i) << 8) |
+                      (data(2 * i + 1) & 0xff)
+                    else (hi << 8) | lo
+                  val a = math.abs(s)
+                  if (a > peak) peak = a
+                  sumSq += s.toLong * s
+                  // |s| ≤ 32768 ⇒ scale into HistBins, clamp the +32768
+                  // edge into the top bin
+                  val bin = math.min(a * HistBins / 32768, HistBins - 1)
+                  hist(bin) += 1
+                  i += 1
+                }
+                val ch = math.max(fmt.getChannels, 1)
+                Some(Row(r.getLong(0), r.getString(1),
+                  fmt.getSampleRate.toInt, fmt.getChannels,
+                  (n / ch).toLong, peak, sumSq, hist.toSeq))
+              }
+            } finally ais.close()
+          } catch { case _: Exception => None }
+        decoded
       }
     }(enc)
   }

@@ -87,4 +87,59 @@ class MultimodalSpec extends SparkSpec {
     val nb = resized.collect().head.getAs[Array[Byte]](2).length
     assert(feats.head.getInt(2) == nb)
   }
+
+  /** Mono 16-bit little-endian PCM WAV from an exact sample program. */
+  private def wav(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      rate.toFloat, 16, 1, 2, rate.toFloat, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private def audioDf(rows: Seq[(Long, Array[Byte])]) = {
+    val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(Multimodal.mediaSchema))
+    spark.createDataset(rows.map { case (id, b) =>
+      Row(id, "audio", b, Row("wav", b.length))
+    })(enc)
+  }
+
+  test("audioFeatures decodes real WAV/PCM: rate, counts, peak, sum of " +
+      "squares, amplitude histogram — all against the exact program") {
+    // a known staircase: samples 0, ±1000, ±32000 — ground truth by hand
+    val samples = Array[Short](0, 1000, -1000, 32000, -32000, 0)
+    val out = Multimodal.audioFeatures(
+      audioDf(Seq((1L, wav(8000, samples))))).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getInt(2) == 8000 && r.getInt(3) == 1)
+    assert(r.getLong(4) == 6L)
+    assert(r.getInt(5) == 32000)
+    assert(r.getLong(6) ==
+      samples.map(s => s.toLong * s).sum)
+    val hist = r.getSeq[Long](7)
+    assert(hist.sum == 6L)
+    // bins: |0| -> 0 (x3 incl. the two zeros), |1000| -> 1000*16/32768=0,
+    // |32000| -> 15 (x2)
+    assert(hist.head == 4L && hist.last == 2L)
+  }
+
+  test("audioFeatures drops non-PCM/corrupt rows instead of failing") {
+    val good = wav(16000, Array[Short](5, -5, 5, -5))
+    val junk = Array.tabulate[Byte](96)(i => (i * 13).toByte)
+    val out = Multimodal.audioFeatures(
+      audioDf(Seq((1L, good), (2L, junk)))).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(out.head.getLong(4) == 4L && out.head.getInt(5) == 5)
+  }
 }
