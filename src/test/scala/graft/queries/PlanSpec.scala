@@ -215,6 +215,25 @@ class PlanSpec extends SparkSpec {
       s"q168 lag frame not broadcast:\n$p")
   }
 
+  test("q169: weight and max-day frames ride broadcast onto the day summary") {
+    val p = plan(Events.q169)
+    assert(!p.contains("SortMergeJoin"), s"q169 shuffle-joins a frame:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q169 weights not broadcast:\n$p")
+    assert(!p.contains("Window"), s"q169 plans a Window:\n$p")
+  }
+
+  test("q170: rank statistic runs on the score histogram, no scored-row sort") {
+    // the only fact-sized operation is the histogram aggregate; the
+    // prefix window runs over bounded histogram rows and the finale is
+    // a single re-aggregation — no join anywhere
+    val p = plan(Events.q170)
+    assert(!p.contains("Join"), s"q170 plans a join:\n$p")
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && aggIdx >= 0,
+      s"q170 lost its histogram window shape:\n$p")
+  }
+
   test("q155: ONE fact-sized aggregate; every join is a broadcast ride") {
     // marginals/totals/entropies are all re-aggregations of the
     // contingency summary; a sort-merge or exchange-heavy join here
