@@ -20,7 +20,11 @@ import org.apache.spark.sql.types._
   * unit-tested on generated PNG fixtures. The AUDIO half likewise
   * ([[audioFeatures]], javax.sound.sampled WAV/16-bit PCM): real
   * sample decode, all-integer features, unit-tested on generated WAV
-  * fixtures. VIDEO keeps the stand-in (the JVM ships no video codec).
+  * fixtures. The VIDEO half too, for MJPEG-in-AVI
+  * ([[videoKeyframes]]/[[videoFrameFeatures]]: RIFF container walk +
+  * per-frame JPEG decode — an MJPEG chunk is a complete JPEG, which
+  * the JDK decodes natively); the byte-walk legs stay the stand-in
+  * for codecs the JVM lacks (H.264/VP9 and friends).
   * Everything around the legs — the media schema, the binary column
   * handling, partitioning, the batched iterator plumbing, and the
   * feature shapes — is shared and tested.
@@ -252,8 +256,9 @@ object Multimodal {
     * byte frames) — the video-keyframe shape: a 100 TB corpus fans out
     * map-side, no shuffle, and downstream stages see per-frame rows.
     *
-    * ??? REAL-CODEC BOUNDARY: production splits on container keyframes;
-    * the stand-in splits the byte stream at fixed offsets, which the
+    * ??? REAL-CODEC BOUNDARY: production splits on container keyframes
+    * (implemented for real for MJPEG-in-AVI in [[videoKeyframes]]); the
+    * stand-in splits the byte stream at fixed offsets, which the
     * oracle recomputes exactly (driver q40).
     */
   def frameSample(media: DataFrame, frameSize: Int, everyN: Int): DataFrame = {
@@ -287,9 +292,146 @@ object Multimodal {
   // javax.sound.sampled (pure JVM, on every executor classpath) — the
   // same proof the image leg gives: schema, partitioning, one decoder
   // per partition, corrupt-row drop, against REAL decoded samples.
-  // Video remains the one declared byte-walk stand-in (the JVM ships
-  // no video codec).
   // ------------------------------------------------------------------
+
+  // ------------------------------------------------------------------
+  // Real-codec leg, video half: MJPEG-in-AVI on the JDK alone. The AVI
+  // container is a RIFF chunk tree (walked below — no library needed)
+  // and an MJPEG video chunk IS a complete JPEG image, which
+  // javax.imageio decodes natively. So the whole video path — container
+  // parse → keyframe split → real pixel decode — runs pure-JVM; the
+  // byte-walk frameSample above remains the oracle-checked
+  // deterministic twin for containers the JDK cannot decode (H.264 et
+  // al.).
+  // ------------------------------------------------------------------
+
+  /** Minimal RIFF/AVI walk: collect the video-stream chunks
+    * (`##db`/`##dc`, stream id = two leading hex digits) from anywhere
+    * under the RIFF('AVI ') tree, recursing through LIST nodes
+    * (`movi`, `rec `, …). Truncated or non-AVI bytes yield None — the
+    * corrupt-media drop posture. Sizes are little-endian u32; chunks
+    * pad to even offsets per the RIFF spec.
+    */
+  private[pipeline] def aviVideoFrames(
+      bytes: Array[Byte]): Option[Vector[Array[Byte]]] = {
+    def u32(o: Int): Long =
+      (bytes(o) & 0xffL) | (bytes(o + 1) & 0xffL) << 8 |
+        (bytes(o + 2) & 0xffL) << 16 | (bytes(o + 3) & 0xffL) << 24
+    def fcc(o: Int): String =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    def hexDigit(c: Char): Boolean =
+      c.isDigit || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
+    if (bytes.length < 12 || fcc(0) != "RIFF" || fcc(8) != "AVI ") None
+    else {
+      val frames = Vector.newBuilder[Array[Byte]]
+      def walk(from: Int, until: Int): Unit = {
+        var o = from
+        var ok = true
+        while (ok && o + 8 <= until) {
+          val id = fcc(o)
+          val sz = u32(o + 4)
+          val body = o + 8
+          val end = body + sz
+          if (sz > Int.MaxValue || end > until) ok = false // truncated
+          else {
+            if (id == "LIST" || id == "RIFF") {
+              if (sz >= 4) walk(body + 4, end.toInt)
+            } else if (hexDigit(id(0)) && hexDigit(id(1)) && id(2) == 'd' &&
+                (id(3) == 'b' || id(3) == 'c')) {
+              frames += java.util.Arrays.copyOfRange(bytes, body, end.toInt)
+            }
+            o = (end + (sz & 1)).toInt
+          }
+        }
+      }
+      walk(12, bytes.length)
+      val v = frames.result()
+      if (v.isEmpty) None else Some(v)
+    }
+  }
+
+  /** REAL keyframe sampling: split the AVI container on its actual
+    * video chunks and keep every `everyN`-th — the production shape
+    * [[frameSample]]'s fixed-offset stand-in declares. Output is the
+    * same [[frameSchema]] (frame bytes = the complete per-frame JPEG
+    * payload for MJPEG streams), so downstream stages are shared.
+    * Unparseable containers are dropped, not failed.
+    */
+  def videoKeyframes(media: DataFrame, everyN: Int): DataFrame = {
+    require(everyN > 0)
+    val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(frameSchema))
+    media.select("media_id", "modality", "bytes").mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val modality = r.getString(1)
+        aviVideoFrames(r.getAs[Array[Byte]](2)).iterator.flatMap { frames =>
+          frames.iterator.zipWithIndex.filter(_._2 % everyN == 0).map {
+            case (frame, j) =>
+              var checksum = 0L
+              var i = 0
+              while (i < frame.length) {
+                checksum = (checksum * 31 + (frame(i) & 0xff)) % 1000000007L
+                i += 1
+              }
+              Row(id, modality, j, frame, frame.length, checksum)
+          }
+        }
+      }
+    }(enc)
+  }
+
+  val videoFrameFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("luma_hist", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+
+  /** REAL video decode: container parse → every `everyN`-th video
+    * chunk → javax.imageio JPEG decode → per-frame width/height/luma
+    * histogram from the actual pixels. One decoder pass per frame, one
+    * partition's rows streamed through one iterator — the exact
+    * plumbing the image/audio legs prove, now for video. Containers
+    * that don't parse and frames no JVM reader accepts are dropped.
+    */
+  def videoFrameFeatures(media: DataFrame, everyN: Int): DataFrame = {
+    require(everyN > 0)
+    val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(videoFrameFeatureSchema))
+    media.select("media_id", "modality", "bytes").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val modality = r.getString(1)
+        aviVideoFrames(r.getAs[Array[Byte]](2)).iterator.flatMap { frames =>
+          frames.iterator.zipWithIndex.filter(_._2 % everyN == 0).flatMap {
+            case (frame, j) =>
+              val img = try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(frame))
+              catch { case _: Exception => null }
+              if (img == null) None
+              else {
+                val hist = new Array[Long](HistBins)
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    hist(lumaBin(img.getRGB(x, y))) += 1
+                    x += 1
+                  }
+                  y += 1
+                }
+                Some(Row(id, modality, j, img.getWidth, img.getHeight,
+                  hist.toSeq))
+              }
+          }
+        }
+      }
+    }(enc)
+  }
 
   val audioFeatureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

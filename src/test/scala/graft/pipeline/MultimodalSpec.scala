@@ -142,4 +142,120 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L))
     assert(out.head.getLong(4) == 4L && out.head.getInt(5) == 5)
   }
+
+  // ---- video: MJPEG-in-AVI assembled in-test from real JPEG frames ----
+
+  /** w×h solid-color JPEG via the JDK's own encoder. */
+  private def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Minimal valid RIFF('AVI '){ LIST(hdrl){avih}, LIST(movi){00dc…} }
+    * — frame payloads are complete JPEGs, i.e. an MJPEG stream.
+    */
+  private def avi(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    def u32le(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("ISO-8859-1") ++ u32le(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("ISO-8859-1") ++ body)
+    val avih = new Array[Byte](56)
+    u32le(frames.length).copyToArray(avih, 16) // dwTotalFrames
+    u32le(w).copyToArray(avih, 32)             // dwWidth
+    u32le(h).copyToArray(avih, 36)             // dwHeight
+    val hdrl = list("hdrl", chunk("avih", avih))
+    val movi = list("movi",
+      frames.toArray.flatMap(f => chunk("00dc", f)))
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    "RIFF".getBytes("ISO-8859-1") ++ u32le(body.length) ++ body
+  }
+
+  private def videoDf(rows: Seq[(Long, Array[Byte])]) = {
+    val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(Multimodal.mediaSchema))
+    spark.createDataset(rows.map { case (id, b) =>
+      Row(id, "video", b, Row("avi", b.length))
+    })(enc)
+  }
+
+  test("videoKeyframes splits a real AVI container on its video chunks " +
+      "and keeps every N-th, bytes and checksum exact") {
+    val fs = Seq(jpeg(8, 6, 0x000000), jpeg(8, 6, 0xffffff),
+      jpeg(8, 6, 0x808080), jpeg(8, 6, 0x0000ff))
+    val out = Multimodal.videoKeyframes(
+      videoDf(Seq((7L, avi(fs, 8, 6)))), everyN = 2)
+      .collect().sortBy(_.getInt(2))
+    assert(out.map(_.getInt(2)).toSeq == Seq(0, 2))
+    out.zip(Seq(fs(0), fs(2))).foreach { case (r, expect) =>
+      val frame = r.getAs[Array[Byte]](3)
+      assert(java.util.Arrays.equals(frame, expect)) // byte-exact split
+      assert(r.getInt(4) == expect.length)
+      val checksum = expect.foldLeft(0L)((c, b) =>
+        (c * 31 + (b & 0xff)) % 1000000007L)
+      assert(r.getLong(5) == checksum)
+      // each split frame is itself a decodable JPEG of the right size
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(frame))
+      assert(img.getWidth == 8 && img.getHeight == 6)
+    }
+  }
+
+  test("videoFrameFeatures decodes sampled MJPEG frames to real pixels") {
+    // solid black / solid white frames: JPEG error is far below the
+    // 16-value luma bin width, so the histograms are exact
+    val fs = Seq(jpeg(16, 8, 0x000000), jpeg(16, 8, 0xffffff),
+      jpeg(16, 8, 0x000000))
+    val out = Multimodal.videoFrameFeatures(
+      videoDf(Seq((3L, avi(fs, 16, 8)))), everyN = 1)
+      .collect().sortBy(_.getInt(2))
+    assert(out.length == 3)
+    assert(out.forall(r => r.getInt(3) == 16 && r.getInt(4) == 8))
+    val h0 = out(0).getSeq[Long](5)
+    val h1 = out(1).getSeq[Long](5)
+    assert(h0.head == 128L && h0.sum == 128L) // all pixels in bin 0
+    assert(h1.last == 128L && h1.sum == 128L) // all pixels in bin 15
+  }
+
+  test("video leg drops unparseable containers and undecodable frames, " +
+      "keeps the good ones") {
+    val good = jpeg(4, 4, 0xffffff)
+    val junkFrame = Array.tabulate[Byte](50)(i => (i * 11).toByte)
+    val mixed = avi(Seq(junkFrame, good), 4, 4)
+    val notAvi = Array.tabulate[Byte](200)(i => (i * 3).toByte)
+    val out = Multimodal.videoFrameFeatures(
+      videoDf(Seq((1L, mixed), (2L, notAvi))), everyN = 1).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getInt(2) == 1)
+    // ...while videoKeyframes (no decode) still emits both chunks of
+    // the parseable container and nothing for the junk one
+    val kf = Multimodal.videoKeyframes(
+      videoDf(Seq((1L, mixed), (2L, notAvi))), everyN = 1).collect()
+    assert(kf.map(_.getLong(0)).toSet == Set(1L) && kf.length == 2)
+  }
+
+  test("video keyframes compose with the image leg: an MJPEG frame IS " +
+      "a JPEG, so imageFeatures consumes videoKeyframes output") {
+    val fs = Seq(jpeg(8, 8, 0x000000), jpeg(8, 8, 0xffffff))
+    val kf = Multimodal.videoKeyframes(videoDf(Seq((9L, avi(fs, 8, 8)))), 1)
+    // frameSchema -> mediaSchema: frame bytes become the opaque payload
+    import org.apache.spark.sql.functions._
+    val asImages = kf.select(
+      (col("media_id") * 100 + col("frame_idx")).as("media_id"),
+      lit("image").as("modality"), col("frame").as("bytes"),
+      struct(lit("jpg").as("format"), col("n_bytes")).as("meta"))
+    val feats = Multimodal.imageFeatures(asImages)
+      .collect().sortBy(_.getLong(0))
+    assert(feats.map(_.getLong(0)).toSeq == Seq(900L, 901L))
+    assert(feats.forall(r => r.getInt(2) == 8 && r.getInt(3) == 8))
+    assert(feats(0).getSeq[Long](4).head == 64L) // black frame, bin 0
+    assert(feats(1).getSeq[Long](4).last == 64L) // white frame, bin 15
+  }
 }
