@@ -4252,10 +4252,300 @@ object Events {
              END AS auc
       FROM a"""))
 
+  /** Audience-overlap set algebra via distributed bitmaps (ClickHouse
+    * `groupBitmap`/`groupBitmapAnd`/`Or`/`Xor` + `bitmapAndnot` family
+    * analog): for every unordered event_type pair, the AND / OR / XOR /
+    * ANDNOT cardinalities of the two user-id audiences. The operator is
+    * the bitmap itself, built the Roaring way but distributed: user ids
+    * collapse into 64-bit WORDS keyed by (type, user_id div 64) with a
+    * map-side-combining `bit_or(1 << bit)` aggregate — raw ids never
+    * shuffle, only words do (≤ users/64 rows per type at ANY corpus
+    * size), and every op is a built-in codegen expression (shiftleft /
+    * bit_or / bit_count — no UDF). Intersections come from ONE
+    * word-aligned equi-join between the word frames (`bit_count(a & b)`
+    * summed); OR/XOR/ANDNOT then follow exactly by inclusion-exclusion
+    * on BIGINTs, which is also how the oracle answers from DISTINCT
+    * sets. The type-pair scaffold is a ≤ types² broadcast so a pair
+    * with an empty intersection still reports.
+    */
+  val q171 = Q(
+    "q171_bitmap_audience",
+    (spark, dir) => {
+      val bits = Tables(spark, dir, "events")
+        .select(col("event_type"), col("user_id"))
+        .groupBy(col("event_type"), expr("user_id div 64").as("w"))
+        .agg(expr("bit_or(shiftleft(1L, int(user_id % 64)))").as("bm"))
+      val uniq = bits.groupBy(col("event_type"))
+        .agg(sum(expr("bit_count(bm)")).cast("long").as("uniq"))
+      val inter = bits.as("a")
+        .join(bits.as("b"),
+          col("a.w") === col("b.w") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(sum(expr("bit_count(a.bm & b.bm)")).cast("long").as("and_c"))
+      val ua = uniq.select(col("event_type").as("type_a"),
+        col("uniq").as("uniq_a"))
+      val ub = uniq.select(col("event_type").as("type_b"),
+        col("uniq").as("uniq_b"))
+      ua.join(ub, col("type_a") < col("type_b"))
+        .join(broadcast(inter), Seq("type_a", "type_b"), "left")
+        .na.fill(0L, Seq("and_c"))
+        .select(col("type_a"), col("type_b"), col("uniq_a"), col("uniq_b"),
+          col("and_c"),
+          (col("uniq_a") + col("uniq_b") - col("and_c")).as("or_c"),
+          (col("uniq_a") - col("and_c")).as("andnot_ab"),
+          (col("uniq_a") + col("uniq_b") - lit(2L) * col("and_c"))
+            .as("xor_c"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+    Some("""
+      WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+      uq AS (SELECT event_type, COUNT(*) AS uniq FROM u GROUP BY 1),
+      i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS and_c
+            FROM u a JOIN u b ON a.user_id = b.user_id
+                             AND a.event_type < b.event_type
+            GROUP BY 1, 2)
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.uniq AS uniq_a, b.uniq AS uniq_b,
+             COALESCE(i.and_c, 0) AS and_c,
+             a.uniq + b.uniq - COALESCE(i.and_c, 0) AS or_c,
+             a.uniq - COALESCE(i.and_c, 0) AS andnot_ab,
+             a.uniq + b.uniq - 2 * COALESCE(i.and_c, 0) AS xor_c
+      FROM uq a JOIN uq b ON a.event_type < b.event_type
+      LEFT JOIN i ON i.type_a = a.event_type AND i.type_b = b.event_type
+      ORDER BY type_a, type_b"""))
+
+  /** Fixed-resolution latency quantiles (ClickHouse `quantileTiming`
+    * analog): the value column read as milliseconds and stored in the
+    * reference sketch's fixed footprint — exact 1 ms counts below
+    * 1024 ms, 16 ms buckets to 30 s, one overflow bucket at 30 s —
+    * so per-type state is ≤ 2 838 integer cells at ANY corpus size.
+    * p50/p90/p99 are discrete ceil-rank quantiles read off the
+    * cumulative histogram with ALL-INTEGER rank comparisons
+    * (100·cum ≥ p·N — no double product to straddle an ulp). The
+    * cumulative window runs over the bounded histogram, never facts.
+    */
+  val q172 = Q(
+    "q172_quantile_timing",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(spark, dir, "events")
+        .select(col("event_type"), floor(col("value") * 1000).as("ms"))
+        .withColumn("b",
+          when(col("ms") < 1024, col("ms"))
+            .when(col("ms") < 30000, expr("(ms div 16) * 16"))
+            .otherwise(lit(30000L)))
+      val hist = e.groupBy(col("event_type"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      val tot = hist.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+      val cum = hist.withColumn("cum",
+        sum(col("c")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("b"))))
+        .join(broadcast(tot), "event_type")
+      cum.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          min(when(col("cum") * 2 >= col("n"), col("b"))).as("p50_ms"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("b"))).as("p90_ms"),
+          min(when(col("cum") * 100 >= col("n") * 99, col("b")))
+            .as("p99_ms"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(FLOOR(value * 1000) AS BIGINT) AS ms
+                 FROM events),
+      eb AS (SELECT event_type,
+                    CASE WHEN ms < 1024 THEN ms
+                         WHEN ms < 30000 THEN (ms // 16) * 16
+                         ELSE 30000 END AS b
+             FROM e),
+      hist AS (SELECT event_type, b, COUNT(*) AS c FROM eb GROUP BY 1, 2),
+      tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+              FROM hist GROUP BY 1),
+      cum AS (SELECT h.event_type, h.b, t.n,
+                     CAST(SUM(h.c) OVER (PARTITION BY h.event_type
+                                         ORDER BY h.b) AS BIGINT) AS cum
+              FROM hist h JOIN tot t USING (event_type))
+      SELECT event_type, MAX(n) AS n,
+             MIN(CASE WHEN cum * 2 >= n THEN b END) AS p50_ms,
+             MIN(CASE WHEN cum * 10 >= n * 9 THEN b END) AS p90_ms,
+             MIN(CASE WHEN cum * 100 >= n * 99 THEN b END) AS p99_ms
+      FROM cum GROUP BY event_type ORDER BY event_type"""))
+
+  /** The rest of the time-decay family (ClickHouse
+    * `exponentialTimeDecayedCount`/`Avg`/`Max` analogs, completing
+    * q169's Sum): same sequentially-multiplied weight table (never
+    * pow/exp — each step a correctly-rounded IEEE product, so the
+    * chain is bit-identical cross-engine), same 6-dp quantize +
+    * decimal-accumulate discipline. decayed_count = Σ w_k over days
+    * present; decayed_avg = the ONE IEEE divide of the two exact
+    * decimal sums (identical operands → identical quotient);
+    * decayed_max = max over the 6-dp per-day terms (comparison is
+    * exact). Facts collapse to the day summary first; weights and the
+    * 1-row max-day frame ride broadcast.
+    */
+  val q173 = Q(
+    "q173_time_decayed_family",
+    (spark, dir) => {
+      import spark.implicits._
+      val ws = Iterator.iterate(1.0)(_ * 0.9).take(61).toSeq
+      val weights = ws.zipWithIndex.map { case (w, k) => (k.toLong, w) }
+        .toDF("k", "w")
+      val daily = Tables(spark, dir, "events")
+        .groupBy(col("event_type"),
+          expr("ts_ns div 86400000000000").as("di"))
+        .agg(count(lit(1)).as("c"))
+      val top = daily.agg(max(col("di")).as("dmax"))
+      daily.crossJoin(broadcast(top))
+        .withColumn("k", col("dmax") - col("di"))
+        .join(broadcast(weights), "k")
+        .select(col("event_type"),
+          round(col("c").cast("double") * col("w"), 6).as("t"),
+          round(col("w"), 6).as("wq"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("t").cast("decimal(38,6)")).as("ds"),
+          sum(col("wq").cast("decimal(38,6)")).as("dc"),
+          max(col("t")).as("decayed_max"))
+        .select(col("event_type"), col("n_days"),
+          col("dc").cast("double").as("decayed_count"),
+          round(col("ds").cast("double") / col("dc").cast("double"), 6)
+            .as("decayed_avg"),
+          col("decayed_max"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH RECURSIVE wt AS (
+        SELECT 0 AS k, CAST(1.0 AS DOUBLE) AS w
+        UNION ALL SELECT k + 1, w * 0.9 FROM wt WHERE k < 60),
+      daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS di,
+                       COUNT(*) AS c
+                FROM events GROUP BY 1, 2),
+      top AS (SELECT MAX(di) AS dmax FROM daily),
+      t AS (SELECT d.event_type,
+                   ROUND(CAST(d.c AS DOUBLE) * wt.w, 6) AS t,
+                   ROUND(wt.w, 6) AS wq
+            FROM daily d CROSS JOIN top
+            JOIN wt ON wt.k = top.dmax - d.di)
+      SELECT event_type, COUNT(*) AS n_days,
+             CAST(SUM(CAST(wq AS DECIMAL(38,6))) AS DOUBLE) AS decayed_count,
+             ROUND(CAST(SUM(CAST(t AS DECIMAL(38,6))) AS DOUBLE)
+                   / CAST(SUM(CAST(wq AS DECIMAL(38,6))) AS DOUBLE), 6)
+               AS decayed_avg,
+             MAX(t) AS decayed_max
+      FROM t GROUP BY event_type ORDER BY event_type"""))
+
+  /** Per-type props keys present on EVERY active day (ClickHouse
+    * `groupArrayIntersect` analog — the intersection of per-day key
+    * sets, answered without materializing any per-day array): facts
+    * dedupe to (type, day, key) triples, a key's day-coverage count
+    * equals the type's active-day count iff the key is in every day's
+    * set. Both counts come from keyed aggregates; the day-count frame
+    * (≤ types rows) rides broadcast; the result array is
+    * canonically sorted and comma-serialized (the q151 discipline).
+    * Types where no key spans every day still report with n_common=0.
+    */
+  val q174 = Q(
+    "q174_common_props_keys",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "events")
+        .select(col("event_type"),
+          expr("ts_ns div 86400000000000").as("di"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+            .as("k"))
+        .filter(col("k").isNotNull)
+      val perKey = e.groupBy(col("event_type"), col("k"))
+        .agg(countDistinct(col("di")).as("kd"))
+      val days = e.groupBy(col("event_type"))
+        .agg(countDistinct(col("di")).as("n_days"))
+      val common = perKey.join(broadcast(days), "event_type")
+        .filter(col("kd") === col("n_days"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_common"),
+          concat_ws(",",
+            expr("transform(sort_array(collect_list(k))," +
+              " x -> cast(x as string))")).as("common_keys"))
+      days.join(broadcast(common), Seq("event_type"), "left")
+        .na.fill(0L, Seq("n_common")).na.fill("", Seq("common_keys"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (SELECT DISTINCT event_type,
+                        epoch_us(ts) // 86400000000 AS di,
+                        CAST(regexp_extract(props, '"k": (\d+)', 1)
+                             AS BIGINT) AS k
+                 FROM events
+                 WHERE regexp_extract(props, '"k": (\d+)', 1) IS NOT NULL
+                   AND regexp_extract(props, '"k": (\d+)', 1) <> ''),
+      perkey AS (SELECT event_type, k, COUNT(DISTINCT di) AS kd
+                 FROM e GROUP BY 1, 2),
+      days AS (SELECT event_type, COUNT(DISTINCT di) AS n_days
+               FROM e GROUP BY 1),
+      common AS (SELECT p.event_type, COUNT(*) AS n_common,
+                        string_agg(CAST(p.k AS VARCHAR), ','
+                                   ORDER BY p.k) AS common_keys
+                 FROM perkey p JOIN days d USING (event_type)
+                 WHERE p.kd = d.n_days GROUP BY 1)
+      SELECT d.event_type, d.n_days,
+             COALESCE(c.n_common, 0) AS n_common,
+             COALESCE(c.common_keys, '') AS common_keys
+      FROM days d LEFT JOIN common c USING (event_type)
+      ORDER BY d.event_type"""))
+
+  /** Cohort retention triangle: users grouped by first-seen day, then
+    * for each (cohort, day-offset) the count of cohort users active
+    * that day and the retention ratio vs the cohort's day-0 size.
+    * Facts dedupe to (user, day) presence, cohorts are a per-user min
+    * (keyed aggregate), the join back runs co-partitioned ON USER ID —
+    * the user dimension is corpus-sized at 100 TB so it must never
+    * broadcast — and the triangle is calendar² rows, onto which the
+    * day-0 base rides broadcast. The ratio is ONE IEEE divide of two
+    * exact BIGINTs, rounded 6 dp (the q170 finale discipline).
+    */
+  val q175 = Q(
+    "q175_cohort_retention",
+    (spark, dir) => {
+      val ud = Tables(spark, dir, "events")
+        .select(col("user_id"),
+          expr("ts_ns div 86400000000000").as("di"))
+        .distinct()
+      val cohorts = ud.groupBy(col("user_id"))
+        .agg(min(col("di")).as("cohort"))
+      val tri = ud.join(cohorts, "user_id")
+        .groupBy(col("cohort"), (col("di") - col("cohort")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+      val base = tri.filter(col("day_offset") === 0)
+        .select(col("cohort"), col("n_users").as("n0"))
+      tri.join(broadcast(base), "cohort")
+        .select(col("cohort").as("cohort_day"), col("day_offset"),
+          col("n_users"),
+          round(col("n_users").cast("double") / col("n0").cast("double"),
+            6).as("retention"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+    Some("""
+      WITH ud AS (SELECT DISTINCT user_id,
+                         epoch_us(ts) // 86400000000 AS di
+                  FROM events),
+      cohorts AS (SELECT user_id, MIN(di) AS cohort
+                  FROM ud GROUP BY 1),
+      tri AS (SELECT c.cohort, u.di - c.cohort AS day_offset,
+                     COUNT(*) AS n_users
+              FROM ud u JOIN cohorts c USING (user_id)
+              GROUP BY 1, 2),
+      base AS (SELECT cohort, n_users AS n0 FROM tri WHERE day_offset = 0)
+      SELECT t.cohort AS cohort_day, t.day_offset, t.n_users,
+             ROUND(CAST(t.n_users AS DOUBLE) / CAST(b.n0 AS DOUBLE), 6)
+               AS retention
+      FROM tri t JOIN base b USING (cohort)
+      ORDER BY cohort_day, day_offset"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
     q122, q124, q125, q126, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q143, q144, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q157, q158, q159, q160, q161, q162, q163,
-    q164, q165, q168, q169, q170)
+    q164, q165, q168, q169, q170, q171, q172, q173, q174, q175)
 }

@@ -701,4 +701,53 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       s"q130 plans a non-keyed join:\n$p")
   }
+
+  test("q171: word frames equi-join on the word key, raw ids never pair") {
+    // the bitmap intersection must be a keyed join between word frames
+    // (<= users/64 rows per type) — a cartesian/nested-loop here would
+    // pair raw audiences; the pair scaffold and inter frame are tiny
+    // and must ride broadcast
+    val p = plan(Events.q171)
+    assert(!p.contains("CartesianProduct"), s"q171 plans a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q171 pair summary not broadcast:\n$p")
+    // the a=b word join must key on w: any join operator carrying the
+    // w=w condition is fine (SMJ/SHJ), but it must exist as an equi-join
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.linesIterator.exists(l => l.contains("BroadcastHashJoin") &&
+        l.contains("[w")),
+      s"q171 word join is not an equi-join on w:\n$p")
+  }
+
+  test("q172: cumulative window runs over the bounded histogram, totals broadcast") {
+    val p = plan(Events.q172)
+    assert(p.contains("BroadcastHashJoin"), s"q172 totals not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q172 shuffle-joins a frame:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q172 plans a cartesian:\n$p")
+  }
+
+  test("q173: weight and max-day frames ride broadcast onto the day summary") {
+    val p = plan(Events.q173)
+    assert(!p.contains("SortMergeJoin"), s"q173 shuffle-joins a frame:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q173 weights not broadcast:\n$p")
+    assert(!p.contains("Window"), s"q173 plans a Window:\n$p")
+  }
+
+  test("q174: day-count frame broadcasts onto the per-key coverage counts") {
+    val p = plan(Events.q174)
+    assert(p.contains("BroadcastHashJoin"), s"q174 days not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q174 shuffle-joins a frame:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q174 plans a non-keyed join:\n$p")
+  }
+
+  test("q175: cohort join keys on user_id (never broadcast), base rides broadcast") {
+    val p = plan(Events.q175)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q175 plans a non-keyed join:\n$p")
+    // the day-0 base onto the calendar^2 triangle must broadcast
+    assert(p.contains("BroadcastHashJoin"), s"q175 base not broadcast:\n$p")
+  }
 }
