@@ -540,7 +540,11 @@ object Bench {
   *      prefix
   *   4. 1-dp, "NN" keys, extras dropped (beyond the driver contract;
   *      stderr keeps them)
-  *   5. 1-dp, "NN" keys, only the top-30 slowest queries plus a
+  *   5. 1-dp, keys dropped entirely: `"queries":{"v":[...]}` — the
+  *      per-query values in REGISTRY ORDER (stable, and the full
+  *      named map is always on stderr), so every query keeps a
+  *      number in the artifact long after named keys stop fitting
+  *   6. 1-dp, "NN" keys, only the top-30 slowest queries plus a
   *      "q_dropped" count (the full map is on stderr) — accepted up
   *      to the hard cap
   * and a final length re-check that WARNS if even rung 5 overflows
@@ -564,6 +568,9 @@ object BenchRecord {
         val key = if (strip) key0.stripPrefix("q") else key0
         "\"" + key + "\":" + num(v, dp)
       }.mkString("{", ",", "}")
+    def vjson(items: Seq[(String, Double)], dp: Int): String =
+      items.map { case (_, v) => num(v, dp) }
+        .mkString("""{"v":[""", ",", "]}")
     def rec(qs: String, withExtras: Boolean, dropped: Int): String = {
       val x = if (withExtras) extras else ""
       val d = if (dropped > 0) s""","q_dropped":$dropped""" else ""
@@ -580,7 +587,10 @@ object BenchRecord {
       (() => rec(qjson(results, 1, strip = true), withExtras = true, 0),
         "stripping the q key prefix (NN keys stay unique)"),
       (() => rec(qjson(results, 1, strip = true), withExtras = false, 0),
-        "dropping the zorder/landed extras (stderr keeps them)"))
+        "dropping the zorder/landed extras (stderr keeps them)"),
+      (() => rec(vjson(results, 1), withExtras = false, 0),
+        "per-query keys compacted to a registry-ordered value array " +
+          "(the named map stays on stderr)"))
     var chosen: Option[String] = None
     var i = 0
     while (chosen.isEmpty && i < rungs.length) {

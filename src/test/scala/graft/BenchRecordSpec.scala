@@ -53,6 +53,23 @@ class BenchRecordSpec extends AnyFunSuite {
     }
   }
 
+  test("every query keeps a number in the artifact through 250 queries") {
+    // the registry-ordered value-array rung must engage before any
+    // query is dropped: full per-query coverage (a value per query,
+    // no q_dropped) has to survive well past the current 175 surface
+    for (n <- Seq(175, 250)) {
+      val r = choose(surface(n))
+      assert(r.length <= BenchRecord.MaxChars - 100, s"n=$n len ${r.length}")
+      assert(!r.contains("\"q_dropped\":"), s"n=$n dropped queries:\n$r")
+      if (r.contains("\"queries\":{\"v\":[")) {
+        // array rung: exactly n values, registry order preserved
+        val vals = r.substring(r.indexOf("{\"v\":[") + 6,
+          r.indexOf("]}", r.indexOf("{\"v\":[")))
+        assert(vals.split(',').length == n, s"n=$n value count")
+      }
+    }
+  }
+
   test("a small surface stays on the verbose rung: 2 dp + extras, no warning") {
     val w = new StringBuilder
     val r = choose(surface(20), w)
