@@ -4270,35 +4270,9 @@ object Events {
     */
   val q171 = Q(
     "q171_bitmap_audience",
-    (spark, dir) => {
-      val bits = Tables(spark, dir, "events")
-        .select(col("event_type"), col("user_id"))
-        .groupBy(col("event_type"), expr("user_id div 64").as("w"))
-        .agg(expr("bit_or(shiftleft(1L, int(user_id % 64)))").as("bm"))
-      val uniq = bits.groupBy(col("event_type"))
-        .agg(sum(expr("bit_count(bm)")).cast("long").as("uniq"))
-      val inter = bits.as("a")
-        .join(bits.as("b"),
-          col("a.w") === col("b.w") &&
-            col("a.event_type") < col("b.event_type"))
-        .groupBy(col("a.event_type").as("type_a"),
-          col("b.event_type").as("type_b"))
-        .agg(sum(expr("bit_count(a.bm & b.bm)")).cast("long").as("and_c"))
-      val ua = uniq.select(col("event_type").as("type_a"),
-        col("uniq").as("uniq_a"))
-      val ub = uniq.select(col("event_type").as("type_b"),
-        col("uniq").as("uniq_b"))
-      ua.join(ub, col("type_a") < col("type_b"))
-        .join(broadcast(inter), Seq("type_a", "type_b"), "left")
-        .na.fill(0L, Seq("and_c"))
-        .select(col("type_a"), col("type_b"), col("uniq_a"), col("uniq_b"),
-          col("and_c"),
-          (col("uniq_a") + col("uniq_b") - col("and_c")).as("or_c"),
-          (col("uniq_a") - col("and_c")).as("andnot_ab"),
-          (col("uniq_a") + col("uniq_b") - lit(2L) * col("and_c"))
-            .as("xor_c"))
-        .orderBy(col("type_a"), col("type_b"))
-    },
+    (spark, dir) =>
+      audienceAlgebraFromWords(
+        audienceWordsOf(Tables(spark, dir, "events"))),
     Some("""
       WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
       uq AS (SELECT event_type, COUNT(*) AS uniq FROM u GROUP BY 1),
@@ -4316,6 +4290,54 @@ object Events {
       FROM uq a JOIN uq b ON a.event_type < b.event_type
       LEFT JOIN i ON i.type_a = a.event_type AND i.type_b = b.event_type
       ORDER BY type_a, type_b"""))
+
+  /** The q171 word projection over any frame with event_type/user_id —
+    * user ids collapse into 64-bit words keyed by (type, user_id div
+    * 64) under a map-side-combining `bit_or`. Shared with the
+    * streaming twin ([[graft.streaming.BitmapStream]]) so the batch
+    * and live word tables cannot drift; bit_or is idempotent AND
+    * associative, so micro-batch boundaries and replays cannot change
+    * a word.
+    */
+  private[graft] def audienceWordsOf(raw: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    raw.select(col("event_type"), col("user_id"))
+      .groupBy(col("event_type"), expr("user_id div 64").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, int(user_id % 64)))").as("bm"))
+
+  /** The q171 set-algebra finale over any (event_type, w, bm) word
+    * frame — per-type cardinalities from summed popcounts, pairwise
+    * AND from the word-aligned equi-join, OR/XOR/ANDNOT by
+    * inclusion-exclusion on exact BIGINTs. The cheap downstream read
+    * a live bitmap store (or the batch query) runs over its words.
+    */
+  private[graft] def audienceAlgebraFromWords(
+      bits: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val uniq = bits.groupBy(col("event_type"))
+      .agg(sum(expr("bit_count(bm)")).cast("long").as("uniq"))
+    val inter = bits.as("a")
+      .join(bits.as("b"),
+        col("a.w") === col("b.w") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(sum(expr("bit_count(a.bm & b.bm)")).cast("long").as("and_c"))
+    val ua = uniq.select(col("event_type").as("type_a"),
+      col("uniq").as("uniq_a"))
+    val ub = uniq.select(col("event_type").as("type_b"),
+      col("uniq").as("uniq_b"))
+    ua.join(ub, col("type_a") < col("type_b"))
+      .join(broadcast(inter), Seq("type_a", "type_b"), "left")
+      .na.fill(0L, Seq("and_c"))
+      .select(col("type_a"), col("type_b"), col("uniq_a"), col("uniq_b"),
+        col("and_c"),
+        (col("uniq_a") + col("uniq_b") - col("and_c")).as("or_c"),
+        (col("uniq_a") - col("and_c")).as("andnot_ab"),
+        (col("uniq_a") + col("uniq_b") - lit(2L) * col("and_c"))
+          .as("xor_c"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
 
   /** Fixed-resolution latency quantiles (ClickHouse `quantileTiming`
     * analog): the value column read as milliseconds and stored in the

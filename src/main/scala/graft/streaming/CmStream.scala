@@ -92,3 +92,34 @@ object ContingencyStream {
       .foreachBatch(sink)
       .start()
 }
+
+/** Streaming audience bitmaps — q171's word table maintained live.
+  * The state IS the production bitmap: (event_type, user_id div 64)
+  * words carried by Structured Streaming's built-in stateful
+  * aggregation under `bit_or`, which is idempotent AND associative —
+  * micro-batch boundaries and replays cannot flip a bit, so this leg
+  * is exactly-once without any sink-side ledger (stronger than the
+  * count-based sketches, whose replay discipline is the sink's job).
+  * State is bounded by audience/64 words per type — the same bound
+  * the batch answer itself has, i.e. the size a production bitmap
+  * store carries for the audience it serves.
+  *
+  * The set algebra (AND/OR/XOR/ANDNOT cardinalities) stays a CHEAP
+  * downstream read over the word table
+  * (`Events.audienceAlgebraFromWords`, shared with the batch query),
+  * computed by the sink whenever it wants the numbers — the stream
+  * maintains bitmaps, not statistics.
+  */
+object BitmapStream {
+
+  /** `events` must be a streaming frame with event_type + user_id. */
+  def words(events: DataFrame): DataFrame =
+    graft.queries.Events.audienceWordsOf(events)
+
+  def start(events: DataFrame)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    words(events).writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(sink)
+      .start()
+}

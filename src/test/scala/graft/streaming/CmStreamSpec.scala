@@ -123,4 +123,56 @@ class CmStreamSpec extends SparkSpec {
       assert(lastEmit <= 50)
     } finally sq.stop()
   }
+
+  test("streamed audience bitmaps converge per prefix, survive a replay " +
+      "bit-identically, and the q171 algebra over them equals batch") {
+    import spark.implicits._
+    val events = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_type"), col("user_id"))
+      .as[(String, Long)].collect()
+    assert(events.length > 100)
+    val (b1, b2) = events.splitAt(events.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val words = scala.collection.mutable.Map.empty[(String, Long), Long]
+    val sq = BitmapStream.start(
+      ms.toDF().toDF("event_type", "user_id")) { (df, _) =>
+      df.collect().foreach(r =>
+        words((r.getString(0), r.getLong(1))) = r.getLong(2))
+    }
+    def batch(rows: Seq[(String, Long)]): Map[(String, Long), Long] =
+      BitmapStream.words(rows.toDF("event_type", "user_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    def algebra(ws: Map[(String, Long), Long]): Seq[org.apache.spark.sql.Row] =
+      graft.queries.Events.audienceAlgebraFromWords(
+        ws.toSeq.map { case ((t, w), bm) => (t, w, bm) }
+          .toDF("event_type", "w", "bm")).collect().toSeq
+    try {
+      ms.addData(b1.toIndexedSeq: _*)
+      sq.processAllAvailable()
+      assert(words.toMap == batch(b1.toSeq),
+        "prefix 1: stream words != batch words")
+      ms.addData(b2.toIndexedSeq: _*)
+      sq.processAllAvailable()
+      val drained = words.toMap
+      assert(drained == batch(events.toSeq),
+        "full stream: words != batch words")
+      // the downstream set algebra over the live table IS the batch
+      // q171 answer over the same rows
+      assert(algebra(drained) == algebra(batch(events.toSeq)),
+        "audience algebra over the live table != batch")
+      // bit_or is idempotent: replaying a whole batch (at-least-once
+      // delivery) cannot flip a bit — no sink-side ledger needed
+      ms.addData(b1.toIndexedSeq: _*)
+      sq.processAllAvailable()
+      assert(words.toMap == drained,
+        "replay changed the word table — bit_or idempotence broken")
+      // state bound: audience/64 words per type
+      val types = events.map(_._1).distinct.length
+      val maxUid = events.map(_._2).max
+      assert(words.size <= types * (maxUid / 64 + 1))
+    } finally sq.stop()
+  }
 }
