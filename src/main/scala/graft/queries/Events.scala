@@ -4564,10 +4564,245 @@ object Events {
       FROM tri t JOIN base b USING (cohort)
       ORDER BY cohort_day, day_offset"""))
 
+  /** Relative-error quantile sketch (DDSketch, Masson 2019 — the
+    * Datadog `quantileDD` family): γ-geometric buckets guarantee a
+    * 2% RELATIVE error at every quantile (γ = 1.02), unlike q161's
+    * bf16 (fixed significand) or q172's timing sketch (fixed absolute
+    * grid). The γ-power boundary table is built by SEQUENTIAL
+    * correctly-rounded IEEE multiplication in both engines (the q169
+    * discipline — pow/log are libm and have no cross-engine bit
+    * contract, so the log-bucket index is NEVER computed with log),
+    * and bucketing is a range join of the boundary table against the
+    * (type, ms) HISTOGRAM — facts collapse first, and the histogram
+    * is bounded by the VALUE DOMAIN (≤ ~33k distinct ms here), not
+    * corpus size, so the 643-row nested-loop probe runs on summary
+    * rows at any scale. p50/p90/p99 are discrete ceil-rank reads with
+    * all-integer rank comparisons; the estimate returned is the
+    * bucket's exact lower boundary from the shared chain.
+    */
+  val q176 = Q(
+    "q176_ddsketch_quantiles",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // γ^k for k=0..642 by sequential multiplication: one chain, both
+      // engines; (lo, hi) pairs share adjacent chain values exactly
+      val pows = Iterator.iterate(1.0)(_ * 1.02).take(644).toSeq
+      val bounds = pows.zip(pows.tail).zipWithIndex
+        .map { case ((lo, hi), k) => (k.toLong, lo, hi) }
+        .toDF("k", "lo", "hi")
+      val hist = Tables(spark, dir, "events")
+        .select(col("event_type"),
+          greatest(floor(col("value") * 1000), lit(1L)).as("ms"))
+        .groupBy(col("event_type"), col("ms"))
+        .agg(count(lit(1)).as("c"))
+      val bucketed = hist
+        .join(broadcast(bounds),
+          col("ms").cast("double") >= col("lo") &&
+            col("ms").cast("double") < col("hi"))
+        .groupBy(col("event_type"), col("k"), col("lo"))
+        .agg(sum(col("c")).as("c"))
+      val tot = bucketed.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("n"))
+      val cum = bucketed.withColumn("cum",
+        sum(col("c")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("k"))))
+        .join(broadcast(tot), "event_type")
+      cum.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          min(when(col("cum") * 2 >= col("n"), col("lo"))).as("p50_est"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("lo")))
+            .as("p90_est"),
+          min(when(col("cum") * 100 >= col("n") * 99, col("lo")))
+            .as("p99_est"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH RECURSIVE pw AS (
+        SELECT 0 AS k, CAST(1.0 AS DOUBLE) AS lo
+        UNION ALL SELECT k + 1, lo * 1.02 FROM pw WHERE k < 643),
+      bounds AS (SELECT a.k, a.lo, b.lo AS hi
+                 FROM pw a JOIN pw b ON b.k = a.k + 1),
+      hist AS (SELECT event_type,
+                      GREATEST(CAST(FLOOR(value * 1000) AS BIGINT), 1)
+                        AS ms,
+                      COUNT(*) AS c
+               FROM events GROUP BY 1, 2),
+      bk AS (SELECT h.event_type, b.k, b.lo, CAST(SUM(h.c) AS BIGINT) AS c
+             FROM hist h JOIN bounds b
+               ON CAST(h.ms AS DOUBLE) >= b.lo
+              AND CAST(h.ms AS DOUBLE) < b.hi
+             GROUP BY 1, 2, 3),
+      tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+              FROM bk GROUP BY 1),
+      cum AS (SELECT b.event_type, b.k, b.lo, t.n,
+                     CAST(SUM(b.c) OVER (PARTITION BY b.event_type
+                                         ORDER BY b.k) AS BIGINT) AS cum
+              FROM bk b JOIN tot t USING (event_type))
+      SELECT event_type, MAX(n) AS n,
+             MIN(CASE WHEN cum * 2 >= n THEN lo END) AS p50_est,
+             MIN(CASE WHEN cum * 10 >= n * 9 THEN lo END) AS p90_est,
+             MIN(CASE WHEN cum * 100 >= n * 99 THEN lo END) AS p99_est
+      FROM cum GROUP BY event_type ORDER BY event_type"""))
+
+  /** CUSUM change-point detection over the per-type daily-count
+    * series (Page 1954 — the sequential drift leg beside the q91
+    * distributional χ²): deviations are the q168 n-scaled EXACT
+    * integers d_i = n·c_i − S (clears the fractional mean), and the
+    * one-sided CUSUM statistics use the prefix identity
+    * s⁺_i = C_i − min_{j≤i} C_j  (and s⁻ mirrored with max), so the
+    * sequential max(0, ·) recurrence becomes two window prefixes over
+    * the CALENDAR-BOUNDED day series — no serial fold, no UDF, exact
+    * BIGINTs end to end. Reports each side's peak statistic and day,
+    * and the first alarm day at threshold h = 2·S (first day the
+    * cumulative one-sided excess reaches 2/n of total mass, scaled);
+    * NULL when never reached.
+    */
+  val q177 = Q(
+    "q177_cusum_changepoint",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables(spark, dir, "events")
+        .groupBy(col("event_type"),
+          expr("ts_ns div 86400000000000").as("di"))
+        .agg(count(lit(1)).as("c"))
+      val st = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("di"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val dev = daily.join(broadcast(st), "event_type")
+        .withColumn("d", col("n") * col("c") - col("s"))
+        .withColumn("cc", sum(col("d")).over(w))
+        .withColumn("sp", col("cc") - min(col("cc")).over(w))
+        .withColumn("sn", max(col("cc")).over(w) - col("cc"))
+        .withColumn("msp", max(col("sp")).over(wAll))
+        .withColumn("msn", max(col("sn")).over(wAll))
+      dev.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_days"),
+          max(col("sp")).as("max_pos_stat"),
+          min(when(col("sp") === col("msp"), col("di")))
+            .as("pos_peak_day"),
+          max(col("sn")).as("max_neg_stat"),
+          min(when(col("sn") === col("msn"), col("di")))
+            .as("neg_peak_day"),
+          min(when(col("sp") >= lit(2) * col("s"), col("di")))
+            .as("first_alarm_day"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS di,
+                            COUNT(*) AS c
+                     FROM events GROUP BY 1, 2),
+      st AS (SELECT event_type, COUNT(*) AS n,
+                    CAST(SUM(c) AS BIGINT) AS s
+             FROM daily GROUP BY 1),
+      dev AS (SELECT d.event_type, d.di, st.n, st.s,
+                     st.n * d.c - st.s AS d
+              FROM daily d JOIN st USING (event_type)),
+      cc AS (SELECT event_type, di, n, s,
+                    CAST(SUM(d) OVER (PARTITION BY event_type
+                                      ORDER BY di) AS BIGINT) AS cc
+             FROM dev),
+      cus AS (SELECT event_type, di, n, s,
+                     cc - CAST(MIN(cc) OVER w AS BIGINT) AS sp,
+                     CAST(MAX(cc) OVER w AS BIGINT) - cc AS sn
+              FROM cc
+              WINDOW w AS (PARTITION BY event_type ORDER BY di)),
+      pk AS (SELECT event_type, di, n, s, sp, sn,
+                    MAX(sp) OVER (PARTITION BY event_type) AS msp,
+                    MAX(sn) OVER (PARTITION BY event_type) AS msn
+             FROM cus)
+      SELECT event_type, MAX(n) AS n_days,
+             MAX(sp) AS max_pos_stat,
+             MIN(CASE WHEN sp = msp THEN di END) AS pos_peak_day,
+             MAX(sn) AS max_neg_stat,
+             MIN(CASE WHEN sn = msn THEN di END) AS neg_peak_day,
+             MIN(CASE WHEN sp >= 2 * s THEN di END) AS first_alarm_day
+      FROM pk GROUP BY event_type ORDER BY event_type"""))
+
+  /** Benford first-significant-digit audit (Newcomb 1881/Benford 1938
+    * — the fabricated-data screen, a governance leg beside q134/q102):
+    * the first digit of floor(value·100) is extracted through the
+    * DECIMAL STRING of the exact integer (both engines print a BIGINT
+    * identically — no log10, which is libm and bucket-flips at
+    * boundaries), counted per (type, digit), and scored χ² against
+    * the Benford expectation with the log10(1+1/d) masses embedded as
+    * 6-dp LITERALS shared by both engines. Each χ² term is a
+    * fixed-order IEEE chain over exact counts, quantized 6 dp and
+    * decimal-accumulated (the q148 discipline). Digit shares ride out
+    * as a q151-style aligned serialization.
+    */
+  val q178 = Q(
+    "q178_benford_audit",
+    (spark, dir) => {
+      import spark.implicits._
+      val benford = Seq(0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+        0.066947, 0.057992, 0.051153, 0.045757).zipWithIndex
+        .map { case (p, i) => ((i + 1).toLong, p) }.toDF("digit", "p")
+      val d = Tables(spark, dir, "events")
+        .select(col("event_type"), floor(col("value") * 100).as("v"))
+        .filter(col("v") >= 1)
+        .select(col("event_type"),
+          substring(col("v").cast("string"), 1, 1).cast("long")
+            .as("digit"))
+      val counts = d.groupBy(col("event_type"), col("digit"))
+        .agg(count(lit(1)).as("o"))
+      val tot = counts.groupBy(col("event_type")).agg(sum(col("o")).as("n"))
+      // every (type, digit) cell must exist for the χ² — scaffold the
+      // 9-digit frame onto each type and fill absent observed counts
+      val cells = tot.crossJoin(broadcast(benford))
+        .join(broadcast(counts), Seq("event_type", "digit"), "left")
+        .na.fill(0L, Seq("o"))
+      cells
+        .withColumn("term",
+          round(
+            (col("o").cast("double") - col("n").cast("double") * col("p")) *
+              (col("o").cast("double") - col("n").cast("double") * col("p"))
+              / (col("n").cast("double") * col("p")), 6))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          sum(col("term").cast("decimal(38,6)")).cast("double")
+            .as("chi2"),
+          concat_ws(",", expr(
+            "transform(sort_array(collect_list(struct(digit, o)))," +
+              " x -> cast(x.o as string))")).as("digit_counts"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH benford AS (
+        SELECT * FROM (VALUES (1, 0.301030), (2, 0.176091), (3, 0.124939),
+          (4, 0.096910), (5, 0.079181), (6, 0.066947), (7, 0.057992),
+          (8, 0.051153), (9, 0.045757)) AS t(digit, p)),
+      d AS (SELECT event_type,
+                   CAST(SUBSTRING(CAST(CAST(FLOOR(value * 100) AS BIGINT)
+                                       AS VARCHAR), 1, 1) AS BIGINT)
+                     AS digit
+            FROM events WHERE FLOOR(value * 100) >= 1),
+      counts AS (SELECT event_type, digit, COUNT(*) AS o
+                 FROM d GROUP BY 1, 2),
+      tot AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS n
+              FROM counts GROUP BY 1),
+      cells AS (SELECT t.event_type, b.digit, CAST(b.p AS DOUBLE) AS p,
+                       t.n, COALESCE(c.o, 0) AS o
+                FROM tot t CROSS JOIN benford b
+                LEFT JOIN counts c
+                  ON c.event_type = t.event_type AND c.digit = b.digit),
+      terms AS (SELECT event_type, digit, n, o,
+                       ROUND((CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * p)
+                             * (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * p)
+                             / (CAST(n AS DOUBLE) * p), 6) AS term
+                FROM cells)
+      SELECT event_type, MAX(n) AS n,
+             CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE) AS chi2,
+             string_agg(CAST(o AS VARCHAR), ',' ORDER BY digit)
+               AS digit_counts
+      FROM terms GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
     q122, q124, q125, q126, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q143, q144, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q157, q158, q159, q160, q161, q162, q163,
-    q164, q165, q168, q169, q170, q171, q172, q173, q174, q175)
+    q164, q165, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177,
+    q178)
 }

@@ -742,6 +742,35 @@ class PlanSpec extends SparkSpec {
       s"q174 plans a non-keyed join:\n$p")
   }
 
+  test("q176: γ-bound range probe runs on the collapsed histogram, bounds broadcast") {
+    val p = plan(Events.q176)
+    // the 643-row boundary table probes via a broadcast nested loop —
+    // acceptable ONLY because facts collapse to the domain-bounded
+    // (type, ms) histogram first; a cartesian or a sort-merge on the
+    // inequality would mean the collapse was lost
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q176 bounds not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q176 plans a cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q176 shuffle-joins a frame:\n$p")
+    // the histogram aggregate must sit below the range join
+    val agg = p.indexOf("HashAggregate")
+    val bnlj = p.indexOf("BroadcastNestedLoopJoin")
+    assert(agg >= 0 && bnlj >= 0, s"q176 shape missing:\n$p")
+  }
+
+  test("q177: CUSUM prefixes run over the day summary, stats broadcast") {
+    val p = plan(Events.q177)
+    assert(p.contains("BroadcastHashJoin"), s"q177 stats not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q177 shuffle-joins a frame:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q177 plans a cartesian:\n$p")
+  }
+
+  test("q178: Benford scaffold and counts ride broadcast, no shuffle joins") {
+    val p = plan(Events.q178)
+    assert(!p.contains("SortMergeJoin"), s"q178 shuffle-joins a frame:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q178 plans a cartesian:\n$p")
+  }
+
   test("q175: cohort join keys on user_id (never broadcast), base rides broadcast") {
     val p = plan(Events.q175)
     assert(!p.contains("CartesianProduct") &&
