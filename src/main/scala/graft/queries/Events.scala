@@ -3472,18 +3472,41 @@ object Events {
         .filter(col("x").isNotNull)
       val cells = e.groupBy(col("event_type"), col("x"), col("y"))
         .agg(count(lit(1)).as("c"))
-      val a = cells.select(col("event_type"), col("x").as("ax"),
-        col("y").as("ay"), col("c").as("ca"))
-      val b = cells.select(col("event_type").as("bt"), col("x").as("bx"),
-        col("y").as("by"), col("c").as("cb"))
-      val cd = a.join(b, col("event_type") === col("bt") &&
-          col("ax") < col("bx"))
-        .groupBy(col("event_type"))
-        .agg(
-          sum(when(col("ay") < col("by"), col("ca") * col("cb"))
-            .otherwise(0L)).as("concordant"),
-          sum(when(col("ay") > col("by"), col("ca") * col("cb"))
-            .otherwise(0L)).as("discordant"))
+      // Concordant/discordant WITHOUT the cells² pair join (first
+      // formulation measured 135 s at sf0.1: y = floor(value·64) has a
+      // ~21k-level domain, so cells² is NOT small). 2D dominance on
+      // the BOUNDED x-domain instead (x = props k, ≤100 levels by
+      // construction): every cell's mass is expanded to each larger
+      // x-level (cells × ≤100 rows — domain-bounded at ANY corpus
+      // size), probe markers carry the cells themselves into the same
+      // frame, and one y-prefix window per (type, x-level) yields
+      // G(<x, <y) / G(<x, ≤y); then
+      //   concordant = Σ c·G(<x,<y),  discordant = Σ c·(T(<x) − G(<x,≤y))
+      // — identical integers to the pair-join form, no join wider
+      // than cells × levels, every join keyed.
+      import org.apache.spark.sql.expressions.Window
+      val lv = cells.select(col("event_type").as("lt"), col("x").as("xt"))
+        .distinct()
+      val mass = cells
+        .join(broadcast(lv),
+          col("event_type") === col("lt") && col("x") < col("xt"))
+        .select(col("event_type"), col("xt"), col("y"), col("c").as("g"),
+          lit(0L).as("pc"))
+      val probes = cells.select(col("event_type"), col("x").as("xt"),
+        col("y"), lit(0L).as("g"), col("c").as("pc"))
+      val frame = mass.unionByName(probes)
+        .groupBy(col("event_type"), col("xt"), col("y"))
+        .agg(sum(col("g")).as("g"), sum(col("pc")).as("pc"))
+      val wy = Window.partitionBy(col("event_type"), col("xt"))
+        .orderBy(col("y"))
+      val wt = Window.partitionBy(col("event_type"), col("xt"))
+      val dom = frame
+        .withColumn("gle", sum(col("g")).over(wy))
+        .withColumn("glt", col("gle") - col("g"))
+        .withColumn("tl", sum(col("g")).over(wt))
+      val cd = dom.groupBy(col("event_type"))
+        .agg(sum(col("pc") * col("glt")).as("concordant"),
+          sum(col("pc") * (col("tl") - col("gle"))).as("discordant"))
       val nTot = cells.groupBy(col("event_type"))
         .agg(sum(col("c")).as("n"))
       def tiePairs(key: String, out: String) = cells

@@ -140,15 +140,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"q157 plans a Window:\n$p")
   }
 
-  test("q159: pair counts come from the bounded cell self-join, facts never pair") {
-    // the O(cells^2) frame is constant-sized by construction; the one
-    // fact-sized operation must be the first aggregate, and the tie /
-    // total attachments ride broadcast
+  test("q159: dominance counts ride the bounded x-expansion, cells never pair") {
+    // the r12 rewrite (cells² self-join measured 135 s at sf0.1 — the
+    // y domain is ~21k levels, NOT small): concordant/discordant come
+    // from the cells × ≤100-x-level expansion plus y-prefix windows
+    // over that domain-bounded frame; the x-level frame and the tie /
+    // total attachments ride broadcast, and nothing may pair cells
+    // against cells
     val p = plan(Events.q159)
     assert(!p.contains("CartesianProduct"), s"q159 plans a cartesian:\n$p")
-    assert(!p.contains("Window"), s"q159 plans a Window:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"q159 tie/total frames not broadcast:\n$p")
+    assert(p.contains("Window"),
+      s"q159 lost the dominance prefix windows:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q159 shuffle-joins a frame:\n$p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"q159 x-level/tie/total frames not broadcast:\n$p")
   }
 
   test("q160/q162/q165: one fact-sized aggregate, no window, no join") {
