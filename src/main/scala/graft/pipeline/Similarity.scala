@@ -91,6 +91,41 @@ object Similarity extends Serializable {
         col("nid").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Semantic decontamination — the embedding-space leg beside q65's
+    * n-gram decontamination (Brown 2020 §4 / GPT-3's dedup-against-
+    * benchmarks, done in vector space): flag corpus vectors whose
+    * cosine to ANY eval/benchmark vector reaches `tau`. EXACT by
+    * construction — filter-then-scan keeps recall 1.0, unlike
+    * post-filtering an ANN list — and scale-right: the benchmark side
+    * is small by nature and rides BROADCAST, so the corpus is scanned
+    * exactly once, map-side, with one running max per corpus row and
+    * no shuffle of corpus vectors; the only shuffled frame is the
+    * per-`groupCol` summary. Returns per group: total, flagged count
+    * at `tau`, and the max observed cosine (6 dp).
+    */
+  def semanticDecontam(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, groupCol: String,
+      tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus
+      .select(col(idCol).as("nid"), col(groupCol).as("grp"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn",
+        sqrt(call_function("graft_dot", col("cv"), col("cv"))))
+    val q = withNorm(evalSet, idCol, vecCol, "qid", "qv", "qn")
+    c.crossJoin(broadcast(q))
+      .select(col("nid"), col("grp"),
+        cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("cos"))
+      .groupBy(col("nid"), col("grp"))
+      .agg(max(col("cos")).as("mc"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("mc") >= tau, 1L).otherwise(0L)).as("n_flagged"),
+        round(max(col("mc")), 6).as("max_cosine"))
+      .withColumnRenamed("grp", groupCol)
+      .orderBy(col(groupCol))
+  }
+
   /** Number of hyperplanes = signature bits for the ANN path, and the
     * multiprobe depth (all buckets within `ProbeFlips` bit flips are
     * probed). 8 bits + 3 flips ⇒ 93 of 256 buckets per query ≈ 36% of

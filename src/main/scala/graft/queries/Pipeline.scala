@@ -4317,11 +4317,45 @@ object Pipeline {
                              / CAST(tot AS DOUBLE), 6) END AS weight
       FROM e CROSS JOIN tot ORDER BY source"""))
 
+  /** Semantic decontamination audit (the embedding-space twin of
+    * q65's n-gram decontamination): label-0 vectors play the held-out
+    * benchmark, every other label is corpus; a corpus vector is
+    * flagged when its max cosine to ANY benchmark vector reaches
+    * τ = 0.35. Exact (recall 1.0 — filter-then-scan, never
+    * post-filtered ANN) and scale-right: the benchmark rides
+    * broadcast, the corpus is scanned once map-side, only the
+    * per-label summary shuffles. See
+    * [[graft.pipeline.Similarity.semanticDecontam]].
+    */
+  val q179 = Q(
+    "q179_semantic_decontam",
+    (spark, dir) => {
+      val emb = Tables(spark, dir, "embeddings")
+      Similarity.semanticDecontam(
+        emb.filter(col("label") =!= 0), emb.filter(col("label") === 0),
+        "vec_id", "embedding", "label", tau = 0.35)
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      q AS (SELECT * FROM e WHERE label = 0),
+      c AS (SELECT * FROM e WHERE label <> 0),
+      s AS (SELECT c.vec_id, c.label,
+                   MAX(list_dot_product(q.v, c.v) /
+                       (sqrt(list_dot_product(q.v, q.v)) *
+                        sqrt(list_dot_product(c.v, c.v)))) AS mc
+            FROM c JOIN q ON true GROUP BY 1, 2)
+      SELECT label, COUNT(*) AS n_total,
+             CAST(SUM(CASE WHEN mc >= 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+             ROUND(MAX(mc), 6) AS max_cosine
+      FROM s GROUP BY label ORDER BY label"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q115, q116, q117, q120, q121, q123, q134, q142,
-    q145, q156, q166, q167)
+    q145, q156, q166, q167, q179)
 }

@@ -777,6 +777,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q178 plans a cartesian:\n$p")
   }
 
+  test("q179: benchmark side broadcasts — corpus vectors never shuffle") {
+    val p = plan(Pipeline.q179)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"q179 benchmark frame not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q179 shuffle-joins vectors:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q179 plans a cartesian:\n$p")
+  }
+
   test("q175: cohort join keys on user_id (never broadcast), base rides broadcast") {
     val p = plan(Events.q175)
     assert(!p.contains("CartesianProduct") &&
