@@ -4821,11 +4821,133 @@ object Events {
                AS digit_counts
       FROM terms GROUP BY event_type ORDER BY event_type"""))
 
+  /** Interpolated exact quantiles under BOTH ClickHouse conventions
+    * (`quantilesExactExclusive` = Hyndman-Fan type 6 / Excel
+    * PERCENTILE.EXC, and `quantilesExactInclusive` = type 7 /
+    * PERCENTILE.INC) — completing the quantile family (q122 discrete,
+    * q161 bf16, q172 timing, q176 DDSketch) with the two conventions
+    * real consumers actually disagree about. The linear interpolation
+    * is EXACT: p ∈ {¼,½,¾} makes the rank h a quarter-integer, so
+    * h·4 is a BIGINT, the interpolated value is
+    * res·4 = 4·x_idx + (h4 mod 4)·(x_{idx+1} − x_idx) — all integers —
+    * and the final /4 is an exact binary scale. Order statistics come
+    * from the value histogram by cumulative rank (min b with cum ≥ r);
+    * only the ≤12 needed ranks per type are ever looked up, and every
+    * frame past the first aggregate is summary-sized.
+    */
+  val q181 = Q(
+    "q181_quantiles_exc_inc",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val hist = Tables(spark, dir, "events")
+        .select(col("event_type"), floor(col("value") * 1000).as("ms"))
+        .groupBy(col("event_type"), col("ms"))
+        .agg(count(lit(1)).as("c"))
+      val tot = hist.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+      val specs = Seq(("exc", 1L), ("exc", 2L), ("exc", 3L),
+        ("inc", 1L), ("inc", 2L), ("inc", 3L)).toDF("conv", "k")
+      val sp = tot.crossJoin(broadcast(specs))
+        .withColumn("h4",
+          when(col("conv") === "exc", col("k") * (col("n") + 1))
+            .otherwise(lit(4L) + col("k") * (col("n") - 1)))
+        .withColumn("h4c",
+          when(col("h4") < 4, lit(4L))
+            .when(col("h4") > col("n") * 4, col("n") * 4)
+            .otherwise(col("h4")))
+        .withColumn("idx", expr("h4c div 4"))
+        .withColumn("frac4", expr("h4c % 4"))
+        .withColumn("idx2", least(col("idx") + 1, col("n")))
+      val ranks = sp.select(col("event_type"), col("idx").as("r"))
+        .unionByName(sp.select(col("event_type"), col("idx2").as("r")))
+        .distinct()
+      val cum = hist.withColumn("cum",
+        sum(col("c")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("ms"))))
+      val xval = cum
+        .join(broadcast(ranks.select(col("event_type").as("rt"),
+          col("r"))),
+          col("event_type") === col("rt") && col("cum") >= col("r"))
+        .groupBy(col("event_type"), col("r"))
+        .agg(min(col("ms")).as("x"))
+      val joined = sp
+        .join(broadcast(xval.select(col("event_type").as("t1"),
+          col("r").as("r1"), col("x").as("x1"))),
+          col("event_type") === col("t1") && col("idx") === col("r1"))
+        .join(broadcast(xval.select(col("event_type").as("t2"),
+          col("r").as("r2"), col("x").as("x2"))),
+          col("event_type") === col("t2") && col("idx2") === col("r2"))
+        .withColumn("res",
+          (col("x1") * 4 + col("frac4") * (col("x2") - col("x1")))
+            .cast("double") / lit(4.0))
+      joined.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          min(when(col("conv") === "exc" && col("k") === 1, col("res")))
+            .as("p25_exc"),
+          min(when(col("conv") === "exc" && col("k") === 2, col("res")))
+            .as("p50_exc"),
+          min(when(col("conv") === "exc" && col("k") === 3, col("res")))
+            .as("p75_exc"),
+          min(when(col("conv") === "inc" && col("k") === 1, col("res")))
+            .as("p25_inc"),
+          min(when(col("conv") === "inc" && col("k") === 2, col("res")))
+            .as("p50_inc"),
+          min(when(col("conv") === "inc" && col("k") === 3, col("res")))
+            .as("p75_inc"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH hist AS (SELECT event_type,
+                           CAST(FLOOR(value * 1000) AS BIGINT) AS ms,
+                           COUNT(*) AS c
+                    FROM events GROUP BY 1, 2),
+      tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+              FROM hist GROUP BY 1),
+      specs AS (SELECT * FROM (VALUES ('exc', 1), ('exc', 2), ('exc', 3),
+                ('inc', 1), ('inc', 2), ('inc', 3)) AS t(conv, k)),
+      sp0 AS (SELECT t.event_type, t.n, s.conv, CAST(s.k AS BIGINT) AS k,
+                     CASE WHEN s.conv = 'exc' THEN s.k * (t.n + 1)
+                          ELSE 4 + s.k * (t.n - 1) END AS h4
+              FROM tot t CROSS JOIN specs s),
+      sp AS (SELECT event_type, n, conv, k,
+                    CASE WHEN h4 < 4 THEN 4
+                         WHEN h4 > n * 4 THEN n * 4
+                         ELSE h4 END // 4 AS idx,
+                    CASE WHEN h4 < 4 THEN 4
+                         WHEN h4 > n * 4 THEN n * 4
+                         ELSE h4 END % 4 AS frac4
+             FROM sp0),
+      sp2 AS (SELECT *, LEAST(idx + 1, n) AS idx2 FROM sp),
+      ranks AS (SELECT DISTINCT event_type, idx AS r FROM sp2
+                UNION SELECT DISTINCT event_type, idx2 AS r FROM sp2),
+      cum AS (SELECT event_type, ms,
+                     CAST(SUM(c) OVER (PARTITION BY event_type
+                                       ORDER BY ms) AS BIGINT) AS cum
+              FROM hist),
+      xval AS (SELECT c.event_type, r.r, MIN(c.ms) AS x
+               FROM cum c JOIN ranks r
+                 ON r.event_type = c.event_type AND c.cum >= r.r
+               GROUP BY 1, 2),
+      j AS (SELECT s.event_type, s.n, s.conv, s.k,
+                   CAST(a.x * 4 + s.frac4 * (b.x - a.x) AS DOUBLE) / 4.0
+                     AS res
+            FROM sp2 s
+            JOIN xval a ON a.event_type = s.event_type AND a.r = s.idx
+            JOIN xval b ON b.event_type = s.event_type AND b.r = s.idx2)
+      SELECT event_type, MAX(n) AS n,
+             MIN(CASE WHEN conv = 'exc' AND k = 1 THEN res END) AS p25_exc,
+             MIN(CASE WHEN conv = 'exc' AND k = 2 THEN res END) AS p50_exc,
+             MIN(CASE WHEN conv = 'exc' AND k = 3 THEN res END) AS p75_exc,
+             MIN(CASE WHEN conv = 'inc' AND k = 1 THEN res END) AS p25_inc,
+             MIN(CASE WHEN conv = 'inc' AND k = 2 THEN res END) AS p50_inc,
+             MIN(CASE WHEN conv = 'inc' AND k = 3 THEN res END) AS p75_inc
+      FROM j GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
     q122, q124, q125, q126, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q143, q144, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177,
-    q178)
+    q178, q181)
 }

@@ -4351,11 +4351,61 @@ object Pipeline {
              ROUND(MAX(mc), 6) AS max_cosine
       FROM s GROUP BY label ORDER BY label"""))
 
+  /** Lexical-diversity audit per source (type-token ratio, hapax/dis
+    * legomena — the vocabulary-health screen a corpus curator runs
+    * before mixing; Herdan/Heaps territory but kept ALL-INTEGER): one
+    * corpus scan to the (source, word) frequency table (vocab-bounded,
+    * not corpus-bounded), then N tokens, V types, hapax (f=1) and dis
+    * (f=2) counts as exact BIGINTs; TTR = V/N and hapax share = hx/V
+    * are single IEEE divides of exact operands (identical cross-
+    * engine), rounded 6 dp.
+    */
+  val q180 = Q(
+    "q180_lexical_diversity",
+    (spark, dir) => {
+      val freq = Tables(spark, dir, "documents")
+        .select(col("source"),
+          explode(TextOps.words(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("f"))
+      freq.groupBy(col("source"))
+        .agg(sum(col("f")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("f") === 1, 1L).otherwise(0L)).as("hapax"),
+          sum(when(col("f") === 2, 1L).otherwise(0L)).as("dis"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          col("hapax"), col("dis"),
+          round(col("n_types").cast("double") /
+            col("n_tokens").cast("double"), 6).as("ttr"),
+          round(col("hapax").cast("double") /
+            col("n_types").cast("double"), 6).as("hapax_share"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH w AS (SELECT source, UNNEST(string_split(text, ' ')) AS w
+                 FROM documents),
+      freq AS (SELECT source, w, COUNT(*) AS f
+               FROM w WHERE w <> '' GROUP BY 1, 2),
+      st AS (SELECT source, CAST(SUM(f) AS BIGINT) AS n_tokens,
+                    COUNT(*) AS n_types,
+                    CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS hapax,
+                    CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS dis
+             FROM freq GROUP BY 1)
+      SELECT source, n_tokens, n_types, hapax, dis,
+             ROUND(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+               AS ttr,
+             ROUND(CAST(hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6)
+               AS hapax_share
+      FROM st ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q115, q116, q117, q120, q121, q123, q134, q142,
-    q145, q156, q166, q167, q179)
+    q145, q156, q166, q167, q179, q180)
 }

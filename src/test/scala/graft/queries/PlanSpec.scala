@@ -786,6 +786,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q179 plans a cartesian:\n$p")
   }
 
+  test("q180: diversity stats are two keyed aggregates, no join at all") {
+    val p = plan(Pipeline.q180)
+    assert(!p.contains("Join"), s"q180 plans a join:\n$p")
+    assert(!p.contains("Window"), s"q180 plans a Window:\n$p")
+  }
+
+  test("q181: rank lookups ride broadcast over the bounded histogram") {
+    val p = plan(Events.q181)
+    assert(!p.contains("SortMergeJoin"), s"q181 shuffle-joins a frame:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q181 plans a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"q181 spec/rank frames not broadcast:\n$p")
+  }
+
   test("q175: cohort join keys on user_id (never broadcast), base rides broadcast") {
     val p = plan(Events.q175)
     assert(!p.contains("CartesianProduct") &&
