@@ -28,7 +28,7 @@ object Stress {
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
     val stages = args.lift(2).map(_.split(",").toSet)
       .getOrElse(Set("dedup", "prep", "sim", "forensics", "r11", "edit",
-        "spans", "behav", "series", "audit", "sketch"))
+        "spans", "behav", "series", "stats", "audit", "sketch"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -562,6 +562,56 @@ object Stress {
       runSeries("warm", evbase.limit(2000))
       runSeries("1x", evbase)
       runSeries(s"${mult}x", evbig)
+      evbig.unpersist(blocking = false)
+    }
+
+    // statistics shapes landed late r12: q159 Kendall (the rewrite's
+    // claim — cells are domain-bounded, the dominance expansion is
+    // cells × ≤100, so only the FIRST aggregate is fact-sized; the
+    // cells² formulation this replaced measured 135 s at plain sf0.1)
+    // and q171 bitmap algebra (word frames bounded by audience/64, so
+    // the curve must follow the one fact-sized word-build aggregate).
+    // Replicas keep event_type/props/value verbatim (types FIXED — the
+    // adversarial axis for Kendall: per-type facts grow Nx while the
+    // x,y domains cannot) and shift user_id so audiences genuinely
+    // grow Nx for the bitmap legs.
+    def runStats(tag: String, ev: DataFrame): Unit = {
+      import graft.queries.Events
+      val t0 = System.nanoTime()
+      val kt = Events.kendallTauOf(ev
+        .select(col("event_type"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+            .as("x"),
+          floor(col("value") * 64).as("y"))
+        .filter(col("x").isNotNull))
+        .agg(sum(col("n"))).collect()(0).getLong(0)
+      release(spark)
+      val t1 = System.nanoTime()
+      val bm = Events.audienceAlgebraFromWords(
+        Events.audienceWordsOf(ev))
+        .agg(sum(col("or_c"))).collect()(0).getLong(0)
+      release(spark)
+      val t2 = System.nanoTime()
+      def s(a: Long, b: Long) = f"${(b - a) / 1e9}%7.2f"
+      println(f"$tag%-4s kendall=${s(t0, t1)}s bitmap=${s(t1, t2)}s " +
+        f"[ktN=$kt orSum=$bm]")
+    }
+    if (stages("stats")) {
+      val evbase = graft.Tables(spark, sfDir, "events")
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("props"))
+      val uShift = evbase.agg(max(col("user_id"))).collect()(0)
+        .getLong(0) + 1
+      def evrep(i: Int): DataFrame = evbase
+        .withColumn("user_id", col("user_id") + lit(i * uShift))
+      val evbig = (0 until mult).map(evrep).reduce(_ union _)
+        .repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      corpusBlockIds ++= spark.sparkContext.getPersistentRDDs.keySet
+      println(s"events: ${evbase.count()} -> ${evbig.count()} (${mult}x)")
+      runStats("warm", evbase.limit(2000))
+      runStats("1x", evbase)
+      runStats(s"${mult}x", evbig)
       evbig.unpersist(blocking = false)
     }
 

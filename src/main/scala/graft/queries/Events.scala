@@ -3463,13 +3463,21 @@ object Events {
     */
   val q159 = Q(
     "q159_kendall_tau",
-    (spark, dir) => {
-      val e = Tables(spark, dir, "events")
+    (spark, dir) =>
+      kendallTauOf(Tables(spark, dir, "events")
         .select(col("event_type"),
           regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
             .as("x"),
           floor(col("value") * 64).as("y"))
-        .filter(col("x").isNotNull)
+        .filter(col("x").isNotNull)),
+    Q159Sql)
+
+  /** The q159 core over any (event_type, x, y) frame — shared with the
+    * Stress harness so the scaling claim is measured on the shipped
+    * plan. x must be a BOUNDED domain (props k, ≤100 levels).
+    */
+  private[graft] def kendallTauOf(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
       val cells = e.groupBy(col("event_type"), col("x"), col("y"))
         .agg(count(lit(1)).as("c"))
       // Concordant/discordant WITHOUT the cells² pair join (first
@@ -3529,8 +3537,9 @@ object Events {
               (col("concordant") - col("discordant")).cast("double") / den,
               6)).as("tau_b"))
         .orderBy(col("event_type"))
-    },
-    Some("""
+  }
+
+  private def Q159Sql: Option[String] = Some("""
       WITH e AS (SELECT event_type,
                         CAST(regexp_extract(props, '"k": (\d+)', 1)
                              AS BIGINT) AS x,
@@ -3567,7 +3576,7 @@ object Events {
                              / SQRT(CAST(n0 - n1 AS DOUBLE)
                                     * CAST(n0 - n2 AS DOUBLE)), 6)
              END AS tau_b
-      FROM r ORDER BY event_type"""))
+      FROM r ORDER BY event_type""")
 
   /** Two-sample mean z-test with KNOWN population variances
     * (ClickHouse `meanZTest(pop_var_x, pop_var_y, conf)` analog) —
