@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Time-series query surface over the `events` table — the analytics the
@@ -4381,18 +4382,29 @@ object Events {
     * (100·cum ≥ p·N — no double product to straddle an ulp). The
     * cumulative window runs over the bounded histogram, never facts.
     */
+  /** The q172 timing-grid histogram over any frame with
+    * event_type/value — the reference sketch's fixed footprint (exact
+    * 1 ms cells < 1024, 16 ms cells to 30 s, one overflow cell:
+    * ≤ 2 838 cells/type FOREVER). Shared with the streaming twin
+    * ([[graft.streaming.TimingStream]]) so batch and live tables
+    * cannot drift; counts are associative, so micro-batching cannot
+    * change them.
+    */
+  private[graft] def timingHistOf(raw: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    raw.select(col("event_type"), floor(col("value") * 1000).as("ms"))
+      .withColumn("b",
+        when(col("ms") < 1024, col("ms"))
+          .when(col("ms") < 30000, expr("(ms div 16) * 16"))
+          .otherwise(lit(30000L)))
+      .groupBy(col("event_type"), col("b"))
+      .agg(count(lit(1)).as("c"))
+
   val q172 = Q(
     "q172_quantile_timing",
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val e = Tables(spark, dir, "events")
-        .select(col("event_type"), floor(col("value") * 1000).as("ms"))
-        .withColumn("b",
-          when(col("ms") < 1024, col("ms"))
-            .when(col("ms") < 30000, expr("(ms div 16) * 16"))
-            .otherwise(lit(30000L)))
-      val hist = e.groupBy(col("event_type"), col("b"))
-        .agg(count(lit(1)).as("c"))
+      val hist = timingHistOf(Tables(spark, dir, "events"))
       val tot = hist.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
       val cum = hist.withColumn("cum",
         sum(col("c")).over(
@@ -4612,28 +4624,62 @@ object Events {
     * all-integer rank comparisons; the estimate returned is the
     * bucket's exact lower boundary from the shared chain.
     */
+  /** The q176 γ-power boundary table (γ^k for k=0..642 by sequential
+    * correctly-rounded multiplication — one chain, both engines;
+    * adjacent (lo, hi) pairs share chain values exactly).
+    */
+  private[graft] def ddBounds(spark: SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val pows = Iterator.iterate(1.0)(_ * 1.02).take(644).toSeq
+    pows.zip(pows.tail).zipWithIndex
+      .map { case ((lo, hi), k) => (k.toLong, lo, hi) }
+      .toDF("k", "lo", "hi")
+  }
+
+  /** The q176 DDSketch bucket table over any frame with
+    * event_type/value: collapse to the domain-bounded (type, ms)
+    * histogram, then range-probe the broadcast γ-power table. Cell
+    * space is ≤ 643 γ-buckets/type FOREVER — shared with the
+    * streaming twin ([[graft.streaming.DdStream]]).
+    */
+  private[graft] def ddBucketsOf(raw: org.apache.spark.sql.DataFrame,
+      bounds: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    raw.select(col("event_type"),
+        greatest(floor(col("value") * 1000), lit(1L)).as("ms"))
+      .groupBy(col("event_type"), col("ms"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(bounds),
+        col("ms").cast("double") >= col("lo") &&
+          col("ms").cast("double") < col("hi"))
+      .groupBy(col("event_type"), col("k"), col("lo"))
+      .agg(sum(col("c")).as("c"))
+
+  /** Row-level γ-bucket assignment — the DD "insert path" the
+    * streaming twin uses (Structured Streaming allows ONE aggregation,
+    * so the live form cannot pre-collapse to the ms histogram the way
+    * the batch plan does): each row range-probes the broadcast
+    * boundary table, the single stateful aggregation is the grouped
+    * count over the ≤ 643-cell/type space. Batch ≡ stream by
+    * construction (same bucketing, associative counts) — spec-pinned.
+    */
+  private[graft] def ddBucketRowsOf(raw: org.apache.spark.sql.DataFrame,
+      bounds: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    raw.select(col("event_type"),
+        greatest(floor(col("value") * 1000), lit(1L)).as("ms"))
+      .join(broadcast(bounds),
+        col("ms").cast("double") >= col("lo") &&
+          col("ms").cast("double") < col("hi"))
+      .select(col("event_type"), col("k"), col("lo"))
+
   val q176 = Q(
     "q176_ddsketch_quantiles",
     (spark, dir) => {
-      import spark.implicits._
       import org.apache.spark.sql.expressions.Window
-      // γ^k for k=0..642 by sequential multiplication: one chain, both
-      // engines; (lo, hi) pairs share adjacent chain values exactly
-      val pows = Iterator.iterate(1.0)(_ * 1.02).take(644).toSeq
-      val bounds = pows.zip(pows.tail).zipWithIndex
-        .map { case ((lo, hi), k) => (k.toLong, lo, hi) }
-        .toDF("k", "lo", "hi")
-      val hist = Tables(spark, dir, "events")
-        .select(col("event_type"),
-          greatest(floor(col("value") * 1000), lit(1L)).as("ms"))
-        .groupBy(col("event_type"), col("ms"))
-        .agg(count(lit(1)).as("c"))
-      val bucketed = hist
-        .join(broadcast(bounds),
-          col("ms").cast("double") >= col("lo") &&
-            col("ms").cast("double") < col("hi"))
-        .groupBy(col("event_type"), col("k"), col("lo"))
-        .agg(sum(col("c")).as("c"))
+      val bucketed = ddBucketsOf(Tables(spark, dir, "events"),
+        ddBounds(spark))
       val tot = bucketed.groupBy(col("event_type"))
         .agg(sum(col("c")).as("n"))
       val cum = bucketed.withColumn("cum",

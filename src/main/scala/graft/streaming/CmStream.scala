@@ -123,3 +123,55 @@ object BitmapStream {
       .foreachBatch(sink)
       .start()
 }
+
+/** Streaming quantileTiming — q172's fixed-resolution histogram
+  * maintained live, by the [[CmStream]] argument: the timing grid is
+  * ≤ 2 838 cells per type FOREVER (exact 1 ms < 1024, 16 ms to 30 s,
+  * one overflow cell), so the live table is the built-in stateful
+  * grouped count over the SHARED batch projection
+  * (`Events.timingHistOf`). The quantile read (all-integer ceil
+  * ranks) stays a cheap downstream fold over the cells.
+  */
+object TimingStream {
+
+  /** `events` must be a streaming frame with event_type + value. */
+  def table(events: DataFrame): DataFrame =
+    graft.queries.Events.timingHistOf(events)
+
+  def start(events: DataFrame)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    table(events).writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(sink)
+      .start()
+}
+
+/** Streaming DDSketch — q176's γ-bucket table maintained live. The
+  * boundary table is STATIC (the shared sequentially-multiplied γ
+  * chain), so bucket assignment is a stream-static broadcast range
+  * join — the production DD insert path — and the one stateful
+  * aggregation is the grouped count over the ≤ 643-cell/type space:
+  * state bounded by sketch geometry on an unbounded stream, relative
+  * error 2% at every quantile forever. Batch pre-collapses to the ms
+  * histogram before bucketing (`Events.ddBucketsOf`); the live form
+  * cannot (one-aggregation rule), but the tables are identical by
+  * construction — counts are associative and the bucketing is the
+  * same broadcast probe (spec-pinned per prefix).
+  */
+object DdStream {
+
+  /** `events` must be a streaming frame with event_type + value. */
+  def table(events: DataFrame): DataFrame = {
+    val bounds = graft.queries.Events.ddBounds(events.sparkSession)
+    graft.queries.Events.ddBucketRowsOf(events, bounds)
+      .groupBy(col("event_type"), col("k"), col("lo"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  def start(events: DataFrame)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    table(events).writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(sink)
+      .start()
+}

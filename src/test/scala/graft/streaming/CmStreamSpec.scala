@@ -175,4 +175,59 @@ class CmStreamSpec extends SparkSpec {
       assert(words.size <= types * (maxUid / 64 + 1))
     } finally sq.stop()
   }
+
+  test("streamed timing histogram and DDSketch table converge to batch " +
+      "per prefix, state bounded by sketch geometry") {
+    import spark.implicits._
+    val events = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)].collect()
+    assert(events.length > 100)
+    val (b1, b2) = events.splitAt(events.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val msT = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Double)]
+    val msD = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Double)]
+    val tcells = scala.collection.mutable.Map.empty[(String, Long), Long]
+    val dcells = scala.collection.mutable.Map.empty[(String, Long), Long]
+    val sqT = TimingStream.start(
+      msT.toDF().toDF("event_type", "value")) { (df, _) =>
+      df.collect().foreach(r =>
+        tcells((r.getString(0), r.getLong(1))) = r.getLong(2))
+    }
+    val sqD = DdStream.start(
+      msD.toDF().toDF("event_type", "value")) { (df, _) =>
+      df.collect().foreach(r =>
+        dcells((r.getString(0), r.getLong(1))) = r.getLong(3))
+    }
+    def batchT(rows: Seq[(String, Double)]): Map[(String, Long), Long] =
+      graft.queries.Events.timingHistOf(rows.toDF("event_type", "value"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    def batchD(rows: Seq[(String, Double)]): Map[(String, Long), Long] =
+      graft.queries.Events.ddBucketsOf(
+          rows.toDF("event_type", "value"),
+          graft.queries.Events.ddBounds(spark))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3))
+        .toMap
+    try {
+      msT.addData(b1.toIndexedSeq: _*); sqT.processAllAvailable()
+      msD.addData(b1.toIndexedSeq: _*); sqD.processAllAvailable()
+      assert(tcells.toMap == batchT(b1.toSeq),
+        "prefix 1: timing table != batch")
+      assert(dcells.toMap == batchD(b1.toSeq),
+        "prefix 1: DD table != batch (hist-first batch vs row-level live)")
+      msT.addData(b2.toIndexedSeq: _*); sqT.processAllAvailable()
+      msD.addData(b2.toIndexedSeq: _*); sqD.processAllAvailable()
+      assert(tcells.toMap == batchT(events.toSeq),
+        "full stream: timing table != batch")
+      assert(dcells.toMap == batchD(events.toSeq),
+        "full stream: DD table != batch")
+      // geometry bounds: 1024 + 1813 + 1 timing cells, 643 γ buckets
+      val types = events.map(_._1).distinct.length
+      assert(tcells.size <= types * 2838)
+      assert(dcells.size <= types * 643)
+    } finally { sqT.stop(); sqD.stop() }
+  }
 }
