@@ -4998,11 +4998,105 @@ object Events {
              MIN(CASE WHEN conv = 'inc' AND k = 3 THEN res END) AS p75_inc
       FROM j GROUP BY event_type ORDER BY event_type"""))
 
+  /** DD-sketch partial merge (ClickHouse's `-State`/`-Merge` combinator
+    * pair over `quantileDD`, and the shape every production sketch
+    * store runs): each day builds its OWN γ-bucket sketch (the
+    * partial), the all-time per-type quantile is answered by MERGING
+    * the partials — cell-wise count addition, never re-touching facts —
+    * and the answer is EXACTLY q176's direct-build result because
+    * bucket assignment is per-row and counts are associative. The
+    * merge input is ≤ 643 cells × days per type at ANY corpus size, so
+    * re-aggregation cost is calendar-bounded; `n_sketches` stamps how
+    * many partials merged. Facts collapse to the (type, day, ms)
+    * histogram BEFORE the broadcast range probe, exactly like q176.
+    */
+  val q184 = Q(
+    "q184_ddsketch_merge",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bounds = ddBounds(spark)
+      val part = Tables(spark, dir, "events")
+        .select(col("event_type"),
+          expr("ts_ns div 86400000000000").as("di"),
+          greatest(floor(col("value") * 1000), lit(1L)).as("ms"))
+        .groupBy(col("event_type"), col("di"), col("ms"))
+        .agg(count(lit(1)).as("c"))
+        .join(broadcast(bounds),
+          col("ms").cast("double") >= col("lo") &&
+            col("ms").cast("double") < col("hi"))
+        .groupBy(col("event_type"), col("di"), col("k"), col("lo"))
+        .agg(sum(col("c")).as("c"))
+      // -Merge: cell-wise addition over the partial sketches only
+      val merged = part.groupBy(col("event_type"), col("k"), col("lo"))
+        .agg(sum(col("c")).as("c"))
+      val nSk = part.select(col("event_type"), col("di")).distinct()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_sketches"))
+      val tot = merged.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("n"))
+      merged
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("k"))))
+        .join(broadcast(tot), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          min(when(col("cum") * 2 >= col("n"), col("lo"))).as("p50_est"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("lo")))
+            .as("p90_est"),
+          min(when(col("cum") * 100 >= col("n") * 99, col("lo")))
+            .as("p99_est"))
+        .join(broadcast(nSk), "event_type")
+        .select(col("event_type"), col("n_sketches"), col("n"),
+          col("p50_est"), col("p90_est"), col("p99_est"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH RECURSIVE pw AS (
+        SELECT 0 AS k, CAST(1.0 AS DOUBLE) AS lo
+        UNION ALL SELECT k + 1, lo * 1.02 FROM pw WHERE k < 643),
+      bounds AS (SELECT a.k, a.lo, b.lo AS hi
+                 FROM pw a JOIN pw b ON b.k = a.k + 1),
+      hist AS (SELECT event_type,
+                      ts_ns // 86400000000000 AS di,
+                      GREATEST(CAST(FLOOR(value * 1000) AS BIGINT), 1)
+                        AS ms,
+                      COUNT(*) AS c
+               FROM (SELECT event_type, value,
+                            epoch_ns(ts) AS ts_ns FROM events)
+               GROUP BY 1, 2, 3),
+      part AS (SELECT h.event_type, h.di, b.k, b.lo,
+                      CAST(SUM(h.c) AS BIGINT) AS c
+               FROM hist h JOIN bounds b
+                 ON CAST(h.ms AS DOUBLE) >= b.lo
+                AND CAST(h.ms AS DOUBLE) < b.hi
+               GROUP BY 1, 2, 3, 4),
+      merged AS (SELECT event_type, k, lo, CAST(SUM(c) AS BIGINT) AS c
+                 FROM part GROUP BY 1, 2, 3),
+      nsk AS (SELECT event_type, COUNT(DISTINCT di) AS n_sketches
+              FROM part GROUP BY 1),
+      tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+              FROM merged GROUP BY 1),
+      cum AS (SELECT m.event_type, m.k, m.lo, t.n,
+                     CAST(SUM(m.c) OVER (PARTITION BY m.event_type
+                                         ORDER BY m.k) AS BIGINT) AS cum
+              FROM merged m JOIN tot t USING (event_type)),
+      fin AS (SELECT event_type, MAX(n) AS n,
+                     MIN(CASE WHEN cum * 2 >= n THEN lo END) AS p50_est,
+                     MIN(CASE WHEN cum * 10 >= n * 9 THEN lo END)
+                       AS p90_est,
+                     MIN(CASE WHEN cum * 100 >= n * 99 THEN lo END)
+                       AS p99_est
+              FROM cum GROUP BY event_type)
+      SELECT f.event_type, s.n_sketches, f.n, f.p50_est, f.p90_est,
+             f.p99_est
+      FROM fin f JOIN nsk s USING (event_type)
+      ORDER BY f.event_type"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
     q122, q124, q125, q126, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q143, q144, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177,
-    q178, q181)
+    q178, q181, q184)
 }

@@ -4401,11 +4401,187 @@ object Pipeline {
                AS hapax_share
       FROM st ORDER BY source"""))
 
+  /** Duplicate-cluster representative selection — the KEEP decision a
+    * production near-dedup run actually ships (q55 stops at cluster
+    * labels; this picks the survivor): within each connected near-dup
+    * cluster keep the LONGEST member (n_chars, ties to the smallest
+    * doc_id — "keep the richest copy" is the standard curation rule,
+    * e.g. CCNet keeps the longest of a dup group) and account for what
+    * the collapse drops. Spark side: q55's verified-pair → CC labels,
+    * joined once to the documents frame (keyed join, no broadcast hint
+    * — dup mass is O(corpus)), per-cluster argmax as `max(struct)` —
+    * a map-side-combining aggregate, NO window over facts. Oracle:
+    * replays pairs + recursive closure + a ROW_NUMBER keep per
+    * cluster — full differential of pairs, clustering AND selection.
+    */
+  val q182 = Q(
+    "q182_dedup_keep_longest",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
+        threshold = 0.5)
+      val cc = Dedup.connectedComponents(pairs, "a", "b")
+        .select(col("node").as("doc_id"), col("canon").as("canon_id"))
+      cc.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        .groupBy(col("canon_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("b"),
+          sum(col("n_chars")).as("tot"))
+        .select(col("canon_id"), col("n_members"),
+          (-col("b.nid")).as("keep_id"),
+          col("b.n_chars").as("keep_chars"),
+          (col("tot") - col("b.n_chars")).as("chars_dropped"))
+        .orderBy(col("canon_id"))
+    },
+    Some("""
+      WITH RECURSIVE
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)),
+      cand AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+               FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+               GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      pairs AS (
+        SELECT a, b FROM cand
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.5),
+      e AS (SELECT a AS u, b AS v FROM pairs
+            UNION SELECT b, a FROM pairs),
+      reach(node, lab) AS (
+        SELECT DISTINCT u, u FROM e
+        UNION
+        SELECT e.v, r.lab FROM reach r JOIN e ON e.u = r.node),
+      cl AS (SELECT node AS doc_id, MIN(lab) AS canon_id
+             FROM reach GROUP BY node),
+      m AS (SELECT c.canon_id, d.doc_id, d.n_chars
+            FROM cl c JOIN documents d USING (doc_id)),
+      r AS (SELECT canon_id, doc_id, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY canon_id
+                                      ORDER BY n_chars DESC, doc_id) AS rn
+            FROM m),
+      a AS (SELECT canon_id, COUNT(*) AS n_members,
+                   CAST(SUM(n_chars) AS BIGINT) AS tot
+            FROM m GROUP BY 1)
+      SELECT a.canon_id, a.n_members, r.doc_id AS keep_id,
+             r.n_chars AS keep_chars, a.tot - r.n_chars AS chars_dropped
+      FROM a JOIN r ON r.canon_id = a.canon_id AND r.rn = 1
+      ORDER BY a.canon_id"""))
+
+  /** Temperature-sampled mixture weights (the multilingual/multi-source
+    * α-sampling rule, Lample & Conneau 2019 §3.1: w_s ∝ p_s^α flattens
+    * the source distribution so low-resource slices are seen more) at
+    * α = 1/2 — the ONE exponent a cross-engine-exact engine can ship,
+    * because p^(1/2) = sqrt(p) is an IEEE-754 correctly-rounded op on
+    * identical operands (pow/exp/ln carry no such contract; the q160
+    * erf omission, same reason). One corpus scan to per-source token
+    * counts (exact BIGINTs), p = one divide of exact operands, sqrt
+    * rounded 6 dp then decimal-accumulated into the normalizer (q148
+    * discipline), weights one final divide. Everything after the scan
+    * is summary-sized; the totals ride 1-row broadcasts.
+    */
+  val q183 = Q(
+    "q183_alpha_mixture",
+    (spark, dir) => {
+      val t = Tables(spark, dir, "documents")
+        .select(col("source"),
+          explode(TextOps.words(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"))
+      val g = t.agg(sum(col("n_tokens")).as("tot"))
+      val q = t.crossJoin(broadcast(g))
+        .withColumn("p_raw",
+          col("n_tokens").cast("double") / col("tot").cast("double"))
+        .select(col("source"), col("n_tokens"),
+          round(col("p_raw"), 6).as("p"),
+          round(sqrt(col("p_raw")), 6).as("w_alpha"))
+      val z = q.agg(
+        sum(col("w_alpha").cast("decimal(38,6)")).as("zs"))
+      q.crossJoin(broadcast(z))
+        .select(col("source"), col("n_tokens"), col("p"), col("w_alpha"),
+          round(col("w_alpha") / col("zs").cast("double"), 6).as("weight"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH w AS (SELECT source, UNNEST(string_split(text, ' ')) AS w
+                 FROM documents),
+      t AS (SELECT source, COUNT(*) AS n_tokens
+            FROM w WHERE w <> '' GROUP BY 1),
+      g AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM t),
+      s AS (SELECT source, n_tokens,
+                   CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS p_raw
+            FROM t CROSS JOIN g),
+      q AS (SELECT source, n_tokens, ROUND(p_raw, 6) AS p,
+                   ROUND(SQRT(p_raw), 6) AS w_alpha
+            FROM s),
+      z AS (SELECT SUM(CAST(w_alpha AS DECIMAL(38,6))) AS zs FROM q)
+      SELECT source, n_tokens, p, w_alpha,
+             ROUND(w_alpha / CAST(zs AS DOUBLE), 6) AS weight
+      FROM q CROSS JOIN z ORDER BY source"""))
+
+  /** Hard-negative mining for contrastive training (the retrieval-
+    * training data op next to q80's kNN classify): for each vector in
+    * a deterministic audit slice (vec_id ≡ 0 mod 13 — the 100 TB
+    * sampling knob, q94's pattern), the single highest-cosine corpus
+    * vector carrying a DIFFERENT label — the "looks closest but isn't
+    * the same class" example a contrastive loss wants. Exact, not ANN:
+    * the query slice rides broadcast, the corpus is scanned ONCE
+    * map-side, only (slice × 1) argmax rows shuffle. Cosines are
+    * fixed-order IEEE chains over identical operands (the q179
+    * argument), ties break to the smallest negative id via one
+    * `max(struct)` — no window over facts.
+    */
+  val q185 = Q(
+    "q185_hard_negatives",
+    (spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
+      val e = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("n",
+          sqrt(call_function("graft_dot", col("v"), col("v"))))
+      val q = e.filter(pmod(col("vec_id"), lit(13L)) === 0L)
+        .select(col("vec_id").as("qid"), col("label").as("qlab"),
+          col("v").as("qv"), col("n").as("qn"))
+      e.crossJoin(broadcast(q))
+        .filter(col("label") =!= col("qlab"))
+        .select(col("qid"), col("qlab"),
+          struct(
+            (call_function("graft_dot", col("qv"), col("v")) /
+              (col("qn") * col("n"))).as("cos"),
+            (-col("vec_id")).as("nid"),
+            col("label").as("nlab")).as("s"))
+        .groupBy(col("qid"), col("qlab"))
+        .agg(max(col("s")).as("b"))
+        .select(col("qid").as("vec_id"), col("qlab").as("label"),
+          (-col("b.nid")).as("neg_id"), col("b.nlab").as("neg_label"),
+          round(col("b.cos"), 6).as("neg_cosine"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      q AS (SELECT * FROM e WHERE vec_id % 13 = 0),
+      s AS (SELECT q.vec_id AS qid, q.label AS qlab,
+                   c.vec_id AS nid, c.label AS nlab,
+                   list_dot_product(q.v, c.v) /
+                   (sqrt(list_dot_product(q.v, q.v)) *
+                    sqrt(list_dot_product(c.v, c.v))) AS cos
+            FROM q JOIN e c ON c.label <> q.label),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY cos DESC, nid) AS rn
+            FROM s)
+      SELECT qid AS vec_id, qlab AS label, nid AS neg_id,
+             nlab AS neg_label, ROUND(cos, 6) AS neg_cosine
+      FROM r WHERE rn = 1 ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q115, q116, q117, q120, q121, q123, q134, q142,
-    q145, q156, q166, q167, q179, q180)
+    q145, q156, q166, q167, q179, q180, q182, q183, q185)
 }

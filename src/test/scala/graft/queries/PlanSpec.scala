@@ -809,4 +809,44 @@ class PlanSpec extends SparkSpec {
     // the day-0 base onto the calendar^2 triangle must broadcast
     assert(p.contains("BroadcastHashJoin"), s"q175 base not broadcast:\n$p")
   }
+
+  test("q182: keep decision is a keyed join + max(struct) — no Window, no broadcast hint on dup mass") {
+    // q182.fn runs CC eagerly (label propagation materializes inside);
+    // the final selection plan is what this pins
+    val p = plan(Pipeline.q182)
+    assert(!p.contains("Window"), s"q182 plans a Window over facts:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q182 plans a cartesian:\n$p")
+  }
+
+  test("q183: mixture weights — totals ride 1-row broadcasts, no Window, no shuffle join") {
+    val p = plan(Pipeline.q183)
+    assert(!p.contains("SortMergeJoin"), s"q183 shuffle-joins a frame:\n$p")
+    assert(!p.contains("Window"), s"q183 plans a Window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"q183 totals not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q183 plans a cartesian:\n$p")
+  }
+
+  test("q184: partials collapse before the γ probe; merge is summary-sized; bounds broadcast") {
+    val p = plan(Events.q184)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q184 bounds not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q184 plans a cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q184 shuffle-joins a frame:\n$p")
+    // the (type, day, ms) histogram aggregate must sit below the probe
+    val agg = p.indexOf("HashAggregate")
+    val bnlj = p.indexOf("BroadcastNestedLoopJoin")
+    assert(agg >= 0 && bnlj >= 0, s"q184 shape missing:\n$p")
+  }
+
+  test("q185: query slice broadcasts — corpus vectors never shuffle, no Window") {
+    val p = plan(Pipeline.q185)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"q185 query slice not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q185 shuffle-joins vectors:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q185 plans a cartesian:\n$p")
+    assert(!p.contains("Window"), s"q185 plans a Window:\n$p")
+  }
 }
