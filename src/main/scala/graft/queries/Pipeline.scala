@@ -4469,6 +4469,42 @@ object Pipeline {
       FROM a JOIN r ON r.canon_id = a.canon_id AND r.rn = 1
       ORDER BY a.canon_id"""))
 
+  /** Per-source token counts — the q183 projection, shared with the
+    * streaming twin ([[graft.streaming.MixStream]]): a grouped COUNT
+    * over the ≤ |sources| key space, so the live form is bounded
+    * forever by the CmStream argument.
+    */
+  private[graft] def tokenCountsOf(
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("source"),
+        explode(TextOps.words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"))
+
+  /** The q183 finale over any (source, n_tokens) summary — p, √p at
+    * 6 dp, decimal-accumulated normalizer, one final divide. Shared
+    * batch/stream so the two forms cannot drift.
+    */
+  private[graft] def alphaWeightsFromCounts(
+      t: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val g = t.agg(sum(col("n_tokens")).as("tot"))
+    val q = t.crossJoin(broadcast(g))
+      .withColumn("p_raw",
+        col("n_tokens").cast("double") / col("tot").cast("double"))
+      .select(col("source"), col("n_tokens"),
+        round(col("p_raw"), 6).as("p"),
+        round(sqrt(col("p_raw")), 6).as("w_alpha"))
+    val z = q.agg(
+      sum(col("w_alpha").cast("decimal(38,6)")).as("zs"))
+    q.crossJoin(broadcast(z))
+      .select(col("source"), col("n_tokens"), col("p"), col("w_alpha"),
+        round(col("w_alpha") / col("zs").cast("double"), 6).as("weight"))
+      .orderBy(col("source"))
+  }
+
   /** Temperature-sampled mixture weights (the multilingual/multi-source
     * α-sampling rule, Lample & Conneau 2019 §3.1: w_s ∝ p_s^α flattens
     * the source distribution so low-resource slices are seen more) at
@@ -4483,27 +4519,9 @@ object Pipeline {
     */
   val q183 = Q(
     "q183_alpha_mixture",
-    (spark, dir) => {
-      val t = Tables(spark, dir, "documents")
-        .select(col("source"),
-          explode(TextOps.words(col("text"))).as("w"))
-        .filter(col("w") =!= "")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_tokens"))
-      val g = t.agg(sum(col("n_tokens")).as("tot"))
-      val q = t.crossJoin(broadcast(g))
-        .withColumn("p_raw",
-          col("n_tokens").cast("double") / col("tot").cast("double"))
-        .select(col("source"), col("n_tokens"),
-          round(col("p_raw"), 6).as("p"),
-          round(sqrt(col("p_raw")), 6).as("w_alpha"))
-      val z = q.agg(
-        sum(col("w_alpha").cast("decimal(38,6)")).as("zs"))
-      q.crossJoin(broadcast(z))
-        .select(col("source"), col("n_tokens"), col("p"), col("w_alpha"),
-          round(col("w_alpha") / col("zs").cast("double"), 6).as("weight"))
-        .orderBy(col("source"))
-    },
+    (spark, dir) =>
+      alphaWeightsFromCounts(
+        tokenCountsOf(Tables(spark, dir, "documents"))),
     Some("""
       WITH w AS (SELECT source, UNNEST(string_split(text, ' ')) AS w
                  FROM documents),
@@ -4577,11 +4595,72 @@ object Pipeline {
              nlab AS neg_label, ROUND(cos, 6) AS neg_cosine
       FROM r WHERE rn = 1 ORDER BY vec_id"""))
 
+  /** Flesch-Kincaid readability per source (the classic grade-level
+    * formula, a standard curation feature next to q27's composite
+    * score — C4/Dolma-era pipelines gate on readability bands):
+    * syllables counted as vowel GROUPS `[aeiouy]+` per word (min 1 —
+    * the standard heuristic), and since the synthetic corpus carries
+    * no sentence punctuation the document is the sentence unit
+    * (documented convention; on punctuated text swap the splitter).
+    * One exploded-words scan to exact BIGINT word/syllable sums, doc
+    * counts from a second aggregate on the UNEXPLODED frame, per-source
+    * summaries joined broadcast; FK = 0.39·(W/S) + 11.8·(Y/W) − 15.59
+    * is a fixed-order IEEE chain over two exact-operand divides with
+    * both engines parsing identical decimal literals.
+    */
+  val q186 = Q(
+    "q186_readability",
+    (spark, dir) => {
+      val syl = Tables(spark, dir, "documents")
+        .select(col("source"),
+          explode(TextOps.words(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(greatest(lit(1L),
+            regexp_count(col("w"), lit("[aeiouy]+")).cast("long")))
+            .as("n_syllables"))
+      val docs = Tables(spark, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val wpd = col("n_words").cast("double") / col("n_docs").cast("double")
+      val spw = col("n_syllables").cast("double") /
+        col("n_words").cast("double")
+      syl.join(broadcast(docs), "source")
+        .select(col("source"), col("n_docs"), col("n_words"),
+          col("n_syllables"),
+          round(wpd, 6).as("words_per_doc"),
+          round(spw, 6).as("syllables_per_word"),
+          round(lit(0.39) * wpd + lit(11.8) * spw - lit(15.59), 6)
+            .as("fk_grade"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH w AS (SELECT source, UNNEST(string_split(text, ' ')) AS w
+                 FROM documents),
+      s AS (SELECT source, COUNT(*) AS n_words,
+                   CAST(SUM(GREATEST(
+                     len(regexp_extract_all(w, '[aeiouy]+')), 1))
+                     AS BIGINT) AS n_syllables
+            FROM w WHERE w <> '' GROUP BY 1),
+      d AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+      SELECT s.source, d.n_docs, s.n_words, s.n_syllables,
+             ROUND(CAST(s.n_words AS DOUBLE) / CAST(d.n_docs AS DOUBLE), 6)
+               AS words_per_doc,
+             ROUND(CAST(s.n_syllables AS DOUBLE)
+                   / CAST(s.n_words AS DOUBLE), 6) AS syllables_per_word,
+             ROUND(0.39 * (CAST(s.n_words AS DOUBLE)
+                           / CAST(d.n_docs AS DOUBLE))
+                   + 11.8 * (CAST(s.n_syllables AS DOUBLE)
+                             / CAST(s.n_words AS DOUBLE))
+                   - 15.59, 6) AS fk_grade
+      FROM s JOIN d USING (source) ORDER BY s.source"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q115, q116, q117, q120, q121, q123, q134, q142,
-    q145, q156, q166, q167, q179, q180, q182, q183, q185)
+    q145, q156, q166, q167, q179, q180, q182, q183, q185, q186)
 }

@@ -124,6 +124,31 @@ object BitmapStream {
       .start()
 }
 
+/** Streaming mixture-weight inputs — q183's per-source token counts
+  * maintained live, by the [[CmStream]] argument: the count table is
+  * a grouped COUNT over the ≤ |sources| key space, so state stays
+  * source-bounded on an unbounded stream and counts are associative
+  * (replay delivery is the sink's exactly-once job, as for
+  * [[CmStream]]). The α-sampling weights themselves stay a CHEAP
+  * downstream read over the summary rows
+  * (`Pipeline.alphaWeightsFromCounts`, shared with the batch query) —
+  * the stream maintains counts, not weights, so a curation loop can
+  * re-derive the mixture whenever a batch lands.
+  */
+object MixStream {
+
+  /** `docs` must be a streaming frame with source + text columns. */
+  def counts(docs: DataFrame): DataFrame =
+    Pipeline.tokenCountsOf(docs)
+
+  def start(docs: DataFrame)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    counts(docs).writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(sink)
+      .start()
+}
+
 /** Streaming quantileTiming — q172's fixed-resolution histogram
   * maintained live, by the [[CmStream]] argument: the timing grid is
   * ≤ 2 838 cells per type FOREVER (exact 1 ms < 1024, 16 ms to 30 s,

@@ -840,6 +840,15 @@ class PlanSpec extends SparkSpec {
     assert(agg >= 0 && bnlj >= 0, s"q184 shape missing:\n$p")
   }
 
+  test("q186: readability summaries join broadcast — no Window, no shuffle join") {
+    val p = plan(Pipeline.q186)
+    assert(p.contains("BroadcastHashJoin"),
+      s"q186 doc counts not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q186 shuffle-joins a frame:\n$p")
+    assert(!p.contains("Window"), s"q186 plans a Window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q186 plans a cartesian:\n$p")
+  }
+
   test("q185: query slice broadcasts — corpus vectors never shuffle, no Window") {
     val p = plan(Pipeline.q185)
     assert(p.contains("BroadcastNestedLoopJoin") ||

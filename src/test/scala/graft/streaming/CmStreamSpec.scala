@@ -124,6 +124,49 @@ class CmStreamSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("streamed mixture counts converge per prefix; the q183 α-weight " +
+      "finale over the live table equals the batch answer") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source"), col("text"))
+      .as[(String, String)].collect()
+    assert(docs.length > 100)
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    var lastEmit = 0
+    val sq = MixStream.start(ms.toDF().toDF("source", "text")) { (df, _) =>
+      val rows = df.collect()
+      lastEmit = rows.length
+      rows.foreach(r => counts(r.getString(0)) = r.getLong(1))
+    }
+    def batch(rows: Seq[(String, String)]): Map[String, Long] =
+      MixStream.counts(rows.toDF("source", "text"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def weightsOf(c: Map[String, Long]): Seq[org.apache.spark.sql.Row] =
+      graft.queries.Pipeline.alphaWeightsFromCounts(
+        c.toSeq.toDF("source", "n_tokens")).collect().toSeq
+    try {
+      ms.addData(b1.toIndexedSeq: _*)
+      sq.processAllAvailable()
+      assert(counts.toMap == batch(b1.toSeq),
+        "prefix 1: stream counts != batch counts")
+      ms.addData(b2.toIndexedSeq: _*)
+      sq.processAllAvailable()
+      assert(counts.toMap == batch(docs.toSeq),
+        "full stream: counts != batch counts")
+      // the downstream read over the live table IS the batch q183
+      assert(weightsOf(counts.toMap) == weightsOf(batch(docs.toSeq)),
+        "α-weight finale over the live table != batch")
+      // geometry bound: one row per source
+      val nSources = docs.map(_._1).distinct.length
+      assert(counts.size <= nSources)
+      assert(lastEmit <= nSources)
+    } finally sq.stop()
+  }
+
   test("streamed audience bitmaps converge per prefix, survive a replay " +
       "bit-identically, and the q171 algebra over them equals batch") {
     import spark.implicits._
