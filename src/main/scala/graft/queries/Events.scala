@@ -4736,37 +4736,46 @@ object Events {
     * cumulative one-sided excess reaches 2/n of total mass, scaled);
     * NULL when never reached.
     */
+  /** The q177 CUSUM finale over ANY (event_type, di, c) day-series
+    * frame — shared with the streaming twin (the live
+    * `SeriesStream.dailyCounts` table composes with this as a
+    * downstream read, spec-pinned ≡ batch), so the two forms cannot
+    * drift. Windows run over calendar-bounded summary rows only.
+    */
+  private[graft] def cusumFromDaily(daily: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("di"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val dev = daily.join(broadcast(st), "event_type")
+      .withColumn("d", col("n") * col("c") - col("s"))
+      .withColumn("cc", sum(col("d")).over(w))
+      .withColumn("sp", col("cc") - min(col("cc")).over(w))
+      .withColumn("sn", max(col("cc")).over(w) - col("cc"))
+      .withColumn("msp", max(col("sp")).over(wAll))
+      .withColumn("msn", max(col("sn")).over(wAll))
+    dev.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_days"),
+        max(col("sp")).as("max_pos_stat"),
+        min(when(col("sp") === col("msp"), col("di")))
+          .as("pos_peak_day"),
+        max(col("sn")).as("max_neg_stat"),
+        min(when(col("sn") === col("msn"), col("di")))
+          .as("neg_peak_day"),
+        min(when(col("sp") >= lit(2) * col("s"), col("di")))
+          .as("first_alarm_day"))
+      .orderBy(col("event_type"))
+  }
+
   val q177 = Q(
     "q177_cusum_changepoint",
-    (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val daily = Tables(spark, dir, "events")
+    (spark, dir) =>
+      cusumFromDaily(Tables(spark, dir, "events")
         .groupBy(col("event_type"),
           expr("ts_ns div 86400000000000").as("di"))
-        .agg(count(lit(1)).as("c"))
-      val st = daily.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("di"))
-      val wAll = Window.partitionBy(col("event_type"))
-      val dev = daily.join(broadcast(st), "event_type")
-        .withColumn("d", col("n") * col("c") - col("s"))
-        .withColumn("cc", sum(col("d")).over(w))
-        .withColumn("sp", col("cc") - min(col("cc")).over(w))
-        .withColumn("sn", max(col("cc")).over(w) - col("cc"))
-        .withColumn("msp", max(col("sp")).over(wAll))
-        .withColumn("msn", max(col("sn")).over(wAll))
-      dev.groupBy(col("event_type"))
-        .agg(max(col("n")).as("n_days"),
-          max(col("sp")).as("max_pos_stat"),
-          min(when(col("sp") === col("msp"), col("di")))
-            .as("pos_peak_day"),
-          max(col("sn")).as("max_neg_stat"),
-          min(when(col("sn") === col("msn"), col("di")))
-            .as("neg_peak_day"),
-          min(when(col("sp") >= lit(2) * col("s"), col("di")))
-            .as("first_alarm_day"))
-        .orderBy(col("event_type"))
-    },
+        .agg(count(lit(1)).as("c"))),
     Some("""
       WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS di,
                             COUNT(*) AS c

@@ -444,6 +444,45 @@ class SeriesStreamSpec extends SparkSpec {
         s"(${got.length} vs ${expect.length} rows)")
   }
 
+  test("live daily counts + cusumFromDaily converge to batch q177") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    // key the live series by day INDEX (the q177 axis); the counter
+    // monoid is order-free so a shuffled single-delivery feed is exact
+    val rows = graft.Tables(spark, sf, "events")
+      .select(col("event_type"),
+        expr("ts_ns div 86400000000000").cast("string").as("day"),
+        col("event_id"))
+      .as[SeriesStream.DEv].collect()
+    val shuffled = rows.sortBy(e => (e.event_id * 2654435761L).toInt)
+    val (b1, b2) = shuffled.splitAt(shuffled.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SeriesStream.DEv]
+    val lastCnt =
+      scala.collection.mutable.Map.empty[(String, String), Long]
+    val sq = SeriesStream.startDailyCounts(ms.toDS()) { (df, _) =>
+      df.collect().foreach(r =>
+        lastCnt((r.getString(0), r.getString(1))) = r.getLong(2))
+    }
+    try {
+      ms.addData(b1.toIndexedSeq: _*)
+      sq.processAllAvailable()
+      ms.addData(b2.toIndexedSeq: _*)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    // downstream read: the q177 CUSUM finale over the live table
+    val live = lastCnt.toSeq.map { case ((tp, d), c) => (tp, d.toLong, c) }
+      .toDF("event_type", "di", "c")
+    val got = graft.queries.Events.cusumFromDaily(live)
+      .collect().map(_.toSeq)
+    val expect = graft.queries.Events.q177.fn(spark, sf)
+      .collect().map(_.toSeq)
+    assert(got.nonEmpty && got.sameElements(expect),
+      s"live CUSUM diverges from batch q177 " +
+        s"(${got.length} vs ${expect.length} rows)")
+  }
+
   test("evicting daily counts: state pinned to the watermark horizon") {
     import spark.implicits._
     val dayUs = 86400000000L
