@@ -304,12 +304,19 @@ object Stress {
       val budget = Pipeline.tokenBudgetOf(docs).count()
       release(spark)
       val t6 = System.nanoTime()
+      // q185 shape: hard-negative mining with a FIXED mined budget —
+      // the modulus scales with the corpus (the scaladoc'd knob), so
+      // the cost must scale as the corpus-side scan alone
+      val negs = Similarity.hardNegatives(emb, "vec_id", "embedding",
+        "label", mod = 13L * m).count()
+      release(spark)
+      val t7 = System.nanoTime()
       def s(a: Long, b: Long) = f"${(b - a) / 1e9}%7.2f"
       println(f"$tag%-4s attrition=${s(t0, t1)}s bm25=${s(t1, t2)}s " +
         f"rrf=${s(t2, t3)}s labelnoise=${s(t3, t4)}s semdedup=${s(t4, t5)}s " +
-        f"budget=${s(t5, t6)}s " +
+        f"budget=${s(t5, t6)}s hardneg=${s(t6, t7)}s " +
         f"[dropped=$attr bm=$bm rrf=$rrf audited=$noise semPairs=$sem " +
-        f"srcs=$budget]")
+        f"srcs=$budget negs=$negs]")
     }
     if (stages("forensics")) {
       runForensics("warm", base.limit(500), ebase.limit(200), 1)

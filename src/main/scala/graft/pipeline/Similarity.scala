@@ -126,6 +126,41 @@ object Similarity extends Serializable {
       .orderBy(col(groupCol))
   }
 
+  /** Hard-negative mining (q185): for each vector in the deterministic
+    * audit slice (id ≡ 0 mod `mod` — the 100 TB sampling knob; scale
+    * the modulus with the corpus to keep the mined set fixed, the q94
+    * posture), the single highest-cosine corpus vector with a
+    * DIFFERENT label. Exact: slice broadcast, corpus scanned once
+    * map-side, only per-query argmax rows shuffle; ties break to the
+    * smallest negative id through one `max(struct)`.
+    */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, mod: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val e = corpus
+      .select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n",
+        sqrt(call_function("graft_dot", col("v"), col("v"))))
+    val q = e.filter(pmod(col("vec_id"), lit(mod)) === 0L)
+      .select(col("vec_id").as("qid"), col("label").as("qlab"),
+        col("v").as("qv"), col("n").as("qn"))
+    e.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("qlab"))
+      .select(col("qid"), col("qlab"),
+        struct(
+          (call_function("graft_dot", col("qv"), col("v")) /
+            (col("qn") * col("n"))).as("cos"),
+          (-col("vec_id")).as("nid"),
+          col("label").as("nlab")).as("s"))
+      .groupBy(col("qid"), col("qlab"))
+      .agg(max(col("s")).as("b"))
+      .select(col("qid").as("vec_id"), col("qlab").as("label"),
+        (-col("b.nid")).as("neg_id"), col("b.nlab").as("neg_label"),
+        round(col("b.cos"), 6).as("neg_cosine"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Number of hyperplanes = signature bits for the ANN path, and the
     * multiprobe depth (all buckets within `ProbeFlips` bit flips are
     * probed). 8 bits + 3 flips ⇒ 93 of 256 buckets per query ≈ 36% of

@@ -4553,31 +4553,9 @@ object Pipeline {
     */
   val q185 = Q(
     "q185_hard_negatives",
-    (spark, dir) => {
-      graft.functions.GraftFunctions.register(spark)
-      val e = Tables(spark, dir, "embeddings")
-        .select(col("vec_id"), col("label"),
-          col("embedding").cast("array<double>").as("v"))
-        .withColumn("n",
-          sqrt(call_function("graft_dot", col("v"), col("v"))))
-      val q = e.filter(pmod(col("vec_id"), lit(13L)) === 0L)
-        .select(col("vec_id").as("qid"), col("label").as("qlab"),
-          col("v").as("qv"), col("n").as("qn"))
-      e.crossJoin(broadcast(q))
-        .filter(col("label") =!= col("qlab"))
-        .select(col("qid"), col("qlab"),
-          struct(
-            (call_function("graft_dot", col("qv"), col("v")) /
-              (col("qn") * col("n"))).as("cos"),
-            (-col("vec_id")).as("nid"),
-            col("label").as("nlab")).as("s"))
-        .groupBy(col("qid"), col("qlab"))
-        .agg(max(col("s")).as("b"))
-        .select(col("qid").as("vec_id"), col("qlab").as("label"),
-          (-col("b.nid")).as("neg_id"), col("b.nlab").as("neg_label"),
-          round(col("b.cos"), 6).as("neg_cosine"))
-        .orderBy(col("vec_id"))
-    },
+    (spark, dir) =>
+      Similarity.hardNegatives(Tables(spark, dir, "embeddings"),
+        "vec_id", "embedding", "label", mod = 13L),
     Some("""
       WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
                  FROM embeddings),
