@@ -4324,6 +4324,44 @@ object Events {
       LEFT JOIN i ON i.type_a = a.event_type AND i.type_b = b.event_type
       ORDER BY type_a, type_b"""))
 
+  // one stored bitmap per sf dir per JVM (the LabelStoreLayout
+  // memoization pattern); built by landing the even-user half then
+  // OR-folding the odd half, so the query exercises the real
+  // write→fold lifecycle, not a one-shot dump
+  private val bitmapStores =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  private def bitmapStoreOf(spark: SparkSession, dir: String): String =
+    bitmapStores.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-bitmapstore-").toString
+      val ev = Tables(spark, dir, "events")
+        .select(col("event_type"), col("user_id"))
+      graft.sources.BitmapStoreLayout.write(
+        audienceWordsOf(ev.filter(col("user_id") % 2 === 0)), out)
+      graft.sources.BitmapStoreLayout.fold(spark, out,
+        ev.filter(col("user_id") % 2 =!= 0))
+      out
+    })
+
+  /** The STORED leg of the q171 bitmap family (q171 = batch,
+    * BitmapStream = live, this = storage): the audience word table is
+    * LANDED via the write→OR-fold lifecycle
+    * ([[graft.sources.BitmapStoreLayout]]) and the set algebra runs as
+    * the shared downstream read over the store — so the answer must be
+    * byte-identical to q171's direct build (same oracle), proving the
+    * landed state exact. Fold I/O touches only folded audiences'
+    * directories; bit_or idempotence makes the store exactly-once
+    * under replay without a ledger (spec-pinned).
+    */
+  val q187 = Q(
+    "q187_bitmap_store",
+    (spark, dir) =>
+      audienceAlgebraFromWords(
+        graft.sources.BitmapStoreLayout.read(
+          spark, bitmapStoreOf(spark, dir))),
+    q171.oracle)
+
   /** The q171 word projection over any frame with event_type/user_id —
     * user ids collapse into 64-bit words keyed by (type, user_id div
     * 64) under a map-side-combining `bit_or`. Shared with the
@@ -5107,5 +5145,5 @@ object Events {
     q137, q138, q139, q140, q141, q143, q144, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177,
-    q178, q181, q184)
+    q178, q181, q184, q187)
 }
