@@ -3624,27 +3624,38 @@ object Pipeline {
       .groupBy(col("source"), col("bucket"))
       .agg(max(col("rank")).as("m"))
 
+  /** The q117 finale over ANY (source, bucket, m) register frame plus
+    * the docs frame for the exact-count comparison column — shared
+    * with the stored leg (q188) so register tables from any build path
+    * (direct, streamed, landed) read identically.
+    */
+  private[graft] def hllDistinctFrom(regs: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val est = regs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(53 - m as int))"))
+          .as("sp"))
+    val exact = docs.select(col("source"),
+        explode(TextOps.shinglesKernel(3)(
+          TextOps.words(col("text")))).as("s"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("s")).as("n_exact"))
+    val alpha = 0.7213 / (1 + 1.079 / 256.0)
+    est.join(exact, "source")
+      .select(col("source"), col("n_exact"),
+        col("n_present").cast("long").as("n_registers"),
+        (lit(alpha) * lit(65536.0) * lit(9007199254740992.0) /
+          (col("sp") + (lit(256L) - col("n_present")) *
+            lit(9007199254740992L)).cast("double")).as("hll_estimate"))
+      .orderBy(col("source"))
+  }
+
   val q117 = Q(
     "q117_hll_distinct",
     (spark, dir) => {
       val docs = Tables(spark, dir, "documents")
-      val est = hllRegistersOf(docs).groupBy(col("source"))
-        .agg(count(lit(1)).as("n_present"),
-          sum(expr("shiftleft(cast(1 as bigint), cast(53 - m as int))"))
-            .as("sp"))
-      val exact = docs.select(col("source"),
-          explode(TextOps.shinglesKernel(3)(
-            TextOps.words(col("text")))).as("s"))
-        .groupBy(col("source"))
-        .agg(countDistinct(col("s")).as("n_exact"))
-      val alpha = 0.7213 / (1 + 1.079 / 256.0)
-      est.join(exact, "source")
-        .select(col("source"), col("n_exact"),
-          col("n_present").cast("long").as("n_registers"),
-          (lit(alpha) * lit(65536.0) * lit(9007199254740992.0) /
-            (col("sp") + (lit(256L) - col("n_present")) *
-              lit(9007199254740992L)).cast("double")).as("hll_estimate"))
-        .orderBy(col("source"))
+      hllDistinctFrom(hllRegistersOf(docs), docs)
     },
     Some("""
       WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
@@ -4634,11 +4645,47 @@ object Pipeline {
                    - 15.59, 6) AS fk_grade
       FROM s JOIN d USING (source) ORDER BY s.source"""))
 
+  // one stored register table per sf dir per JVM (the LabelStoreLayout
+  // memoization pattern); built by landing the even-doc half then
+  // max-folding the odd half — the real write→fold lifecycle
+  private val hllStores =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  private def hllStoreOf(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    hllStores.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-hllstore-").toString
+      val docs = Tables(spark, dir, "documents")
+      graft.sources.HllStoreLayout.write(
+        hllRegistersOf(docs.filter(col("doc_id") % 2 === 0)), out)
+      graft.sources.HllStoreLayout.fold(spark, out,
+        docs.filter(col("doc_id") % 2 =!= 0))
+      out
+    })
+
+  /** The STORED leg of the q117 HLL family (q117 = batch, HllStream =
+    * live, this = storage): registers LANDED via the write→max-fold
+    * lifecycle ([[graft.sources.HllStoreLayout]]; max idempotence =
+    * exactly-once under replay with no ledger, the
+    * [[graft.sources.BitmapStoreLayout]] argument), estimate read by
+    * the shared `hllDistinctFrom` finale — so the answer must be
+    * byte-identical to q117's direct build (same oracle), proving the
+    * landed registers exact.
+    */
+  val q188 = Q(
+    "q188_hll_store",
+    (spark, dir) =>
+      hllDistinctFrom(
+        graft.sources.HllStoreLayout.read(spark, hllStoreOf(spark, dir)),
+        Tables(spark, dir, "documents")),
+    q117.oracle)
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q115, q116, q117, q120, q121, q123, q134, q142,
-    q145, q156, q166, q167, q179, q180, q182, q183, q185, q186)
+    q145, q156, q166, q167, q179, q180, q182, q183, q185, q186, q188)
 }

@@ -32,7 +32,8 @@ class ExplainAudit extends SparkSpec {
         "q146" -> Events.q146, "q147" -> Events.q147,
         "q149" -> Events.q149, "q150" -> Events.q150,
         "q151" -> Events.q151, "q152" -> Events.q152,
-        "q153" -> Events.q153, "q154" -> Events.q154)
+        "q153" -> Events.q153, "q154" -> Events.q154,
+        "q182" -> Pipeline.q182, "q186" -> Pipeline.q186)
         .foreach { case (n, q) =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$n has a cartesian:\n$p")
