@@ -5139,11 +5139,57 @@ object Events {
       FROM fin f JOIN nsk s USING (event_type)
       ORDER BY f.event_type"""))
 
+  /** l-diversity release audit (Machanavajjhala 2007 — the companion
+    * governance metric to q134's k-anonymity: a class can be large
+    * enough to pass k yet leak because every member shares one
+    * sensitive value): equivalence classes are (event_type, day), the
+    * sensitive attribute is the props payload; a class with fewer
+    * than l = 3 DISTINCT sensitive values is violating, and its rows
+    * are at risk. One (type, day, props) collapse (the only fact-sized
+    * shuffle), then summary-sized distinct/row counts and a per-type
+    * rollup — exact BIGINTs end to end.
+    */
+  val q189 = Q(
+    "q189_l_diversity",
+    (spark, dir) => {
+      val l = 3
+      val cls = Tables(spark, dir, "events")
+        .groupBy(col("event_type"),
+          expr("ts_ns div 86400000000000").as("di"), col("props"))
+        .agg(count(lit(1)).as("n"))
+      val div = cls.groupBy(col("event_type"), col("di"))
+        .agg(count(lit(1)).as("n_distinct"), sum(col("n")).as("n_rows"))
+      div.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("n_distinct") < l, 1L).otherwise(0L))
+            .as("n_violating"),
+          sum(when(col("n_distinct") < l, col("n_rows")).otherwise(0L))
+            .as("rows_at_risk"),
+          min(col("n_distinct")).as("min_diversity"),
+          sum(col("n_rows")).as("n_rows"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS di,
+                        props, COUNT(*) AS n
+                 FROM events GROUP BY 1, 2, 3),
+      d AS (SELECT event_type, di, COUNT(*) AS n_distinct,
+                   CAST(SUM(n) AS BIGINT) AS n_rows
+            FROM c GROUP BY 1, 2)
+      SELECT event_type, COUNT(*) AS n_classes,
+             CAST(SUM(CASE WHEN n_distinct < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             CAST(SUM(CASE WHEN n_distinct < 3 THEN n_rows ELSE 0 END)
+               AS BIGINT) AS rows_at_risk,
+             MIN(n_distinct) AS min_diversity,
+             CAST(SUM(n_rows) AS BIGINT) AS n_rows
+      FROM d GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
     q122, q124, q125, q126, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q143, q144, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177,
-    q178, q181, q184, q187)
+    q178, q181, q184, q187, q189)
 }

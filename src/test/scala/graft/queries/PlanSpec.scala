@@ -849,6 +849,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q186 plans a cartesian:\n$p")
   }
 
+  test("q189: diversity audit is three keyed aggregates — no join, no Window") {
+    val p = plan(Events.q189)
+    assert(!p.contains("Join"), s"q189 plans a join:\n$p")
+    assert(!p.contains("Window"), s"q189 plans a Window:\n$p")
+  }
+
   test("q185: query slice broadcasts — corpus vectors never shuffle, no Window") {
     val p = plan(Pipeline.q185)
     assert(p.contains("BroadcastNestedLoopJoin") ||
