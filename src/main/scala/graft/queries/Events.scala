@@ -4857,42 +4857,60 @@ object Events {
     * decimal-accumulated (the q148 discipline). Digit shares ride out
     * as a q151-style aligned serialization.
     */
+  /** The q178 first-digit count table over any frame with
+    * event_type/value — a grouped COUNT over the fixed ≤ 9·types key
+    * space, shared with the streaming twin
+    * ([[graft.streaming.BenfordStream]]) so the two forms cannot
+    * drift.
+    */
+  private[graft] def digitCountsOf(raw: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    raw.select(col("event_type"), floor(col("value") * 100).as("v"))
+      .filter(col("v") >= 1)
+      .select(col("event_type"),
+        substring(col("v").cast("string"), 1, 1).cast("long")
+          .as("digit"))
+      .groupBy(col("event_type"), col("digit"))
+      .agg(count(lit(1)).as("o"))
+
+  /** The q178 χ²-vs-Benford finale over any (event_type, digit, o)
+    * count table — the cheap downstream read a live digit table (or
+    * the batch query) runs over its cells.
+    */
+  private[graft] def benfordFromCounts(
+      counts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val benford = Seq(0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+      0.066947, 0.057992, 0.051153, 0.045757).zipWithIndex
+      .map { case (p, i) => ((i + 1).toLong, p) }.toDF("digit", "p")
+    val tot = counts.groupBy(col("event_type")).agg(sum(col("o")).as("n"))
+    // every (type, digit) cell must exist for the χ² — scaffold the
+    // 9-digit frame onto each type and fill absent observed counts
+    val cells = tot.crossJoin(broadcast(benford))
+      .join(broadcast(counts), Seq("event_type", "digit"), "left")
+      .na.fill(0L, Seq("o"))
+    cells
+      .withColumn("term",
+        round(
+          (col("o").cast("double") - col("n").cast("double") * col("p")) *
+            (col("o").cast("double") - col("n").cast("double") * col("p"))
+            / (col("n").cast("double") * col("p")), 6))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        sum(col("term").cast("decimal(38,6)")).cast("double")
+          .as("chi2"),
+        concat_ws(",", expr(
+          "transform(sort_array(collect_list(struct(digit, o)))," +
+            " x -> cast(x.o as string))")).as("digit_counts"))
+      .orderBy(col("event_type"))
+  }
+
   val q178 = Q(
     "q178_benford_audit",
-    (spark, dir) => {
-      import spark.implicits._
-      val benford = Seq(0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
-        0.066947, 0.057992, 0.051153, 0.045757).zipWithIndex
-        .map { case (p, i) => ((i + 1).toLong, p) }.toDF("digit", "p")
-      val d = Tables(spark, dir, "events")
-        .select(col("event_type"), floor(col("value") * 100).as("v"))
-        .filter(col("v") >= 1)
-        .select(col("event_type"),
-          substring(col("v").cast("string"), 1, 1).cast("long")
-            .as("digit"))
-      val counts = d.groupBy(col("event_type"), col("digit"))
-        .agg(count(lit(1)).as("o"))
-      val tot = counts.groupBy(col("event_type")).agg(sum(col("o")).as("n"))
-      // every (type, digit) cell must exist for the χ² — scaffold the
-      // 9-digit frame onto each type and fill absent observed counts
-      val cells = tot.crossJoin(broadcast(benford))
-        .join(broadcast(counts), Seq("event_type", "digit"), "left")
-        .na.fill(0L, Seq("o"))
-      cells
-        .withColumn("term",
-          round(
-            (col("o").cast("double") - col("n").cast("double") * col("p")) *
-              (col("o").cast("double") - col("n").cast("double") * col("p"))
-              / (col("n").cast("double") * col("p")), 6))
-        .groupBy(col("event_type"))
-        .agg(max(col("n")).as("n"),
-          sum(col("term").cast("decimal(38,6)")).cast("double")
-            .as("chi2"),
-          concat_ws(",", expr(
-            "transform(sort_array(collect_list(struct(digit, o)))," +
-              " x -> cast(x.o as string))")).as("digit_counts"))
-        .orderBy(col("event_type"))
-    },
+    (spark, dir) =>
+      benfordFromCounts(digitCountsOf(Tables(spark, dir, "events"))),
     Some("""
       WITH benford AS (
         SELECT * FROM (VALUES (1, 0.301030), (2, 0.176091), (3, 0.124939),

@@ -149,6 +149,29 @@ object MixStream {
       .start()
 }
 
+/** Streaming Benford digit table — q178's first-digit counts
+  * maintained live, by the [[CmStream]] argument: the table is a
+  * grouped COUNT over the fixed ≤ 9·types key space, so state stays
+  * cell-bounded forever and counts are associative (replay delivery
+  * is the sink's exactly-once job). The χ²-vs-Benford statistic stays
+  * a CHEAP downstream read over the cells
+  * (`Events.benfordFromCounts`, shared with the batch query) — a
+  * fabrication monitor that re-scores as every batch lands.
+  */
+object BenfordStream {
+
+  /** `events` must be a streaming frame with event_type + value. */
+  def table(events: DataFrame): DataFrame =
+    graft.queries.Events.digitCountsOf(events)
+
+  def start(events: DataFrame)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    table(events).writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(sink)
+      .start()
+}
+
 /** Streaming quantileTiming — q172's fixed-resolution histogram
   * maintained live, by the [[CmStream]] argument: the timing grid is
   * ≤ 2 838 cells per type FOREVER (exact 1 ms < 1024, 16 ms to 30 s,

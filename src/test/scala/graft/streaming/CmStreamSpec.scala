@@ -167,6 +167,51 @@ class CmStreamSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("streamed Benford digit table converges per prefix; the q178 χ² " +
+      "finale over the live table equals the batch statistic") {
+    import spark.implicits._
+    val events = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)].collect()
+    assert(events.length > 100)
+    val (b1, b2) = events.splitAt(events.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Double)]
+    val cells = scala.collection.mutable.Map.empty[(String, Long), Long]
+    var lastEmit = 0
+    val sq = BenfordStream.start(
+      ms.toDF().toDF("event_type", "value")) { (df, _) =>
+      val rows = df.collect()
+      lastEmit = rows.length
+      rows.foreach(r =>
+        cells((r.getString(0), r.getLong(1))) = r.getLong(2))
+    }
+    def batch(rows: Seq[(String, Double)]): Map[(String, Long), Long] =
+      BenfordStream.table(rows.toDF("event_type", "value"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    def chiOf(c: Map[(String, Long), Long]): Seq[org.apache.spark.sql.Row] =
+      graft.queries.Events.benfordFromCounts(
+        c.toSeq.map { case ((t, d), o) => (t, d, o) }
+          .toDF("event_type", "digit", "o")).collect().toSeq
+    try {
+      ms.addData(b1.toIndexedSeq: _*)
+      sq.processAllAvailable()
+      assert(cells.toMap == batch(b1.toSeq),
+        "prefix 1: stream digit table != batch")
+      ms.addData(b2.toIndexedSeq: _*)
+      sq.processAllAvailable()
+      assert(cells.toMap == batch(events.toSeq),
+        "full stream: digit table != batch")
+      assert(chiOf(cells.toMap) == chiOf(batch(events.toSeq)),
+        "Benford finale over the live table != batch")
+      // geometry bound: 9 digits × the fixture's 5 types
+      assert(cells.size <= 45)
+      assert(lastEmit <= 45)
+    } finally sq.stop()
+  }
+
   test("streamed audience bitmaps converge per prefix, survive a replay " +
       "bit-identically, and the q171 algebra over them equals batch") {
     import spark.implicits._
