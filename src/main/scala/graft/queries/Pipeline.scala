@@ -3820,26 +3820,38 @@ object Pipeline {
       .select(col("source"),
         conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
 
+  /** The q121 estimate finale over ANY (source, h) bottom-64 sketch
+    * frame plus the docs frame for the exact-count comparison column —
+    * shared with the stored leg (q190) so sketches from any build path
+    * read identically.
+    */
+  private[graft] def kmvDistinctFrom(sk: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val k = 64
+    val s = sk.groupBy(col("source"))
+      .agg(max(col("h")).as("hk"), count(lit(1)).as("n_kept"))
+    val nd = kmvHashes(docs).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct"))
+    // M = 2^60 (15 md5 hex digits); (k-1)*M has 6 significant bits
+    // so the Scala-side product is exactly representable
+    val km = (k - 1).toDouble * 1152921504606846976d
+    s.join(nd, "source")
+      .select(col("source"), col("n_distinct"), col("n_kept"), col("hk"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit(km) / col("hk").cast("double"))
+          .as("kmv_estimate"))
+      .orderBy(col("source"))
+  }
+
   val q121 = Q(
     "q121_kmv_distinct",
     (spark, dir) => {
-      val k = 64
       val docs = Tables(spark, dir, "documents")
-      val h = kmvHashes(docs)
-      val ranked = graft.operators.OrderedScan.bottomK(h, col("source"),
-        col("h"), col("h"), expr(s"h div ${1L << 53}L"), k, "rk")
-      val sk = ranked.groupBy(col("source"))
-        .agg(max(col("h")).as("hk"), count(lit(1)).as("n_kept"))
-      val nd = h.groupBy(col("source")).agg(count(lit(1)).as("n_distinct"))
-      // M = 2^60 (15 md5 hex digits); (k-1)*M has 6 significant bits
-      // so the Scala-side product is exactly representable
-      val km = (k - 1).toDouble * 1152921504606846976d
-      sk.join(nd, "source")
-        .select(col("source"), col("n_distinct"), col("n_kept"), col("hk"),
-          when(col("n_kept") < k, col("n_kept").cast("double"))
-            .otherwise(lit(km) / col("hk").cast("double"))
-            .as("kmv_estimate"))
-        .orderBy(col("source"))
+      val ranked = graft.operators.OrderedScan.bottomK(kmvHashes(docs),
+        col("source"), col("h"), col("h"), expr(s"h div ${1L << 53}L"),
+        64, "rk")
+      kmvDistinctFrom(ranked.select(col("source"), col("h")), docs)
     },
     Some("""
       WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
@@ -4681,11 +4693,50 @@ object Pipeline {
         Tables(spark, dir, "documents")),
     q117.oracle)
 
+  // one stored KMV sketch per sf dir per JVM (the memoization pattern
+  // of the other stores); built via the real write→union-fold lifecycle
+  private val kmvStores =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  private def kmvStoreOf(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    kmvStores.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-kmvstore-").toString
+      val docs = Tables(spark, dir, "documents")
+      val h1 = kmvHashes(docs.filter(col("doc_id") % 2 === 0))
+      graft.sources.KmvStoreLayout.write(
+        graft.operators.OrderedScan.bottomK(h1, col("source"), col("h"),
+          col("h"), expr(s"h div ${1L << 53}L"), 64, "rk")
+          .select(col("source"), col("h")), out)
+      graft.sources.KmvStoreLayout.fold(spark, out,
+        docs.filter(col("doc_id") % 2 =!= 0))
+      out
+    })
+
+  /** The STORED leg of the q121/q123 KMV family (q121 = batch,
+    * KmvStream = live, this = storage): bottom-64 sketches LANDED via
+    * the write→union-fold lifecycle
+    * ([[graft.sources.KmvStoreLayout]]; set-union + deterministic
+    * truncation is idempotent — exactly-once under replay with no
+    * ledger, the third idempotent corner of the sketch-store
+    * triangle), estimate read by the shared `kmvDistinctFrom` finale —
+    * so the answer must be byte-identical to q121's direct build
+    * (same oracle), proving the landed sketch exact.
+    */
+  val q190 = Q(
+    "q190_kmv_store",
+    (spark, dir) =>
+      kmvDistinctFrom(
+        graft.sources.KmvStoreLayout.read(spark, kmvStoreOf(spark, dir)),
+        Tables(spark, dir, "documents")),
+    q121.oracle)
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q115, q116, q117, q120, q121, q123, q134, q142,
-    q145, q156, q166, q167, q179, q180, q182, q183, q185, q186, q188)
+    q145, q156, q166, q167, q179, q180, q182, q183, q185, q186, q188, q190)
 }
