@@ -5203,11 +5203,123 @@ object Events {
              CAST(SUM(n_rows) AS BIGINT) AS n_rows
       FROM d GROUP BY event_type ORDER BY event_type"""))
 
+  /** t-closeness release audit (Li 2007 — the third of the privacy
+    * trio: q134 k-anonymity bounds class SIZE, q189 l-diversity bounds
+    * sensitive VARIETY, this bounds sensitive SKEW: a class whose
+    * sensitive distribution sits far from the table-wide one leaks
+    * even when diverse). Classes are (event_type, day), the sensitive
+    * attribute the ordered props k-bucket (q148's kb); distance is the
+    * ordered-attribute Earth Mover's Distance, which in 1-D is the
+    * normalized L1 of CDF differences — and THAT is computable EXACTLY:
+    * the per-bucket term |cumC·N − cumG·n| is an integer (products in
+    * decimal(38,0) so 100 TB-scale counts cannot overflow), the sum is
+    * exact, and EMD = Σ/(n·N·(m−1)) is ONE final divide of identical
+    * operands cross-engine (NULL when the type has a single bucket).
+    * Everything past the one fact-sized (type, day, kb) collapse runs
+    * on summary rows: global CDFs are ≤10 rows/type, class scaffolds
+    * classes × ≤10 buckets, windows order bounded bucket domains.
+    * Violating at t = 0.3.
+    */
+  val q191 = Q(
+    "q191_t_closeness",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cls = Tables(spark, dir, "events")
+        .select(col("event_type"),
+          expr("ts_ns div 86400000000000").as("di"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+            .as("k"))
+        .filter(col("k").isNotNull)
+        .select(col("event_type"), col("di"), expr("k div 10").as("kb"))
+        .groupBy(col("event_type"), col("di"), col("kb"))
+        .agg(count(lit(1)).as("c"))
+      val glob = cls.groupBy(col("event_type"), col("kb"))
+        .agg(sum(col("c")).as("g"))
+      val gStat = glob.groupBy(col("event_type"))
+        .agg(sum(col("g")).as("nn"), count(lit(1)).as("m"))
+      val gCdf = glob
+        .withColumn("cg", sum(col("g")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("kb"))))
+        .join(broadcast(gStat), "event_type")
+      val clsTot = cls.groupBy(col("event_type"), col("di"))
+        .agg(sum(col("c")).as("n"))
+      val cells = clsTot
+        .join(gCdf.select(col("event_type"), col("kb"), col("cg"),
+          col("nn"), col("m")), "event_type")
+        .join(cls, Seq("event_type", "di", "kb"), "left")
+        .na.fill(0L, Seq("c"))
+      val cdf = cells
+        .withColumn("cc", sum(col("c")).over(
+          Window.partitionBy(col("event_type"), col("di"))
+            .orderBy(col("kb"))))
+        .withColumn("term",
+          abs(col("cc").cast("decimal(38,0)") * col("nn") -
+            col("cg").cast("decimal(38,0)") * col("n")))
+      val emd = cdf.groupBy(col("event_type"), col("di"))
+        .agg(max(col("n")).as("n"), max(col("nn")).as("nn"),
+          max(col("m")).as("m"), sum(col("term")).as("s"))
+        .withColumn("emd",
+          when(col("m") > 1,
+            round(col("s").cast("double") /
+              (col("n").cast("decimal(38,0)") * col("nn") *
+                (col("m") - 1)).cast("double"), 6)))
+      emd.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_classes"),
+          max(col("emd")).as("max_emd"),
+          sum(when(col("emd") > 0.3, 1L).otherwise(0L)).as("n_violating"),
+          sum(when(col("emd") > 0.3, col("n")).otherwise(0L))
+            .as("rows_at_risk"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH cls AS (SELECT event_type, epoch_us(ts) // 86400000000 AS di,
+                          CAST(regexp_extract(props, '"k": (\d+)', 1)
+                               AS BIGINT) // 10 AS kb,
+                          COUNT(*) AS c
+                   FROM events
+                   WHERE regexp_extract(props, '"k": (\d+)', 1) <> ''
+                   GROUP BY 1, 2, 3),
+      gdist AS (SELECT event_type, kb, CAST(SUM(c) AS BIGINT) AS g
+                FROM cls GROUP BY 1, 2),
+      gstat AS (SELECT event_type, CAST(SUM(g) AS BIGINT) AS nn,
+                       COUNT(*) AS m
+                FROM gdist GROUP BY 1),
+      gcdf AS (SELECT gl.event_type, gl.kb, s.nn, s.m,
+                      CAST(SUM(gl.g) OVER (PARTITION BY gl.event_type
+                                           ORDER BY gl.kb) AS BIGINT) AS cg
+               FROM gdist gl JOIN gstat s USING (event_type)),
+      ctot AS (SELECT event_type, di, CAST(SUM(c) AS BIGINT) AS n
+               FROM cls GROUP BY 1, 2),
+      cells AS (SELECT t.event_type, t.di, t.n, g.kb, g.cg, g.nn, g.m,
+                       COALESCE(cl.c, 0) AS c
+                FROM ctot t
+                JOIN gcdf g USING (event_type)
+                LEFT JOIN cls cl ON cl.event_type = t.event_type
+                                AND cl.di = t.di AND cl.kb = g.kb),
+      cdf AS (SELECT event_type, di, n, nn, m,
+                     ABS(CAST(SUM(c) OVER (PARTITION BY event_type, di
+                                           ORDER BY kb) AS HUGEINT) * nn
+                         - CAST(cg AS HUGEINT) * n) AS term
+              FROM cells),
+      emd AS (SELECT event_type, di, MAX(n) AS n,
+                     CASE WHEN MAX(m) > 1 THEN
+                       ROUND(CAST(SUM(term) AS DOUBLE)
+                             / CAST(CAST(MAX(n) AS HUGEINT) * MAX(nn)
+                                    * (MAX(m) - 1) AS DOUBLE), 6)
+                     END AS emd
+              FROM cdf GROUP BY 1, 2)
+      SELECT event_type, COUNT(*) AS n_classes, MAX(emd) AS max_emd,
+             CAST(SUM(CASE WHEN emd > 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             CAST(SUM(CASE WHEN emd > 0.3 THEN n ELSE 0 END) AS BIGINT)
+               AS rows_at_risk
+      FROM emd GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
     q122, q124, q125, q126, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q143, q144, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177,
-    q178, q181, q184, q187, q189)
+    q178, q181, q184, q187, q189, q191)
 }

@@ -855,6 +855,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"q189 plans a Window:\n$p")
   }
 
+  test("q191: EMD runs on summary cells — stats broadcast, no cartesian") {
+    val p = plan(Events.q191)
+    assert(!p.contains("CartesianProduct"), s"q191 plans a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q191 stats not broadcast:\n$p")
+  }
+
   test("q185: query slice broadcasts — corpus vectors never shuffle, no Window") {
     val p = plan(Pipeline.q185)
     assert(p.contains("BroadcastNestedLoopJoin") ||
