@@ -46,6 +46,22 @@ class BitmapStoreLayoutSpec extends SparkSpec {
       "algebra over the store diverges from batch q171")
   }
 
+  test("a fold carrying a type the store has never seen lands it as a " +
+      "new directory") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("bitmapstore-spec-").toString
+    BitmapStoreLayout.write(
+      graft.queries.Events.audienceWordsOf(
+        Seq(("click", 1L)).toDF("event_type", "user_id")), dir)
+    BitmapStoreLayout.fold(spark, dir,
+      Seq(("signup", 7L), ("signup", 70L)).toDF("event_type", "user_id"))
+    val got = wordsMap(BitmapStoreLayout.read(spark, dir))
+    assert(got == Map(("click", 0L) -> 2L,
+      ("signup", 0L) -> (1L << 7), ("signup", 1L) -> (1L << 6)),
+      s"new-type fold wrong: $got")
+  }
+
   test("fold reads/writes only the touched audience directories; expire " +
       "is one directory delete") {
     import spark.implicits._

@@ -41,6 +41,23 @@ class HllStoreLayoutSpec extends SparkSpec {
       "estimate over the store diverges from batch q117")
   }
 
+  test("a fold carrying a source the store has never seen lands it as a " +
+      "new directory") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("hllstore-spec-").toString
+    HllStoreLayout.write(
+      graft.queries.Pipeline.hllRegistersOf(
+        Seq(("a", "x y z w v")).toDF("source", "text")), dir)
+    HllStoreLayout.fold(spark, dir,
+      Seq(("c", "f g h i j k")).toDF("source", "text"))
+    val got = regMap(HllStoreLayout.read(spark, dir))
+    val want = regMap(graft.queries.Pipeline.hllRegistersOf(
+      Seq(("a", "x y z w v"), ("c", "f g h i j k"))
+        .toDF("source", "text")))
+    assert(got == want, "new-source fold diverges from direct registers")
+  }
+
   test("fold touches only the folded sources' directories") {
     import spark.implicits._
     val dir = java.nio.file.Files

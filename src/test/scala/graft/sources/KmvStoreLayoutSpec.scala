@@ -47,6 +47,22 @@ class KmvStoreLayoutSpec extends SparkSpec {
       "estimate over the store diverges from batch q121")
   }
 
+  test("a fold carrying a source the store has never seen lands it as a " +
+      "new directory") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("kmvstore-spec-").toString
+    KmvStoreLayout.write(directSketch(
+      Seq(("a", "x y z w v u")).toDF("source", "text")), dir)
+    KmvStoreLayout.fold(spark, dir,
+      Seq(("c", "f g h i j k l")).toDF("source", "text"))
+    val got = skMap(KmvStoreLayout.read(spark, dir))
+    val want = skMap(directSketch(
+      Seq(("a", "x y z w v u"), ("c", "f g h i j k l"))
+        .toDF("source", "text")))
+    assert(got == want, "new-source fold diverges from direct sketch")
+  }
+
   test("fold touches only the folded sources' directories") {
     import spark.implicits._
     val dir = java.nio.file.Files
