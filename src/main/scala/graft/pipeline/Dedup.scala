@@ -515,10 +515,13 @@ object Dedup extends Serializable {
     */
   val containmentKernel: UserDefinedFunction =
     udf { (a: Seq[String], b: Seq[String]) =>
-      val sb = b.toSet
-      var inter = 0
-      a.foreach(s => if (sb.contains(s)) inter += 1)
-      inter.toDouble / a.length
+      if (a.isEmpty) 0.0
+      else {
+        val sb = b.toSet
+        var inter = 0
+        a.foreach(s => if (sb.contains(s)) inter += 1)
+        inter.toDouble / a.length
+      }
     }
 
   /** ASYMMETRIC containment join — the quote/subset detector Jaccard

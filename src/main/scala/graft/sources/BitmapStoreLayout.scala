@@ -56,10 +56,15 @@ object BitmapStoreLayout {
       val types = batch.select(col("event_type")).distinct()
         .collect().map(_.getString(0)).toSeq
       if (types.isEmpty) return dir
-      // directory-pruned read of the touched audiences only
-      val stored = spark.read.parquet(s"$dir/words")
-        .filter(col("event_type").isin(types: _*))
-        .select(col("event_type"), col("w"), col("bm"))
+      // directory-pruned read of the touched audiences only; a store
+      // that was never write()-initialized folds from empty (fold is
+      // the natural incremental entry point — first batch bootstraps)
+      val stored =
+        if (java.nio.file.Files.exists(Paths.get(s"$dir/words")))
+          spark.read.parquet(s"$dir/words")
+            .filter(col("event_type").isin(types: _*))
+            .select(col("event_type"), col("w"), col("bm"))
+        else batch.limit(0)
       val merged = stored.unionByName(batch)
         .groupBy(col("event_type"), col("w"))
         .agg(expr("bit_or(bm)").as("bm"))

@@ -49,9 +49,14 @@ object HllStoreLayout {
       val sources = batch.select(col("source")).distinct()
         .collect().map(_.getString(0)).toSeq
       if (sources.isEmpty) return dir
-      val stored = spark.read.parquet(s"$dir/regs")
-        .filter(col("source").isin(sources: _*))
-        .select(col("source"), col("bucket"), col("m"))
+      // a never-initialized store folds from empty (first batch
+      // bootstraps — fold is the natural incremental entry point)
+      val stored =
+        if (java.nio.file.Files.exists(Paths.get(s"$dir/regs")))
+          spark.read.parquet(s"$dir/regs")
+            .filter(col("source").isin(sources: _*))
+            .select(col("source"), col("bucket"), col("m"))
+        else batch.limit(0)
       val merged = stored.unionByName(batch)
         .groupBy(col("source"), col("bucket"))
         .agg(max(col("m")).as("m"))

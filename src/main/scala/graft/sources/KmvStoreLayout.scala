@@ -53,9 +53,14 @@ object KmvStoreLayout {
       val sources = batch.select(col("source")).distinct()
         .collect().map(_.getString(0)).toSeq
       if (sources.isEmpty) return dir
-      val stored = spark.read.parquet(s"$dir/sketch")
-        .filter(col("source").isin(sources: _*))
-        .select(col("source"), col("h"))
+      // a never-initialized store folds from empty (first batch
+      // bootstraps — fold is the natural incremental entry point)
+      val stored =
+        if (java.nio.file.Files.exists(Paths.get(s"$dir/sketch")))
+          spark.read.parquet(s"$dir/sketch")
+            .filter(col("source").isin(sources: _*))
+            .select(col("source"), col("h"))
+        else batch.limit(0)
       val merged = graft.operators.OrderedScan.bottomK(
           stored.unionByName(batch).distinct(),
           col("source"), col("h"), col("h"),

@@ -337,6 +337,8 @@ object JdbcSink {
           case '\n' => b ++= "\\n"
           case '\r' => b ++= "\\r"
           case '\t' => b ++= "\\t"
+          case '\b' => b ++= "\\b"
+          case '\f' => b ++= "\\f"
           case c if c < ' ' => b ++= f"\\u${c.toInt}%04x"
           case c => b += c
         }

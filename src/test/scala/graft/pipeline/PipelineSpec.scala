@@ -744,6 +744,17 @@ class PipelineSpec extends SparkSpec {
       "verification let a false pair through")
   }
 
+  test("containmentKernel: empty first argument yields 0.0, never NaN " +
+      "(the kernel is a public val usable outside containmentPairs)") {
+    import spark.implicits._
+    val got = Seq((Seq.empty[String], Seq("a", "b")),
+        (Seq("a"), Seq.empty[String]), (Seq("a", "b"), Seq("a")))
+      .toDF("a", "b")
+      .select(Dedup.containmentKernel(col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(0.0, 0.0, 0.5), s"kernel edge cases wrong: $got")
+  }
+
   test("containment prefix filter: complete AND precise vs directed all-pairs") {
     val sh = docs.select(col("doc_id"),
         TextOps.shinglesKernel(2)(TextOps.words(col("text"))).as("sh"))

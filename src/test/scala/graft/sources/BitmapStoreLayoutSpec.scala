@@ -46,6 +46,18 @@ class BitmapStoreLayoutSpec extends SparkSpec {
       "algebra over the store diverges from batch q171")
   }
 
+  test("the FIRST fold into a never-written store bootstraps it " +
+      "(fold is the natural incremental entry point)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("bitmapstore-spec-").toString
+    BitmapStoreLayout.fold(spark, dir,
+      Seq(("click", 1L), ("click", 65L)).toDF("event_type", "user_id"))
+    val got = wordsMap(BitmapStoreLayout.read(spark, dir))
+    assert(got == Map(("click", 0L) -> 2L, ("click", 1L) -> 2L),
+      s"bootstrap fold wrong: $got")
+  }
+
   test("a fold carrying a type the store has never seen lands it as a " +
       "new directory") {
     import spark.implicits._

@@ -41,6 +41,18 @@ class HllStoreLayoutSpec extends SparkSpec {
       "estimate over the store diverges from batch q117")
   }
 
+  test("the FIRST fold into a never-written store bootstraps it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("hllstore-spec-").toString
+    HllStoreLayout.fold(spark, dir,
+      Seq(("a", "x y z w v")).toDF("source", "text"))
+    val got = regMap(HllStoreLayout.read(spark, dir))
+    val want = regMap(graft.queries.Pipeline.hllRegistersOf(
+      Seq(("a", "x y z w v")).toDF("source", "text")))
+    assert(got == want, "bootstrap fold diverges from direct registers")
+  }
+
   test("a fold carrying a source the store has never seen lands it as a " +
       "new directory") {
     import spark.implicits._

@@ -47,6 +47,18 @@ class KmvStoreLayoutSpec extends SparkSpec {
       "estimate over the store diverges from batch q121")
   }
 
+  test("the FIRST fold into a never-written store bootstraps it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("kmvstore-spec-").toString
+    KmvStoreLayout.fold(spark, dir,
+      Seq(("a", "x y z w v u")).toDF("source", "text"))
+    val got = skMap(KmvStoreLayout.read(spark, dir))
+    val want = skMap(directSketch(
+      Seq(("a", "x y z w v u")).toDF("source", "text")))
+    assert(got == want, "bootstrap fold diverges from direct sketch")
+  }
+
   test("a fold carrying a source the store has never seen lands it as a " +
       "new directory") {
     import spark.implicits._

@@ -252,7 +252,8 @@ class JdbcSinkSpec extends SparkSpec {
       try st.execute("DROP TABLE t_arr2") catch { case _: SQLException => () }
       st.close()
     }
-    val df = Seq((1L, Seq("x\"y", "z\\w", "p\tq", ""), Seq(1L, -2L)))
+    val df = Seq((1L, Seq("x\"y", "z\\w", "p\tq", "a\bb\fc", ""),
+        Seq(1L, -2L)))
       .toDF("id", "ss", "vs")
     withConn { c =>
       val st = c.createStatement()
@@ -263,7 +264,7 @@ class JdbcSinkSpec extends SparkSpec {
     // leg B: a direct caller handing Seq cells to writeBatch
     val pool = new JdbcSink.Pool(url, 1)
     try JdbcSink.writeBatch(pool, "t_arr2", Seq("id", "ss", "vs"), "direct",
-      Iterator(Seq[Any](1L, Seq("x\"y", "z\\w", "p\tq", ""),
+      Iterator(Seq[Any](1L, Seq("x\"y", "z\\w", "p\tq", "a\bb\fc", ""),
         Seq(1L, -2L))))
     finally pool.close()
     val texts = withConn { c =>
