@@ -4438,24 +4438,35 @@ object Events {
       .groupBy(col("event_type"), col("b"))
       .agg(count(lit(1)).as("c"))
 
+  /** The shared q172 quantile finale over ANY (event_type, b, c)
+    * timing histogram — the read the batch query, the live
+    * `TimingStream` sink, and the stored
+    * [[graft.sources.TimingStoreLayout]] leg (q193) all run, so the
+    * three legs cannot drift. The cumulative window runs over the
+    * sketch-bounded histogram (≤ 2 838 cells/type), never facts.
+    */
+  private[graft] def timingQuantilesFrom(
+      hist: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = hist.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("b"))))
+      .join(broadcast(tot), "event_type")
+    cum.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") * 2 >= col("n"), col("b"))).as("p50_ms"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("b"))).as("p90_ms"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("b")))
+          .as("p99_ms"))
+      .orderBy(col("event_type"))
+  }
+
   val q172 = Q(
     "q172_quantile_timing",
-    (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val hist = timingHistOf(Tables(spark, dir, "events"))
-      val tot = hist.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
-      val cum = hist.withColumn("cum",
-        sum(col("c")).over(
-          Window.partitionBy(col("event_type")).orderBy(col("b"))))
-        .join(broadcast(tot), "event_type")
-      cum.groupBy(col("event_type"))
-        .agg(max(col("n")).as("n"),
-          min(when(col("cum") * 2 >= col("n"), col("b"))).as("p50_ms"),
-          min(when(col("cum") * 10 >= col("n") * 9, col("b"))).as("p90_ms"),
-          min(when(col("cum") * 100 >= col("n") * 99, col("b")))
-            .as("p99_ms"))
-        .orderBy(col("event_type"))
-    },
+    (spark, dir) =>
+      timingQuantilesFrom(timingHistOf(Tables(spark, dir, "events"))),
     Some("""
       WITH e AS (SELECT event_type,
                         CAST(FLOOR(value * 1000) AS BIGINT) AS ms
@@ -4712,27 +4723,38 @@ object Events {
           col("ms").cast("double") < col("hi"))
       .select(col("event_type"), col("k"), col("lo"))
 
+  /** The shared q176 quantile finale over ANY (event_type, k, lo, c)
+    * γ-bucket table — the read the batch query, the live `DdStream`
+    * sink, the q184 partial merge, and the stored
+    * [[graft.sources.DdStoreLayout]] leg (q194) all run, so the legs
+    * cannot drift. The cumulative window runs over the sketch-bounded
+    * bucket table (≤ 643 cells/type), never facts.
+    */
+  private[graft] def ddQuantilesFrom(
+      bucketed: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = bucketed.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n"))
+    val cum = bucketed.withColumn("cum",
+      sum(col("c")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("k"))))
+      .join(broadcast(tot), "event_type")
+    cum.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") * 2 >= col("n"), col("lo"))).as("p50_est"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("lo")))
+          .as("p90_est"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("lo")))
+          .as("p99_est"))
+      .orderBy(col("event_type"))
+  }
+
   val q176 = Q(
     "q176_ddsketch_quantiles",
-    (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val bucketed = ddBucketsOf(Tables(spark, dir, "events"),
-        ddBounds(spark))
-      val tot = bucketed.groupBy(col("event_type"))
-        .agg(sum(col("c")).as("n"))
-      val cum = bucketed.withColumn("cum",
-        sum(col("c")).over(
-          Window.partitionBy(col("event_type")).orderBy(col("k"))))
-        .join(broadcast(tot), "event_type")
-      cum.groupBy(col("event_type"))
-        .agg(max(col("n")).as("n"),
-          min(when(col("cum") * 2 >= col("n"), col("lo"))).as("p50_est"),
-          min(when(col("cum") * 10 >= col("n") * 9, col("lo")))
-            .as("p90_est"),
-          min(when(col("cum") * 100 >= col("n") * 99, col("lo")))
-            .as("p99_est"))
-        .orderBy(col("event_type"))
-    },
+    (spark, dir) =>
+      ddQuantilesFrom(ddBucketsOf(Tables(spark, dir, "events"),
+        ddBounds(spark))),
     Some("""
       WITH RECURSIVE pw AS (
         SELECT 0 AS k, CAST(1.0 AS DOUBLE) AS lo
@@ -5315,11 +5337,78 @@ object Events {
                AS rows_at_risk
       FROM emd GROUP BY event_type ORDER BY event_type"""))
 
+  // one stored timing histogram / DD sketch per sf dir per JVM (the
+  // memoization pattern of the other stores); both built by the real
+  // ledgered-fold lifecycle — bootstrap fold, incremental fold, then a
+  // deliberate REPLAY the ledger must turn into a no-op (a
+  // double-count would move the quantile ranks and fail the oracle)
+  private val timingStores =
+    new scala.collection.concurrent.TrieMap[String, String]()
+  private val ddStores =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  private def ledgeredStoreOf(
+      stores: scala.collection.concurrent.TrieMap[String, String],
+      spark: SparkSession, dir: String, prefix: String)(
+      fold: (String, org.apache.spark.sql.DataFrame, String) => Boolean)
+      : String =
+    stores.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files
+        .createTempDirectory(prefix).toString
+      val ev = graft.Tables(spark, dir, "events")
+      val even = ev.filter(col("user_id") % 2 === 0)
+      val odd = ev.filter(col("user_id") % 2 =!= 0)
+      require(fold(out, even, "even-users"), "bootstrap fold must apply")
+      require(fold(out, odd, "odd-users"), "incremental fold must apply")
+      require(!fold(out, odd, "odd-users"),
+        "replayed fold must be a ledger no-op")
+      out
+    })
+
+  /** The STORED leg of the q172 timing-sketch family (q172 = batch,
+    * TimingStream = live, this = storage) — an ADDITIVE corner of the
+    * sketch-store triangle: histogram counts are not idempotent, so
+    * exactly-once comes from [[graft.sources.LedgerStore]]'s batch-id
+    * ledger (atomic with the cells; the reference's
+    * transactional-batch sink discipline,
+    * `clickhouse_table_writer.go:115-149`). Built by bootstrap +
+    * incremental + deliberately REPLAYED folds; the shared
+    * `timingQuantilesFrom` finale must match q172's direct build
+    * byte-for-byte (same oracle) — a double-count would move ranks.
+    */
+  val q193 = Q(
+    "q193_timing_store",
+    (spark, dir) =>
+      timingQuantilesFrom(graft.sources.TimingStoreLayout.read(spark,
+        ledgeredStoreOf(timingStores, spark, dir, "graft-timingstore-")(
+          (out, b, id) =>
+            graft.sources.TimingStoreLayout.fold(spark, out, id, b)))),
+    q172.oracle)
+
+  /** The STORED leg of the q176 DDSketch family (q176 = batch,
+    * DdStream = live, q184 = partial merge, this = storage) —
+    * completing the additive corner with q192/q193: γ-bucket counts
+    * are not idempotent, so exactly-once comes from the same
+    * atomically-committed batch-id ledger
+    * ([[graft.sources.LedgerStore]]). Built by bootstrap +
+    * incremental + deliberately REPLAYED folds; the shared
+    * `ddQuantilesFrom` finale must match q176's direct build
+    * byte-for-byte (same oracle).
+    */
+  val q194 = Q(
+    "q194_dd_store",
+    (spark, dir) =>
+      ddQuantilesFrom(graft.sources.DdStoreLayout.read(spark,
+        ledgeredStoreOf(ddStores, spark, dir, "graft-ddstore-")(
+          (out, b, id) =>
+            graft.sources.DdStoreLayout.fold(spark, out, id, b)))),
+    q176.oracle)
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q20, q34, q42, q43, q50, q51,
     q52, q53, q56, q57, q59, q60, q62, q63, q112, q113, q114, q118, q119,
     q122, q124, q125, q126, q128, q129, q130, q131, q132, q133, q135, q136,
     q137, q138, q139, q140, q141, q143, q144, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177,
-    q178, q181, q184, q187, q189, q191)
+    q178, q181, q184, q187, q189, q191, q193, q194)
 }

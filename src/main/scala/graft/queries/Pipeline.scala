@@ -3718,29 +3718,45 @@ object Pipeline {
       .select(col("p.i").as("i"), col("p.bucket").as("bucket"))
   }
 
+  /** The documents token stream all three CM legs consume. */
+  private[graft] def cmToksOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(explode(TextOps.words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+
+  /** The shared q120 probe/finale over ANY (i, bucket, c) CM table —
+    * the read the batch query, the live `CmStream` sink, and the
+    * stored [[graft.sources.CmStoreLayout]] leg (q192) all run, so
+    * the three legs cannot drift. `toks` supplies the exact-count
+    * comparison column; probes touch CmDepth rows per term.
+    */
+  private[graft] def cmEstimateFrom(spark: org.apache.spark.sql.SparkSession,
+      cm: org.apache.spark.sql.DataFrame,
+      toks: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val terms = Seq("customer", "merge", "vector", "table", "spark")
+    import spark.implicits._
+    val probe = terms.flatMap(t => (0 until CmDepth).map(i => (t, i)))
+      .toDF("term", "i")
+      .withColumn("bucket", cmBucket(col("i").cast("string"), col("term")))
+    val est = probe.join(cm, Seq("i", "bucket"))
+      .groupBy(col("term")).agg(min(col("c")).as("cm_estimate"))
+    val exact = toks.filter(col("w").isin(terms.map(x => x: Any): _*))
+      .groupBy(col("w").as("term")).agg(count(lit(1)).as("exact_count"))
+    est.join(exact, Seq("term"), "left")
+      .select(col("term"), coalesce(col("exact_count"), lit(0L))
+        .as("exact_count"), col("cm_estimate"))
+      .orderBy(col("term"))
+  }
+
   val q120 = Q(
     "q120_countmin_freq",
     (spark, dir) => {
-      val depth = CmDepth
-      val terms = Seq("customer", "merge", "vector", "table", "spark")
-      val toks = Tables(spark, dir, "documents")
-        .select(explode(TextOps.words(col("text"))).as("w"))
-        .filter(col("w") =!= "")
+      val toks = cmToksOf(Tables(spark, dir, "documents"))
       val cm = cmProjection(toks)
         .groupBy(col("i"), col("bucket"))
         .agg(count(lit(1)).as("c"))
-      import spark.implicits._
-      val probe = terms.flatMap(t => (0 until depth).map(i => (t, i)))
-        .toDF("term", "i")
-        .withColumn("bucket", cmBucket(col("i").cast("string"), col("term")))
-      val est = probe.join(cm, Seq("i", "bucket"))
-        .groupBy(col("term")).agg(min(col("c")).as("cm_estimate"))
-      val exact = toks.filter(col("w").isin(terms.map(x => x: Any): _*))
-        .groupBy(col("w").as("term")).agg(count(lit(1)).as("exact_count"))
-      est.join(exact, Seq("term"), "left")
-        .select(col("term"), coalesce(col("exact_count"), lit(0L))
-          .as("exact_count"), col("cm_estimate"))
-        .orderBy(col("term"))
+      cmEstimateFrom(spark, cm, toks)
     },
     Some("""
       WITH toks AS (
@@ -4732,11 +4748,58 @@ object Pipeline {
         Tables(spark, dir, "documents")),
     q121.oracle)
 
+  // one stored CM sketch per sf dir per JVM (the memoization pattern
+  // of the other stores); built by the real ledgered-fold lifecycle —
+  // bootstrap fold, incremental fold, then a deliberate REPLAY of the
+  // second batch that the ledger must turn into a no-op (a
+  // double-count would inflate the estimates below and fail the
+  // oracle — the query itself proves exactly-once)
+  private val cmStores =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  private def cmStoreOf(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    cmStores.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-cmstore-").toString
+      val docs = Tables(spark, dir, "documents")
+      val even = cmToksOf(docs.filter(col("doc_id") % 2 === 0))
+      val odd = cmToksOf(docs.filter(col("doc_id") % 2 =!= 0))
+      require(graft.sources.CmStoreLayout.fold(spark, out, "even-docs", even),
+        "bootstrap fold must apply")
+      require(graft.sources.CmStoreLayout.fold(spark, out, "odd-docs", odd),
+        "incremental fold must apply")
+      require(!graft.sources.CmStoreLayout.fold(spark, out, "odd-docs", odd),
+        "replayed fold must be a ledger no-op")
+      out
+    })
+
+  /** The STORED leg of the q120 Count-Min family (q120 = batch,
+    * CmStream = live, this = storage) — and the first ADDITIVE corner
+    * of the sketch-store triangle: counts are NOT idempotent, so
+    * unlike q187/q188/q190 this leg's exactly-once comes from
+    * [[graft.sources.LedgerStore]]'s batch-id ledger, committed
+    * atomically with the cells (the reference's transactional-batch
+    * sink discipline, `clickhouse_table_writer.go:115-149`). The
+    * store is built by bootstrap-fold + incremental-fold + a
+    * deliberately REPLAYED fold; the shared `cmEstimateFrom` finale
+    * must then match q120's direct build byte-for-byte (same oracle) —
+    * a replay that double-counted would fail the hash.
+    */
+  val q192 = Q(
+    "q192_cm_store",
+    (spark, dir) =>
+      cmEstimateFrom(spark,
+        graft.sources.CmStoreLayout.read(spark, cmStoreOf(spark, dir)),
+        cmToksOf(Tables(spark, dir, "documents"))),
+    q120.oracle)
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q26, q27, q28, q29, q30, q31, q32,
     q36, q37, q38, q39, q40, q49, q54, q55, q58, q61, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q115, q116, q117, q120, q121, q123, q134, q142,
-    q145, q156, q166, q167, q179, q180, q182, q183, q185, q186, q188, q190)
+    q145, q156, q166, q167, q179, q180, q182, q183, q185, q186, q188, q190,
+    q192)
 }

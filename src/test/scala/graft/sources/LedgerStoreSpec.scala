@@ -1,0 +1,122 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The additive sketch-store corner: folds converge to the direct
+  * build, a replayed fold WITH the ledger is a byte-stable no-op, the
+  * SAME replay WITHOUT the ledger double-counts (the contrast that
+  * proves the ledger is load-bearing — counts are not idempotent),
+  * commits are snapshot-atomic (cells and ledger flip together via
+  * CURRENT), and the shared finales over the stored legs equal the
+  * batch q172/q176 answers.
+  */
+class LedgerStoreSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def cmMap(df: org.apache.spark.sql.DataFrame)
+      : Map[(Int, Long), Long] =
+    df.collect().map(r =>
+      (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  private def docsToks(half: Int) = {
+    val docs = graft.Tables(spark, sf, "documents")
+    graft.queries.Pipeline.cmToksOf(
+      if (half < 0) docs
+      else docs.filter(col("doc_id") % 2 === half))
+  }
+
+  test("CM store: ledgered folds converge to the direct sketch; a " +
+      "replayed batch id is a byte-stable no-op; the SAME replay " +
+      "unledgered double-counts") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("cmstore-spec-").toString
+    assert(CmStoreLayout.fold(spark, dir, "even", docsToks(0)),
+      "bootstrap fold must apply")
+    assert(CmStoreLayout.fold(spark, dir, "odd", docsToks(1)),
+      "incremental fold must apply")
+    val direct = cmMap(CmStoreLayout.cellsOf(docsToks(-1)))
+    assert(cmMap(CmStoreLayout.read(spark, dir)) == direct,
+      "folded store != direct CM build")
+    // WITH the ledger: the replay is refused and nothing moves
+    assert(!CmStoreLayout.fold(spark, dir, "odd", docsToks(1)),
+      "replayed fold must return false")
+    assert(cmMap(CmStoreLayout.read(spark, dir)) == direct,
+      "ledger no-op replay changed the cells")
+    // WITHOUT the ledger: the same replay double-counts — counts are
+    // additive, so exactly-once really does come from the ledger
+    CmStoreLayout.foldUnledgered(spark, dir, docsToks(1))
+    val oddCells = cmMap(CmStoreLayout.cellsOf(docsToks(1)))
+    val doubled = cmMap(CmStoreLayout.read(spark, dir))
+    assert(doubled != direct, "unledgered replay must change the cells")
+    oddCells.foreach { case (k, c) =>
+      assert(doubled(k) == direct(k) + c,
+        s"cell $k not double-counted: ${doubled(k)} vs ${direct(k)} + $c")
+    }
+  }
+
+  test("commits are snapshot-versioned: CURRENT advances per applied " +
+      "fold, the previous snapshot survives one commit, older are GC'd") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("cmstore-spec-").toString
+    assert(LedgerStore.version(dir) == -1L)
+    CmStoreLayout.fold(spark, dir, "b0", docsToks(0))
+    assert(LedgerStore.version(dir) == 0L)
+    CmStoreLayout.fold(spark, dir, "b1", docsToks(1))
+    assert(LedgerStore.version(dir) == 1L)
+    def has(v: Long) = java.nio.file.Files
+      .exists(java.nio.file.Paths.get(s"$dir/v$v"))
+    assert(has(0) && has(1), "previous snapshot must survive one commit")
+    assert(LedgerStore.appliedBatches(spark, dir) == Set("b0", "b1"))
+    // a replay does NOT advance the version (nothing was written)
+    CmStoreLayout.fold(spark, dir, "b1", docsToks(1))
+    assert(LedgerStore.version(dir) == 1L, "replay advanced the version")
+    import spark.implicits._
+    CmStoreLayout.fold(spark, dir, "b2",
+      Seq("spark", "spark", "merge").toDF("w"))
+    assert(LedgerStore.version(dir) == 2L)
+    assert(!has(0) && has(1) && has(2), "GC must drop snapshots older " +
+      "than the previous one and keep the previous")
+    assert(LedgerStore.appliedBatches(spark, dir) == Set("b0", "b1", "b2"),
+      "ledger must carry every applied id across snapshots")
+  }
+
+  test("timing store: ledgered folds converge; the shared quantile " +
+      "finale over the store equals batch q172") {
+    val ev = graft.Tables(spark, sf, "events")
+    val dir = java.nio.file.Files
+      .createTempDirectory("timingstore-spec-").toString
+    assert(TimingStoreLayout.fold(spark, dir, "even",
+      ev.filter(col("user_id") % 2 === 0)))
+    assert(TimingStoreLayout.fold(spark, dir, "odd",
+      ev.filter(col("user_id") % 2 =!= 0)))
+    assert(!TimingStoreLayout.fold(spark, dir, "odd",
+      ev.filter(col("user_id") % 2 =!= 0)))
+    val got = graft.queries.Events.timingQuantilesFrom(
+      TimingStoreLayout.read(spark, dir)).collect().map(_.toSeq)
+    val expect = graft.queries.Events.q172.fn(spark, sf)
+      .collect().map(_.toSeq)
+    assert(got.nonEmpty && got.sameElements(expect),
+      "quantiles over the store diverge from batch q172")
+  }
+
+  test("DD store: ledgered folds converge; the shared quantile finale " +
+      "over the store equals batch q176") {
+    val ev = graft.Tables(spark, sf, "events")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ddstore-spec-").toString
+    assert(DdStoreLayout.fold(spark, dir, "even",
+      ev.filter(col("user_id") % 2 === 0)))
+    assert(DdStoreLayout.fold(spark, dir, "odd",
+      ev.filter(col("user_id") % 2 =!= 0)))
+    assert(!DdStoreLayout.fold(spark, dir, "odd",
+      ev.filter(col("user_id") % 2 =!= 0)))
+    val got = graft.queries.Events.ddQuantilesFrom(
+      DdStoreLayout.read(spark, dir)).collect().map(_.toSeq)
+    val expect = graft.queries.Events.q176.fn(spark, sf)
+      .collect().map(_.toSeq)
+    assert(got.nonEmpty && got.sameElements(expect),
+      "quantiles over the store diverge from batch q176")
+  }
+}
