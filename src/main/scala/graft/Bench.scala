@@ -329,7 +329,11 @@ object Bench {
     // transports keeps the comparison fair.
     def bestOf(run: () => (Long, Double)): (Long, Double) = {
       System.gc()
-      val reps = Seq.fill(6)(run())
+      // 8 reps (was 6): on the epoll transport the HTTP/2 stack keeps
+      // climbing through rep ~6 where the socket path is warm by rep
+      // 3 — an under-warmed gRPC best under-reads the stamped ratio
+      // by ~0.1. Same depth for both transports keeps it fair.
+      val reps = Seq.fill(8)(run())
       System.err.println("[bench] wire reps: " + reps.map { case (n, s) =>
         f"${n / s}%.0f" }.mkString(" then ") + " rows/s")
       reps.minBy { case (n, s) => s / n }
@@ -342,33 +346,55 @@ object Bench {
     // throughput and the ratio reads ~0.78).
     val wireRows = 1048576
     var wireRps: Option[Long] = None
-    val wireJson =
-      if (only.exists(!_.contains("wire_ingest"))) ""
-      else try {
-        val (rows, sec) = bestOf(() => WireBench.run(rows = wireRows))
-        val rps = (rows / sec).toLong
-        wireRps = Some(rps)
-        s""","wire_ingest":{"rows_per_sec":$rps}"""
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] wire bench failed: ${e.getMessage}")
-        ""
-      }
     // Same acceptance path over the reference's ACTUAL transport:
-    // real gRPC/HTTP2 (netty h2c), the apples-to-apples number
+    // real gRPC/HTTP2 (netty h2c+epoll), the apples-to-apples number
     // against grpc-go's service envelope.
     var grpcRps: Option[Long] = None
-    val grpcJson =
-      if (only.exists(!_.contains("grpc_ingest"))) ""
-      else try {
+    val wantWire = !only.exists(!_.contains("wire_ingest"))
+    val wantGrpc = !only.exists(!_.contains("grpc_ingest"))
+    if (wantWire && wantGrpc) {
+      // INTERLEAVED reps when both transports run (the driver's full
+      // run): alternate socket/grpc so a co-tenant window lands on
+      // both sides equally — the grpc_wire_ratio is the artifact of
+      // record, and two separate best-of blocks let noise taint one
+      // side only (back-to-back captures of identical code stamped
+      // 0.61 then 0.99; interleaving bounds that spread).
+      try {
+        System.gc()
+        val pairs = Seq.fill(8)(
+          (WireBench.run(rows = wireRows),
+            WireBench.run(rows = wireRows, transport = "grpc")))
+        System.err.println("[bench] wire reps:  " + pairs.map { case (w, _) =>
+          f"${w._1 / w._2}%.0f" }.mkString(" then ") + " rows/s")
+        System.err.println("[bench] grpc reps:  " + pairs.map { case (_, g) =>
+          f"${g._1 / g._2}%.0f" }.mkString(" then ") + " rows/s")
+        val w = pairs.map(_._1).minBy { case (n, s) => s / n }
+        val g = pairs.map(_._2).minBy { case (n, s) => s / n }
+        wireRps = Some((w._1 / w._2).toLong)
+        grpcRps = Some((g._1 / g._2).toLong)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] wire/grpc bench failed: ${e.getMessage}")
+      }
+    } else if (wantWire) {
+      try {
+        val (rows, sec) = bestOf(() => WireBench.run(rows = wireRows))
+        wireRps = Some((rows / sec).toLong)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] wire bench failed: ${e.getMessage}")
+      }
+    } else if (wantGrpc) {
+      try {
         val (rows, sec) =
           bestOf(() => WireBench.run(rows = wireRows, transport = "grpc"))
-        val rps = (rows / sec).toLong
-        grpcRps = Some(rps)
-        s""","grpc_ingest":{"rows_per_sec":$rps}"""
+        grpcRps = Some((rows / sec).toLong)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] grpc bench failed: ${e.getMessage}")
-        ""
       }
+    }
+    val wireJson = wireRps.map(r =>
+      s""","wire_ingest":{"rows_per_sec":$r}""").getOrElse("")
+    val grpcJson = grpcRps.map(r =>
+      s""","grpc_ingest":{"rows_per_sec":$r}""").getOrElse("")
     // The measured grpc/socket ratio IN the artifact of record, so the
     // SURVEY transport claim can never drift from what a run actually
     // measured (VERDICT r11 #4 — the ledger said 0.97x, the archived

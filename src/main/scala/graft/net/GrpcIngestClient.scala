@@ -32,7 +32,7 @@ final class GrpcIngestClient(host: String, port: Int,
 
   import GrpcIngestClient._
 
-  private val group = new MultiThreadIoEventLoopGroup(NioIoHandler.newFactory())
+  private val group = GrpcIngestServer.ioGroup()
   private val conn = connect(group, host, port, tlsTrust)
   private val core = new ClientCore(retrySleepMs, ackTimeoutMs, sendMessage)
 
@@ -54,10 +54,18 @@ final class GrpcIngestClient(host: String, port: Int,
   private def sendMessage(m: ClientMessage): Unit = {
     if (!stream.isActive)
       throw new java.io.IOException("gRPC stream closed")
-    val framed =
-      if (gzip) GrpcWire.frameGzip(encode(m)) else GrpcWire.frame(encode(m))
-    stream.writeAndFlush(new DefaultHttp2DataFrame(
-      Unpooled.wrappedBuffer(framed)))
+    val payload = encode(m)
+    // header + payload as a zero-copy composite: the payload array is
+    // handed to the HTTP/2 codec as-is instead of being copied into a
+    // contiguous frame array first (GrpcWire.frame) — one fewer
+    // full-payload copy per message on the hot path
+    val buf =
+      if (gzip) Unpooled.wrappedBuffer(GrpcWire.frameGzip(payload))
+      else Unpooled.wrappedBuffer(GrpcWire.header(payload.length), payload)
+    // voidPromise: nothing awaits the write (acks are the protocol's
+    // own confirmation), so skip per-frame promise alloc+notify
+    stream.writeAndFlush(new DefaultHttp2DataFrame(buf),
+      stream.voidPromise())
     ()
   }
 
@@ -115,7 +123,7 @@ object GrpcIngestClient {
     }
     val b = new Bootstrap()
     b.group(group)
-      .channel(classOf[NioSocketChannel])
+      .channel(GrpcIngestServer.clientChannelClass)
       .option[java.lang.Boolean](ChannelOption.TCP_NODELAY, true)
       .handler(new ChannelInitializer[SocketChannel] {
         override def initChannel(ch: SocketChannel): Unit = {
@@ -187,7 +195,7 @@ object GrpcIngestClient {
       timeoutMs: Long = 10000,
       gzipFrame: Boolean = false,
       gzipHeader: Boolean = false): (Int, Option[WriteBatchResponse]) = {
-    val group = new MultiThreadIoEventLoopGroup(NioIoHandler.newFactory())
+    val group = GrpcIngestServer.ioGroup()
     try {
       val conn = connect(group, host, port)
       val done = new CountDownLatch(1)

@@ -7,7 +7,7 @@ import io.netty.buffer.Unpooled
 import io.netty.channel._
 import io.netty.channel.nio.NioIoHandler
 import io.netty.channel.socket.SocketChannel
-import io.netty.channel.socket.nio.NioServerSocketChannel
+import io.netty.channel.socket.nio.{NioServerSocketChannel, NioSocketChannel}
 import io.netty.handler.codec.http.{HttpServerCodec, HttpServerUpgradeHandler}
 import io.netty.handler.codec.http2._
 import io.netty.util.AsciiString
@@ -69,7 +69,7 @@ final class GrpcIngestServer(engine: IngestEngine, port: Int = 0,
 
   import GrpcIngestServer._
 
-  private val group = new MultiThreadIoEventLoopGroup(NioIoHandler.newFactory())
+  private val group = GrpcIngestServer.ioGroup()
   @volatile private var serverChannel: Channel = _
 
   // Built once, shared across connections (reference parity:
@@ -93,7 +93,7 @@ final class GrpcIngestServer(engine: IngestEngine, port: Int = 0,
   def start(): this.type = {
     val b = new ServerBootstrap()
     b.group(group)
-      .channel(classOf[NioServerSocketChannel])
+      .channel(GrpcIngestServer.serverChannelClass)
       .childOption[java.lang.Boolean](ChannelOption.TCP_NODELAY, true)
       .childHandler(new ChannelInitializer[SocketChannel] {
         override def initChannel(ch: SocketChannel): Unit = {
@@ -192,6 +192,28 @@ object GrpcIngestServer {
   private[net] def serverCodec(): Http2FrameCodec =
     Http2FrameCodecBuilder.forServer().initialSettings(h2Settings).build()
 
+  /** Native epoll when the platform library is present, NIO otherwise.
+    * The gRPC round trip pays two event-loop wake-ups the blocking
+    * socket path doesn't (client send and server ack both cross onto
+    * an IO thread); epoll's eventfd wake-up is cheaper than NIO's
+    * selector wake-up, and it is what grpc-go rides on Linux — the
+    * honest transport comparison.
+    */
+  private[net] def epoll: Boolean = io.netty.channel.epoll.Epoll.isAvailable
+
+  private[net] def ioGroup(): MultiThreadIoEventLoopGroup =
+    if (epoll) new MultiThreadIoEventLoopGroup(
+      io.netty.channel.epoll.EpollIoHandler.newFactory())
+    else new MultiThreadIoEventLoopGroup(NioIoHandler.newFactory())
+
+  private[net] def serverChannelClass: Class[_ <: io.netty.channel.ServerChannel] =
+    if (epoll) classOf[io.netty.channel.epoll.EpollServerSocketChannel]
+    else classOf[NioServerSocketChannel]
+
+  private[net] def clientChannelClass: Class[_ <: Channel] =
+    if (epoll) classOf[io.netty.channel.epoll.EpollSocketChannel]
+    else classOf[NioSocketChannel]
+
   private[net] val alpnH2 = new io.netty.handler.ssl.ApplicationProtocolConfig(
     io.netty.handler.ssl.ApplicationProtocolConfig.Protocol.ALPN,
     io.netty.handler.ssl.ApplicationProtocolConfig
@@ -258,8 +280,10 @@ object GrpcIngestServer {
     }
 
     private def sendMessageFrames(ch: Channel, payload: Array[Byte]): Unit = {
-      ch.writeAndFlush(new DefaultHttp2DataFrame(
-        Unpooled.wrappedBuffer(GrpcWire.frame(payload))))
+      // header + payload composite — no full-payload copy (GrpcWire
+      // .header scaladoc); voidPromise — nothing awaits the ack write
+      ch.writeAndFlush(new DefaultHttp2DataFrame(Unpooled.wrappedBuffer(
+        GrpcWire.header(payload.length), payload)), ch.voidPromise())
       ()
     }
 
@@ -393,8 +417,9 @@ object GrpcIngestServer {
           GrpcWire.writeBatchErrorMessage(status))
       } else {
         ctx.write(new DefaultHttp2HeadersFrame(responseHeaders()))
+        val resp = encode(WriteBatchResponse(0L, 0L))
         ctx.write(new DefaultHttp2DataFrame(Unpooled.wrappedBuffer(
-          GrpcWire.frame(encode(WriteBatchResponse(0L, 0L))))))
+          GrpcWire.header(resp.length), resp)))
         ctx.writeAndFlush(new DefaultHttp2HeadersFrame(
           trailers(GrpcWire.StatusOk), true))
         done = true

@@ -46,6 +46,23 @@ object GrpcWire {
     }
   }
 
+  /** The 5-byte message header alone (uncompressed flag) — for the
+    * zero-copy send path: netty writers compose `header ++ payload`
+    * as a wrapped composite buffer, so the payload crosses into the
+    * HTTP/2 codec without the full-payload copy [[frame]] pays. On
+    * the per-message hot path that copy was measurable against the
+    * raw socket at 1 MiB batches.
+    */
+  def header(len: Int): Array[Byte] = {
+    val h = new Array[Byte](5)
+    h(0) = 0 // uncompressed
+    h(1) = (len >>> 24).toByte
+    h(2) = (len >>> 16).toByte
+    h(3) = (len >>> 8).toByte
+    h(4) = len.toByte
+    h
+  }
+
   /** One message → its length-prefixed gRPC frame. */
   def frame(payload: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](5 + payload.length)
