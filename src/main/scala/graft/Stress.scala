@@ -18,8 +18,8 @@ import org.apache.spark.sql.functions._
   *
   * Usage: scripts/run.sh graft.Stress [sfDir] [mult] [stages]
   * where stages is a csv subset of
-  * dedup,prep,sim,forensics,r11,edit,spans,behav,series,audit,sketch
-  * (default: all of them).
+  * dedup,prep,sim,forensics,r11,edit,spans,labelfold-skew,behav,
+  * series,audit,sketch (default: all of them).
   */
 object Stress {
 
@@ -28,7 +28,8 @@ object Stress {
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
     val stages = args.lift(2).map(_.split(",").toSet)
       .getOrElse(Set("dedup", "prep", "sim", "forensics", "r11", "edit",
-        "spans", "behav", "series", "stats", "audit", "sketch"))
+        "spans", "labelfold-skew", "behav", "series", "stats", "audit",
+        "sketch"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -427,6 +428,60 @@ object Stress {
       runSpans("warm", base.limit(500))
       runSpans("1x", base)
       runSpans(s"${mult}x", big)
+    }
+
+    // stored-label fold under realistic skew (VERDICT r12 #6): one
+    // giant near-dup family (10% of all nodes, chained) among a sea of
+    // 2-node components. The claim under test: fold I/O is
+    // proportional to the TOUCHED components, never the corpus —
+    //  - cold fold (fresh nodes, no stored component touched): pays
+    //    the documented label-projection scan (16 B/row, label-sized)
+    //    plus one new partition write → its curve must stay far
+    //    sub-linear in corpus size;
+    //  - hot fold (every new pair attaches to the giant family): reads
+    //    and relabels exactly that component's bucket — cost tracks
+    //    the giant family's size (the touched component), which here
+    //    grows with the corpus BY CONSTRUCTION (10%), so ~linear in
+    //    `giant` is the correct shape, and the untouched 90% of
+    //    partitions must never be read or written.
+    def runLabelFoldSkew(tag: String, nodes: Long): Unit = {
+      val giant = nodes / 10
+      val giantPairs = spark.range(giant - 1)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      val smallPairs = spark.range(giant, nodes - 1, 2)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      val t0 = System.nanoTime()
+      val labels = Dedup.connectedComponents(
+        giantPairs.unionByName(smallPairs), "a", "b")
+      val dir = java.nio.file.Files
+        .createTempDirectory("stress-labelstore-").toString
+      graft.sources.LabelStoreLayout.write(labels, dir)
+      release(spark)
+      val t1 = System.nanoTime()
+      // cold: 1000 pairs among fresh nodes — no stored component read
+      val cold = spark.range(1000)
+        .select((col("id") * 2 + nodes).as("a"),
+          (col("id") * 2 + 1 + nodes).as("b"))
+      graft.sources.LabelStoreLayout.fold(spark, dir, cold, "a", "b")
+      release(spark)
+      val t2 = System.nanoTime()
+      // hot: 1000 fresh nodes all attaching to the giant family
+      val hot = spark.range(1000)
+        .select((col("id") % giant).as("a"),
+          (col("id") + nodes + 10000000L).as("b"))
+      graft.sources.LabelStoreLayout.fold(spark, dir, hot, "a", "b")
+      val t3 = System.nanoTime()
+      val total = graft.sources.LabelStoreLayout.read(spark, dir).count()
+      graft.streaming.Parts.deleteTree(java.nio.file.Paths.get(dir))
+      release(spark)
+      def s(a: Long, b: Long) = f"${(b - a) / 1e9}%7.2f"
+      println(f"$tag%-4s build=${s(t0, t1)}s coldFold=${s(t1, t2)}s " +
+        f"hotFold=${s(t2, t3)}s [nodes=$nodes giant=$giant labels=$total]")
+    }
+    if (stages("labelfold-skew")) {
+      runLabelFoldSkew("warm", 20000L)
+      runLabelFoldSkew("1x", 200000L)
+      runLabelFoldSkew(s"${mult}x", 200000L * mult)
     }
 
     // behavioral analytics (q112 family): users replicated with shifted

@@ -40,4 +40,35 @@ class ExplainAudit extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$n has a nested loop:\n$p")
     }
   }
+
+  test("every unpartitioned window in the registry runs over a summary " +
+      "frame (an aggregate or limit sits below it) — a fact-sized frame " +
+      "on one partition cannot land silently") {
+    // The three deliberate unpartitioned-window sites (the q-vocab
+    // bucket cumulative, q97's top-50 rank, q170's ≤64-level
+    // histogram cumulative) are bounded because their window input is
+    // an Aggregate over a bounded key space or a Limit. This audit
+    // pins that shape for EVERY registered query: any future
+    // unpartitioned window whose input subtree lacks an
+    // aggregate/limit barrier — i.e. could be fact-sized — fails here
+    // instead of silently serializing a fact table onto one partition
+    // (VERDICT r12 #7).
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, GlobalLimit, LogicalPlan, Window => LWindow}
+    def summaryBarrier(p: LogicalPlan): Boolean =
+      p.collectFirst {
+        case _: Aggregate => ()
+        case _: GlobalLimit => ()
+      }.isDefined
+    graft.SparkEntry.registry.foreach { q =>
+      val plan = q.fn(spark, sf).queryExecution.optimizedPlan
+      plan.foreach {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          assert(summaryBarrier(w.child),
+            s"${q.name}: unpartitioned window over a frame with no " +
+              s"aggregate/limit barrier below it:\n$w")
+        case _ => ()
+      }
+    }
+  }
 }
