@@ -5337,6 +5337,130 @@ object Events {
                AS rows_at_risk
       FROM emd GROUP BY event_type ORDER BY event_type"""))
 
+  /** Population skewness and kurtosis (ClickHouse `skewPop`/`kurtPop`
+    * analogs) — the 3rd/4th-moment completion of q162's two-moment
+    * correlation discipline: values quantize to the exact integer
+    * grid v = ⌊8·value⌋ (so moments are EXACT BIGINT sums — v⁴ stays
+    * far under 2⁶³ at any realistic value domain), one grouped pass
+    * accumulates n and Σv..Σv⁴, and the finale is a fixed-order IEEE
+    * chain over identical exact operands in both engines: each mₖ is
+    * ONE divide, σ³ is written var·√var (√ is correctly-rounded IEEE;
+    * pow is libm and has no cross-engine bit contract — never used).
+    * NULL on zero variance. One shuffle, 5-number state per type.
+    */
+  val q195 = Q(
+    "q195_skew_kurt",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * 8).cast("long").as("v"))
+      val g = e.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"),
+        sum(col("v") * col("v") * col("v")).as("s3"),
+        sum(col("v") * col("v") * col("v") * col("v")).as("s4"))
+      val nd = col("n").cast("double")
+      val m1 = col("s1").cast("double") / nd
+      val m2 = col("s2").cast("double") / nd
+      val m3 = col("s3").cast("double") / nd
+      val m4 = col("s4").cast("double") / nd
+      val vr = m2 - m1 * m1
+      g.select(col("event_type"), col("n"),
+          round(vr, 6).as("var_pop"),
+          when(vr <= 0.0, lit(null).cast("double"))
+            .otherwise(round(
+              (m3 - lit(3.0) * m1 * m2 + lit(2.0) * m1 * m1 * m1) /
+                (vr * sqrt(vr)), 6)).as("skew_pop"),
+          when(vr <= 0.0, lit(null).cast("double"))
+            .otherwise(round(
+              (m4 - lit(4.0) * m1 * m3 + lit(6.0) * m1 * m1 * m2 -
+                lit(3.0) * m1 * m1 * m1 * m1) / (vr * vr), 6))
+            .as("kurt_pop"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(FLOOR(value * 8) AS BIGINT) AS v
+                 FROM events),
+      g AS (SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(v) AS BIGINT) AS s1,
+                   CAST(SUM(v * v) AS BIGINT) AS s2,
+                   CAST(SUM(v * v * v) AS BIGINT) AS s3,
+                   CAST(SUM(v * v * v * v) AS BIGINT) AS s4
+            FROM e GROUP BY 1),
+      m AS (SELECT event_type, n,
+                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+                   CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2,
+                   CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS m3,
+                   CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS m4
+            FROM g),
+      v AS (SELECT *, m2 - m1 * m1 AS vr FROM m)
+      SELECT event_type, n, ROUND(vr, 6) AS var_pop,
+             CASE WHEN vr <= 0.0 THEN NULL
+                  ELSE ROUND((m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1)
+                             / (vr * SQRT(vr)), 6) END AS skew_pop,
+             CASE WHEN vr <= 0.0 THEN NULL
+                  ELSE ROUND((m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2
+                              - 3.0 * m1 * m1 * m1 * m1)
+                             / (vr * vr), 6) END AS kurt_pop
+      FROM v ORDER BY event_type"""))
+
+  /** Series slope between endpoints (ClickHouse `boundingRatio`
+    * analog): (y_last − y_first) / (x_last − x_first) per type, on the
+    * µs time spine and the exact ms value grid. Timestamp ties are
+    * broken DETERMINISTICALLY by collapsing to the (type, tsu)
+    * summary with min(v) first — argMin/argMax tie order is otherwise
+    * engine-dependent. The endpoint frame is ≤ 2 rows/type (broadcast
+    * of the tiny min/max spine against the summary), the ratio ONE
+    * IEEE divide of exact integers, ×86400·10⁶ to read as per-day
+    * units. NULL when the series has a single timestamp.
+    */
+  val q196 = Q(
+    "q196_bounding_ratio",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "events")
+        .select(col("event_type"), expr("ts_ns div 1000").as("tsu"),
+          floor(col("value") * 1000).cast("long").as("v"))
+      val b = e.groupBy(col("event_type"), col("tsu"))
+        .agg(min(col("v")).as("v"))
+      val r = b.groupBy(col("event_type"))
+        .agg(min(col("tsu")).as("t0"), max(col("tsu")).as("t1"))
+      b.join(broadcast(r), "event_type")
+        .filter(col("tsu") === col("t0") || col("tsu") === col("t1"))
+        .groupBy(col("event_type"))
+        .agg(max(col("t0")).as("t0"), max(col("t1")).as("t1"),
+          max(when(col("tsu") === col("t0"), col("v"))).as("v0"),
+          max(when(col("tsu") === col("t1"), col("v"))).as("v1"))
+        .select(col("event_type"), col("t0"), col("t1"),
+          col("v0"), col("v1"),
+          when(col("t1") === col("t0"), lit(null).cast("double"))
+            .otherwise(round(
+              ((col("v1") - col("v0")) * lit(86400000000L)).cast("double") /
+                (col("t1") - col("t0")).cast("double"), 6))
+            .as("ratio_per_day"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (SELECT event_type, epoch_us(ts) AS tsu,
+                        CAST(FLOOR(value * 1000) AS BIGINT) AS v
+                 FROM events),
+      b AS (SELECT event_type, tsu, MIN(v) AS v FROM e GROUP BY 1, 2),
+      r AS (SELECT event_type, MIN(tsu) AS t0, MAX(tsu) AS t1
+            FROM b GROUP BY 1),
+      ends AS (SELECT b.event_type, r.t0, r.t1,
+                      MAX(CASE WHEN b.tsu = r.t0 THEN b.v END) AS v0,
+                      MAX(CASE WHEN b.tsu = r.t1 THEN b.v END) AS v1
+               FROM b JOIN r USING (event_type)
+               WHERE b.tsu = r.t0 OR b.tsu = r.t1
+               GROUP BY 1, 2, 3)
+      SELECT event_type, t0, t1, v0, v1,
+             CASE WHEN t1 = t0 THEN NULL
+                  ELSE ROUND(CAST((v1 - v0) * 86400000000 AS DOUBLE)
+                             / CAST(t1 - t0 AS DOUBLE), 6) END
+               AS ratio_per_day
+      FROM ends ORDER BY event_type"""))
+
   // one stored timing histogram / DD sketch per sf dir per JVM (the
   // memoization pattern of the other stores); both built by the real
   // ledgered-fold lifecycle — bootstrap fold, incremental fold, then a
@@ -5410,5 +5534,5 @@ object Events {
     q137, q138, q139, q140, q141, q143, q144, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177,
-    q178, q181, q184, q187, q189, q191, q193, q194)
+    q178, q181, q184, q187, q189, q191, q193, q194, q195, q196)
 }

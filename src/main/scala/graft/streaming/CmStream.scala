@@ -32,6 +32,28 @@ object CmStream {
       .outputMode(OutputMode.Update())
       .foreachBatch(sink)
       .start()
+
+  /** Live tokens → the LANDED ledgered sketch: each micro-batch folds
+    * into [[graft.sources.CmStoreLayout]] under its micro-batch id, so
+    * a replayed micro-batch (the foreachBatch restart case Structured
+    * Streaming documents — the same id is re-delivered) is a ledger
+    * no-op instead of a double-count. This closes the loop the
+    * idempotent stores close for free: stream → store is exactly-once
+    * END TO END for an ADDITIVE sketch, by exactly the discipline the
+    * JDBC sink proves for row landing (batch-id dedup inside the
+    * committed state). State in the stream itself: NONE — the store
+    * carries the counts; the micro-batch frame is just that batch's
+    * raw tokens.
+    */
+  def startStore(tokens: DataFrame, dir: String): StreamingQuery =
+    tokens.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.CmStoreLayout.fold(
+          batch.sparkSession, dir, s"cm-micro-$id", batch)
+        ()
+      }
+      .start()
 }
 
 /** Streaming HyperLogLog — q117's registers maintained live, by the

@@ -49,6 +49,45 @@ class CmStreamSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("stream -> ledgered CM store is exactly-once end to end: " +
+      "micro-batches fold under their ids, a replayed micro-batch is " +
+      "a no-op, the landed cells equal the batch sketch") {
+    import spark.implicits._
+    val words = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(explode(graft.pipeline.TextOps.words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .as[String].collect()
+    val (b1, b2) = words.splitAt(words.length / 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("cmstream-store-").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val sq = CmStream.startStore(ms.toDF().toDF("w"), dir)
+    def cellsOf(df: org.apache.spark.sql.DataFrame)
+        : Map[(Int, Long), Long] =
+      df.collect().map(r =>
+        (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    try {
+      ms.addData(b1.toIndexedSeq: _*)
+      sq.processAllAvailable()
+      ms.addData(b2.toIndexedSeq: _*)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val direct = cellsOf(CmStream.table(words.toSeq.toDF("w")))
+    val stored = cellsOf(
+      graft.sources.CmStoreLayout.read(spark, dir))
+    assert(stored == direct, "landed store != direct batch sketch")
+    // the foreachBatch restart case: the SAME micro-batch id is
+    // re-delivered — the ledger must make the replay a no-op (an
+    // unledgered additive fold would double-count, LedgerStoreSpec)
+    assert(!graft.sources.CmStoreLayout.fold(spark, dir,
+      "cm-micro-1", b2.toSeq.toDF("w")),
+      "replayed micro-batch must be refused by the ledger")
+    assert(cellsOf(graft.sources.CmStoreLayout.read(spark, dir)) == direct,
+      "replayed micro-batch changed the landed cells")
+  }
+
   test("streamed HLL registers converge to the batch register table") {
     import spark.implicits._
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
