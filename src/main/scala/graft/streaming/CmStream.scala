@@ -214,6 +214,22 @@ object TimingStream {
       .outputMode(OutputMode.Update())
       .foreachBatch(sink)
       .start()
+
+  /** Live events → the LANDED ledgered histogram (the
+    * [[CmStream.startStore]] wiring for the timing grid): each
+    * micro-batch folds under its id, so a foreachBatch-restart replay
+    * is a ledger no-op — exactly-once end to end for the additive
+    * histogram.
+    */
+  def startStore(events: DataFrame, dir: String): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TimingStoreLayout.fold(
+          batch.sparkSession, dir, s"timing-micro-$id", batch)
+        ()
+      }
+      .start()
 }
 
 /** Streaming DDSketch — q176's γ-bucket table maintained live. The
@@ -243,5 +259,21 @@ object DdStream {
     table(events).writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch(sink)
+      .start()
+
+  /** Live events → the LANDED ledgered γ-bucket sketch (the
+    * [[CmStream.startStore]] wiring for DDSketch): each micro-batch
+    * folds under its id — a foreachBatch-restart replay is a ledger
+    * no-op, completing exactly-once stream → store for all three
+    * additive sketches.
+    */
+  def startStore(events: DataFrame, dir: String): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.DdStoreLayout.fold(
+          batch.sparkSession, dir, s"dd-micro-$id", batch)
+        ()
+      }
       .start()
 }

@@ -88,6 +88,51 @@ class CmStreamSpec extends SparkSpec {
       "replayed micro-batch changed the landed cells")
   }
 
+  test("stream -> ledgered timing and DD stores: micro-batch folds land, " +
+      "replays are no-ops, stored quantile finales equal batch q172/q176") {
+    import spark.implicits._
+    val ev = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)].collect()
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    val tDir = java.nio.file.Files
+      .createTempDirectory("timingstream-store-").toString
+    val dDir = java.nio.file.Files
+      .createTempDirectory("ddstream-store-").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Double)]
+    val src = ms.toDF().toDF("event_type", "value")
+    val sqT = TimingStream.startStore(src, tDir)
+    val sqD = DdStream.startStore(src, dDir)
+    try {
+      ms.addData(b1.toIndexedSeq: _*)
+      sqT.processAllAvailable(); sqD.processAllAvailable()
+      ms.addData(b2.toIndexedSeq: _*)
+      sqT.processAllAvailable(); sqD.processAllAvailable()
+    } finally { sqT.stop(); sqD.stop() }
+    val gotT = graft.queries.Events.timingQuantilesFrom(
+      graft.sources.TimingStoreLayout.read(spark, tDir))
+      .collect().map(_.toSeq)
+    val wantT = graft.queries.Events.q172
+      .fn(spark, "/root/testdata/sf0.001").collect().map(_.toSeq)
+    assert(gotT.nonEmpty && gotT.sameElements(wantT),
+      "stored timing quantiles diverge from batch q172")
+    val gotD = graft.queries.Events.ddQuantilesFrom(
+      graft.sources.DdStoreLayout.read(spark, dDir))
+      .collect().map(_.toSeq)
+    val wantD = graft.queries.Events.q176
+      .fn(spark, "/root/testdata/sf0.001").collect().map(_.toSeq)
+    assert(gotD.nonEmpty && gotD.sameElements(wantD),
+      "stored DD quantiles diverge from batch q176")
+    // replayed micro-batch ids are ledger no-ops on both stores
+    val replay = b2.toSeq.toDF("event_type", "value")
+    assert(!graft.sources.TimingStoreLayout.fold(spark, tDir,
+      "timing-micro-1", replay))
+    assert(!graft.sources.DdStoreLayout.fold(spark, dDir,
+      "dd-micro-1", replay))
+  }
+
   test("streamed HLL registers converge to the batch register table") {
     import spark.implicits._
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
