@@ -593,8 +593,12 @@ object Bench {
         s""","reps":$reps"""
     val line = BenchRecord.choose(
       results, fs, total,
-      fixed = s"$ingestJson$wireJson$grpcJson$jdbcJson$ratioJson",
-      extras = s"$zorderJson$landedJson$storeFirstJson",
+      // store_build1 rides in fixed (never dropped by the ladder): it
+      // is the measured build-vs-probe split VERDICT r12 #4 asked the
+      // ARTIFACT to carry, and the value-array rung was dropping it
+      fixed = s"$ingestJson$wireJson$grpcJson$jdbcJson$ratioJson" +
+        storeFirstJson,
+      extras = s"$zorderJson$landedJson",
       tail = s"""$loadJson,"sf":"$sfJson"""",
       warn = m => System.err.println(s"[bench] $m"))
     println(line)
