@@ -155,7 +155,8 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // "ingest" / "wire_ingest" are pseudo-names selecting the two
     // throughput benches, so they can be iterated on in isolation too
-    val pseudo = Set("ingest", "wire_ingest", "grpc_ingest", "jdbc_ingest")
+    val pseudo = Set("ingest", "wire_ingest", "grpc_ingest", "grpc_unary",
+      "jdbc_ingest")
     only.foreach { s =>
       val unknown = s -- SparkEntry.registry.map(_.name).toSet -- pseudo
       if (unknown.nonEmpty) // a typo must not look like a healthy tiny run
@@ -395,6 +396,24 @@ object Bench {
       s""","wire_ingest":{"rows_per_sec":$r}""").getOrElse("")
     val grpcJson = grpcRps.map(r =>
       s""","grpc_ingest":{"rows_per_sec":$r}""").getOrElse("")
+    // The reference's OTHER RPC — unary WriteBatch over a long-lived
+    // connection, one HTTP/2 stream per call (the gRPC channel shape).
+    // The interleaved pair above answers the transport-ratio question;
+    // this stamps whether the per-RPC path (headers + trailers per
+    // call) keeps up with the streaming one.
+    var unaryRps: Option[Long] = None
+    if (!only.exists(!_.contains("grpc_unary"))) {
+      try {
+        val (rows, sec) =
+          bestOf(() => WireBench.run(rows = wireRows,
+            transport = "grpc_unary"))
+        unaryRps = Some((rows / sec).toLong)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] grpc unary bench failed: ${e.getMessage}")
+      }
+    }
+    val unaryJson = unaryRps.map(r =>
+      s""","grpc_unary":{"rows_per_sec":$r}""").getOrElse("")
     // The measured grpc/socket ratio IN the artifact of record, so the
     // SURVEY transport claim can never drift from what a run actually
     // measured (VERDICT r11 #4 — the ledger said 0.97x, the archived
@@ -596,7 +615,7 @@ object Bench {
       // store_build1 rides in fixed (never dropped by the ladder): it
       // is the measured build-vs-probe split VERDICT r12 #4 asked the
       // ARTIFACT to carry, and the value-array rung was dropping it
-      fixed = s"$ingestJson$wireJson$grpcJson$jdbcJson$ratioJson" +
+      fixed = s"$ingestJson$wireJson$grpcJson$unaryJson$jdbcJson$ratioJson" +
         storeFirstJson,
       extras = s"$zorderJson$landedJson",
       tail = s"""$loadJson,"sf":"$sfJson"""",

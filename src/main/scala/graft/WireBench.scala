@@ -64,10 +64,34 @@ object WireBench {
       IngestServer.Target(TranscodeE2E.message, q))
     val srv = new IngestServer(() => targets, 0, metrics = new Metrics).start()
     val grpcSrv =
-      if (transport == "grpc")
+      if (transport.startsWith("grpc"))
         Some(new GrpcIngestServer(srv.engine, 0, new Metrics).start())
       else None
     def connect(): WireClient = grpcSrv match {
+      case Some(g) if transport == "grpc_unary" =>
+        // the reference's unary WriteBatch RPC: ONE long-lived h2c
+        // connection, a fresh HTTP/2 stream per call (the gRPC channel
+        // shape) — measures the full unary round trip incl. per-RPC
+        // headers/trailers, against the same engine and queue
+        val (group, conn) =
+          net.GrpcIngestClient.openChannel("127.0.0.1", g.boundPort)
+        new WireClient {
+          def registerType(t: String) = 0 // unary names the type per payload
+          def writeBatch(t: String, b: Seq[Array[Byte]], r: Int) = {
+            val (status, _) = net.GrpcIngestClient.unaryWriteBatchOn(
+              conn, "127.0.0.1",
+              net.ControlProto.WriteBatchRequest("bench",
+                Seq(net.ControlProto.Payload(t, b))))
+            status
+          }
+          def close() = {
+            try conn.close().syncUninterruptibly()
+            catch { case _: Throwable => () }
+            group.shutdownGracefully(0, 2,
+              java.util.concurrent.TimeUnit.SECONDS).syncUninterruptibly()
+            ()
+          }
+        }
       case Some(g) =>
         val c = new GrpcIngestClient("127.0.0.1", g.boundPort)
         new WireClient {

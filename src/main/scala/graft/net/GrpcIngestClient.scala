@@ -198,6 +198,35 @@ object GrpcIngestClient {
     val group = GrpcIngestServer.ioGroup()
     try {
       val conn = connect(group, host, port)
+      unaryWriteBatchOn(conn, host, req, timeoutMs, gzipFrame, gzipHeader)
+    } finally {
+      group.shutdownGracefully(0, 2, TimeUnit.SECONDS).syncUninterruptibly()
+      ()
+    }
+  }
+
+  /** One h2c connection for repeated unary calls — the production
+    * gRPC channel shape (one TCP connection, one HTTP/2 stream per
+    * RPC). Caller owns both halves; shut the group down when done.
+    */
+  private[graft] def openChannel(host: String, port: Int)
+      : (EventLoopGroup, Channel) = {
+    val group = GrpcIngestServer.ioGroup()
+    (group, connect(group, host, port))
+  }
+
+  /** Unary `WriteBatch` over an EXISTING connection — one new HTTP/2
+    * stream per call, how a gRPC channel multiplexes unary RPCs.
+    * [[unaryWriteBatch]] is the one-shot convenience that owns its
+    * connection; a throughput measurement must use THIS form (a
+    * connection per call measures TCP + preface setup, not the RPC).
+    */
+  def unaryWriteBatchOn(conn: Channel, authority: String,
+      req: WriteBatchRequest,
+      timeoutMs: Long = 10000,
+      gzipFrame: Boolean = false,
+      gzipHeader: Boolean = false): (Int, Option[WriteBatchResponse]) = {
+    {
       val done = new CountDownLatch(1)
       val frames = new LinkedBlockingQueue[Array[Byte]]()
       @volatile var grpcStatus = -1
@@ -236,7 +265,7 @@ object GrpcIngestClient {
       })
       val stream = bootstrap.open().syncUninterruptibly().getNow
       stream.write(new DefaultHttp2HeadersFrame(
-        requestHeaders(host, "WriteBatch", gzipEncoding = gzipHeader)))
+        requestHeaders(authority, "WriteBatch", gzipEncoding = gzipHeader)))
       val framed = if (gzipFrame) GrpcWire.frameGzip(encode(req))
         else GrpcWire.frame(encode(req))
       stream.writeAndFlush(new DefaultHttp2DataFrame(
@@ -255,9 +284,6 @@ object GrpcIngestClient {
             s"gRPC error $grpcStatus: $grpcMessage")
         (parsed, None)
       }
-    } finally {
-      group.shutdownGracefully(0, 2, TimeUnit.SECONDS).syncUninterruptibly()
-      ()
     }
   }
 }
