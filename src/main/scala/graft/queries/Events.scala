@@ -4438,6 +4438,23 @@ object Events {
       .groupBy(col("event_type"), col("b"))
       .agg(count(lit(1)).as("c"))
 
+  /** The same histogram keyed additionally by day — the retention key
+    * of the TTL'd stored form ([[graft.sources.TimingStoreLayout]]
+    * `foldDaily`/`expireBefore`): an additive sketch cannot subtract a
+    * batch, so expiry drops whole day-windows of cells instead.
+    */
+  private[graft] def timingHistByDayOf(raw: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    raw.select(col("event_type"),
+        expr("ts_ns div 86400000000000").as("di"),
+        floor(col("value") * 1000).as("ms"))
+      .withColumn("b",
+        when(col("ms") < 1024, col("ms"))
+          .when(col("ms") < 30000, expr("(ms div 16) * 16"))
+          .otherwise(lit(30000L)))
+      .groupBy(col("di"), col("event_type"), col("b"))
+      .agg(count(lit(1)).as("c"))
+
   /** The shared q172 quantile finale over ANY (event_type, b, c)
     * timing histogram — the read the batch query, the live
     * `TimingStream` sink, and the stored
@@ -5461,6 +5478,80 @@ object Events {
                AS ratio_per_day
       FROM ends ORDER BY event_type"""))
 
+  // the day-windowed (TTL'd) timing store: built once per sf dir by
+  // the full ledgered lifecycle — bootstrap fold, incremental fold, a
+  // deliberately REPLAYED fold (ledger no-op), then EXPIRY of the
+  // first 7 days via an atomic retain snapshot
+  private val ttlStores =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  private def ttlTimingStoreOf(spark: SparkSession, dir: String): String =
+    ttlStores.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-timingttl-").toString
+      val ev = graft.Tables(spark, dir, "events")
+      val even = ev.filter(col("user_id") % 2 === 0)
+      val odd = ev.filter(col("user_id") % 2 =!= 0)
+      require(graft.sources.TimingStoreLayout
+        .foldDaily(spark, out, "even-users", even))
+      require(graft.sources.TimingStoreLayout
+        .foldDaily(spark, out, "odd-users", odd))
+      require(!graft.sources.TimingStoreLayout
+        .foldDaily(spark, out, "odd-users", odd),
+        "replayed fold must be a ledger no-op")
+      val d0 = graft.sources.TimingStoreLayout.readDaily(spark, out)
+        .agg(min(col("di"))).collect()(0).getLong(0)
+      graft.sources.TimingStoreLayout.expireBefore(spark, out, d0 + 7)
+      out
+    })
+
+  /** RETENTION on an additive sketch store (the TTL discipline a
+    * production count-sketch table runs — ClickHouse expires sketch
+    * rows by TTL the same way): the q172 timing store keyed
+    * additionally by day ([[graft.sources.TimingStoreLayout]]
+    * `foldDaily`), built by the full ledgered lifecycle (bootstrap +
+    * incremental + REPLAYED fold), then the first 7 days EXPIRED via
+    * [[graft.sources.LedgerStore.retain]] — an atomic filtered
+    * snapshot, because an additive table cannot subtract a batch but
+    * drops whole day-windows of cells; the ledger keeps every applied
+    * id so replaying an expired-window batch cannot resurrect dropped
+    * counts. The answer is the shared quantile finale over the
+    * surviving days and must equal the direct build over events with
+    * day ≥ min+7 — the oracle replays exactly that.
+    */
+  val q197 = Q(
+    "q197_timing_ttl",
+    (spark, dir) =>
+      timingQuantilesFrom(
+        graft.sources.TimingStoreLayout
+          .readDaily(spark, ttlTimingStoreOf(spark, dir))
+          .groupBy(col("event_type"), col("b"))
+          .agg(sum(col("c")).as("c"))),
+    Some("""
+      WITH e AS (SELECT event_type,
+                        epoch_us(ts) // 86400000000 AS di,
+                        CAST(FLOOR(value * 1000) AS BIGINT) AS ms
+                 FROM events),
+      m AS (SELECT MIN(di) AS d0 FROM e),
+      kept AS (SELECT event_type, ms FROM e, m WHERE e.di >= m.d0 + 7),
+      eb AS (SELECT event_type,
+                    CASE WHEN ms < 1024 THEN ms
+                         WHEN ms < 30000 THEN (ms // 16) * 16
+                         ELSE 30000 END AS b
+             FROM kept),
+      hist AS (SELECT event_type, b, COUNT(*) AS c FROM eb GROUP BY 1, 2),
+      tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+              FROM hist GROUP BY 1),
+      cum AS (SELECT h.event_type, h.b, t.n,
+                     CAST(SUM(h.c) OVER (PARTITION BY h.event_type
+                                         ORDER BY h.b) AS BIGINT) AS cum
+              FROM hist h JOIN tot t USING (event_type))
+      SELECT event_type, MAX(n) AS n,
+             MIN(CASE WHEN cum * 2 >= n THEN b END) AS p50_ms,
+             MIN(CASE WHEN cum * 10 >= n * 9 THEN b END) AS p90_ms,
+             MIN(CASE WHEN cum * 100 >= n * 99 THEN b END) AS p99_ms
+      FROM cum GROUP BY event_type ORDER BY event_type"""))
+
   // one stored timing histogram / DD sketch per sf dir per JVM (the
   // memoization pattern of the other stores); both built by the real
   // ledgered-fold lifecycle — bootstrap fold, incremental fold, then a
@@ -5534,5 +5625,5 @@ object Events {
     q137, q138, q139, q140, q141, q143, q144, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177,
-    q178, q181, q184, q187, q189, q191, q193, q194, q195, q196)
+    q178, q181, q184, q187, q189, q191, q193, q194, q195, q196, q197)
 }

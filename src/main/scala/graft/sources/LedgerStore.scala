@@ -86,6 +86,33 @@ object LedgerStore {
     true
   }
 
+  /** RETENTION: commit a new snapshot keeping only the cells matching
+    * `keep`, ledger carried forward unchanged. This is how a COUNT
+    * sketch expires — you cannot subtract a batch from an additive
+    * table, but cells keyed by a window column (day) drop wholesale
+    * when the window ages out (the TTL discipline production sketch
+    * tables run). Atomic like [[fold]]: readers see the old snapshot
+    * until the CURRENT swap. The ledger keeps every applied batch id:
+    * replaying an expired-window batch stays a no-op rather than
+    * resurrecting dropped counts.
+    */
+  def retain(spark: SparkSession, dir: String,
+      keep: org.apache.spark.sql.Column): Unit = {
+    import spark.implicits._
+    val v = version(dir)
+    require(v >= 0, s"ledger store at $dir has no committed version")
+    val cells = spark.read.parquet(s"$dir/v$v/cells").filter(keep)
+    val ledger = spark.read.parquet(s"$dir/v$v/ledger")
+      .select(col("batch_id")).collect().map(_.getString(0)).toSeq
+    val vNew = v + 1
+    cells.coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/v$vNew/cells")
+    ledger.toDF("batch_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/v$vNew/ledger")
+    commit(dir, vNew)
+    gc(dir, keepFrom = vNew - 1)
+  }
+
   /** The CONTRAST path (spec-only): the same cell merge with the
     * ledger check skipped and the id not recorded — demonstrating
     * that without the ledger a replayed additive fold double-counts.

@@ -33,4 +33,32 @@ object TimingStoreLayout {
   def read(spark: SparkSession, dir: String): DataFrame =
     LedgerStore.readCells(spark, dir)
       .select(col("event_type"), col("b"), col("c"))
+
+  // ---- day-windowed variant: the TTL'd form of the same store ----
+
+  private val DailyKeys = Seq("di", "event_type", "b")
+
+  /** A batch's histogram keyed additionally by day — the retention
+    * key. Cells stay sketch-bounded per retained window (≤ 2 838 per
+    * type per day); expiry is [[LedgerStore.retain]] on `di`, the TTL
+    * discipline an additive sketch needs because batches cannot be
+    * subtracted.
+    */
+  def cellsByDayOf(raw: DataFrame): DataFrame =
+    graft.queries.Events.timingHistByDayOf(raw)
+
+  /** Exactly-once fold of an event batch into the daily store. */
+  def foldDaily(spark: SparkSession, dir: String, batchId: String,
+      raw: DataFrame): Boolean =
+    LedgerStore.fold(spark, dir, batchId, cellsByDayOf(raw), DailyKeys)
+
+  /** Drop every cell of days before `cutoffDi` (atomic snapshot). */
+  def expireBefore(spark: SparkSession, dir: String,
+      cutoffDi: Long): Unit =
+    LedgerStore.retain(spark, dir, col("di") >= cutoffDi)
+
+  /** The daily cells, as (di, event_type, b, c). */
+  def readDaily(spark: SparkSession, dir: String): DataFrame =
+    LedgerStore.readCells(spark, dir)
+      .select(col("di"), col("event_type"), col("b"), col("c"))
 }

@@ -82,6 +82,33 @@ class LedgerStoreSpec extends SparkSpec {
       "ledger must carry every applied id across snapshots")
   }
 
+  test("retention: retain drops expired day-windows atomically, keeps " +
+      "the ledger, and a replayed expired-window batch cannot " +
+      "resurrect dropped counts") {
+    val ev = graft.Tables(spark, sf, "events")
+    val dir = java.nio.file.Files
+      .createTempDirectory("timingttl-spec-").toString
+    assert(TimingStoreLayout.foldDaily(spark, dir, "all", ev))
+    val before = TimingStoreLayout.readDaily(spark, dir)
+    val d0 = before.agg(min(col("di"))).collect()(0).getLong(0)
+    val dMax = before.agg(max(col("di"))).collect()(0).getLong(0)
+    assert(dMax > d0, "fixture must span multiple days")
+    val keptDirect = before.filter(col("di") > d0)
+      .collect().map(_.toSeq).toSet
+    TimingStoreLayout.expireBefore(spark, dir, d0 + 1)
+    val after = TimingStoreLayout.readDaily(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(after == keptDirect, "retain kept the wrong cells")
+    assert(!after.exists(r => r.head == d0), "expired day survived")
+    // the ledger survived the retain: replaying the (now partially
+    // expired) batch is STILL a no-op — dropped counts stay dropped
+    assert(!TimingStoreLayout.foldDaily(spark, dir, "all", ev),
+      "replay after expiry must stay a ledger no-op")
+    assert(TimingStoreLayout.readDaily(spark, dir)
+      .collect().map(_.toSeq).toSet == after,
+      "replay after expiry resurrected dropped counts")
+  }
+
   test("timing store: ledgered folds converge; the shared quantile " +
       "finale over the store equals batch q172") {
     val ev = graft.Tables(spark, sf, "events")
