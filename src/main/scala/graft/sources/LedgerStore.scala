@@ -36,17 +36,18 @@ import scala.jdk.CollectionConverters._
   * type), so the full-state rewrite per fold is O(sketch) however
   * large the folded history — the snapshot pattern that would be
   * wrong for a fact table is exactly right for a sketch store. The
-  * ledger grows one row per applied batch; `fold` keeps only the
-  * newest `ledgerKeep` ids (default unbounded) once a caller sets a
-  * replay horizon — ids older than every possible replay can be
-  * dropped, the same retention argument as the reference's
-  * deduplication window.
+  * ledger grows one row per applied batch and is kept in full —
+  * dropping ids older than every possible replay (the reference's
+  * deduplication-window argument) is safe but deliberately not done:
+  * the id set is tiny next to any corpus, and keeping it all makes
+  * [[retain]]'s no-resurrection guarantee unconditional.
   *
-  * Single-writer discipline (one folder per store directory), like
-  * every layout in this package; readers are safe concurrently — they
-  * resolve CURRENT once and read an immutable snapshot (the previous
-  * version is retained for exactly this reason and garbage-collected
-  * one commit later).
+  * Single-writer discipline (one folder per store directory) is
+  * ENFORCED by an advisory file lock ([[withWriterLock]]) — a second
+  * concurrent writer fails loudly; readers are safe concurrently —
+  * they resolve CURRENT once and read an immutable snapshot (the
+  * previous version is retained for exactly this reason and
+  * garbage-collected one commit later).
   */
 object LedgerStore {
 
@@ -80,11 +81,18 @@ object LedgerStore {
     * `batchId`) commits atomically; returns true.
     */
   def fold(spark: SparkSession, dir: String, batchId: String,
-      batch: DataFrame, keyCols: Seq[String]): Boolean = {
-    if (appliedBatches(spark, dir).contains(batchId)) return false
-    applyUnledgered(spark, dir, batch, keyCols, addToLedger = Some(batchId))
-    true
-  }
+      batch: DataFrame, keyCols: Seq[String]): Boolean =
+    withWriterLock(dir) {
+      // the ledger check lives INSIDE the writer lock: two concurrent
+      // folds of the same id must serialize into apply-then-no-op,
+      // never both-pass-the-check-then-double-apply
+      if (appliedBatches(spark, dir).contains(batchId)) false
+      else {
+        applyLocked(spark, dir, batch, keyCols,
+          addToLedger = Some(batchId))
+        true
+      }
+    }
 
   /** RETENTION: commit a new snapshot keeping only the cells matching
     * `keep`, ledger carried forward unchanged. This is how a COUNT
@@ -97,7 +105,7 @@ object LedgerStore {
     * resurrecting dropped counts.
     */
   def retain(spark: SparkSession, dir: String,
-      keep: org.apache.spark.sql.Column): Unit = {
+      keep: org.apache.spark.sql.Column): Unit = withWriterLock(dir) {
     import spark.implicits._
     val v = version(dir)
     require(v >= 0, s"ledger store at $dir has no committed version")
@@ -119,9 +127,39 @@ object LedgerStore {
     */
   private[graft] def foldUnledgered(spark: SparkSession, dir: String,
       batch: DataFrame, keyCols: Seq[String]): Unit =
-    applyUnledgered(spark, dir, batch, keyCols, addToLedger = None)
+    withWriterLock(dir) {
+      applyLocked(spark, dir, batch, keyCols, addToLedger = None)
+    }
 
-  private def applyUnledgered(spark: SparkSession, dir: String,
+  /** Single-writer discipline, ENFORCED: every mutation holds an
+    * advisory file lock on `dir/LOCK` for its whole
+    * read-merge-write-commit span. A second writer (same or another
+    * JVM) fails LOUDLY instead of racing the CURRENT swap — two
+    * interleaved folds could otherwise both read version N and the
+    * loser's batch would vanish from the winner's snapshot while its
+    * ledger entry vanished too (silent count loss). Readers never
+    * take the lock (they resolve CURRENT once and read an immutable
+    * snapshot).
+    */
+  private def withWriterLock[A](dir: String)(body: => A): A = {
+    Files.createDirectories(Paths.get(dir))
+    val ch = java.nio.channels.FileChannel.open(Paths.get(dir, "LOCK"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock =
+        try ch.tryLock()
+        catch { case _: java.nio.channels.OverlappingFileLockException =>
+          null }
+      if (lock == null)
+        throw new IllegalStateException(
+          s"ledger store at $dir has another writer (fold/retain are " +
+            "single-writer; serialize the callers)")
+      try body finally lock.release()
+    } finally ch.close()
+  }
+
+  private def applyLocked(spark: SparkSession, dir: String,
       batch: DataFrame, keyCols: Seq[String],
       addToLedger: Option[String]): Unit = {
     import spark.implicits._

@@ -82,6 +82,28 @@ class LedgerStoreSpec extends SparkSpec {
       "ledger must carry every applied id across snapshots")
   }
 
+  test("a second concurrent writer fails loudly instead of racing the " +
+      "CURRENT swap (advisory lock held for the whole fold span)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("cmstore-spec-").toString
+    CmStoreLayout.fold(spark, dir, "b0", Seq("spark").toDF("w"))
+    // simulate another writer holding the lock
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(dir, "LOCK"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      val e = intercept[IllegalStateException] {
+        CmStoreLayout.fold(spark, dir, "b1", Seq("merge").toDF("w"))
+      }
+      assert(e.getMessage.contains("another writer"))
+    } finally { lock.release(); ch.close() }
+    // once the other writer releases, the fold proceeds normally
+    assert(CmStoreLayout.fold(spark, dir, "b1", Seq("merge").toDF("w")))
+  }
+
   test("retention: retain drops expired day-windows atomically, keeps " +
       "the ledger, and a replayed expired-window batch cannot " +
       "resurrect dropped counts") {
