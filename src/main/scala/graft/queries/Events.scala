@@ -5423,60 +5423,70 @@ object Events {
                              / (vr * vr), 6) END AS kurt_pop
       FROM v ORDER BY event_type"""))
 
-  /** Series slope between endpoints (ClickHouse `boundingRatio`
-    * analog): (y_last − y_first) / (x_last − x_first) per type, on the
-    * µs time spine and the exact ms value grid. Timestamp ties are
-    * broken DETERMINISTICALLY by collapsing to the (type, tsu)
-    * summary with min(v) first — argMin/argMax tie order is otherwise
-    * engine-dependent. The endpoint frame is ≤ 2 rows/type (broadcast
-    * of the tiny min/max spine against the summary), the ratio ONE
-    * IEEE divide of exact integers, ×86400·10⁶ to read as per-day
-    * units. NULL when the series has a single timestamp.
+  /** Exact median and median absolute deviation (the robust
+    * location/dispersion pair — ClickHouse `medianExact` + the MAD its
+    * users derive; robust stats q195's moment pair is NOT): values on
+    * the exact ms integer grid, median as the discrete ceil-rank read
+    * (2·cum ≥ n, q172's p50 convention), then the DEVIATION histogram
+    * |v − median| re-aggregated from the VALUE histogram (never from
+    * facts — deviation cells ≤ value-domain cells) and MAD as the same
+    * rank read over it. All-integer end to end; every window runs on
+    * domain-bounded histograms partitioned by type; the median frame
+    * rides broadcast (≤ types rows).
     */
   val q196 = Q(
-    "q196_bounding_ratio",
+    "q196_median_mad",
     (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val e = Tables(spark, dir, "events")
-        .select(col("event_type"), expr("ts_ns div 1000").as("tsu"),
+        .select(col("event_type"),
           floor(col("value") * 1000).cast("long").as("v"))
-      val b = e.groupBy(col("event_type"), col("tsu"))
-        .agg(min(col("v")).as("v"))
-      val r = b.groupBy(col("event_type"))
-        .agg(min(col("tsu")).as("t0"), max(col("tsu")).as("t1"))
-      b.join(broadcast(r), "event_type")
-        .filter(col("tsu") === col("t0") || col("tsu") === col("t1"))
+      val hist = e.groupBy(col("event_type"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val tot = hist.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+      val wv = Window.partitionBy(col("event_type")).orderBy(col("v"))
+      val med = hist.withColumn("cum", sum(col("c")).over(wv))
+        .join(broadcast(tot), "event_type")
         .groupBy(col("event_type"))
-        .agg(max(col("t0")).as("t0"), max(col("t1")).as("t1"),
-          max(when(col("tsu") === col("t0"), col("v"))).as("v0"),
-          max(when(col("tsu") === col("t1"), col("v"))).as("v1"))
-        .select(col("event_type"), col("t0"), col("t1"),
-          col("v0"), col("v1"),
-          when(col("t1") === col("t0"), lit(null).cast("double"))
-            .otherwise(round(
-              ((col("v1") - col("v0")) * lit(86400000000L)).cast("double") /
-                (col("t1") - col("t0")).cast("double"), 6))
-            .as("ratio_per_day"))
+        .agg(max(col("n")).as("n"),
+          min(when(col("cum") * 2 >= col("n"), col("v"))).as("med"))
+      val dev = hist.join(broadcast(med), "event_type")
+        .select(col("event_type"), abs(col("v") - col("med")).as("d"),
+          col("c"))
+        .groupBy(col("event_type"), col("d"))
+        .agg(sum(col("c")).as("c"))
+      val wd = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      dev.withColumn("cumd", sum(col("c")).over(wd))
+        .join(broadcast(med), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), max(col("med")).as("median_ms"),
+          min(when(col("cumd") * 2 >= col("n"), col("d"))).as("mad_ms"))
         .orderBy(col("event_type"))
     },
     Some("""
-      WITH e AS (SELECT event_type, epoch_us(ts) AS tsu,
+      WITH e AS (SELECT event_type,
                         CAST(FLOOR(value * 1000) AS BIGINT) AS v
                  FROM events),
-      b AS (SELECT event_type, tsu, MIN(v) AS v FROM e GROUP BY 1, 2),
-      r AS (SELECT event_type, MIN(tsu) AS t0, MAX(tsu) AS t1
-            FROM b GROUP BY 1),
-      ends AS (SELECT b.event_type, r.t0, r.t1,
-                      MAX(CASE WHEN b.tsu = r.t0 THEN b.v END) AS v0,
-                      MAX(CASE WHEN b.tsu = r.t1 THEN b.v END) AS v1
-               FROM b JOIN r USING (event_type)
-               WHERE b.tsu = r.t0 OR b.tsu = r.t1
-               GROUP BY 1, 2, 3)
-      SELECT event_type, t0, t1, v0, v1,
-             CASE WHEN t1 = t0 THEN NULL
-                  ELSE ROUND(CAST((v1 - v0) * 86400000000 AS DOUBLE)
-                             / CAST(t1 - t0 AS DOUBLE), 6) END
-               AS ratio_per_day
-      FROM ends ORDER BY event_type"""))
+      hist AS (SELECT event_type, v, COUNT(*) AS c FROM e GROUP BY 1, 2),
+      tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+              FROM hist GROUP BY 1),
+      cum AS (SELECT h.event_type, h.v, t.n,
+                     CAST(SUM(h.c) OVER (PARTITION BY h.event_type
+                                         ORDER BY h.v) AS BIGINT) AS cum
+              FROM hist h JOIN tot t USING (event_type)),
+      med AS (SELECT event_type, MAX(n) AS n,
+                     MIN(CASE WHEN cum * 2 >= n THEN v END) AS med
+              FROM cum GROUP BY 1),
+      dev AS (SELECT h.event_type, ABS(h.v - m.med) AS d,
+                     CAST(SUM(h.c) AS BIGINT) AS c
+              FROM hist h JOIN med m USING (event_type) GROUP BY 1, 2),
+      cumd AS (SELECT d.event_type, d.d, m.n, m.med,
+                      CAST(SUM(d.c) OVER (PARTITION BY d.event_type
+                                          ORDER BY d.d) AS BIGINT) AS cum
+               FROM dev d JOIN med m USING (event_type))
+      SELECT event_type, MAX(n) AS n, MAX(med) AS median_ms,
+             MIN(CASE WHEN cum * 2 >= n THEN d END) AS mad_ms
+      FROM cumd GROUP BY 1 ORDER BY 1"""))
 
   // the day-windowed (TTL'd) timing store: built once per sf dir by
   // the full ledgered lifecycle — bootstrap fold, incremental fold, a
