@@ -200,13 +200,16 @@ object LedgerStore {
   private def gc(dir: String, keepFrom: Long): Unit = {
     val root = Paths.get(dir)
     if (!Files.isDirectory(root)) return
-    Files.list(root).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("v"))
-      .filter { p =>
-        val n = p.getFileName.toString.drop(1)
-        n.forall(_.isDigit) && n.nonEmpty && n.toLong < keepFrom
-      }
-      .toList
-      .foreach((p: Path) => graft.streaming.Parts.deleteTree(p))
+    val listing = Files.list(root)
+    val stale =
+      try listing.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("v"))
+        .filter { p =>
+          val n = p.getFileName.toString.drop(1)
+          n.forall(_.isDigit) && n.nonEmpty && n.toLong < keepFrom
+        }
+        .toList
+      finally listing.close() // Files.list holds a directory handle
+    stale.foreach((p: Path) => graft.streaming.Parts.deleteTree(p))
   }
 }

@@ -33,7 +33,14 @@ class ExplainAudit extends SparkSpec {
         "q149" -> Events.q149, "q150" -> Events.q150,
         "q151" -> Events.q151, "q152" -> Events.q152,
         "q153" -> Events.q153, "q154" -> Events.q154,
-        "q182" -> Pipeline.q182, "q186" -> Pipeline.q186)
+        "q159" -> Events.q159,
+        "q182" -> Pipeline.q182, "q186" -> Pipeline.q186,
+        // the r13 stored/robust additions: stored-sketch probes must
+        // stay keyed joins over store reads, median/MAD and the TTL
+        // finale must stay histogram-bounded
+        "q192" -> Pipeline.q192, "q193" -> Events.q193,
+        "q194" -> Events.q194, "q195" -> Events.q195,
+        "q196" -> Events.q196, "q197" -> Events.q197)
         .foreach { case (n, q) =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$n has a cartesian:\n$p")
