@@ -18,8 +18,8 @@ import org.apache.spark.sql.functions._
   *
   * Usage: scripts/run.sh graft.Stress [sfDir] [mult] [stages]
   * where stages is a csv subset of
-  * dedup,prep,sim,forensics,r11,edit,spans,labelfold-skew,behav,
-  * series,audit,sketch (default: all of them).
+  * dedup,prep,sim,forensics,r11,edit,spans,labelfold-skew,ledgerfold,
+  * behav,series,audit,sketch (default: all of them).
   */
 object Stress {
 
@@ -28,8 +28,8 @@ object Stress {
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
     val stages = args.lift(2).map(_.split(",").toSet)
       .getOrElse(Set("dedup", "prep", "sim", "forensics", "r11", "edit",
-        "spans", "labelfold-skew", "behav", "series", "stats", "audit",
-        "sketch"))
+        "spans", "labelfold-skew", "ledgerfold", "behav", "series",
+        "stats", "audit", "sketch"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -482,6 +482,35 @@ object Stress {
       runLabelFoldSkew("warm", 20000L)
       runLabelFoldSkew("1x", 200000L)
       runLabelFoldSkew(s"${mult}x", 200000L * mult)
+    }
+
+    // additive ledgered-store fold (r13): the history fold is O(batch
+    // scan) and the store merge O(sketch geometry) — so folding a
+    // FIXED batch into a store that has already absorbed N× history
+    // must cost the SAME whatever N is (CM cells are 48 forever).
+    // historyFold grows with the folded corpus (its own scan);
+    // fixedBatchFold is the flat curve under test.
+    def runLedgerFold(tag: String, hist: DataFrame): Unit = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("stress-cmstore-").toString
+      val t0 = System.nanoTime()
+      require(graft.sources.CmStoreLayout.fold(spark, dir, "hist",
+        graft.queries.Pipeline.cmToksOf(hist)))
+      release(spark)
+      val t1 = System.nanoTime()
+      require(graft.sources.CmStoreLayout.fold(spark, dir, "batch",
+        graft.queries.Pipeline.cmToksOf(base.limit(500))))
+      val t2 = System.nanoTime()
+      graft.streaming.Parts.deleteTree(java.nio.file.Paths.get(dir))
+      release(spark)
+      def s(a: Long, b: Long) = f"${(b - a) / 1e9}%7.2f"
+      println(f"$tag%-4s historyFold=${s(t0, t1)}s " +
+        f"fixedBatchFold=${s(t1, t2)}s [cells=48]")
+    }
+    if (stages("ledgerfold")) {
+      runLedgerFold("warm", base.limit(500))
+      runLedgerFold("1x", base)
+      runLedgerFold(s"${mult}x", big)
     }
 
     // behavioral analytics (q112 family): users replicated with shifted
