@@ -5488,6 +5488,63 @@ object Events {
              MIN(CASE WHEN cum * 2 >= n THEN d END) AS mad_ms
       FROM cumd GROUP BY 1 ORDER BY 1"""))
 
+  /** Population and SAMPLE covariance (ClickHouse `covarPop` /
+    * `covarSamp` analogs — q162 outputs correlations, never the
+    * covariances themselves, and has no n−1 sample forms): the value
+    * grid v=⌊8·value⌋ against the props-length metric, exact BIGINT
+    * moment sums in one grouped pass, finale a fixed-order IEEE chain
+    * over identical exact operands — covar_pop = Σxy/n − (Σx/n)(Σy/n)
+    * as written, covar_samp = (Σxy − Σx·Σy/n)/(n−1) with the inner
+    * divide FIRST in both engines, NULL when n < 2. One shuffle,
+    * 4-number state per type.
+    */
+  val q198 = Q(
+    "q198_covariance",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * 8).cast("long").as("x"),
+          length(col("props")).cast("long").as("y"))
+      val g = e.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"))
+      val nd = col("n").cast("double")
+      val covPop = col("sxy").cast("double") / nd -
+        (col("sx").cast("double") / nd) * (col("sy").cast("double") / nd)
+      val covSamp = (col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double") / nd) /
+        (nd - lit(1.0))
+      g.select(col("event_type"), col("n"),
+          round(covPop, 6).as("covar_pop"),
+          when(col("n") < 2, lit(null).cast("double"))
+            .otherwise(round(covSamp, 6)).as("covar_samp"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(FLOOR(value * 8) AS BIGINT) AS x,
+                        CAST(LENGTH(props) AS BIGINT) AS y
+                 FROM events),
+      g AS (SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM e GROUP BY 1)
+      SELECT event_type, n,
+             ROUND(CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                   - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+               AS covar_pop,
+             CASE WHEN n < 2 THEN NULL
+                  ELSE ROUND((CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+                             / (CAST(n AS DOUBLE) - 1.0), 6) END
+               AS covar_samp
+      FROM g ORDER BY event_type"""))
+
   // the day-windowed (TTL'd) timing store: built once per sf dir by
   // the full ledgered lifecycle — bootstrap fold, incremental fold, a
   // deliberately REPLAYED fold (ledger no-op), then EXPIRY of the
@@ -5635,5 +5692,6 @@ object Events {
     q137, q138, q139, q140, q141, q143, q144, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177,
-    q178, q181, q184, q187, q189, q191, q193, q194, q195, q196, q197)
+    q178, q181, q184, q187, q189, q191, q193, q194, q195, q196, q197,
+    q198)
 }
