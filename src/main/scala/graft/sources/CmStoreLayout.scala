@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * corner of the sketch-store triangle: CM cells are COUNTS, so
   * unlike the idempotent stores (bitmap/HLL/KMV) a replayed fold
   * would double-count — exactly-once needs [[LedgerStore]]'s batch-id
-  * ledger, committed atomically with the cells (the reference's
-  * transactional-batch sink discipline,
-  * `clickhouse_table_writer.go:115-149`, in parquet form).
+  * ledger, committed atomically with the cells (the reference lands
+  * each batch in one plain transaction,
+  * `clickhouse_table_writer.go:115-149`; the replay ledger is this
+  * repo's addition — see [[LedgerStore]]).
   *
   * State is the 48-cell (depth 3 × width 16) table FOREVER — fold
   * cost is O(sketch), never O(corpus). Point estimates stay the
@@ -45,4 +46,41 @@ object CmStoreLayout {
   def read(spark: SparkSession, dir: String): DataFrame =
     LedgerStore.readCells(spark, dir)
       .select(col("i"), col("bucket"), col("c"))
+
+  // ---- day-windowed variant: the TTL'd form of the same store ----
+  // (frequency sketches are the most TTL'd additive tables in
+  // production — "top terms over the last N days" — so the CM store
+  // gets the retention corner [[TimingStoreLayout]] has)
+
+  private val DailyKeys = Seq("di", "i", "bucket")
+
+  /** A batch's CM cells keyed additionally by its INGEST day `di` —
+    * the retention key. Tokens carry no timestamp (unlike the timing
+    * grid's events), so the window key is the batch's arrival day, the
+    * shape a streaming CM with TTL runs: each day's folds land under
+    * that day, and expiry drops whole day-slices of cells. State stays
+    * 48 cells per retained day.
+    */
+  def cellsByDayOf(toks: DataFrame, di: Long): DataFrame =
+    cellsOf(toks).withColumn("di", lit(di))
+
+  /** Exactly-once fold of a token batch into the daily store under its
+    * ingest day.
+    */
+  def foldDaily(spark: SparkSession, dir: String, batchId: String,
+      toks: DataFrame, di: Long): Boolean =
+    LedgerStore.fold(spark, dir, batchId, cellsByDayOf(toks, di),
+      DailyKeys)
+
+  /** Drop every cell of days before `cutoffDi` (atomic snapshot; the
+    * carried ledger keeps expired-window replays no-ops).
+    */
+  def expireBefore(spark: SparkSession, dir: String,
+      cutoffDi: Long): Unit =
+    LedgerStore.retain(spark, dir, col("di") >= cutoffDi)
+
+  /** The daily cells, as (di, i, bucket, c). */
+  def readDaily(spark: SparkSession, dir: String): DataFrame =
+    LedgerStore.readCells(spark, dir)
+      .select(col("di"), col("i"), col("bucket"), col("c"))
 }

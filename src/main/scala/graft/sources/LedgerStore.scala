@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 
 /** The ADDITIVE corner of the sketch-store triangle — the storage
@@ -13,34 +13,64 @@ import scala.jdk.CollectionConverters._
   * [[BitmapStoreLayout]], HLL `max` [[HllStoreLayout]], KMV set-union
   * [[KmvStoreLayout]]) can skip: a replayed fold of an ADDITIVE cell
   * table double-counts, so exactly-once requires remembering which
-  * batches were applied. This is the reference's transactional-batch
-  * sink discipline (bristle wraps each landing batch in one
-  * transaction keyed by its batch identity,
-  * `clickhouse_table_writer.go:115-149` — replaying an applied batch
-  * must be a no-op) re-expressed for a parquet store:
+  * batches were applied. The reference lands each batch in one plain
+  * transaction (`clickhouse_table_writer.go:115-149` — all-or-nothing
+  * per batch, no replay dedup of its own); the batch-id ledger here is
+  * THIS repo's addition for replay idempotence, the deduplication-
+  * window discipline production ClickHouse deployments layer on top
+  * (`insert_deduplication_token` / replicated dedup windows):
   *
   *   - state lives in versioned snapshot directories
-  *     `dir/v<N>/{cells,ledger}`; `dir/CURRENT` names the committed
+  *     `dir/v<N>/{cells,LEDGER}`; `dir/CURRENT` names the committed
   *     version and is replaced with an ATOMIC_MOVE — the ONE commit
-  *     point. Cells and the batch-id ledger always land together or
-  *     not at all: a crash mid-fold leaves CURRENT at the old version
+  *     point. Cells and the ledger state always land together or not
+  *     at all: a crash mid-fold leaves CURRENT at the old version
   *     (batch unapplied — the replay re-folds it), a crash after the
   *     swap leaves the batch in the ledger (the replay is a no-op).
   *     There is no visible state where a batch's counts exist without
   *     its ledger entry or vice versa.
-  *   - `fold` first reads the committed ledger; an already-applied
-  *     batch id returns false and touches nothing.
+  *   - `fold` first reads the committed ledger state; an already-
+  *     applied batch id returns false and touches nothing.
   *
   * Scale: additive sketch tables are bounded by SKETCH GEOMETRY, not
   * corpus (48 CM cells; ≤ 2 838 timing cells/type; ≤ 643 γ-buckets/
   * type), so the full-state rewrite per fold is O(sketch) however
-  * large the folded history — the snapshot pattern that would be
-  * wrong for a fact table is exactly right for a sketch store. The
-  * ledger grows one row per applied batch and is kept in full —
-  * dropping ids older than every possible replay (the reference's
-  * deduplication-window argument) is safe but deliberately not done:
-  * the id set is tiny next to any corpus, and keeping it all makes
-  * [[retain]]'s no-resurrection guarantee unconditional.
+  * large the folded history. The ledger check is BOUNDED the same way
+  * (it must be: the live stream→store wiring calls `fold` once per
+  * micro-batch forever, so an O(#applied batches) check would grow
+  * without bound — a year at 1 batch/s is ~31M ids). The committed
+  * state keeps `{high-watermark, recent-id window}`:
+  *
+  *   - ids carrying a NUMERIC TAIL (`cm-micro-42`, `b7`, `42`) form
+  *     the store's monotonic sequence — exactly what Structured
+  *     Streaming's micro-batch ids are. The high-watermark is the
+  *     largest applied sequence number; an id at or below it is
+  *     refused as a replay without any lookup. This is the dedup-
+  *     window argument: replays only ever arrive from the recent past
+  *     (a restarted stream re-delivers its last micro-batch), and the
+  *     single-writer lock means one id sequence per store.
+  *   - the last [[DefaultWindow]] applied ids (any shape) ride along
+  *     verbatim, covering non-sequential manual ids ("even-users")
+  *     within the window. A store folding MORE than the window of
+  *     purely non-numeric ids loses replay protection for the oldest
+  *     of them — use sequenced ids for unbounded histories (the
+  *     streaming paths do).
+  *
+  * So fold cost is O(sketch + window) — INDEPENDENT of how many
+  * batches the store ever absorbed (the Stress `ledgerfold-length`
+  * stage measures this flat at 10k+ applied ids), and [[retain]]'s
+  * no-resurrection guarantee still holds: an expired-window batch id
+  * is at or below the watermark (or inside the recent window), so its
+  * replay stays a no-op rather than resurrecting dropped counts.
+  *
+  * Durability: `commit` fsyncs CURRENT.tmp before the atomic move and
+  * fsyncs the store directory after it, so the rename itself survives
+  * a machine crash. Caveat, scoped honestly: the parquet CELL files
+  * are written by Spark's committer, which does not fsync file
+  * contents — after a power loss CURRENT can durably name a snapshot
+  * whose cell files were never flushed by the OS. Process-crash
+  * atomicity is unconditional; machine-crash durability is as strong
+  * as the filesystem's write-back window for the cell bodies.
   *
   * Single-writer discipline (one folder per store directory) is
   * ENFORCED by an advisory file lock ([[withWriterLock]]) — a second
@@ -50,6 +80,38 @@ import scala.jdk.CollectionConverters._
   * garbage-collected one commit later).
   */
 object LedgerStore {
+
+  /** Recent-id window: how many applied ids (beyond the watermark
+    * rule) stay checkable verbatim. Replays in practice come from the
+    * immediately preceding batches (the foreachBatch-restart case), so
+    * the window only needs to cover the deepest plausible replay — 4k
+    * ids is orders of magnitude past that and still ~O(100 KB) state.
+    */
+  private[graft] val DefaultWindow = 4096
+
+  /** The bounded ledger check state: `hw` is the largest applied
+    * numeric-tailed sequence, `recent` the last applied ids in apply
+    * order (bounded by the fold's window).
+    */
+  private[graft] final case class LedgerState(
+      hw: Option[Long], recent: Vector[String]) {
+    def isApplied(id: String): Boolean =
+      recent.contains(id) ||
+        seqOf(id).exists(s => hw.exists(s <= _))
+    def add(id: String, window: Int): LedgerState =
+      LedgerState(
+        (hw.toSeq ++ seqOf(id)).reduceOption(_ max _),
+        (recent :+ id).takeRight(window))
+  }
+
+  /** An id's sequence number: its trailing digit run, when it has one
+    * that fits a Long (`cm-micro-42` → 42, `b7` → 7, `42` → 42,
+    * `even-users` → none).
+    */
+  private[graft] def seqOf(id: String): Option[Long] = {
+    val i = id.lastIndexWhere(!_.isDigit) + 1
+    if (i >= id.length) None else id.substring(i).toLongOption
+  }
 
   /** The committed version, or -1 for a never-committed store. */
   def version(dir: String): Long = {
@@ -66,57 +128,73 @@ object LedgerStore {
     spark.read.parquet(s"$dir/v$v/cells")
   }
 
-  /** Batch ids already applied (empty for a never-committed store). */
-  def appliedBatches(spark: SparkSession, dir: String): Set[String] = {
+  /** The committed bounded ledger state (empty for a never-committed
+    * store). O(window) — never a Spark job, never O(#batches).
+    */
+  private[graft] def ledgerState(dir: String): LedgerState = {
     val v = version(dir)
-    if (v < 0) Set.empty
-    else spark.read.parquet(s"$dir/v$v/ledger")
-      .select(col("batch_id")).collect().map(_.getString(0)).toSet
+    if (v < 0) LedgerState(None, Vector.empty)
+    else readLedgerFile(Paths.get(s"$dir/v$v/LEDGER"))
   }
 
+  /** The recent applied batch ids (apply order, window-bounded). */
+  def recentBatches(dir: String): Seq[String] = ledgerState(dir).recent
+
+  /** The applied high-watermark over numeric-tailed batch ids. */
+  def highWatermark(dir: String): Option[Long] = ledgerState(dir).hw
+
   /** Add a batch's cell table (`keyCols` + a `c` count column) into
-    * the store, exactly once: an already-applied `batchId` is a no-op
-    * (returns false). Otherwise cells merge by cell-wise count
-    * addition and the new snapshot (cells + ledger including
+    * the store, exactly once: an already-applied `batchId` — in the
+    * recent window, or numeric-tailed at/below the watermark — is a
+    * no-op (returns false). Otherwise cells merge by cell-wise count
+    * addition and the new snapshot (cells + ledger state including
     * `batchId`) commits atomically; returns true.
     */
   def fold(spark: SparkSession, dir: String, batchId: String,
       batch: DataFrame, keyCols: Seq[String]): Boolean =
+    foldWindowed(spark, dir, batchId, batch, keyCols, DefaultWindow)
+
+  /** [[fold]] with an explicit recent-id window (spec hook — the
+    * default window would take thousands of folds to trim).
+    */
+  private[graft] def foldWindowed(spark: SparkSession, dir: String,
+      batchId: String, batch: DataFrame, keyCols: Seq[String],
+      window: Int): Boolean =
     withWriterLock(dir) {
+      require(!batchId.contains('\n') && !batchId.contains('\r'),
+        s"batch id must be newline-free: ${batchId.take(40)}")
       // the ledger check lives INSIDE the writer lock: two concurrent
       // folds of the same id must serialize into apply-then-no-op,
       // never both-pass-the-check-then-double-apply
-      if (appliedBatches(spark, dir).contains(batchId)) false
+      val st = ledgerState(dir)
+      if (st.isApplied(batchId)) false
       else {
         applyLocked(spark, dir, batch, keyCols,
-          addToLedger = Some(batchId))
+          newLedger = Some(st.add(batchId, window)))
         true
       }
     }
 
   /** RETENTION: commit a new snapshot keeping only the cells matching
-    * `keep`, ledger carried forward unchanged. This is how a COUNT
-    * sketch expires — you cannot subtract a batch from an additive
-    * table, but cells keyed by a window column (day) drop wholesale
-    * when the window ages out (the TTL discipline production sketch
-    * tables run). Atomic like [[fold]]: readers see the old snapshot
-    * until the CURRENT swap. The ledger keeps every applied batch id:
-    * replaying an expired-window batch stays a no-op rather than
-    * resurrecting dropped counts.
+    * `keep`, ledger state carried forward unchanged. This is how a
+    * COUNT sketch expires — you cannot subtract a batch from an
+    * additive table, but cells keyed by a window column (day) drop
+    * wholesale when the window ages out (the TTL discipline
+    * production sketch tables run). Atomic like [[fold]]: readers see
+    * the old snapshot until the CURRENT swap. The carried watermark +
+    * window keep replaying an expired-window batch a no-op rather
+    * than resurrecting dropped counts.
     */
   def retain(spark: SparkSession, dir: String,
       keep: org.apache.spark.sql.Column): Unit = withWriterLock(dir) {
-    import spark.implicits._
     val v = version(dir)
     require(v >= 0, s"ledger store at $dir has no committed version")
     val cells = spark.read.parquet(s"$dir/v$v/cells").filter(keep)
-    val ledger = spark.read.parquet(s"$dir/v$v/ledger")
-      .select(col("batch_id")).collect().map(_.getString(0)).toSeq
     val vNew = v + 1
     cells.coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/v$vNew/cells")
-    ledger.toDF("batch_id").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/v$vNew/ledger")
+    writeLedgerFile(Paths.get(s"$dir/v$vNew/LEDGER"),
+      readLedgerFile(Paths.get(s"$dir/v$v/LEDGER")))
     commit(dir, vNew)
     gc(dir, keepFrom = vNew - 1)
   }
@@ -128,7 +206,7 @@ object LedgerStore {
   private[graft] def foldUnledgered(spark: SparkSession, dir: String,
       batch: DataFrame, keyCols: Seq[String]): Unit =
     withWriterLock(dir) {
-      applyLocked(spark, dir, batch, keyCols, addToLedger = None)
+      applyLocked(spark, dir, batch, keyCols, newLedger = None)
     }
 
   /** Single-writer discipline, ENFORCED: every mutation holds an
@@ -144,8 +222,7 @@ object LedgerStore {
   private def withWriterLock[A](dir: String)(body: => A): A = {
     Files.createDirectories(Paths.get(dir))
     val ch = java.nio.channels.FileChannel.open(Paths.get(dir, "LOCK"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
     try {
       val lock =
         try ch.tryLock()
@@ -161,8 +238,7 @@ object LedgerStore {
 
   private def applyLocked(spark: SparkSession, dir: String,
       batch: DataFrame, keyCols: Seq[String],
-      addToLedger: Option[String]): Unit = {
-    import spark.implicits._
+      newLedger: Option[LedgerState]): Unit = {
     val v = version(dir)
     val keys = keyCols.map(col)
     val summed = batch.groupBy(keys: _*).agg(sum(col("c")).as("c"))
@@ -170,28 +246,68 @@ object LedgerStore {
       if (v < 0) summed
       else spark.read.parquet(s"$dir/v$v/cells").unionByName(summed)
         .groupBy(keys: _*).agg(sum(col("c")).as("c"))
-    val oldLedger: Seq[String] =
-      if (v < 0) Seq.empty
-      else spark.read.parquet(s"$dir/v$v/ledger")
-        .select(col("batch_id")).collect().map(_.getString(0)).toSeq
-    val ledger = (oldLedger ++ addToLedger).distinct
+    val ledger = newLedger.getOrElse(
+      if (v < 0) LedgerState(None, Vector.empty)
+      else readLedgerFile(Paths.get(s"$dir/v$v/LEDGER")))
     val vNew = v + 1
     // sketch-geometry-bounded tables: one file each is the right shape
     merged.orderBy(keys: _*).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/v$vNew/cells")
-    ledger.toDF("batch_id").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/v$vNew/ledger")
+    writeLedgerFile(Paths.get(s"$dir/v$vNew/LEDGER"), ledger)
     commit(dir, vNew)
     gc(dir, keepFrom = vNew - 1)
   }
 
-  /** The one atomic commit point: CURRENT names the new version. */
+  // LEDGER file: line 1 `hw:<n|->`, then the recent ids in apply
+  // order — O(window) bytes whatever the store's history
+  private def readLedgerFile(p: Path): LedgerState = {
+    val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+    require(lines.nonEmpty && lines.head.startsWith("hw:"),
+      s"malformed ledger state at $p")
+    val hw = lines.head.drop(3) match {
+      case "-" => None
+      case n => Some(n.toLong)
+    }
+    LedgerState(hw, lines.tail.toVector)
+  }
+
+  private def writeLedgerFile(p: Path, st: LedgerState): Unit = {
+    val body = (s"hw:${st.hw.map(_.toString).getOrElse("-")}" +:
+      st.recent).mkString("\n")
+    val ch = java.nio.channels.FileChannel.open(p,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(
+        body.getBytes(StandardCharsets.UTF_8)))
+      ch.force(true) // survive the commit's rename on a machine crash
+    } finally ch.close()
+  }
+
+  /** The one atomic commit point: CURRENT names the new version.
+    * CURRENT.tmp is fsynced before the move and the store directory
+    * after it, so the committed name itself is machine-crash durable
+    * (the parquet-body caveat in the object scaladoc still applies).
+    */
   private def commit(dir: String, v: Long): Unit = {
     val tmp = Paths.get(dir, "CURRENT.tmp")
     Files.createDirectories(Paths.get(dir))
-    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    val ch = java.nio.channels.FileChannel.open(tmp,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(
+        v.toString.getBytes(StandardCharsets.UTF_8)))
+      ch.force(true)
+    } finally ch.close()
     Files.move(tmp, Paths.get(dir, "CURRENT"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // fsync the directory so the rename reaches the journal
+    val dch = java.nio.channels.FileChannel.open(Paths.get(dir),
+      StandardOpenOption.READ)
+    try dch.force(true)
+    catch { case _: java.io.IOException => () } // fs without dir-fsync
+    finally dch.close()
   }
 
   /** Drop snapshots older than `keepFrom` (the previous version stays

@@ -68,7 +68,7 @@ class LedgerStoreSpec extends SparkSpec {
     def has(v: Long) = java.nio.file.Files
       .exists(java.nio.file.Paths.get(s"$dir/v$v"))
     assert(has(0) && has(1), "previous snapshot must survive one commit")
-    assert(LedgerStore.appliedBatches(spark, dir) == Set("b0", "b1"))
+    assert(LedgerStore.recentBatches(dir) == Seq("b0", "b1"))
     // a replay does NOT advance the version (nothing was written)
     CmStoreLayout.fold(spark, dir, "b1", docsToks(1))
     assert(LedgerStore.version(dir) == 1L, "replay advanced the version")
@@ -78,8 +78,48 @@ class LedgerStoreSpec extends SparkSpec {
     assert(LedgerStore.version(dir) == 2L)
     assert(!has(0) && has(1) && has(2), "GC must drop snapshots older " +
       "than the previous one and keep the previous")
-    assert(LedgerStore.appliedBatches(spark, dir) == Set("b0", "b1", "b2"),
-      "ledger must carry every applied id across snapshots")
+    assert(LedgerStore.recentBatches(dir) == Seq("b0", "b1", "b2"),
+      "ledger must carry the applied ids across snapshots")
+    assert(LedgerStore.highWatermark(dir) == Some(2L),
+      "numeric-tailed ids must advance the watermark")
+  }
+
+  test("the ledger check is BOUNDED: a below-watermark numeric id is " +
+      "refused WITHOUT being in the recent window, the window trims to " +
+      "its bound, and fold state never grows with applied-batch count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("cmstore-spec-").toString
+    val one = Seq("spark").toDF("w")
+    def fold(id: String) = LedgerStore.foldWindowed(spark, dir, id,
+      CmStoreLayout.cellsOf(one), Seq("i", "bucket"), window = 2)
+    assert(fold("m-1") && fold("m-2") && fold("m-3"))
+    // the window kept only the last 2 ids — state is bounded
+    assert(LedgerStore.recentBatches(dir) == Seq("m-2", "m-3"),
+      "recent window must trim to its bound")
+    assert(LedgerStore.highWatermark(dir) == Some(3L))
+    // m-1 fell out of the window, yet its replay is STILL refused:
+    // seq 1 <= watermark 3 (the dedup-window argument — the check is
+    // O(window), never O(#applied batches))
+    assert(!fold("m-1"), "below-watermark replay must be refused")
+    // a NEVER-applied below-watermark id is refused too: that is the
+    // dedup-window contract — sequenced ids must arrive monotonically
+    // (micro-batch ids do; the single-writer lock means one sequence)
+    assert(!LedgerStore.foldWindowed(spark, dir, "m-0",
+      CmStoreLayout.cellsOf(one), Seq("i", "bucket"), window = 2),
+      "below-watermark ids are refused as replays by contract")
+    assert(fold("m-4"), "above-watermark ids must apply")
+    // non-numeric ids are protected by the window ALONE: past the
+    // window they lose replay protection (the documented trade — use
+    // sequenced ids for unbounded histories, as the streams do)
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("cmstore-spec-").toString
+    def fold2(id: String) = LedgerStore.foldWindowed(spark, dir2, id,
+      CmStoreLayout.cellsOf(one), Seq("i", "bucket"), window = 2)
+    assert(fold2("alpha") && fold2("beta") && fold2("gamma"))
+    assert(!fold2("gamma"), "in-window non-numeric replay refused")
+    assert(fold2("alpha"),
+      "past-window non-numeric id re-applies (window-scoped protection)")
   }
 
   test("a second concurrent writer fails loudly instead of racing the " +
@@ -129,6 +169,36 @@ class LedgerStoreSpec extends SparkSpec {
     assert(TimingStoreLayout.readDaily(spark, dir)
       .collect().map(_.toSeq).toSet == after,
       "replay after expiry resurrected dropped counts")
+  }
+
+  test("CM daily store: expiry drops whole day-slices atomically, the " +
+      "kept window equals the direct sketch over kept batches, and an " +
+      "expired-window replay cannot resurrect dropped counts") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("cmttl-spec-").toString
+    assert(CmStoreLayout.foldDaily(spark, dir, "day10-even",
+      docsToks(0), di = 10L))
+    assert(CmStoreLayout.foldDaily(spark, dir, "day11-odd",
+      docsToks(1), di = 11L))
+    def daily(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))
+        -> r.getLong(3)).toMap
+    val both = daily(CmStoreLayout.readDaily(spark, dir))
+    assert(both.keys.map(_._1).toSet == Set(10L, 11L),
+      "daily store must keep per-day cell slices")
+    CmStoreLayout.expireBefore(spark, dir, cutoffDi = 11L)
+    val kept = daily(CmStoreLayout.readDaily(spark, dir))
+    val direct = daily(CmStoreLayout.cellsByDayOf(docsToks(1), 11L)
+      .select(col("di"), col("i"), col("bucket"), col("c")))
+    assert(kept == direct,
+      "kept window must equal the direct CM over the kept day's batches")
+    // the carried ledger keeps the expired-window replay a no-op —
+    // dropped counts stay dropped
+    assert(!CmStoreLayout.foldDaily(spark, dir, "day10-even",
+      docsToks(0), di = 10L),
+      "expired-window replay must stay a ledger no-op")
+    assert(daily(CmStoreLayout.readDaily(spark, dir)) == kept,
+      "expired-window replay resurrected dropped counts")
   }
 
   test("timing store: ledgered folds converge; the shared quantile " +
