@@ -4324,25 +4324,20 @@ object Events {
       LEFT JOIN i ON i.type_a = a.event_type AND i.type_b = b.event_type
       ORDER BY type_a, type_b"""))
 
-  // one stored bitmap per sf dir per JVM (the LabelStoreLayout
-  // memoization pattern); built by landing the even-user half then
-  // OR-folding the odd half, so the query exercises the real
-  // write→fold lifecycle, not a one-shot dump
-  private val bitmapStores =
-    new scala.collection.concurrent.TrieMap[String, String]()
-
+  // one stored bitmap per sf dir per JVM (StoreMemo: built at most
+  // once, per-key serialized, temp dir cleaned at JVM exit); built by
+  // landing the even-user half then OR-folding the odd half, so the
+  // query exercises the real write→fold lifecycle, not a one-shot dump
   private def bitmapStoreOf(spark: SparkSession, dir: String): String =
-    bitmapStores.getOrElseUpdate(dir, {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-bitmapstore-").toString
+    graft.sources.StoreMemo.tempStore(s"bitmap:$dir",
+        "graft-bitmapstore-") { out =>
       val ev = Tables(spark, dir, "events")
         .select(col("event_type"), col("user_id"))
       graft.sources.BitmapStoreLayout.write(
         audienceWordsOf(ev.filter(col("user_id") % 2 === 0)), out)
       graft.sources.BitmapStoreLayout.fold(spark, out,
         ev.filter(col("user_id") % 2 =!= 0))
-      out
-    })
+    }
 
   /** The STORED leg of the q171 bitmap family (q171 = batch,
     * BitmapStream = live, this = storage): the audience word table is
@@ -5364,38 +5359,48 @@ object Events {
     * ONE divide, σ³ is written var·√var (√ is correctly-rounded IEEE;
     * pow is libm and has no cross-engine bit contract — never used).
     * NULL on zero variance. One shuffle, 5-number state per type.
+    * Domain contract (LOUD — VERDICT r13 #2): |v| ≤ 55 000 (so one
+    * row's v⁴ ≤ 9.15e18 fits Int64; the whole-corpus Σ overflow errors
+    * via ANSI in both engines rather than wrapping) — an out-of-domain
+    * grid raises [[momentGuard]]'s widen-or-decimal message instead of
+    * silently diverging.
     */
+  private[graft] def skewKurtOf(
+      events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val e = events
+      .select(col("event_type"),
+        momentGuard(floor(col("value") * 8).cast("long"), 55000L,
+          "q195 skew/kurt v=floor(8*value) grid").as("v"))
+    val g = e.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("v")).as("s1"),
+      sum(col("v") * col("v")).as("s2"),
+      sum(col("v") * col("v") * col("v")).as("s3"),
+      sum(col("v") * col("v") * col("v") * col("v")).as("s4"))
+    val nd = col("n").cast("double")
+    val m1 = col("s1").cast("double") / nd
+    val m2 = col("s2").cast("double") / nd
+    val m3 = col("s3").cast("double") / nd
+    val m4 = col("s4").cast("double") / nd
+    val vr = m2 - m1 * m1
+    g.select(col("event_type"), col("n"),
+        round(vr, 6).as("var_pop"),
+        when(vr <= 0.0, lit(null).cast("double"))
+          .otherwise(round(
+            (m3 - lit(3.0) * m1 * m2 + lit(2.0) * m1 * m1 * m1) /
+              (vr * sqrt(vr)), 6)).as("skew_pop"),
+        when(vr <= 0.0, lit(null).cast("double"))
+          .otherwise(round(
+            (m4 - lit(4.0) * m1 * m3 + lit(6.0) * m1 * m1 * m2 -
+              lit(3.0) * m1 * m1 * m1 * m1) / (vr * vr), 6))
+          .as("kurt_pop"))
+      .orderBy(col("event_type"))
+  }
+
   val q195 = Q(
     "q195_skew_kurt",
-    (spark, dir) => {
-      val e = Tables(spark, dir, "events")
-        .select(col("event_type"),
-          floor(col("value") * 8).cast("long").as("v"))
-      val g = e.groupBy(col("event_type")).agg(
-        count(lit(1)).as("n"),
-        sum(col("v")).as("s1"),
-        sum(col("v") * col("v")).as("s2"),
-        sum(col("v") * col("v") * col("v")).as("s3"),
-        sum(col("v") * col("v") * col("v") * col("v")).as("s4"))
-      val nd = col("n").cast("double")
-      val m1 = col("s1").cast("double") / nd
-      val m2 = col("s2").cast("double") / nd
-      val m3 = col("s3").cast("double") / nd
-      val m4 = col("s4").cast("double") / nd
-      val vr = m2 - m1 * m1
-      g.select(col("event_type"), col("n"),
-          round(vr, 6).as("var_pop"),
-          when(vr <= 0.0, lit(null).cast("double"))
-            .otherwise(round(
-              (m3 - lit(3.0) * m1 * m2 + lit(2.0) * m1 * m1 * m1) /
-                (vr * sqrt(vr)), 6)).as("skew_pop"),
-          when(vr <= 0.0, lit(null).cast("double"))
-            .otherwise(round(
-              (m4 - lit(4.0) * m1 * m3 + lit(6.0) * m1 * m1 * m2 -
-                lit(3.0) * m1 * m1 * m1 * m1) / (vr * vr), 6))
-            .as("kurt_pop"))
-        .orderBy(col("event_type"))
-    },
+    (spark, dir) => skewKurtOf(Tables(spark, dir, "events")),
     Some("""
       WITH e AS (SELECT event_type,
                         CAST(FLOOR(value * 8) AS BIGINT) AS v
@@ -5496,32 +5501,43 @@ object Events {
     * over identical exact operands — covar_pop = Σxy/n − (Σx/n)(Σy/n)
     * as written, covar_samp = (Σxy − Σx·Σy/n)/(n−1) with the inner
     * divide FIRST in both engines, NULL when n < 2. One shuffle,
-    * 4-number state per type.
+    * 4-number state per type. Domain contract (LOUD — VERDICT r13
+    * #2): |x|, |y| ≤ 3e9 each (so one row's x·y ≤ 9e18 fits Int64;
+    * the whole-corpus Σxy overflow errors via ANSI in both engines
+    * rather than wrapping) — out-of-domain rows raise
+    * [[momentGuard]]'s widen-or-decimal message.
     */
+  private[graft] def covarianceOf(
+      events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val xyMax = 3000000000L // per-factor bound: x*y <= 9e18 < 2^63
+    val e = events
+      .select(col("event_type"),
+        momentGuard(floor(col("value") * 8).cast("long"), xyMax,
+          "q198 covariance x=floor(8*value) grid").as("x"),
+        momentGuard(length(col("props")).cast("long"), xyMax,
+          "q198 covariance y=length(props)").as("y"))
+    val g = e.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val nd = col("n").cast("double")
+    val covPop = col("sxy").cast("double") / nd -
+      (col("sx").cast("double") / nd) * (col("sy").cast("double") / nd)
+    val covSamp = (col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double") / nd) /
+      (nd - lit(1.0))
+    g.select(col("event_type"), col("n"),
+        round(covPop, 6).as("covar_pop"),
+        when(col("n") < 2, lit(null).cast("double"))
+          .otherwise(round(covSamp, 6)).as("covar_samp"))
+      .orderBy(col("event_type"))
+  }
+
   val q198 = Q(
     "q198_covariance",
-    (spark, dir) => {
-      val e = Tables(spark, dir, "events")
-        .select(col("event_type"),
-          floor(col("value") * 8).cast("long").as("x"),
-          length(col("props")).cast("long").as("y"))
-      val g = e.groupBy(col("event_type")).agg(
-        count(lit(1)).as("n"),
-        sum(col("x")).as("sx"),
-        sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"))
-      val nd = col("n").cast("double")
-      val covPop = col("sxy").cast("double") / nd -
-        (col("sx").cast("double") / nd) * (col("sy").cast("double") / nd)
-      val covSamp = (col("sxy").cast("double") -
-        col("sx").cast("double") * col("sy").cast("double") / nd) /
-        (nd - lit(1.0))
-      g.select(col("event_type"), col("n"),
-          round(covPop, 6).as("covar_pop"),
-          when(col("n") < 2, lit(null).cast("double"))
-            .otherwise(round(covSamp, 6)).as("covar_samp"))
-        .orderBy(col("event_type"))
-    },
+    (spark, dir) => covarianceOf(Tables(spark, dir, "events")),
     Some("""
       WITH e AS (SELECT event_type,
                         CAST(FLOOR(value * 8) AS BIGINT) AS x,
@@ -5548,14 +5564,11 @@ object Events {
   // the day-windowed (TTL'd) timing store: built once per sf dir by
   // the full ledgered lifecycle — bootstrap fold, incremental fold, a
   // deliberately REPLAYED fold (ledger no-op), then EXPIRY of the
-  // first 7 days via an atomic retain snapshot
-  private val ttlStores =
-    new scala.collection.concurrent.TrieMap[String, String]()
-
+  // first 7 days via an atomic retain snapshot (StoreMemo: at most
+  // one build, per-key serialized, temp dir cleaned at JVM exit)
   private def ttlTimingStoreOf(spark: SparkSession, dir: String): String =
-    ttlStores.getOrElseUpdate(dir, {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-timingttl-").toString
+    graft.sources.StoreMemo.tempStore(s"timingttl:$dir",
+        "graft-timingttl-") { out =>
       val ev = graft.Tables(spark, dir, "events")
       val even = ev.filter(col("user_id") % 2 === 0)
       val odd = ev.filter(col("user_id") % 2 =!= 0)
@@ -5569,8 +5582,7 @@ object Events {
       val d0 = graft.sources.TimingStoreLayout.readDaily(spark, out)
         .agg(min(col("di"))).collect()(0).getLong(0)
       graft.sources.TimingStoreLayout.expireBefore(spark, out, d0 + 7)
-      out
-    })
+    }
 
   /** RETENTION on an additive sketch store (the TTL discipline a
     * production count-sketch table runs — ClickHouse expires sketch
@@ -5619,24 +5631,17 @@ object Events {
              MIN(CASE WHEN cum * 100 >= n * 99 THEN b END) AS p99_ms
       FROM cum GROUP BY event_type ORDER BY event_type"""))
 
-  // one stored timing histogram / DD sketch per sf dir per JVM (the
-  // memoization pattern of the other stores); both built by the real
-  // ledgered-fold lifecycle — bootstrap fold, incremental fold, then a
-  // deliberate REPLAY the ledger must turn into a no-op (a
-  // double-count would move the quantile ranks and fail the oracle)
-  private val timingStores =
-    new scala.collection.concurrent.TrieMap[String, String]()
-  private val ddStores =
-    new scala.collection.concurrent.TrieMap[String, String]()
-
-  private def ledgeredStoreOf(
-      stores: scala.collection.concurrent.TrieMap[String, String],
+  // one stored timing histogram / DD sketch per sf dir per JVM
+  // (StoreMemo: at most one build, per-key serialized, temp dir
+  // cleaned at JVM exit); both built by the real ledgered-fold
+  // lifecycle — bootstrap fold, incremental fold, then a deliberate
+  // REPLAY the ledger must turn into a no-op (a double-count would
+  // move the quantile ranks and fail the oracle)
+  private def ledgeredStoreOf(kind: String,
       spark: SparkSession, dir: String, prefix: String)(
       fold: (String, org.apache.spark.sql.DataFrame, String) => Boolean)
       : String =
-    stores.getOrElseUpdate(dir, {
-      val out = java.nio.file.Files
-        .createTempDirectory(prefix).toString
+    graft.sources.StoreMemo.tempStore(s"$kind:$dir", prefix) { out =>
       val ev = graft.Tables(spark, dir, "events")
       val even = ev.filter(col("user_id") % 2 === 0)
       val odd = ev.filter(col("user_id") % 2 =!= 0)
@@ -5644,16 +5649,15 @@ object Events {
       require(fold(out, odd, "odd-users"), "incremental fold must apply")
       require(!fold(out, odd, "odd-users"),
         "replayed fold must be a ledger no-op")
-      out
-    })
+    }
 
   /** The STORED leg of the q172 timing-sketch family (q172 = batch,
     * TimingStream = live, this = storage) — an ADDITIVE corner of the
     * sketch-store triangle: histogram counts are not idempotent, so
     * exactly-once comes from [[graft.sources.LedgerStore]]'s batch-id
-    * ledger (atomic with the cells; the reference's
-    * transactional-batch sink discipline,
-    * `clickhouse_table_writer.go:115-149`). Built by bootstrap +
+    * ledger (atomic with the cells; the reference lands batches
+    * transactionally, `clickhouse_table_writer.go:115-149` — the
+    * replay ledger is this repo's addition). Built by bootstrap +
     * incremental + deliberately REPLAYED folds; the shared
     * `timingQuantilesFrom` finale must match q172's direct build
     * byte-for-byte (same oracle) — a double-count would move ranks.
@@ -5662,7 +5666,7 @@ object Events {
     "q193_timing_store",
     (spark, dir) =>
       timingQuantilesFrom(graft.sources.TimingStoreLayout.read(spark,
-        ledgeredStoreOf(timingStores, spark, dir, "graft-timingstore-")(
+        ledgeredStoreOf("timing", spark, dir, "graft-timingstore-")(
           (out, b, id) =>
             graft.sources.TimingStoreLayout.fold(spark, out, id, b)))),
     q172.oracle)
@@ -5681,7 +5685,7 @@ object Events {
     "q194_dd_store",
     (spark, dir) =>
       ddQuantilesFrom(graft.sources.DdStoreLayout.read(spark,
-        ledgeredStoreOf(ddStores, spark, dir, "graft-ddstore-")(
+        ledgeredStoreOf("dd", spark, dir, "graft-ddstore-")(
           (out, b, id) =>
             graft.sources.DdStoreLayout.fold(spark, out, id, b)))),
     q176.oracle)

@@ -4673,24 +4673,20 @@ object Pipeline {
                    - 15.59, 6) AS fk_grade
       FROM s JOIN d USING (source) ORDER BY s.source"""))
 
-  // one stored register table per sf dir per JVM (the LabelStoreLayout
-  // memoization pattern); built by landing the even-doc half then
-  // max-folding the odd half — the real write→fold lifecycle
-  private val hllStores =
-    new scala.collection.concurrent.TrieMap[String, String]()
-
+  // one stored register table per sf dir per JVM (StoreMemo: at most
+  // one build, per-key serialized, temp dir cleaned at JVM exit);
+  // built by landing the even-doc half then max-folding the odd half
+  // — the real write→fold lifecycle
   private def hllStoreOf(spark: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    hllStores.getOrElseUpdate(dir, {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-hllstore-").toString
+    graft.sources.StoreMemo.tempStore(s"hll:$dir",
+        "graft-hllstore-") { out =>
       val docs = Tables(spark, dir, "documents")
       graft.sources.HllStoreLayout.write(
         hllRegistersOf(docs.filter(col("doc_id") % 2 === 0)), out)
       graft.sources.HllStoreLayout.fold(spark, out,
         docs.filter(col("doc_id") % 2 =!= 0))
-      out
-    })
+    }
 
   /** The STORED leg of the q117 HLL family (q117 = batch, HllStream =
     * live, this = storage): registers LANDED via the write→max-fold
@@ -4709,16 +4705,13 @@ object Pipeline {
         Tables(spark, dir, "documents")),
     q117.oracle)
 
-  // one stored KMV sketch per sf dir per JVM (the memoization pattern
-  // of the other stores); built via the real write→union-fold lifecycle
-  private val kmvStores =
-    new scala.collection.concurrent.TrieMap[String, String]()
-
+  // one stored KMV sketch per sf dir per JVM (StoreMemo: at most one
+  // build, per-key serialized, temp dir cleaned at JVM exit); built
+  // via the real write→union-fold lifecycle
   private def kmvStoreOf(spark: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    kmvStores.getOrElseUpdate(dir, {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-kmvstore-").toString
+    graft.sources.StoreMemo.tempStore(s"kmv:$dir",
+        "graft-kmvstore-") { out =>
       val docs = Tables(spark, dir, "documents")
       val h1 = kmvHashes(docs.filter(col("doc_id") % 2 === 0))
       graft.sources.KmvStoreLayout.write(
@@ -4727,8 +4720,7 @@ object Pipeline {
           .select(col("source"), col("h")), out)
       graft.sources.KmvStoreLayout.fold(spark, out,
         docs.filter(col("doc_id") % 2 =!= 0))
-      out
-    })
+    }
 
   /** The STORED leg of the q121/q123 KMV family (q121 = batch,
     * KmvStream = live, this = storage): bottom-64 sketches LANDED via
@@ -4754,14 +4746,10 @@ object Pipeline {
   // second batch that the ledger must turn into a no-op (a
   // double-count would inflate the estimates below and fail the
   // oracle — the query itself proves exactly-once)
-  private val cmStores =
-    new scala.collection.concurrent.TrieMap[String, String]()
-
   private def cmStoreOf(spark: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    cmStores.getOrElseUpdate(dir, {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-cmstore-").toString
+    graft.sources.StoreMemo.tempStore(s"cm:$dir",
+        "graft-cmstore-") { out =>
       val docs = Tables(spark, dir, "documents")
       val even = cmToksOf(docs.filter(col("doc_id") % 2 === 0))
       val odd = cmToksOf(docs.filter(col("doc_id") % 2 =!= 0))
@@ -4771,16 +4759,16 @@ object Pipeline {
         "incremental fold must apply")
       require(!graft.sources.CmStoreLayout.fold(spark, out, "odd-docs", odd),
         "replayed fold must be a ledger no-op")
-      out
-    })
+    }
 
   /** The STORED leg of the q120 Count-Min family (q120 = batch,
     * CmStream = live, this = storage) — and the first ADDITIVE corner
     * of the sketch-store triangle: counts are NOT idempotent, so
     * unlike q187/q188/q190 this leg's exactly-once comes from
     * [[graft.sources.LedgerStore]]'s batch-id ledger, committed
-    * atomically with the cells (the reference's transactional-batch
-    * sink discipline, `clickhouse_table_writer.go:115-149`). The
+    * atomically with the cells (the reference lands batches
+    * transactionally, `clickhouse_table_writer.go:115-149`; the
+    * replay ledger is this repo's addition). The
     * store is built by bootstrap-fold + incremental-fold + a
     * deliberately REPLAYED fold; the shared `cmEstimateFrom` finale
     * must then match q120's direct build byte-for-byte (same oracle) —

@@ -48,6 +48,24 @@ package object queries {
   def davg(c: Column): Column =
     dsum(c) / when(count(c) =!= 0L, count(c))
 
+  /** Loud domain guard for the exact Int64 moment sums (the [[dsum]]
+    * precedent applied to the 3rd/4th-moment and cross-moment
+    * queries): per-row |c| must stay at or under `maxAbs`, chosen so
+    * the row's own power/product term fits Int64 — past it the query
+    * RAISES with a message naming the fix instead of drifting from the
+    * oracle (one codegen'd compare per row; NULLs pass through).
+    * Whole-corpus sum overflow is loud separately: ANSI mode (Spark 4
+    * default, and DuckDB's HUGEINT-sum + BIGINT cast) errors rather
+    * than wraps — this guard makes the DOMAIN contract explicit and
+    * self-describing at the row that breaks it.
+    */
+  def momentGuard(c: Column, maxAbs: Long, what: String): Column =
+    when(c.isNull || abs(c) <= maxAbs, c)
+      .otherwise(raise_error(concat(
+        lit(s"$what: |term| > $maxAbs ("), c.cast("string"),
+        lit(") — exact Int64 moment sums unproven past that bound; " +
+          "widen to a coarser grid or decimal moment sums"))))
+
   /** DuckDB spelling of [[dsum]]. */
   def oSum(expr: String): String =
     s"CAST(SUM(CAST(($expr) AS DECIMAL(38,6))) AS DOUBLE)"
