@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   * 10× is the empirical signature that the shuffle volume is
   * rows × small-constant; a superlinear one flags an all-pairs leak.
   *
-  * Usage: scripts/run.sh graft.Stress [sfDir] [mult] [stages]
+  * Usage: scripts/run.sh graft.Stress [sfDir] [mult] [stages] [nFolds]
   * where stages is a csv subset of
   * dedup,prep,sim,forensics,r11,edit,spans,labelfold-skew,ledgerfold,
-  * behav,series,audit,sketch (default: all of them).
+  * ledgerfold-length,behav,series,audit,sketch (default: all), and
+  * nFolds sizes the ledgerfold-length stage (default 10000).
   */
 object Stress {
 
@@ -28,8 +29,8 @@ object Stress {
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
     val stages = args.lift(2).map(_.split(",").toSet)
       .getOrElse(Set("dedup", "prep", "sim", "forensics", "r11", "edit",
-        "spans", "labelfold-skew", "ledgerfold", "behav", "series",
-        "stats", "audit", "sketch"))
+        "spans", "labelfold-skew", "ledgerfold", "ledgerfold-length",
+        "behav", "series", "stats", "audit", "sketch"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -512,6 +513,61 @@ object Stress {
       runLedgerFold("1x", base)
       runLedgerFold(s"${mult}x", big)
     }
+
+    // bounded-ledger flatness (r14, VERDICT r13 #1): fold cost must be
+    // INDEPENDENT of how many batches the store has ever absorbed —
+    // the r13 check collected the FULL ledger to the driver on every
+    // fold (O(#applied batches), unbounded in the live stream→store
+    // path); the bounded {watermark, recent-window} state makes it
+    // O(sketch + window). Fold N sequenced tiny batches through the
+    // REAL public fold and compare the mean per-fold cost of an early
+    // decile against the last: flat ≡ ratio ~1 while the applied-batch
+    // count grows ~10× within the run — and the committed LEDGER state
+    // stays O(window) bytes however long the history.
+    def runLedgerLength(n: Int): Unit = {
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createTempDirectory("stress-ledgerlen-").toString
+      // 48-cell jobs: AQE's extra stage materialization and 32-wide
+      // shuffles are pure fixed overhead here and would drown the
+      // signal under scheduling noise; neither interacts with ledger
+      // length (the variable under test). Restored after the stage.
+      val aqe0 = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      val shp0 = spark.conf.get("spark.sql.shuffle.partitions", "32")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val cells = graft.sources.CmStoreLayout
+        .cellsOf(Seq("spark", "stress", "fold").toDF("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      cells.count()
+      val times = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val t0 = System.nanoTime()
+        require(graft.sources.LedgerStore.fold(spark, dir, s"len-$i",
+          cells, Seq("i", "bucket")), s"fold len-$i refused")
+        times(i) = (System.nanoTime() - t0) / 1e9
+        i += 1
+        if (i % 1000 == 0) System.err.println(s"[stress] ledger folds: $i/$n")
+      }
+      cells.unpersist(blocking = false)
+      val d = math.max(1, n / 10)
+      def mean(xs: Array[Double]) = xs.sum / xs.length
+      // skip the first decile: it pays JIT/codegen warmup, not ledger
+      val head = mean(times.slice(d, 2 * d))
+      val tail = mean(times.takeRight(d))
+      val ledgerBytes = java.nio.file.Files.size(java.nio.file.Paths.get(
+        s"$dir/v${graft.sources.LedgerStore.version(dir)}/LEDGER"))
+      graft.streaming.Parts.deleteTree(java.nio.file.Paths.get(dir))
+      spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+      spark.conf.set("spark.sql.shuffle.partitions", shp0)
+      release(spark)
+      println(f"ledgerfold-length n=$n perFold(d2)=${head}%.4fs " +
+        f"perFold(last)=${tail}%.4fs ratio=${tail / head}%.2f " +
+        f"ledgerStateBytes=$ledgerBytes")
+    }
+    if (stages("ledgerfold-length"))
+      runLedgerLength(args.lift(3).map(_.toInt).getOrElse(10000))
 
     // behavioral analytics (q112 family): users replicated with shifted
     // ids — total rows grow Nx while per-user event counts stay FIXED,

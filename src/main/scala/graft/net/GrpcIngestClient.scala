@@ -61,7 +61,7 @@ final class GrpcIngestClient(host: String, port: Int,
     // full-payload copy per message on the hot path
     val buf =
       if (gzip) Unpooled.wrappedBuffer(GrpcWire.frameGzip(payload))
-      else Unpooled.wrappedBuffer(GrpcWire.header(payload.length), payload)
+      else GrpcWire.composeFrame(payload)
     // voidPromise: nothing awaits the write (acks are the protocol's
     // own confirmation), so skip per-frame promise alloc+notify
     stream.writeAndFlush(new DefaultHttp2DataFrame(buf),
@@ -266,10 +266,10 @@ object GrpcIngestClient {
       val stream = bootstrap.open().syncUninterruptibly().getNow
       stream.write(new DefaultHttp2HeadersFrame(
         requestHeaders(authority, "WriteBatch", gzipEncoding = gzipHeader)))
-      val framed = if (gzipFrame) GrpcWire.frameGzip(encode(req))
-        else GrpcWire.frame(encode(req))
-      stream.writeAndFlush(new DefaultHttp2DataFrame(
-        Unpooled.wrappedBuffer(framed), true))
+      val framed = if (gzipFrame)
+        Unpooled.wrappedBuffer(GrpcWire.frameGzip(encode(req)))
+        else GrpcWire.composeFrame(encode(req))
+      stream.writeAndFlush(new DefaultHttp2DataFrame(framed, true))
       if (!done.await(timeoutMs, TimeUnit.MILLISECONDS))
         throw new java.io.IOException("unary WriteBatch timed out")
       if (grpcStatus == GrpcWire.StatusOk) {

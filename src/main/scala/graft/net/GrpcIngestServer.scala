@@ -282,8 +282,8 @@ object GrpcIngestServer {
     private def sendMessageFrames(ch: Channel, payload: Array[Byte]): Unit = {
       // header + payload composite — no full-payload copy (GrpcWire
       // .header scaladoc); voidPromise — nothing awaits the ack write
-      ch.writeAndFlush(new DefaultHttp2DataFrame(Unpooled.wrappedBuffer(
-        GrpcWire.header(payload.length), payload)), ch.voidPromise())
+      ch.writeAndFlush(new DefaultHttp2DataFrame(
+        GrpcWire.composeFrame(payload)), ch.voidPromise())
       ()
     }
 
@@ -418,8 +418,7 @@ object GrpcIngestServer {
       } else {
         ctx.write(new DefaultHttp2HeadersFrame(responseHeaders()))
         val resp = encode(WriteBatchResponse(0L, 0L))
-        ctx.write(new DefaultHttp2DataFrame(Unpooled.wrappedBuffer(
-          GrpcWire.header(resp.length), resp)))
+        ctx.write(new DefaultHttp2DataFrame(GrpcWire.composeFrame(resp)))
         ctx.writeAndFlush(new DefaultHttp2HeadersFrame(
           trailers(GrpcWire.StatusOk), true))
         done = true

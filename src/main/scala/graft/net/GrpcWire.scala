@@ -63,6 +63,18 @@ object GrpcWire {
     h
   }
 
+  /** The zero-copy frame composition every netty send path uses (the
+    * client message, server ack, and unary response writes): the
+    * payload array rides into the HTTP/2 codec WRAPPED as a composite
+    * component — the only per-message allocations are the 5-byte
+    * header and the wrapper nodes, never a payload-sized copy.
+    * GrpcZeroCopySpec pins this (mutating the source array after
+    * composition is visible through the buffer — proof the bytes were
+    * wrapped, not copied).
+    */
+  def composeFrame(payload: Array[Byte]): io.netty.buffer.ByteBuf =
+    io.netty.buffer.Unpooled.wrappedBuffer(header(payload.length), payload)
+
   /** One message → its length-prefixed gRPC frame. */
   def frame(payload: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](5 + payload.length)
