@@ -4717,6 +4717,27 @@ object Events {
       .groupBy(col("event_type"), col("k"), col("lo"))
       .agg(sum(col("c")).as("c"))
 
+  /** The same γ-bucket table keyed additionally by day — the
+    * retention key of the TTL'd stored form
+    * ([[graft.sources.DdStoreLayout]] `foldDaily`/`expireBefore`,
+    * mirroring [[timingHistByDayOf]]): an additive sketch cannot
+    * subtract a batch, so expiry drops whole day-windows of cells.
+    * Cells stay ≤ 643 per type per retained day.
+    */
+  private[graft] def ddBucketsByDayOf(raw: org.apache.spark.sql.DataFrame,
+      bounds: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    raw.select(col("event_type"),
+        expr("ts_ns div 86400000000000").as("di"),
+        greatest(floor(col("value") * 1000), lit(1L)).as("ms"))
+      .groupBy(col("di"), col("event_type"), col("ms"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(bounds),
+        col("ms").cast("double") >= col("lo") &&
+          col("ms").cast("double") < col("hi"))
+      .groupBy(col("di"), col("event_type"), col("k"), col("lo"))
+      .agg(sum(col("c")).as("c"))
+
   /** Row-level γ-bucket assignment — the DD "insert path" the
     * streaming twin uses (Structured Streaming allows ONE aggregation,
     * so the live form cannot pre-collapse to the ms histogram the way

@@ -36,4 +36,35 @@ object DdStoreLayout {
   def read(spark: SparkSession, dir: String): DataFrame =
     LedgerStore.readCells(spark, dir)
       .select(col("event_type"), col("k"), col("lo"), col("c"))
+
+  // ---- day-windowed variant: the TTL'd form of the same store ----
+  // (completing the retention corner across all three additive
+  // stores — timing got it in r13, CM and DD in r14)
+
+  private val DailyKeys = Seq("di", "event_type", "k", "lo")
+
+  /** A batch's γ-bucket table keyed additionally by event day — the
+    * retention key; ≤ 643 cells per type per retained day.
+    */
+  def cellsByDayOf(spark: SparkSession, raw: DataFrame): DataFrame =
+    graft.queries.Events.ddBucketsByDayOf(raw,
+      graft.queries.Events.ddBounds(spark))
+
+  /** Exactly-once fold of an event batch into the daily store. */
+  def foldDaily(spark: SparkSession, dir: String, batchId: String,
+      raw: DataFrame): Boolean =
+    LedgerStore.fold(spark, dir, batchId, cellsByDayOf(spark, raw),
+      DailyKeys)
+
+  /** Drop every cell of days before `cutoffDi` (atomic snapshot; the
+    * carried ledger keeps expired-window replays no-ops).
+    */
+  def expireBefore(spark: SparkSession, dir: String,
+      cutoffDi: Long): Unit =
+    LedgerStore.retain(spark, dir, col("di") >= cutoffDi)
+
+  /** The daily cells, as (di, event_type, k, lo, c). */
+  def readDaily(spark: SparkSession, dir: String): DataFrame =
+    LedgerStore.readCells(spark, dir)
+      .select(col("di"), col("event_type"), col("k"), col("lo"), col("c"))
 }

@@ -220,6 +220,29 @@ class LedgerStoreSpec extends SparkSpec {
       "quantiles over the store diverge from batch q172")
   }
 
+  test("DD daily store: expiry drops whole day-slices, the kept window " +
+      "equals the direct day-keyed sketch over kept days, and an " +
+      "expired-window replay cannot resurrect dropped counts") {
+    val ev = graft.Tables(spark, sf, "events")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ddttl-spec-").toString
+    assert(DdStoreLayout.foldDaily(spark, dir, "all-events", ev))
+    def daily(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))
+        -> (r.getDouble(3), r.getLong(4))).toMap
+    val before = daily(DdStoreLayout.readDaily(spark, dir))
+    val d0 = before.keys.map(_._1).min
+    assert(before.keys.map(_._1).max > d0, "fixture must span days")
+    DdStoreLayout.expireBefore(spark, dir, d0 + 1)
+    val kept = daily(DdStoreLayout.readDaily(spark, dir))
+    assert(kept == before.filter { case ((di, _, _), _) => di > d0 },
+      "retain kept the wrong DD day-cells")
+    assert(!DdStoreLayout.foldDaily(spark, dir, "all-events", ev),
+      "expired-window replay must stay a ledger no-op")
+    assert(daily(DdStoreLayout.readDaily(spark, dir)) == kept,
+      "expired-window replay resurrected dropped counts")
+  }
+
   test("DD store: ledgered folds converge; the shared quantile finale " +
       "over the store equals batch q176") {
     val ev = graft.Tables(spark, sf, "events")
