@@ -180,26 +180,48 @@ object Bench {
     // of wall clock. Returns (seconds, external cores measured over the
     // same window) — the per-query co-tenancy evidence VERDICT r11 #1
     // asks the record to carry, self-load subtracted exactly.
+    // Sub-second ext windows ALIAS the idle host hum: at USER_HZ=100 a
+    // 0.4 s window is ~40 jiffies, so one 60 ms daemon tick reads as
+    // 0.15 external cores and two read as 0.3 — the r14 captures'
+    // only tainted slots were sub-second queries stamped 0.26-0.30 on
+    // a box whose measured idle hum is 0.13 cores AVERAGE. So short
+    // queries repeat back-to-back inside ONE measured window until it
+    // spans >= 1.5 s (at most 4 extra runs): the kept seconds stay the
+    // per-run minimum (the established minima rule — retry passes
+    // already min-merge), and the ext stamp certifies a window long
+    // enough for the hum to average instead of alias. Cleanup runs
+    // BETWEEN repeats too: a query's own persisted blocks must not
+    // make its repeat read warm (that would under-time the kept min).
     def runOne(q: graft.queries.Q, recordFailure: Boolean)
         : (Double, Double, Boolean) = {
       var ok = true
       val j0 = cpuJiffies()
-      val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          ok = false
-          if (recordFailure) failed ::= q.name
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      val burst0 = System.nanoTime()
+      var best = Double.MaxValue
+      var extraRuns = 0
+      var continue = true
+      while (continue) {
+        val t0 = System.nanoTime()
+        try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch {
+          case e: Throwable =>
+            ok = false
+            if (recordFailure) failed ::= q.name
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        graft.pipeline.Similarity.releaseResult()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        val burstSec = (System.nanoTime() - burst0) / 1e9
+        continue = ok && burstSec < 1.5 && extraRuns < 4
+        if (continue) extraRuns += 1
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      val ext = extCores(j0, cpuJiffies(), sec)
-      graft.pipeline.Similarity.releaseResult()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      sinceGc += sec
+      val burstSec = (System.nanoTime() - burst0) / 1e9
+      val ext = extCores(j0, cpuJiffies(), burstSec)
+      sinceGc += burstSec
       if (sinceGc > 15.0) { System.gc(); sinceGc = 0.0 }
-      (sec, ext, ok)
+      (best, ext, ok)
     }
     // Store-backed queries: the FIRST call pays the one-time memoized
     // store build (write→fold over the whole fixture); steady state is
