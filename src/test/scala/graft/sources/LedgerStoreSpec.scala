@@ -122,6 +122,62 @@ class LedgerStoreSpec extends SparkSpec {
       "past-window non-numeric id re-applies (window-scoped protection)")
   }
 
+  test("a crash mid-fold (snapshot dir written, CURRENT not swapped) " +
+      "leaves readers at the old version and the next fold reclaims " +
+      "the orphan dir") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("cmstore-spec-").toString
+    CmStoreLayout.fold(spark, dir, "b0", Seq("spark").toDF("w"))
+    val committed = cmMap(CmStoreLayout.read(spark, dir))
+    // simulate the crash window: the next version's directory exists
+    // (cells+LEDGER written) but CURRENT was never swapped
+    val orphan = java.nio.file.Paths.get(s"$dir/v1")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("LEDGER"),
+      "hw:-\nGARBAGE".getBytes)
+    java.nio.file.Files.write(orphan.resolve("cells"),
+      Array[Byte](1, 2, 3))
+    // readers resolve CURRENT: the orphan is invisible
+    assert(LedgerStore.version(dir) == 0L,
+      "an unswapped snapshot must not be visible")
+    assert(cmMap(CmStoreLayout.read(spark, dir)) == committed)
+    assert(LedgerStore.recentBatches(dir) == Seq("b0"),
+      "ledger state must come from the committed snapshot")
+    // the crashed batch was never applied — its replay re-folds, and
+    // the fold overwrites the orphan v1 cleanly
+    assert(CmStoreLayout.fold(spark, dir, "b1", Seq("merge").toDF("w")),
+      "the next fold must succeed over a crash-orphaned version dir")
+    assert(LedgerStore.version(dir) == 1L)
+    assert(LedgerStore.recentBatches(dir) == Seq("b0", "b1"))
+    val direct = cmMap(CmStoreLayout.cellsOf(
+      Seq("spark", "merge").toDF("w")))
+    assert(cmMap(CmStoreLayout.read(spark, dir)) == direct,
+      "recovered store diverged from the direct build")
+  }
+
+  test("StoreMemo builds a key AT MOST ONCE under concurrent callers " +
+      "(the TrieMap.getOrElseUpdate race the r13 advice flagged)") {
+    val built = new java.util.concurrent.atomic.AtomicInteger(0)
+    val key = s"spec-race-${System.nanoTime()}"
+    val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val threads = (1 to 8).map { _ =>
+      val t = new Thread(() => {
+        val d = StoreMemo.tempStore(key, "storememo-spec-") { _ =>
+          built.incrementAndGet()
+          Thread.sleep(50) // widen the race window
+        }
+        dirs.add(d)
+        ()
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    assert(built.get() == 1,
+      s"builder ran ${built.get()} times for one key")
+    assert(dirs.size() == 1, "every caller must see the same store dir")
+  }
+
   test("a second concurrent writer fails loudly instead of racing the " +
       "CURRENT swap (advisory lock held for the whole fold span)") {
     import spark.implicits._
