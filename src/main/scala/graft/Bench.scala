@@ -656,11 +656,15 @@ object Bench {
       else s""","ext_top":{${extTop.map { case (n, (_, x)) =>
         "\"" + n.takeWhile(_ != '_').stripPrefix("q") + "\":" + f2(x)
       }.mkString(",")}}"""
+    // ext_win: the sub-second burst-window floor (seconds) — stamps
+    // the r14 method change into the artifact so cross-round totals
+    // are comparable knowingly (pre-r14 records have no key: their
+    // sub-second keeps are single-run)
     val loadJson =
       (if (loadAtStart >= 0) s""","load1":${f2(loadAtStart)}""" else "") +
         (if (extMax >= 0) s""","ext_max":${f2(extMax)}""" else "") +
         extTopJson +
-        s""","reps":$reps"""
+        s""","ext_win":1.5,"reps":$reps"""
     val line = BenchRecord.choose(
       results, fs, total,
       // store_build1 rides in fixed (never dropped by the ladder): it
