@@ -44,11 +44,15 @@ import scala.jdk.CollectionConverters._
   *   - ids carrying a NUMERIC TAIL (`cm-micro-42`, `b7`, `42`) form
   *     the store's monotonic sequence — exactly what Structured
   *     Streaming's micro-batch ids are. The high-watermark is the
-  *     largest applied sequence number; an id at or below it is
-  *     refused as a replay without any lookup. This is the dedup-
-  *     window argument: replays only ever arrive from the recent past
-  *     (a restarted stream re-delivers its last micro-batch), and the
-  *     single-writer lock means one id sequence per store.
+  *     largest applied sequence number; an id at or below it that is
+  *     ALSO in the recent window is refused as a replay, and one that
+  *     is NOT in the window raises [[WatermarkRefusal]] — at that
+  *     depth a replay is indistinguishable from an id-sequence reset
+  *     that would silently lose data, so the refusal is loud (ADVICE
+  *     r14 #1). This is the dedup-window argument: replays only ever
+  *     arrive from the recent past (a restarted stream re-delivers its
+  *     last micro-batch), and the single-writer lock means one id
+  *     sequence per store.
   *   - the last [[DefaultWindow]] applied ids (any shape) ride along
   *     verbatim, covering non-sequential manual ids ("even-users")
   *     within the window. A store folding MORE than the window of
@@ -60,8 +64,9 @@ import scala.jdk.CollectionConverters._
   * batches the store ever absorbed (the Stress `ledgerfold-length`
   * stage measures this flat at 10k+ applied ids), and [[retain]]'s
   * no-resurrection guarantee still holds: an expired-window batch id
-  * is at or below the watermark (or inside the recent window), so its
-  * replay stays a no-op rather than resurrecting dropped counts.
+  * is inside the recent window (replay no-op) or at/below the
+  * watermark (loud [[WatermarkRefusal]]) — either way it can never
+  * resurrect dropped counts.
   *
   * Durability: `commit` fsyncs CURRENT.tmp before the atomic move and
   * fsyncs the store directory after it, so the rename itself survives
@@ -89,15 +94,56 @@ object LedgerStore {
     */
   private[graft] val DefaultWindow = 4096
 
+  /** Three-way ledger verdict for an arriving batch id. */
+  private[graft] sealed trait Check
+  /** Never seen: apply it. */
+  private[graft] case object Fresh extends Check
+  /** In the recent-id window: a genuine redelivery — skip silently. */
+  private[graft] case object ReplayInWindow extends Check
+  /** Sequence number at or below the watermark but NOT in the recent
+    * window. At that depth a replay is indistinguishable from an
+    * id-sequence reset that would silently lose data (a stream
+    * restarted on a fresh checkpoint re-issuing micro-batch 0 against
+    * an existing store; a manual id whose incidental numeric tail
+    * regressed, like `backfill-2023` after `backfill-2024` or a
+    * date-suffixed id across a month rollover) — so [[fold]] raises
+    * [[WatermarkRefusal]] instead of returning a false that reads
+    * like a healthy no-op (ADVICE r14 #1).
+    */
+  private[graft] case object BelowWatermark extends Check
+
+  /** Raised for a [[BelowWatermark]] arrival — loud, never a silent
+    * drop. If this really is a replay deeper than the window, skipping
+    * the batch loses nothing (its counts are already in the store):
+    * catch this exception to skip intentionally. If ids reset (fresh
+    * checkpoint, regressed numeric tail), the refusal just saved the
+    * batch from vanishing — use non-numeric-tailed ids for unordered
+    * manual folds, or a fresh store directory for a re-seeded stream.
+    */
+  final class WatermarkRefusal(dir: String, id: String, seq: Long, hw: Long)
+      extends IllegalStateException(
+        s"ledger store at $dir refused batch id '$id': its sequence " +
+          s"number $seq is at or below the applied high-watermark $hw " +
+          "but the id is not in the recent-id window. A replay this " +
+          "deep is indistinguishable from an id-sequence reset (fresh " +
+          "stream checkpoint, regressed numeric tail like " +
+          "'backfill-2023' after 'backfill-2024') that would silently " +
+          "lose the batch. If it IS a deep replay, skipping it loses " +
+          "nothing — catch this exception to skip intentionally; " +
+          "otherwise use non-numeric-tailed ids for unordered manual " +
+          "folds or a fresh store for a re-seeded sequence.")
+
   /** The bounded ledger check state: `hw` is the largest applied
     * numeric-tailed sequence, `recent` the last applied ids in apply
     * order (bounded by the fold's window).
     */
   private[graft] final case class LedgerState(
       hw: Option[Long], recent: Vector[String]) {
-    def isApplied(id: String): Boolean =
-      recent.contains(id) ||
-        seqOf(id).exists(s => hw.exists(s <= _))
+    def check(id: String): Check =
+      if (recent.contains(id)) ReplayInWindow
+      else if (seqOf(id).exists(s => hw.exists(s <= _))) BelowWatermark
+      else Fresh
+    def isApplied(id: String): Boolean = check(id) != Fresh
     def add(id: String, window: Int): LedgerState =
       LedgerState(
         (hw.toSeq ++ seqOf(id)).reduceOption(_ max _),
@@ -106,7 +152,12 @@ object LedgerStore {
 
   /** An id's sequence number: its trailing digit run, when it has one
     * that fits a Long (`cm-micro-42` → 42, `b7` → 7, `42` → 42,
-    * `even-users` → none).
+    * `even-users` → none). Contract note (VERDICT r14 #6): ANY
+    * trailing digit run is a sequence number — a manual id like
+    * `backfill-2024` inherits watermark semantics it may not mean, and
+    * a later `backfill-2023` is then refused (loudly, via
+    * [[WatermarkRefusal]]). Manual ids meant as unordered should not
+    * end in digits they don't intend as sequence numbers.
     */
   private[graft] def seqOf(id: String): Option[Long] = {
     val i = id.lastIndexWhere(!_.isDigit) + 1
@@ -129,12 +180,53 @@ object LedgerStore {
   }
 
   /** The committed bounded ledger state (empty for a never-committed
-    * store). O(window) — never a Spark job, never O(#batches).
+    * store). O(window) — never a Spark job, never O(#batches). A store
+    * committed by pre-bounded code (its snapshot has a `ledger`
+    * parquet DIRECTORY instead of the LEDGER text file) raises a named
+    * error here — the spark-powered paths ([[fold]]/[[retain]])
+    * migrate it instead (ADVICE r14 #2).
     */
   private[graft] def ledgerState(dir: String): LedgerState = {
     val v = version(dir)
     if (v < 0) LedgerState(None, Vector.empty)
-    else readLedgerFile(Paths.get(s"$dir/v$v/LEDGER"))
+    else {
+      val file = Paths.get(s"$dir/v$v/LEDGER")
+      if (!Files.exists(file) && Files.isDirectory(legacyDir(dir, v)))
+        throw new IllegalStateException(
+          s"legacy ledger layout at $dir/v$v: this snapshot was " +
+            "committed by pre-bounded code (applied ids in a 'ledger' " +
+            "parquet directory). The next fold/retain migrates it to " +
+            "the bounded LEDGER state automatically; this spark-free " +
+            "reader cannot.")
+      else readLedgerFile(file)
+    }
+  }
+
+  private def legacyDir(dir: String, v: Long): Path =
+    Paths.get(s"$dir/v$v/ledger")
+
+  /** [[ledgerState]] for the writer paths: detects the pre-bounded
+    * layout and migrates it — hw/recent seeded from the legacy
+    * parquet's full id set, a one-time O(#applied batches) read (the
+    * cost every fold used to pay). The legacy set is unordered
+    * (`distinct` wrote it), so the seeded window is an arbitrary
+    * `window`-subset when the history exceeds it; the watermark is
+    * order-independent and exact.
+    */
+  private def ledgerStateOrMigrate(spark: SparkSession, dir: String,
+      window: Int): LedgerState = {
+    val v = version(dir)
+    if (v < 0) LedgerState(None, Vector.empty)
+    else {
+      val file = Paths.get(s"$dir/v$v/LEDGER")
+      val legacy = legacyDir(dir, v)
+      if (!Files.exists(file) && Files.isDirectory(legacy)) {
+        val ids = spark.read.parquet(legacy.toString)
+          .collect().map(_.getString(0)).toVector
+        ids.foldLeft(LedgerState(None, Vector.empty))(
+          (s, id) => s.add(id, window))
+      } else readLedgerFile(file)
+    }
   }
 
   /** The recent applied batch ids (apply order, window-bounded). */
@@ -144,11 +236,12 @@ object LedgerStore {
   def highWatermark(dir: String): Option[Long] = ledgerState(dir).hw
 
   /** Add a batch's cell table (`keyCols` + a `c` count column) into
-    * the store, exactly once: an already-applied `batchId` — in the
-    * recent window, or numeric-tailed at/below the watermark — is a
-    * no-op (returns false). Otherwise cells merge by cell-wise count
-    * addition and the new snapshot (cells + ledger state including
-    * `batchId`) commits atomically; returns true.
+    * the store, exactly once: a `batchId` in the recent window is a
+    * replay no-op (returns false); a numeric-tailed id at/below the
+    * watermark but NOT in the window raises [[WatermarkRefusal]]
+    * (loud — see the class scaladoc). Otherwise cells merge by
+    * cell-wise count addition and the new snapshot (cells + ledger
+    * state including `batchId`) commits atomically; returns true.
     */
   def fold(spark: SparkSession, dir: String, batchId: String,
       batch: DataFrame, keyCols: Seq[String]): Boolean =
@@ -166,12 +259,16 @@ object LedgerStore {
       // the ledger check lives INSIDE the writer lock: two concurrent
       // folds of the same id must serialize into apply-then-no-op,
       // never both-pass-the-check-then-double-apply
-      val st = ledgerState(dir)
-      if (st.isApplied(batchId)) false
-      else {
-        applyLocked(spark, dir, batch, keyCols,
-          newLedger = Some(st.add(batchId, window)))
-        true
+      val st = ledgerStateOrMigrate(spark, dir, window)
+      st.check(batchId) match {
+        case ReplayInWindow => false
+        case BelowWatermark =>
+          throw new WatermarkRefusal(dir, batchId,
+            seqOf(batchId).get, st.hw.get)
+        case Fresh =>
+          applyLocked(spark, dir, batch, keyCols,
+            newLedger = Some(st.add(batchId, window)))
+          true
       }
     }
 
@@ -194,7 +291,7 @@ object LedgerStore {
     cells.coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/v$vNew/cells")
     writeLedgerFile(Paths.get(s"$dir/v$vNew/LEDGER"),
-      readLedgerFile(Paths.get(s"$dir/v$v/LEDGER")))
+      ledgerStateOrMigrate(spark, dir, DefaultWindow))
     commit(dir, vNew)
     gc(dir, keepFrom = vNew - 1)
   }
@@ -247,8 +344,7 @@ object LedgerStore {
       else spark.read.parquet(s"$dir/v$v/cells").unionByName(summed)
         .groupBy(keys: _*).agg(sum(col("c")).as("c"))
     val ledger = newLedger.getOrElse(
-      if (v < 0) LedgerState(None, Vector.empty)
-      else readLedgerFile(Paths.get(s"$dir/v$v/LEDGER")))
+      ledgerStateOrMigrate(spark, dir, DefaultWindow))
     val vNew = v + 1
     // sketch-geometry-bounded tables: one file each is the right shape
     merged.orderBy(keys: _*).coalesce(1)
@@ -302,12 +398,16 @@ object LedgerStore {
     } finally ch.close()
     Files.move(tmp, Paths.get(dir, "CURRENT"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // fsync the directory so the rename reaches the journal
-    val dch = java.nio.channels.FileChannel.open(Paths.get(dir),
-      StandardOpenOption.READ)
-    try dch.force(true)
-    catch { case _: java.io.IOException => () } // fs without dir-fsync
-    finally dch.close()
+    // fsync the directory so the rename reaches the journal. The OPEN
+    // sits inside the catch too (ADVICE r14 #3): on filesystems where
+    // a directory cannot be opened as a channel (Windows raises
+    // AccessDeniedException) the commit has already succeeded at the
+    // ATOMIC_MOVE above — an open failure must not report it failed.
+    try {
+      val dch = java.nio.channels.FileChannel.open(Paths.get(dir),
+        StandardOpenOption.READ)
+      try dch.force(true) finally dch.close()
+    } catch { case _: java.io.IOException => () } // fs without dir-fsync
   }
 
   /** Drop snapshots older than `keepFrom` (the previous version stays

@@ -13,6 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class LedgerStateSpec extends AnyFunSuite {
 
   import LedgerStore.{LedgerState, seqOf}
+  import LedgerStore.{Fresh, ReplayInWindow, BelowWatermark}
 
   private val empty = LedgerState(None, Vector.empty)
 
@@ -68,6 +69,31 @@ class LedgerStateSpec extends AnyFunSuite {
       ids.takeRight(window).forall(st.isApplied) &&
         st.recent.size <= window
     })
+  }
+
+  test("three-way check: in-window ids classify ReplayInWindow, " +
+      "aged-out or never-applied below-watermark numeric ids classify " +
+      "BelowWatermark (the LOUD arm), above-watermark ids Fresh") {
+    check("three-way", Prop.forAll(numericIds,
+        Gen.choose(1, 8)) { (ids, window) =>
+      val st = ids.foldLeft(empty)((s, id) => s.add(id, window))
+      val inWindow = st.recent
+      val agedOut = ids.filterNot(inWindow.contains)
+      val prefix = ids.head.takeWhile(!_.isDigit)
+      val hw = st.hw.get
+      inWindow.forall(st.check(_) == ReplayInWindow) &&
+        agedOut.forall(st.check(_) == BelowWatermark) &&
+        st.check(s"$prefix${hw + 1}") == Fresh
+    })
+    // the reset case pinned directly: a sequence that restarts at 0
+    // against a watermark classifies BelowWatermark, never Fresh
+    val st = (10 to 15).foldLeft(empty)((s, i) => s.add(s"b$i", 4))
+    assert(st.check("b0") == BelowWatermark)
+    assert(st.check("b10") == BelowWatermark, "aged-out genuine replay")
+    assert(st.check("b15") == ReplayInWindow)
+    assert(st.check("b16") == Fresh)
+    assert(st.check("manual-id") == Fresh,
+      "non-numeric ids never hit the watermark arm")
   }
 
   test("mixed ids: the watermark is the max numeric tail ever " +

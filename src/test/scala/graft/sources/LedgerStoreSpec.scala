@@ -84,9 +84,9 @@ class LedgerStoreSpec extends SparkSpec {
       "numeric-tailed ids must advance the watermark")
   }
 
-  test("the ledger check is BOUNDED: a below-watermark numeric id is " +
-      "refused WITHOUT being in the recent window, the window trims to " +
-      "its bound, and fold state never grows with applied-batch count") {
+  test("the ledger check is BOUNDED: a below-watermark numeric id " +
+      "outside the recent window is refused LOUDLY, the window trims " +
+      "to its bound, and fold state never grows with applied-batch count") {
     import spark.implicits._
     val dir = java.nio.file.Files
       .createTempDirectory("cmstore-spec-").toString
@@ -98,16 +98,25 @@ class LedgerStoreSpec extends SparkSpec {
     assert(LedgerStore.recentBatches(dir) == Seq("m-2", "m-3"),
       "recent window must trim to its bound")
     assert(LedgerStore.highWatermark(dir) == Some(3L))
-    // m-1 fell out of the window, yet its replay is STILL refused:
-    // seq 1 <= watermark 3 (the dedup-window argument — the check is
-    // O(window), never O(#applied batches))
-    assert(!fold("m-1"), "below-watermark replay must be refused")
-    // a NEVER-applied below-watermark id is refused too: that is the
-    // dedup-window contract — sequenced ids must arrive monotonically
-    // (micro-batch ids do; the single-writer lock means one sequence)
-    assert(!LedgerStore.foldWindowed(spark, dir, "m-0",
-      CmStoreLayout.cellsOf(one), Seq("i", "bucket"), window = 2),
-      "below-watermark ids are refused as replays by contract")
+    // an IN-WINDOW replay is the plausible redelivery: silent no-op
+    assert(!fold("m-3"), "in-window replay must be a silent no-op")
+    // m-1 fell out of the window: seq 1 <= watermark 3, but at that
+    // depth a replay is indistinguishable from an id-sequence reset
+    // that would silently lose data — the refusal is LOUD (ADVICE r14
+    // #1: a silent false here reads exactly like a healthy no-op).
+    // The check stays O(window), never O(#applied batches).
+    val deep = intercept[LedgerStore.WatermarkRefusal] { fold("m-1") }
+    assert(deep.getMessage.contains("high-watermark 3"))
+    // a NEVER-applied below-watermark id — the date-rollover /
+    // reset-to-zero data-loss case the r14 advice flagged — raises too
+    val reset = intercept[LedgerStore.WatermarkRefusal] {
+      LedgerStore.foldWindowed(spark, dir, "m-0",
+        CmStoreLayout.cellsOf(one), Seq("i", "bucket"), window = 2)
+    }
+    assert(reset.getMessage.contains("'m-0'"))
+    // neither refusal moved the store
+    assert(LedgerStore.version(dir) == 2L,
+      "a watermark refusal must not commit anything")
     assert(fold("m-4"), "above-watermark ids must apply")
     // non-numeric ids are protected by the window ALONE: past the
     // window they lose replay protection (the documented trade — use
@@ -120,6 +129,51 @@ class LedgerStoreSpec extends SparkSpec {
     assert(!fold2("gamma"), "in-window non-numeric replay refused")
     assert(fold2("alpha"),
       "past-window non-numeric id re-applies (window-scoped protection)")
+  }
+
+  test("a pre-bounded legacy snapshot (v<N>/ledger parquet dir) is " +
+      "detected by name in the spark-free reader and MIGRATED by the " +
+      "next fold — watermark exact, replay protection carried over") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("cmstore-legacy-").toString
+    // hand-build the r13-era layout: cells + a batch_id parquet dir +
+    // CURRENT, exactly what pre-bounded code committed
+    val one = Seq("spark").toDF("w")
+    CmStoreLayout.cellsOf(one).orderBy(col("i"), col("bucket")).coalesce(1)
+      .write.parquet(s"$dir/v0/cells")
+    Seq("m-1", "m-2", "alpha").toDF("batch_id").coalesce(1)
+      .write.parquet(s"$dir/v0/ledger")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "CURRENT"),
+      "0".getBytes)
+    // the spark-free reader raises the NAMED error, not a bare
+    // NoSuchFileException (ADVICE r14 #2)
+    val e = intercept[IllegalStateException] {
+      LedgerStore.recentBatches(dir)
+    }
+    assert(e.getMessage.contains("legacy ledger layout"))
+    // reads of the cells are unaffected
+    val before = cmMap(CmStoreLayout.read(spark, dir))
+    // the next fold migrates: legacy ids seed hw + window, the new
+    // batch applies, and the committed snapshot is the bounded format
+    assert(CmStoreLayout.fold(spark, dir, "m-3", Seq("merge").toDF("w")))
+    assert(LedgerStore.version(dir) == 1L)
+    assert(LedgerStore.highWatermark(dir) == Some(3L),
+      "migration must seed the watermark from the legacy ids")
+    assert(LedgerStore.recentBatches(dir).contains("alpha"),
+      "migration must carry legacy ids into the recent window")
+    // replay protection survived the migration, both arms
+    assert(!CmStoreLayout.fold(spark, dir, "alpha", Seq("merge").toDF("w")),
+      "migrated non-numeric id must stay a replay no-op")
+    intercept[LedgerStore.WatermarkRefusal] {
+      LedgerStore.foldWindowed(spark, dir, "m-0",
+        CmStoreLayout.cellsOf(one), Seq("i", "bucket"), window = 2)
+    }
+    val after = cmMap(CmStoreLayout.read(spark, dir))
+    val direct = cmMap(CmStoreLayout.cellsOf(
+      Seq("spark", "merge").toDF("w")))
+    assert(after == direct && after != before,
+      "migrated store diverged from the direct build")
   }
 
   test("a crash mid-fold (snapshot dir written, CURRENT not swapped) " +
