@@ -79,6 +79,55 @@ object ChCatalog {
     try fromJdbc(conn, table, exclude) finally conn.close()
   }
 
+  /** Dialect-dispatched introspection (VERDICT r14 #4): a dialect
+    * carrying a [[SqlDialect.columnsQuery]] (ClickHouse — the
+    * reference's `system.columns` SELECT verbatim) introspects through
+    * [[fromColumnsQuery]]; every other engine through the JDBC
+    * `DatabaseMetaData` path. `database` feeds the query's first
+    * parameter and is ignored on the metadata path (where the JDBC
+    * catalog/schema filters stay null, as [[fromJdbc]] always has).
+    */
+  def fromJdbc(conn: java.sql.Connection, database: String, table: String,
+      dialect: SqlDialect, exclude: Set[String]): Seq[ChColumn] =
+    dialect.columnsQuery match {
+      case Some(sql) => fromColumnsQuery(conn, sql, database, table, exclude)
+      case None => fromJdbc(conn, table, exclude)
+    }
+
+  /** The `system.columns`-shaped catalog path: run `sql` with
+    * `(database, table)` parameters; each row is `(name, position,
+    * type, default_expression)` where `type` is the ENGINE's own type
+    * string (ClickHouse rendering), kept verbatim —
+    * [[graft.types.ChType.parse]] consumes it downstream exactly as it
+    * consumes config-declared types, so no JDBC-type mapping happens
+    * on this arm. Sink-infrastructure columns are excluded and
+    * positions renumbered like [[fromParquet]]. The row-mapping is
+    * dialect-independent and ChDialectSpec drives it through Derby
+    * with a Derby-safe spelling of the same query.
+    */
+  def fromColumnsQuery(conn: java.sql.Connection, sql: String,
+      database: String, table: String,
+      exclude: Set[String] = Set("batch_key")): Seq[ChColumn] = {
+    val st = conn.prepareStatement(sql)
+    try {
+      st.setString(1, database)
+      st.setString(2, table)
+      val rs = st.executeQuery()
+      val rows = Iterator.continually(rs)
+        .takeWhile(_.next())
+        .map(r => (r.getInt(2), r.getString(1), r.getString(3),
+          Option(r.getString(4)).getOrElse("")))
+        .toVector
+      rs.close()
+      if (rows.isEmpty)
+        throw BindError(s"catalog has no table '$database.$table'")
+      rows.sortBy(_._1)
+        .filterNot { case (_, n, _, _) => exclude.contains(n) }
+        .zipWithIndex
+        .map { case ((_, n, t, d), i) => ChColumn(n, i + 1, t, d) }
+    } finally st.close()
+  }
+
   def fromJdbc(conn: java.sql.Connection, table: String,
       exclude: Set[String]): Seq[ChColumn] = {
     import java.sql.Types._

@@ -36,23 +36,22 @@ import org.apache.spark.sql.{DataFrame, Row}
   */
 object JdbcSink {
 
-  /** Delimit a column name only when it is not a plain identifier —
-    * the Nested flatten's `tags.key`/`tags.value` names
-    * (`clickhouse_table.go:183-201`) need ANSI double quotes, while
-    * plain names stay unquoted so tables created with undelimited DDL
-    * (case-folded by the engine) keep matching.
+  /** Identifier delimiting and INSERT spelling live on the dialect
+    * seam now (VERDICT r14 #4, [[graft.bind.SqlDialect]]): the ANSI
+    * arm delimits only names that need it, the ClickHouse arm encloses
+    * every column and ends with `;` exactly as the reference's cached
+    * insert query does (`clickhouse_table.go:87-111`). These
+    * delegates keep the historical entry points.
     */
   private def ident(name: String): String =
-    if (name.forall(c => c.isLetterOrDigit || c == '_') &&
-        name.headOption.exists(c => c.isLetter || c == '_')) name
-    else "\"" + name.replace("\"", "\"\"") + "\""
+    graft.bind.AnsiDialect.ident(name)
 
-  /** `INSERT INTO t (c1,…) VALUES (?,…)` — mirror of the reference's
-    * cached insert query (clickhouse_table.go:87-111), built once and
-    * reused for every batch.
+  /** `INSERT INTO t (c1,…) VALUES (?,…)` in the ANSI arm's spelling —
+    * built once and reused for every batch, like the reference's
+    * cached insert query.
     */
   def insertSql(table: String, cols: Seq[String]): String =
-    s"INSERT INTO $table (${cols.map(ident).mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+    graft.bind.AnsiDialect.insertSql(table, cols)
 
   /** The array dialect seam (VERDICT r11 #3; reference parity
     * `clickhouse_table.go:375-377`, `examples/finnhub.sql:6`
@@ -237,7 +236,8 @@ object JdbcSink {
     */
   def writeBatch(pool: Pool, table: String, cols: Seq[String],
       batchKey: String, rows: Iterator[Seq[Any]],
-      keyCol: String = "batch_key", nativeArrays: Boolean = false): Int = {
+      keyCol: String = "batch_key", nativeArrays: Boolean = false,
+      dialect: graft.bind.SqlDialect = graft.bind.AnsiDialect): Int = {
     val conn = pool.get()
     var committed = false
     var n = 0
@@ -246,7 +246,7 @@ object JdbcSink {
       val del = conn.prepareStatement(s"DELETE FROM $table WHERE $keyCol = ?")
       try { del.setString(1, batchKey); del.executeUpdate() } finally del.close()
       val stmt: PreparedStatement =
-        conn.prepareStatement(insertSql(table, keyCol +: cols))
+        conn.prepareStatement(dialect.insertSql(table, keyCol +: cols))
       try {
         rows.foreach { row =>
           stmt.setString(1, batchKey)
@@ -313,10 +313,13 @@ object JdbcSink {
     val cols = out.columns.toSeq
     out.rdd.foreachPartition { (it: Iterator[Row]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
+      // dialect resolved executor-side from the url (a captured
+      // dialect object would ride the task closure)
       val pool = new Pool(url, 1)
       try {
         writeBatch(pool, table, cols, s"$batchId:$pid",
-          it.map(_.toSeq), nativeArrays = native)
+          it.map(_.toSeq), nativeArrays = native,
+          dialect = graft.bind.SqlDialect.forUrl(url))
         ()
       } finally pool.close()
     }

@@ -35,6 +35,39 @@ final case class ChType(
   /** Spark sink type for this column. */
   def spark: DataType =
     if (array) ArrayType(prim.spark, containsNull = nullable) else prim.spark
+
+  /** ClickHouse DDL rendering — the inverse of [[ChType.parse]] at the
+    * ChType level: `parse(render) == this` for every representable
+    * shape (spec-pinned by a generator property). Wrapper order is
+    * canonical `Array(Nullable(LowCardinality(base)))`; parse accepts
+    * either Nullable/LowCardinality nesting order, so a round-trip
+    * through a live `system.columns` string normalizes but never
+    * changes the type. The CH-dialect half of the sink seam
+    * (VERDICT r14 #4).
+    */
+  def render: String = {
+    val base = prim match {
+      case ChPrim.ChString => "String"
+      case ChPrim.ChFixedString(n) => s"FixedString($n)"
+      case ChPrim.ChBool => "Bool"
+      case ChPrim.ChFloat32 => "Float32"
+      case ChPrim.ChFloat64 => "Float64"
+      case ChPrim.ChUuid => "UUID"
+      case ChPrim.ChDate => "Date"
+      case ChPrim.ChDate32 => "Date32"
+      case ChPrim.ChInt(bits, unsigned) =>
+        s"${if (unsigned) "U" else ""}Int$bits"
+      case ChPrim.ChEnum(bits, values) =>
+        s"Enum$bits(${values.map { case (n, v) =>
+          s"'${n.replace("'", "\\'")}' = $v" }.mkString(", ")})"
+      case ChPrim.ChDecimal(p, s) => s"Decimal($p, $s)"
+      case ChPrim.ChDateTime(0) => "DateTime"
+      case ChPrim.ChDateTime(p) => s"DateTime64($p)"
+    }
+    val lc = if (lowCardinality) s"LowCardinality($base)" else base
+    val n = if (nullable) s"Nullable($lc)" else lc
+    if (array) s"Array($n)" else n
+  }
 }
 
 sealed trait ChPrim { def spark: DataType }
