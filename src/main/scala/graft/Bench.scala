@@ -66,6 +66,36 @@ object Bench {
       if (before._1 < 0 || after._1 < 0 || wallSec <= 0) -1.0
       else math.max(0.0,
         ((after._1 - before._1) - (after._2 - before._2)) / 100.0) / wallSec
+    // The ext-cores witness reads CPU jiffies ONLY and is blind to
+    // disk/page-cache/memory co-tenancy: the r14 record shipped
+    // 2.4-6x tainted tail slots (q95 18.0 s vs 2.5 s quiet) that every
+    // ext stamp certified sub-0.25 (VERDICT r14 #1). The non-CPU
+    // witness is the kernel's own stall accounting: /proc/pressure/
+    // {io,memory} "some ... total=<stall-µs>" — the µs some task was
+    // stalled on that resource. Per kept window, Δtotal / wall-µs is
+    // the fraction of the window SOMETHING on the box was stalled:
+    // near zero on a quiet box even for landing queries (their
+    // writeback is async kworker work, which ext already charges),
+    // decidedly nonzero when a co-tenant hammers the disk or memory.
+    // Folded into the retry gate below next to ext.
+    def psiTotals(): (Long, Long) = {
+      def one(res: String): Long =
+        try {
+          val line = java.nio.file.Files.readAllLines(
+            java.nio.file.Paths.get(s"/proc/pressure/$res")).get(0)
+          line.split("\\s+").find(_.startsWith("total="))
+            .map(_.drop(6).toLong).getOrElse(-1L)
+        } catch { case _: Throwable => -1L }
+      (one("io"), one("memory"))
+    }
+    def psiStall(b: Long, a: Long, wallSec: Double): Double =
+      if (b < 0 || a < 0 || wallSec <= 0) -1.0
+      else math.min(1.0, (a - b) / 1e6 / wallSec)
+    // Per-query kept stats: best wall seconds + the quietest witness
+    // per axis (external cores, io-stall fraction, memory-stall
+    // fraction) across that query's runs.
+    final case class RunStats(sec: Double, ext: Double, io: Double,
+        mem: Double, ok: Boolean)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -192,10 +222,15 @@ object Bench {
     // enough for the hum to average instead of alias. Cleanup runs
     // BETWEEN repeats too: a query's own persisted blocks must not
     // make its repeat read warm (that would under-time the kept min).
-    def runOne(q: graft.queries.Q, recordFailure: Boolean)
-        : (Double, Double, Boolean) = {
+    // `burst = false` disables the sub-second repeat for callers whose
+    // FIRST run is the measurement (the store_build1 pre-pass: a
+    // sub-1.5s build+probe must not be min-replaced by the memoized
+    // warm probe of its repeats — ADVICE r14 #4).
+    def runOne(q: graft.queries.Q, recordFailure: Boolean,
+        burst: Boolean = true): RunStats = {
       var ok = true
       val j0 = cpuJiffies()
+      val p0 = psiTotals()
       val burst0 = System.nanoTime()
       var best = Double.MaxValue
       var extraRuns = 0
@@ -214,14 +249,17 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         val burstSec = (System.nanoTime() - burst0) / 1e9
-        continue = ok && burstSec < 1.5 && extraRuns < 4
+        continue = ok && burst && burstSec < 1.5 && extraRuns < 4
         if (continue) extraRuns += 1
       }
       val burstSec = (System.nanoTime() - burst0) / 1e9
       val ext = extCores(j0, cpuJiffies(), burstSec)
+      val p1 = psiTotals()
+      val io = psiStall(p0._1, p1._1, burstSec)
+      val mem = psiStall(p0._2, p1._2, burstSec)
       sinceGc += burstSec
       if (sinceGc > 15.0) { System.gc(); sinceGc = 0.0 }
-      (best, ext, ok)
+      RunStats(best, ext, io, mem, ok)
     }
     // Store-backed queries: the FIRST call pays the one-time memoized
     // store build (write→fold over the whole fixture); steady state is
@@ -242,29 +280,32 @@ object Bench {
           "q193_timing_store", "q194_dd_store", "q197_timing_ttl")
         val body = names.flatMap { n =>
           SparkEntry.registry.find(_.name == n).map { q =>
-            val (sec, _, _) = runOne(q, recordFailure = false)
+            // burst = false: the FIRST call is the build+probe split
+            // this key exists to record — a repeat would run against
+            // the memoized store and min-keep the warm probe instead
+            // (ADVICE r14 #4)
+            val st = runOne(q, recordFailure = false, burst = false)
             System.err.println(
-              f"[bench] store first-call $n%-28s ${sec}%8.3f s")
+              f"[bench] store first-call $n%-28s ${st.sec}%8.3f s")
             val k = n.takeWhile(_ != '_').stripPrefix("q")
-            s""""$k":${math.rint(sec * 100) / 100}"""
+            s""""$k":${math.rint(st.sec * 100) / 100}"""
           }
         }.mkString(",")
         if (body.isEmpty) "" else s""","store_build1":{$body}"""
       }
     // Pass 1: every query once, in registry order.
-    val first = registry.map { q =>
-      val (sec, ext, _) = runOne(q, recordFailure = true)
-      q.name -> (sec, ext)
-    }
-    // keep = per-query (best seconds, quietest external load across
+    val first = registry.map(q => q.name -> runOne(q, recordFailure = true))
+    // keep = per-query (best seconds, quietest witness per axis across
     // runs). min seconds is sound because a co-tenant only ever
-    // inflates wall clock; min ext is the honest verification stamp:
-    // it is the external-cores reading of SOME run whose measured time
-    // bounds the kept time from above, so extq < retry gate means the
-    // kept number has a co-tenant-free witness. (BENCH_r09-r11 all
-    // archived mid-run co-tenant captures the start-only gate could
-    // not see — VERDICT r11 #1.)
-    val keep = scala.collection.mutable.LinkedHashMap[String, (Double, Double)](
+    // inflates wall clock; min ext/io/mem are the honest verification
+    // stamps: each is the reading of SOME run whose measured time
+    // bounds the kept time from above, so a sub-gate stamp means the
+    // kept number has a witness that axis certifies quiet.
+    // (BENCH_r09-r11 archived mid-run co-tenant captures the
+    // start-only gate could not see — VERDICT r11 #1; BENCH_r14
+    // archived I/O co-tenancy the CPU-only ext stamp could not see —
+    // VERDICT r14 #1.)
+    val keep = scala.collection.mutable.LinkedHashMap[String, RunStats](
       first: _*)
     // 0.25, not 0.5: the r12 record stamped ext_max 0.43 — external
     // load just under the old gate sailed through untouched and the
@@ -272,41 +313,103 @@ object Bench {
     // cores the kept minima are quiet by construction (VERDICT r12 #2).
     val retryGate = sys.env.get("SPARK_GRAFT_EXT_RETRY").map(_.toDouble)
       .getOrElse(0.25)
+    // The io/memory-stall retry gate (VERDICT r14 #1). 0.10 = the
+    // window spent 10% of its wall stalled on disk or memory — far
+    // above the self-cost of any query here (the bench's own writes
+    // land in page cache and flush via kworker, which stalls the
+    // WRITER ~0; measured self io-PSI on a quiet box: 0.00-0.02 on
+    // every query including the parquet/Derby/gRPC landers), and far
+    // below what a disk-hammering co-tenant induces.
+    val psiGate = sys.env.get("SPARK_GRAFT_PSI_RETRY").map(_.toDouble)
+      .getOrElse(0.10)
+    def taintedStats(st: RunStats): Boolean =
+      (retryGate > 0 && st.ext >= retryGate) ||
+        (psiGate > 0 && (st.io >= psiGate || st.mem >= psiGate))
     val failedSet = failed.toSet
     var pass = 1
-    while (retryGate > 0 && pass <= 2 && keep.exists { case (n, (_, x)) =>
-        x >= retryGate && !failedSet(n) }) {
+    while ((retryGate > 0 || psiGate > 0) && pass <= 2 &&
+        keep.exists { case (n, st) => taintedStats(st) && !failedSet(n) }) {
       val tainted = registry.filter(q =>
-        !failedSet(q.name) && keep(q.name)._2 >= retryGate)
+        !failedSet(q.name) && taintedStats(keep(q.name)))
       System.err.println(s"[bench] retry pass $pass: ${tainted.size} " +
-        s"queries measured at >= $retryGate external cores — re-running " +
+        s"queries measured at >= $retryGate external cores or >= " +
+        s"$psiGate io/mem stall — re-running " +
         s"(${tainted.map(_.name.takeWhile(_ != '_')).mkString(",")})")
       waitQuiet(5)
       tainted.foreach { q =>
-        val (sec, ext, ok) = runOne(q, recordFailure = false)
+        val st = runOne(q, recordFailure = false)
         // a flaky retry failure must not contribute its time-to-error
         // as a (tiny, fake) minimum
-        if (ok) {
-          val (s0, x0) = keep(q.name)
-          // a failed /proc read (ext = -1) must not min-merge over a
-          // genuine co-tenancy reading and spuriously certify it
-          val x1 = if (ext >= 0 && x0 >= 0) math.min(x0, ext)
-                   else math.max(x0, ext)
-          keep(q.name) = (math.min(s0, sec), x1)
+        if (st.ok) {
+          val s0 = keep(q.name)
+          // a failed /proc read (-1) must not min-merge over a genuine
+          // co-tenancy reading and spuriously certify it
+          def quietest(a: Double, b: Double): Double =
+            if (a >= 0 && b >= 0) math.min(a, b) else math.max(a, b)
+          keep(q.name) = RunStats(math.min(s0.sec, st.sec),
+            quietest(s0.ext, st.ext), quietest(s0.io, st.io),
+            quietest(s0.mem, st.mem), ok = true)
         }
       }
       pass += 1
     }
     val reps = pass
+    // Self-kernel adjudication (VERDICT r14 #2): q48/q33/q100-class
+    // landing queries reproducibly stamp 0.26-0.34 "external" cores on
+    // a ZERO-hum box — their own kernel-side writeback (kworker flush
+    // of the files they land) charged as external by the jiffies
+    // subtraction. Entries still over the ext gate after the retry
+    // passes get one adjudication: sample the host hum over an idle
+    // 2.5 s window, re-run the query, and if the box is measurably
+    // idle (hum < 0.06 cores) while the reading REPRODUCES at >= gate,
+    // the charge is self-inflicted — stamped as ext_self next to
+    // ext_top so the artifact explains its own tail without loosening
+    // the gate for real co-tenants (system/softirq stay fully
+    // charged). An entry the idle check cannot certify stays bare in
+    // ext_top, which is the honest reading: maybe co-tenant.
+    def idleHum(ms: Int): Double = {
+      val j0 = cpuJiffies()
+      Thread.sleep(ms)
+      extCores(j0, cpuJiffies(), ms / 1000.0)
+    }
+    val extSelf = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var selfHum = -1.0
+    if (retryGate > 0) {
+      val overGate = registry.filter(q =>
+        !failedSet(q.name) && keep(q.name).ext >= retryGate)
+      overGate.foreach { q =>
+        val hum = idleHum(2500)
+        val st = runOne(q, recordFailure = false)
+        if (st.ok) {
+          val s0 = keep(q.name)
+          def quietest(a: Double, b: Double): Double =
+            if (a >= 0 && b >= 0) math.min(a, b) else math.max(a, b)
+          keep(q.name) = RunStats(math.min(s0.sec, st.sec),
+            quietest(s0.ext, st.ext), quietest(s0.io, st.io),
+            quietest(s0.mem, st.mem), ok = true)
+        }
+        val kept = keep(q.name).ext
+        System.err.println(f"[bench] ext_self check ${q.name}: idle hum " +
+          f"$hum%.3f cores, re-run ext ${st.ext}%.2f, kept $kept%.2f")
+        if (hum >= 0 && hum < 0.06 && kept >= retryGate) {
+          extSelf(q.name) = kept
+          selfHum = math.max(selfHum, hum)
+        }
+      }
+    }
     // any query without a /proc reading (-1) poisons the whole stamp:
-    // ext_max certifies EVERY kept window, or it is not emitted at all
-    val extMax =
+    // the max certifies EVERY kept window, or it is not emitted at all
+    def maxOr(f: RunStats => Double): Double =
       if (keep.isEmpty) 0.0
-      else if (keep.values.exists(_._2 < 0)) -1.0
-      else keep.values.map(_._2).max
-    val results = keep.toSeq.map { case (n, (s, _)) => n -> s }
-    keep.foreach { case (n, (s, x)) =>
-      System.err.println(f"[bench] kept $n%-32s ${s}%8.3f s @ ext $x%.2f cores")
+      else if (keep.values.exists(f(_) < 0)) -1.0
+      else keep.values.map(f).max
+    val extMax = maxOr(_.ext)
+    val ioMax = maxOr(_.io)
+    val memMax = maxOr(_.mem)
+    val results = keep.toSeq.map { case (n, st) => n -> st.sec }
+    keep.foreach { case (n, st) =>
+      System.err.println(f"[bench] kept $n%-32s ${st.sec}%8.3f s @ ext " +
+        f"${st.ext}%.2f cores, io ${st.io}%.3f, mem ${st.mem}%.3f")
     }
     // The harness records only the last ~2000 chars of stdout. The
     // verbose record (full query names, ns-precision doubles) grew
@@ -328,11 +431,23 @@ object Bench {
     val ingestJson =
       if (only.exists(!_.contains("ingest"))) ""
       else try {
-        val (rows, sec) = IngestBench.run(spark, rows = 1000000L)
+        // best of 3, like the jdbc/wire legs (VERDICT r14 #3): this
+        // was the only single-shot throughput leg left and one
+        // co-tenant window poisoned the r14 record (198k vs 610-787k
+        // quiet). Each rep lands into its OWN temp dir (IngestBench
+        // creates one per run) so the replay ledger and page cache
+        // stay honest; the jdbc leg's GC hygiene applies.
+        val runs = (1 to 3).map { _ =>
+          System.gc()
+          IngestBench.run(spark, rows = 1000000L)
+        }
+        System.err.println("[bench] ingest reps: " + runs.map {
+          case (n, s) => f"${n / s}%.0f" }.mkString(" then ") + " rows/s")
+        val (rows, sec) = runs.minBy { case (n, s) => s / n }
         val rps = (rows / sec).toLong
         // rows/sec detail on stderr; the record carries only the
         // headline rate (stdout-capture budget at a 128-query surface)
-        System.err.println(f"[bench] ingest $rows rows in $sec%.3f s")
+        System.err.println(f"[bench] ingest $rows rows in $sec%.3f s (best)")
         s""","ingest":{"rows_per_sec":$rps}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ingest bench failed: ${e.getMessage}")
@@ -649,21 +764,48 @@ object Bench {
     // witness; the full vector is always on stderr. Capped at 4 so a
     // fully-tainted capture cannot push the record down a ladder rung.
     val extTop = keep.toSeq
-      .filter { case (_, (_, x)) => x >= retryGate }
-      .sortBy { case (_, (_, x)) => -x }.take(4)
+      .filter { case (_, st) => st.ext >= retryGate }
+      .sortBy { case (_, st) => -st.ext }.take(4)
     val extTopJson =
       if (extTop.isEmpty) ""
-      else s""","ext_top":{${extTop.map { case (n, (_, x)) =>
-        "\"" + n.takeWhile(_ != '_').stripPrefix("q") + "\":" + f2(x)
+      else s""","ext_top":{${extTop.map { case (n, st) =>
+        "\"" + n.takeWhile(_ != '_').stripPrefix("q") + "\":" + f2(st.ext)
+      }.mkString(",")}}"""
+    // ext_self: the ext_top entries the idle-box adjudication proved
+    // self-inflicted (own kernel writeback), with the worst idle hum
+    // observed during adjudication as the certificate (VERDICT r14
+    // #2). An ext_top entry NOT in ext_self is unexplained — possibly
+    // a real co-tenant.
+    val extSelfJson =
+      if (extSelf.isEmpty) ""
+      else s""","ext_self":{"hum":${f2(selfHum)},${extSelf.map {
+        case (n, x) =>
+          "\"" + n.takeWhile(_ != '_').stripPrefix("q") + "\":" + f2(x)
+      }.mkString(",")}}"""
+    // psi_top: queries whose QUIETEST io/mem-stall witness stayed over
+    // the psi gate — the non-CPU analog of ext_top (VERDICT r14 #1)
+    val psiTop = keep.toSeq
+      .filter { case (_, st) => st.io >= psiGate || st.mem >= psiGate }
+      .sortBy { case (_, st) => -math.max(st.io, st.mem) }.take(4)
+    val psiTopJson =
+      if (psiTop.isEmpty) ""
+      else s""","psi_top":{${psiTop.map { case (n, st) =>
+        "\"" + n.takeWhile(_ != '_').stripPrefix("q") + "\":" +
+          f2(math.max(st.io, st.mem))
       }.mkString(",")}}"""
     // ext_win: the sub-second burst-window floor (seconds) — stamps
     // the r14 method change into the artifact so cross-round totals
     // are comparable knowingly (pre-r14 records have no key: their
-    // sub-second keeps are single-run)
+    // sub-second keeps are single-run). io_psi/mem_psi: the WORST kept
+    // per-query stall fraction — a quiet capture stamps ~0.00 on both,
+    // and a record without the keys carries no PSI evidence (kernel
+    // without CONFIG_PSI), which is honest.
     val loadJson =
       (if (loadAtStart >= 0) s""","load1":${f2(loadAtStart)}""" else "") +
         (if (extMax >= 0) s""","ext_max":${f2(extMax)}""" else "") +
-        extTopJson +
+        (if (ioMax >= 0) s""","io_psi":${f2(ioMax)}""" else "") +
+        (if (memMax >= 0) s""","mem_psi":${f2(memMax)}""" else "") +
+        extTopJson + extSelfJson + psiTopJson +
         s""","ext_win":1.5,"reps":$reps"""
     val line = BenchRecord.choose(
       results, fs, total,
