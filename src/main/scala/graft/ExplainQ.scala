@@ -6,16 +6,29 @@ import org.apache.spark.sql.SparkSession
   * shape summary (exchange count, whole-stage-codegen span count) and
   * optionally the formatted plan — the `.explain` loop the build
   * discipline asks for, scriptable. Usage:
-  * `scripts/run.sh graft.ExplainQ <sfDir> [-v] <queryName ...>`
-  * (no names = all). Not part of the driver contract; the mechanical
-  * plan ASSERTIONS (no cartesian products, unpartitioned-window
-  * barriers) live in ExplainAudit, run by the test suite.
+  * `scripts/run.sh graft.ExplainQ <sfDir> [-json out.json] [-v]
+  * <queryName ...>` (no names = all). With `-json` the census is also
+  * written as a diffable artifact — `{"q01_…":{"ex":n,"wscg":n,
+  * "bhj":n},…}` in registry order (VERDICT r14 #5: PLANS_r{N}.json at
+  * round close, so a lost broadcast or a new exchange is detectable
+  * cross-round the way bench/correctness already are). Not part of
+  * the driver contract; the mechanical plan ASSERTIONS (no cartesian
+  * products, unpartitioned-window barriers) live in ExplainAudit, run
+  * by the test suite.
   */
 object ExplainQ {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val verbose = args.lift(1).contains("-v")
-    val names = args.drop(if (verbose) 2 else 1).toSet
+    var rest = args.drop(1).toList
+    var jsonOut: Option[String] = None
+    var verbose = false
+    var parsing = true
+    while (parsing) rest match {
+      case "-json" :: path :: tl => jsonOut = Some(path); rest = tl
+      case "-v" :: tl => verbose = true; rest = tl
+      case _ => parsing = false
+    }
+    val names = rest.toSet
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -24,6 +37,7 @@ object ExplainQ {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val qs = SparkEntry.registry.filter(q => names.isEmpty || names(q.name))
+    val census = scala.collection.mutable.LinkedHashMap[String, String]()
     qs.foreach { q =>
       try {
         val df = q.fn(spark, sfDir)
@@ -40,10 +54,19 @@ object ExplainQ {
           .map(_.group(1)).toSet.size
         val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
         println(f"${q.name}%-36s exchanges=$ex%-3d wscg=$cg%-3d broadcastJoins=$bhj")
+        census(q.name) = s"""{"ex":$ex,"wscg":$cg,"bhj":$bhj}"""
         if (verbose) df.explain("formatted")
       } catch { case e: Throwable =>
         println(s"${q.name} ERR ${e.getMessage}")
+        census(q.name) = s"""{"err":true}"""
       }
+    }
+    jsonOut.foreach { path =>
+      val body = census.map { case (n, j) => s"""  "$n": $j""" }
+        .mkString("{\n", ",\n", "\n}\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[explainq] census written to $path")
     }
     spark.stop()
   }
