@@ -1,0 +1,46 @@
+#!/usr/bin/env python3
+"""Diff two plan-census artifacts (PLANS_r{N}.json, written by
+`graft.ExplainQ -json`): flag every query whose exchange count grew, whose
+whole-stage-codegen span count shrank, or whose broadcast-join count
+shrank — the three plan-shape regressions worth a human look (a new
+shuffle, a codegen break, a lost broadcast). Additions/removals of whole
+queries are listed too.
+
+Usage: scripts/plans_diff.py PLANS_r15.json PLANS_r16.json
+Exit 0 when nothing regressed, 1 otherwise (same contract as check.py).
+"""
+import json, sys
+
+
+def main():
+    if len(sys.argv) != 3:
+        print(__doc__.strip())
+        sys.exit(2)
+    old = json.load(open(sys.argv[1]))
+    new = json.load(open(sys.argv[2]))
+    bad = 0
+    for name in sorted(set(old) - set(new)):
+        print(f"REMOVED {name} (was {old[name]})")
+        bad += 1
+    for name in sorted(set(new) - set(old)):
+        print(f"ADDED   {name} {new[name]} (no baseline — eyeball once)")
+    for name in sorted(set(old) & set(new)):
+        o, n = old[name], new[name]
+        msgs = []
+        if n["ex"] > o["ex"]:
+            msgs.append(f"exchanges {o['ex']} -> {n['ex']}")
+        if n["wscg"] < o["wscg"]:
+            msgs.append(f"codegen spans {o['wscg']} -> {n['wscg']}")
+        if n["bhj"] < o["bhj"]:
+            msgs.append(f"broadcast joins {o['bhj']} -> {n['bhj']}")
+        if msgs:
+            print(f"REGRESS {name}: {'; '.join(msgs)}")
+            bad += 1
+    if not bad:
+        print(f"OK: {len(set(old) & set(new))} shared plans, "
+              "no exchange growth, no codegen/broadcast loss")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
