@@ -60,6 +60,16 @@ object ExplainQ {
         println(s"${q.name} ERR ${e.getMessage}")
         census(q.name) = s"""{"err":true}"""
       }
+      // Census hygiene (the Bench lesson): a .cache() left registered
+      // by one query (or a store build) makes a LATER query whose plan
+      // contains a matching fragment compile to InMemoryTableScan —
+      // its censused exchange/codegen counts then describe the cached
+      // composite, not the query's own plan. Each query must be
+      // censused against a clean catalog.
+      graft.pipeline.Similarity.releaseResult()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
     }
     jsonOut.foreach { path =>
       val body = census.map { case (n, j) => s"""  "$n": $j""" }
