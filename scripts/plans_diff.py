@@ -7,17 +7,30 @@ shuffle, a codegen break, a lost broadcast). Additions/removals of whole
 queries are listed too.
 
 Usage: scripts/plans_diff.py PLANS_r15.json PLANS_r16.json
-Exit 0 when nothing regressed, 1 otherwise (same contract as check.py).
+Exit 0 when nothing regressed, 1 otherwise (same contract as check.py);
+2 on usage/input errors (missing or malformed census file) so a scripted
+caller can tell "no report" from "real regression".
 """
 import json, sys
+
+
+def load(path):
+    # A missing/corrupt census must not exit 1: that code is reserved
+    # for genuine plan regressions (ADVICE r15).
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError) as e:
+        print(f"ERROR: cannot read census {path}: {e}")
+        sys.exit(2)
 
 
 def main():
     if len(sys.argv) != 3:
         print(__doc__.strip())
         sys.exit(2)
-    old = json.load(open(sys.argv[1]))
-    new = json.load(open(sys.argv[2]))
+    old = load(sys.argv[1])
+    new = load(sys.argv[2])
     bad = 0
     for name in sorted(set(old) - set(new)):
         print(f"REMOVED {name} (was {old[name]})")
@@ -27,6 +40,16 @@ def main():
     for name in sorted(set(old) & set(new)):
         o, n = old[name], new[name]
         msgs = []
+        # ExplainQ writes {"err":true} for a query that failed to plan;
+        # such entries carry no ex/wscg/bhj keys (ADVICE r15).
+        if "err" in n:
+            print(f"REGRESS {name}: query no longer plans (err in new census)")
+            bad += 1
+            continue
+        if "err" in o:
+            print(f"NOTE    {name}: err in old census, plans now "
+                  f"{n} — no baseline counts to compare")
+            continue
         if n["ex"] > o["ex"]:
             msgs.append(f"exchanges {o['ex']} -> {n['ex']}")
         if n["wscg"] < o["wscg"]:

@@ -20,14 +20,26 @@ class BenchRecordSpec extends AnyFunSuite {
       warnings: StringBuilder = new StringBuilder): String =
     BenchRecord.choose(results, failedJson = "[]",
       total = results.map(_._2).sum,
+      // the r16 fixed block at its real widths: five throughput legs,
+      // ratio, rtt pair, store_build1 (8 stores) + build_method marker
       fixed = ""","ingest":{"rows_per_sec":671234},""" +
         """"wire_ingest":{"rows_per_sec":1130000},""" +
         """"grpc_ingest":{"rows_per_sec":668000},""" +
-        """"jdbc_ingest":{"rows_per_sec":55000},"grpc_wire_ratio":0.59""",
+        """"grpc_unary":{"rows_per_sec":852000},""" +
+        """"jdbc_ingest":{"rows_per_sec":55000},"grpc_wire_ratio":0.59,""" +
+        """"wire_rtt_ms":0.094,"grpc_rtt_ms":0.285,""" +
+        """"store_build1":{"106":8.94,"187":7.63,"188":3.73,"190":8.08,""" +
+        """"192":2.94,"193":2.06,"194":2.53,"197":2.87},""" +
+        """"build_method":"single1"""",
       extras = ""","zorder":[6,53,53,53],"landed":{"q01":[1.86,0.42],""" +
         """"q03":[1.90,0.55],"q13":[0.80,0.30],"q14":[0.40,0.10],""" +
         """"q34":[0.40,0.20]}""",
-      tail = ""","load1":0.26,"ext_max":0.41,"reps":1,"sf":"/root/testdata/sf0.1"""",
+      // the r16 tail at its real widths: the six witness maxima, the
+      // burst-window marker, and the capture-environment stamps
+      tail = ""","load1":0.26,"ext_max":0.41,"io_psi":0.00,""" +
+        """"mem_psi":0.00,"cpu_psi":0.04,"steal":0.21,"gc_frac":0.06,""" +
+        """"ext_win":1.5,"reps":1,"harness":"run.sh","heap_gb":16.00,""" +
+        """"sf":"/root/testdata/sf0.1"""",
       warn = m => { warnings ++= m; () })
 
   test("the current 147-query surface fits (some rung) under the cap") {
@@ -56,8 +68,10 @@ class BenchRecordSpec extends AnyFunSuite {
   test("every query keeps a number in the artifact through 250 queries") {
     // the registry-ordered value-array rung must engage before any
     // query is dropped: full per-query coverage (a value per query,
-    // no q_dropped) has to survive well past the current 175 surface
-    for (n <- Seq(175, 250)) {
+    // no q_dropped) has to survive well past the current 198 surface —
+    // 198 is the frozen surface of record and must fit with the FULL
+    // r16 fixed/tail widths
+    for (n <- Seq(175, 198, 250)) {
       val r = choose(surface(n))
       assert(r.length <= BenchRecord.MaxChars - 100, s"n=$n len ${r.length}")
       assert(!r.contains("\"q_dropped\":"), s"n=$n dropped queries:\n$r")
