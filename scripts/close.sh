@@ -1,0 +1,48 @@
+#!/bin/bash
+# Round close-out ritual (VERDICT r13 #8 / r15 #6), codified so no round
+# forgets a gate. Runs everything EXCEPT the bench capture, which needs
+# a cold box (anything run just before — tests, check.py — inflates
+# slots even when every witness reads quiet): this script finishes with
+# the exact capture command to run after a >= 3 min cooldown.
+#
+# Usage: scripts/close.sh <round-number> [prev-round-number]
+#   e.g. scripts/close.sh 16 15
+# Produces PLANS_r<N>.json and diffs it against PLANS_r<prev>.json.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+N="${1:?usage: scripts/close.sh <round> [prev-round]}"
+PREV="${2:-$((N - 1))}"
+
+echo "== 1/4 compile (gate on exit status — a failed compile silently"
+echo "   runs the stale previous build via run.sh otherwise)"
+sbt -batch compile
+
+echo "== 2/4 full test suite"
+sbt -batch test
+
+echo "== 3/4 correctness gate at ALL THREE scale factors (count PASS"
+echo "   lines — piping through tail eats the exit code)"
+for sf in 0.001 0.01 0.1; do
+  out="/tmp/close_r${N}_sf${sf}"
+  n_pass=$(python3 scripts/check.py "/root/testdata/sf${sf}" "$out" \
+    | grep -c '^PASS' || true)
+  echo "sf${sf}: ${n_pass} PASS"
+done
+
+echo "== 4/4 plan census + cross-round diff (zero unexplained exchange"
+echo "   growth / codegen-span loss / broadcast loss, or adjudicate each"
+echo "   flagged query in SURVEY §10)"
+scripts/run.sh graft.ExplainQ /root/testdata/sf0.001 -json "PLANS_r${N}.json"
+python3 scripts/plans_diff.py "PLANS_r${PREV}.json" "PLANS_r${N}.json"
+
+cat <<EOF
+
+Close-out checks done. Remaining, BY HAND:
+  1. Cool down >= 3 min (nothing concurrent — a capture right after
+     this script reads 1.3-2x on the tail with every witness quiet).
+  2. Capture:  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \\
+                 scripts/run.sh graft.Bench 2>capture.err >capture.json
+  3. Sync docs: SURVEY §8/§10 (closing numbers + next-round outlook),
+     README test count, USAGE if env vars / record keys changed.
+  4. Commit everything, including PLANS_r${N}.json.
+EOF

@@ -47,86 +47,13 @@ object Bench {
     // minus this JVM's own /proc/self/stat utime+stime over the same
     // window — co-tenant cores in use while the query ran, with the
     // bench's own work subtracted exactly. USER_HZ is 100 on Linux.
-    // steal is carried separately too: stolen jiffies are cycles the
-    // HYPERVISOR took from this box — they inflate wall clock without
-    // any process on the box being chargeable, so neither ext-jiffies
-    // nor io/mem PSI ever sees them (VERDICT r15 #1: the remaining
-    // contention axes). This box idles at ~0.06 stolen cores.
-    final case class Jif(busy: Long, self: Long, steal: Long)
-    def cpuJiffies(): Jif =
-      try {
-        val stat = java.nio.file.Files.readAllLines(
-          java.nio.file.Paths.get("/proc/stat")).get(0)
-        val p = stat.trim.split("\\s+").drop(1).map(_.toLong)
-        // user+nice+system+irq+softirq+steal (idle/iowait excluded)
-        val busy = p(0) + p(1) + p(2) + p(5) + p(6) + p(7)
-        val self0 = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("/proc/self/stat")))
-        // comm (field 2) may contain spaces; fields resume after ')'
-        val rest = self0.substring(self0.lastIndexOf(')') + 2).split(" ")
-        val selfJ = rest(11).toLong + rest(12).toLong // utime + stime
-        Jif(busy, selfJ, p(7))
-      } catch { case _: Throwable => Jif(-1L, -1L, -1L) }
-    def extCores(before: Jif, after: Jif, wallSec: Double): Double =
-      if (before.busy < 0 || after.busy < 0 || wallSec <= 0) -1.0
-      else math.max(0.0,
-        ((after.busy - before.busy) - (after.self - before.self)) / 100.0) /
-        wallSec
-    def stealCores(before: Jif, after: Jif, wallSec: Double): Double =
-      if (before.steal < 0 || after.steal < 0 || wallSec <= 0) -1.0
-      else (after.steal - before.steal) / 100.0 / wallSec
-    // The ext-cores witness reads CPU jiffies ONLY and is blind to
-    // disk/page-cache/memory co-tenancy: the r14 record shipped
-    // 2.4-6x tainted tail slots (q95 18.0 s vs 2.5 s quiet) that every
-    // ext stamp certified sub-0.25 (VERDICT r14 #1). The non-CPU
-    // witness is the kernel's own stall accounting: /proc/pressure/
-    // {io,memory} "some ... total=<stall-µs>" — the µs some task was
-    // stalled on that resource. Per kept window, Δtotal / wall-µs is
-    // the fraction of the window SOMETHING on the box was stalled:
-    // near zero on a quiet box even for landing queries (their
-    // writeback is async kworker work, which ext already charges),
-    // decidedly nonzero when a co-tenant hammers the disk or memory.
-    // Folded into the retry gate below next to ext.
-    // cpu joins io/memory (VERDICT r15 #1): the "some" stall total is
-    // the µs a runnable task waited for a CPU — the axis that catches
-    // many-runnable-threads contention, cgroup throttling, and
-    // hypervisor pressure, none of which ext-jiffies (other PROCESSES'
-    // cpu) or io/mem PSI can see. Unlike io/mem the bench is NOT
-    // self-quiet on it: 32 task threads + GC/netty helpers on 32 cores
-    // queue on purpose during wide shuffles, so the cpu gate default is
-    // calibrated to the measured self-band (see cpuGate below), not to
-    // ~0 like io/mem.
-    def psiTotals(): (Long, Long, Long) = {
-      def one(res: String): Long =
-        try {
-          val line = java.nio.file.Files.readAllLines(
-            java.nio.file.Paths.get(s"/proc/pressure/$res")).get(0)
-          line.split("\\s+").find(_.startsWith("total="))
-            .map(_.drop(6).toLong).getOrElse(-1L)
-        } catch { case _: Throwable => -1L }
-      (one("io"), one("memory"), one("cpu"))
-    }
-    def psiStall(b: Long, a: Long, wallSec: Double): Double =
-      if (b < 0 || a < 0 || wallSec <= 0) -1.0
-      else math.min(1.0, (a - b) / 1e6 / wallSec)
-    // GC-time fraction of the window: a major GC provoked by a heavy
-    // query landing inside the NEXT query's timed window is a phantom
-    // regression no host-side witness can see (VERDICT r15 "wrong" #3).
-    // The collector's own accounting closes it: Δ of summed
-    // GarbageCollectorMXBean.getCollectionTime over the window wall.
-    def gcMillis(): Long = {
-      val it = java.lang.management.ManagementFactory
-        .getGarbageCollectorMXBeans.iterator()
-      var t = 0L
-      while (it.hasNext) {
-        val c = it.next().getCollectionTime
-        if (c > 0) t += c
-      }
-      t
-    }
-    def gcFrac(b: Long, a: Long, wallSec: Double): Double =
-      if (b < 0 || a < 0 || wallSec <= 0) -1.0
-      else math.min(1.0, (a - b) / 1000.0 / wallSec)
+    // The six per-window witness axes live in BenchWitness (readers +
+    // pure delta math, extracted so the per-axis contracts are
+    // unit-testable like the record ladder — the BenchRecord
+    // precedent). See the scaladoc there for what each axis catches
+    // and why all six are needed.
+    import BenchWitness.{Jif, cpuJiffies, extCores, stealCores,
+      psiTotals, psiStall, gcMillis, gcFrac, quietest}
     // Per-query kept stats: best wall seconds + the quietest witness
     // per axis (external cores, io/memory/cpu-stall fractions, stolen
     // cores, GC fraction) across that query's runs.
@@ -428,10 +355,8 @@ object Bench {
         // as a (tiny, fake) minimum
         if (st.ok) {
           val s0 = keep(q.name)
-          // a failed /proc read (-1) must not min-merge over a genuine
-          // co-tenancy reading and spuriously certify it
-          def quietest(a: Double, b: Double): Double =
-            if (a >= 0 && b >= 0) math.min(a, b) else math.max(a, b)
+          // quietest: a failed /proc read (-1) must not min-merge over
+          // a genuine co-tenancy reading and spuriously certify it
           keep(q.name) = RunStats(math.min(s0.sec, st.sec),
             quietest(s0.ext, st.ext), quietest(s0.io, st.io),
             quietest(s0.mem, st.mem), quietest(s0.cpu, st.cpu),
@@ -470,8 +395,6 @@ object Bench {
         val st = runOne(q, recordFailure = false)
         if (st.ok) {
           val s0 = keep(q.name)
-          def quietest(a: Double, b: Double): Double =
-            if (a >= 0 && b >= 0) math.min(a, b) else math.max(a, b)
           keep(q.name) = RunStats(math.min(s0.sec, st.sec),
             quietest(s0.ext, st.ext), quietest(s0.io, st.io),
             quietest(s0.mem, st.mem), quietest(s0.cpu, st.cpu),
@@ -953,6 +876,125 @@ object Bench {
     println(line)
     spark.stop()
   }
+}
+
+/** The six per-window contention witnesses: /proc readers plus the
+  * pure delta math, extracted from Bench.main so the per-axis
+  * contracts (floor/cap, -1 propagation on failed reads, the
+  * quietest-merge rule) are unit-testable — the BenchRecord precedent
+  * (VERDICT r11 #2: harness invariants get specs, not comments).
+  *
+  * Why six axes (the history of the blind spots, each one found when a
+  * bench record shipped inflated slots its then-current witnesses
+  * certified quiet):
+  *  - ext (external cores): /proc/stat busy jiffies minus this JVM's
+  *    own utime+stime over the window — co-tenant PROCESS cpu with the
+  *    bench's own work subtracted exactly (VERDICT r11 #1). Blind to
+  *    everything that is not a process on this box.
+  *  - io / mem (stall fractions): /proc/pressure/{io,memory} "some"
+  *    Δtotal-µs over wall-µs — the kernel's own accounting of time
+  *    SOMETHING was stalled on disk or memory; catches the I/O
+  *    co-tenancy ext cannot see (VERDICT r14 #1; the r14 record's
+  *    2.4-6x tail slots all carried sub-0.25 ext stamps). Self-quiet:
+  *    the bench's own writeback is async kworker work.
+  *  - cpu (stall fraction): /proc/pressure/cpu "some" — runnable tasks
+  *    waiting for a CPU; catches many-runnable-threads contention,
+  *    cgroup throttling, and hypervisor pressure, none of which
+  *    ext-jiffies or io/mem PSI see (VERDICT r15 #1; the r15 record's
+  *    17 ≥2x slots all read ext 0.00/io 0.00/mem 0.00). NOT self-quiet
+  *    (32 task threads queue on purpose during wide shuffles): the
+  *    gate default is calibrated to the measured self-band.
+  *  - steal (stolen cores): /proc/stat steal Δ — cycles the hypervisor
+  *    took; they inflate wall clock with no chargeable process on the
+  *    box. This box's quiet hum reads 0.01-0.21 stolen cores.
+  *  - gc (fraction): Δ of summed GarbageCollectorMXBean collection
+  *    time over wall — a major GC provoked by the PREVIOUS query
+  *    landing inside this window is invisible to every host-side
+  *    witness (VERDICT r15 "wrong" #3).
+  */
+object BenchWitness {
+  /** One /proc/stat + /proc/self/stat snapshot: total busy jiffies,
+    * this process's own jiffies, stolen jiffies. -1s = failed read.
+    */
+  final case class Jif(busy: Long, self: Long, steal: Long)
+
+  def cpuJiffies(): Jif =
+    try {
+      val stat = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      val p = stat.trim.split("\\s+").drop(1).map(_.toLong)
+      // user+nice+system+irq+softirq+steal (idle/iowait excluded)
+      val busy = p(0) + p(1) + p(2) + p(5) + p(6) + p(7)
+      val self0 = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")))
+      // comm (field 2) may contain spaces; fields resume after ')'
+      val rest = self0.substring(self0.lastIndexOf(')') + 2).split(" ")
+      val selfJ = rest(11).toLong + rest(12).toLong // utime + stime
+      Jif(busy, selfJ, p(7))
+    } catch { case _: Throwable => Jif(-1L, -1L, -1L) }
+
+  /** (io, memory, cpu) PSI "some" stall totals in µs; -1 per axis the
+    * kernel doesn't expose (no CONFIG_PSI) or the read failed on.
+    */
+  def psiTotals(): (Long, Long, Long) = {
+    def one(res: String): Long =
+      try {
+        val line = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(s"/proc/pressure/$res")).get(0)
+        line.split("\\s+").find(_.startsWith("total="))
+          .map(_.drop(6).toLong).getOrElse(-1L)
+      } catch { case _: Throwable => -1L }
+    (one("io"), one("memory"), one("cpu"))
+  }
+
+  /** Summed GC time (ms) across all collectors since JVM start. */
+  def gcMillis(): Long = {
+    val it = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.iterator()
+    var t = 0L
+    while (it.hasNext) {
+      val c = it.next().getCollectionTime
+      if (c > 0) t += c
+    }
+    t
+  }
+
+  /** External cores over the window: other-process busy jiffies /
+    * USER_HZ / wall. Floored at 0 (the subtraction can go slightly
+    * negative on jiffy-granularity windows); -1 when either snapshot
+    * failed or the window is degenerate.
+    */
+  def extCores(before: Jif, after: Jif, wallSec: Double): Double =
+    if (before.busy < 0 || after.busy < 0 || wallSec <= 0) -1.0
+    else math.max(0.0,
+      ((after.busy - before.busy) - (after.self - before.self)) / 100.0) /
+      wallSec
+
+  /** Stolen cores over the window; -1 on failed reads. */
+  def stealCores(before: Jif, after: Jif, wallSec: Double): Double =
+    if (before.steal < 0 || after.steal < 0 || wallSec <= 0) -1.0
+    else (after.steal - before.steal) / 100.0 / wallSec
+
+  /** Stall fraction of the window from a PSI Δtotal (µs); capped at
+    * 1.0 ("some" can exceed wall only via accounting skew); -1 on
+    * failed reads.
+    */
+  def psiStall(b: Long, a: Long, wallSec: Double): Double =
+    if (b < 0 || a < 0 || wallSec <= 0) -1.0
+    else math.min(1.0, (a - b) / 1e6 / wallSec)
+
+  /** GC fraction of the window from a collection-time Δ (ms). */
+  def gcFrac(b: Long, a: Long, wallSec: Double): Double =
+    if (b < 0 || a < 0 || wallSec <= 0) -1.0
+    else math.min(1.0, (a - b) / 1000.0 / wallSec)
+
+  /** Min-merge rule for witness readings across a query's runs: keep
+    * the quieter of two valid readings, but a failed read (-1) must
+    * never min-merge over a genuine co-tenancy reading and spuriously
+    * certify it — so -1 loses to any valid reading.
+    */
+  def quietest(a: Double, b: Double): Double =
+    if (a >= 0 && b >= 0) math.min(a, b) else math.max(a, b)
 }
 
 /** The one-line stdout record and its degradation ladder, extracted so
