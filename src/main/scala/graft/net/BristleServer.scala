@@ -324,14 +324,31 @@ final class BristleServer(configPath: Path,
     * `server.go:134-145`). Separate from the constructor because
     * signal handlers are process-global: tests and embedded servers
     * call [[reload]] directly instead.
+    *
+    * Returns whether the hook actually installed. The JVM refuses to
+    * override a HUP disposition that was SIG_IGN at process start
+    * (`Signal.handle` returns the SIG_IGN pseudo-handler and keeps the
+    * signal ignored) — so under `nohup` and some supervisors the hook
+    * silently cannot work. The reference does not share this edge:
+    * Go's `signal.Notify` overrides an ignored disposition, so the Go
+    * server hot-reloads under nohup while a JVM one cannot — hence the
+    * loud stderr warning instead of quiet parity loss.
     */
-  def installSighup(): Unit =
-    sun.misc.Signal.handle(new sun.misc.Signal("HUP"),
+  def installSighup(): Boolean = {
+    val old = sun.misc.Signal.handle(new sun.misc.Signal("HUP"),
       (_: sun.misc.Signal) => {
         System.err.println("[server] received SIGHUP, reloading configuration...")
         reload()
         ()
       })
+    val installed = old ne sun.misc.SignalHandler.SIG_IGN
+    if (!installed)
+      System.err.println("[server] SIGHUP was ignored at JVM start " +
+        "(nohup?) — the kernel keeps ignoring it and config hot-reload " +
+        "via SIGHUP is UNAVAILABLE in this process; use the debug " +
+        "endpoint or restart to apply config changes")
+    installed
+  }
 
   def targets: Map[String, IngestServer.Target] = targetsNow
   def queues: Map[String, QueueSource.IngestQueue] = queuesNow

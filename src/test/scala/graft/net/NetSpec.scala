@@ -344,7 +344,12 @@ class NetSpec extends SparkSpec {
     val metrics = new Metrics
     val server = new BristleServer(cfg, metrics)
     try {
-      server.installSighup()
+      // the JVM cannot override a HUP disposition that was SIG_IGN at
+      // process start (nohup, some supervisors): the hook reports it
+      // and the test CANCELS rather than fails — the reload machinery
+      // is exercised either way by the direct-reload tests above
+      assume(server.installSighup(),
+        "SIGHUP ignored at JVM start — hook cannot install here")
       writeConfig(dir, capacity = 64)
       sun.misc.Signal.raise(new sun.misc.Signal("HUP"))
       val deadline = System.currentTimeMillis() + 5000
