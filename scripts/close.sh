@@ -35,29 +35,45 @@ echo "   flagged query in SURVEY §10)"
 scripts/run.sh graft.ExplainQ /root/testdata/sf0.001 -json "PLANS_r${N}.json"
 if ! python3 scripts/plans_diff.py "PLANS_r${PREV}.json" "PLANS_r${N}.json" \
     | tee "/tmp/plans_diff_r${N}.txt"; then
-  # One borderline AQE decision can flip an exchange on a multi-join
-  # query between full-registry censuses (r16 observed q123 at ex 62
-  # once in two full runs, 61 solo x3 and on the re-run). Adjudicate:
-  # re-census each flagged query SOLO against a clean catalog — jitter
-  # reverts to baseline and clears; a real regression reproduces solo
-  # and stays flagged.
+  # The census carries one benign nondeterminism: the AQE exchange-
+  # reuse race (two identical subtrees submitted concurrently can both
+  # materialize before either lands in the stage cache, so the
+  # executed plan sometimes prints the duplicate subtree instead of a
+  # ReusedExchange — r16 observed q89 flicker 19/11 <-> 21/13 ex/wscg
+  # SOLO on identical code, and q123 62-vs-61 across full runs).
+  # Adjudicate: re-census each flagged query solo THREE times and keep
+  # the per-key MINIMUM — the race only ever ADDS plan nodes, so the
+  # min is the canonical deduplicated plan. A real regression (code
+  # adding a shuffle) reproduces in every solo run and stays flagged.
   flagged=$(sed -n 's/^REGRESS \([^:]*\):.*/\1/p' "/tmp/plans_diff_r${N}.txt")
   if [ -n "$flagged" ]; then
-    echo "== re-censusing flagged queries solo (AQE-jitter adjudication):"
+    echo "== re-censusing flagged queries solo x3 (reuse-race adjudication):"
     echo "$flagged"
-    # shellcheck disable=SC2086
-    scripts/run.sh graft.ExplainQ /root/testdata/sf0.001 \
-      -json "/tmp/plans_solo_r${N}.json" $flagged
-    python3 - "PLANS_r${N}.json" "/tmp/plans_solo_r${N}.json" <<'PYEOF'
+    for rep in 1 2 3; do
+      # the race outcome is PHASE-LOCKED to ambient machine state
+      # (r16: q89 read 21 in three back-to-back runs, 19 in the next
+      # four) — space the reps so they don't all sample one phase
+      [ "$rep" -gt 1 ] && sleep 45
+      # shellcheck disable=SC2086
+      scripts/run.sh graft.ExplainQ /root/testdata/sf0.001 \
+        -json "/tmp/plans_solo_r${N}_${rep}.json" $flagged
+    done
+    python3 - "PLANS_r${N}.json" "/tmp/plans_solo_r${N}"_{1,2,3}.json <<'PYEOF'
 import json, sys
 full = json.load(open(sys.argv[1]))
-solo = json.load(open(sys.argv[2]))
-full.update(solo)  # keep the clean-catalog solo reading for flagged queries
+for path in sys.argv[2:]:
+    solo = json.load(open(path))
+    for name, counts in solo.items():
+        cur = full.get(name, counts)
+        if "err" in counts or "err" in cur:
+            full[name] = counts  # an err never silently disappears
+        else:
+            full[name] = {k: min(cur[k], counts[k]) for k in counts}
 with open(sys.argv[1], "w") as f:
     json.dump(full, f, indent=1)
     f.write("\n")
 PYEOF
-    echo "== re-diff after solo adjudication (a surviving REGRESS is real):"
+    echo "== re-diff after adjudication (a surviving REGRESS is real):"
     python3 scripts/plans_diff.py "PLANS_r${PREV}.json" "PLANS_r${N}.json"
   fi
 fi

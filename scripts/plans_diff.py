@@ -50,15 +50,31 @@ def main():
             print(f"NOTE    {name}: err in old census, plans now "
                   f"{n} — no baseline counts to compare")
             continue
+        # AQE exchange-reuse race: two identical subtrees submitted
+        # concurrently can both materialize before either is cached, so
+        # one run's executed plan prints the duplicate subtree (MORE
+        # exchanges + codegen spans + sometimes broadcast joins) and
+        # another's prints a ReusedExchange (fewer). Observed: q89
+        # flickers 19/11 <-> 21/13 solo on identical code. A shrink of
+        # wscg/bhj ACCOMPANIED by an exchange shrink is this dedup
+        # signature, not a regression: a real codegen break does not
+        # remove exchanges, and a real broadcast loss ADDS them
+        # (SMJ shuffles both sides).
+        dedup = n["ex"] < o["ex"]
         if n["ex"] > o["ex"]:
             msgs.append(f"exchanges {o['ex']} -> {n['ex']}")
-        if n["wscg"] < o["wscg"]:
+        if n["wscg"] < o["wscg"] and not dedup:
             msgs.append(f"codegen spans {o['wscg']} -> {n['wscg']}")
-        if n["bhj"] < o["bhj"]:
+        if n["bhj"] < o["bhj"] and not dedup:
             msgs.append(f"broadcast joins {o['bhj']} -> {n['bhj']}")
         if msgs:
             print(f"REGRESS {name}: {'; '.join(msgs)}")
             bad += 1
+        elif dedup and (n["wscg"] < o["wscg"] or n["bhj"] < o["bhj"]):
+            print(f"NOTE    {name}: plan got smaller with exchanges "
+                  f"({o['ex']} -> {n['ex']}, wscg {o['wscg']} -> "
+                  f"{n['wscg']}, bhj {o['bhj']} -> {n['bhj']}) — "
+                  "exchange-reuse dedup, baseline was race-inflated")
     if not bad:
         print(f"OK: {len(set(old) & set(new))} shared plans, "
               "no exchange growth, no codegen/broadcast loss")
