@@ -445,6 +445,40 @@ object Bench {
     // Ingest throughput (rows/s through split→decode→bind→transcode→
     // parquet land) against the reference's 10k-100k rows/s/writer
     // envelope. Reported as an extra key; skipped under BENCH_ONLY.
+    //
+    // Throughput-leg witnesses (r16): the per-QUERY witness set cannot
+    // vouch for the throughput legs, and r16's capture 2 measured the
+    // gap exactly — a 1.1-stolen-core noisy-neighbor episode left the
+    // query slots min-merged back into the quiet band (187.3 s vs
+    // 188.5 quiet) while the legs silently absorbed the taint (ingest
+    // 780k vs 1.07M quiet, grpc_wire_ratio 0.68 vs 0.86). Every leg
+    // now stamps the ext/steal reading of its KEPT rep next to
+    // rows_per_sec, so a depressed leg is self-identifying. Known
+    // floor: the ingest/jdbc legs write files, so their ext carries
+    // their own kworker writeback (the q41/q48 self-charge, ~0.2-0.4
+    // cores) — the stamp is cross-capture evidence, not a gate.
+    // Format: 2 dp, Locale.ROOT (defined here because the legs render
+    // before the record-assembly block).
+    def f2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    final case class LegRep(rows: Long, sec: Double, ext: Double,
+        steal: Double) {
+      def rps: Long = (rows / sec).toLong
+    }
+    def witnessed(run: () => (Long, Double)): LegRep = {
+      val j0 = BenchWitness.cpuJiffies()
+      val t0 = System.nanoTime()
+      val (rows, sec) = run()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val j1 = BenchWitness.cpuJiffies()
+      LegRep(rows, sec, BenchWitness.extCores(j0, j1, wall),
+        BenchWitness.stealCores(j0, j1, wall))
+    }
+    // a failed /proc read omits the key — absent evidence, not -1
+    def legJson(name: String, r: LegRep): String =
+      s""","$name":{"rows_per_sec":${r.rps}""" +
+        (if (r.ext >= 0) s""","ext":${f2(r.ext)}""" else "") +
+        (if (r.steal >= 0) s""","steal":${f2(r.steal)}""" else "") + "}"
     val ingestJson =
       if (only.exists(!_.contains("ingest"))) ""
       else try {
@@ -456,16 +490,17 @@ object Bench {
         // stay honest; the jdbc leg's GC hygiene applies.
         val runs = (1 to 3).map { _ =>
           System.gc()
-          IngestBench.run(spark, rows = 1000000L)
+          witnessed(() => IngestBench.run(spark, rows = 1000000L))
         }
-        System.err.println("[bench] ingest reps: " + runs.map {
-          case (n, s) => f"${n / s}%.0f" }.mkString(" then ") + " rows/s")
-        val (rows, sec) = runs.minBy { case (n, s) => s / n }
-        val rps = (rows / sec).toLong
+        System.err.println("[bench] ingest reps: " + runs.map(r =>
+          f"${r.rows / r.sec}%.0f").mkString(" then ") + " rows/s")
+        val best = runs.minBy(r => r.sec / r.rows)
         // rows/sec detail on stderr; the record carries only the
         // headline rate (stdout-capture budget at a 128-query surface)
-        System.err.println(f"[bench] ingest $rows rows in $sec%.3f s (best)")
-        s""","ingest":{"rows_per_sec":$rps}"""
+        System.err.println(f"[bench] ingest ${best.rows} rows in " +
+          f"${best.sec}%.3f s (best; ext ${best.ext}%.2f, steal " +
+          f"${best.steal}%.2f)")
+        legJson("ingest", best)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ingest bench failed: ${e.getMessage}")
         ""
@@ -486,16 +521,16 @@ object Bench {
     // 1.05M at rep 3 vs 1.39M warm) and the stamped grpc_wire_ratio
     // under-read the transport by ~0.15. Same depth for BOTH
     // transports keeps the comparison fair.
-    def bestOf(run: () => (Long, Double)): (Long, Double) = {
+    def bestOf(run: () => (Long, Double)): LegRep = {
       System.gc()
       // 8 reps (was 6): on the epoll transport the HTTP/2 stack keeps
       // climbing through rep ~6 where the socket path is warm by rep
       // 3 — an under-warmed gRPC best under-reads the stamped ratio
       // by ~0.1. Same depth for both transports keeps it fair.
-      val reps = Seq.fill(8)(run())
-      System.err.println("[bench] wire reps: " + reps.map { case (n, s) =>
-        f"${n / s}%.0f" }.mkString(" then ") + " rows/s")
-      reps.minBy { case (n, s) => s / n }
+      val reps = Seq.fill(8)(witnessed(run))
+      System.err.println("[bench] wire reps: " + reps.map(r =>
+        f"${r.rows / r.sec}%.0f").mkString(" then ") + " rows/s")
+      reps.minBy(r => r.sec / r.rows)
     }
     // 1M rows per rep, not 262k: a 0.2-s rep measures connection
     // setup + stream open + first-use JIT, not the transport (r12
@@ -504,11 +539,11 @@ object Bench {
     // this artifact; at >= 1M rows both transports measure sustained
     // throughput and the ratio reads ~0.78).
     val wireRows = 1048576
-    var wireRps: Option[Long] = None
+    var wireLeg: Option[LegRep] = None
     // Same acceptance path over the reference's ACTUAL transport:
     // real gRPC/HTTP2 (netty h2c+epoll), the apples-to-apples number
     // against grpc-go's service envelope.
-    var grpcRps: Option[Long] = None
+    var grpcLeg: Option[LegRep] = None
     val wantWire = !only.exists(!_.contains("wire_ingest"))
     val wantGrpc = !only.exists(!_.contains("grpc_ingest"))
     if (wantWire && wantGrpc) {
@@ -521,57 +556,48 @@ object Bench {
       try {
         System.gc()
         val pairs = Seq.fill(8)(
-          (WireBench.run(rows = wireRows),
-            WireBench.run(rows = wireRows, transport = "grpc")))
+          (witnessed(() => WireBench.run(rows = wireRows)),
+            witnessed(() => WireBench.run(rows = wireRows,
+              transport = "grpc"))))
         System.err.println("[bench] wire reps:  " + pairs.map { case (w, _) =>
-          f"${w._1 / w._2}%.0f" }.mkString(" then ") + " rows/s")
+          f"${w.rows / w.sec}%.0f" }.mkString(" then ") + " rows/s")
         System.err.println("[bench] grpc reps:  " + pairs.map { case (_, g) =>
-          f"${g._1 / g._2}%.0f" }.mkString(" then ") + " rows/s")
-        val w = pairs.map(_._1).minBy { case (n, s) => s / n }
-        val g = pairs.map(_._2).minBy { case (n, s) => s / n }
-        wireRps = Some((w._1 / w._2).toLong)
-        grpcRps = Some((g._1 / g._2).toLong)
+          f"${g.rows / g.sec}%.0f" }.mkString(" then ") + " rows/s")
+        wireLeg = Some(pairs.map(_._1).minBy(r => r.sec / r.rows))
+        grpcLeg = Some(pairs.map(_._2).minBy(r => r.sec / r.rows))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] wire/grpc bench failed: ${e.getMessage}")
       }
     } else if (wantWire) {
-      try {
-        val (rows, sec) = bestOf(() => WireBench.run(rows = wireRows))
-        wireRps = Some((rows / sec).toLong)
-      } catch { case e: Throwable =>
+      try wireLeg = Some(bestOf(() => WireBench.run(rows = wireRows)))
+      catch { case e: Throwable =>
         System.err.println(s"[bench] wire bench failed: ${e.getMessage}")
       }
     } else if (wantGrpc) {
-      try {
-        val (rows, sec) =
-          bestOf(() => WireBench.run(rows = wireRows, transport = "grpc"))
-        grpcRps = Some((rows / sec).toLong)
-      } catch { case e: Throwable =>
+      try grpcLeg = Some(bestOf(() =>
+        WireBench.run(rows = wireRows, transport = "grpc")))
+      catch { case e: Throwable =>
         System.err.println(s"[bench] grpc bench failed: ${e.getMessage}")
       }
     }
-    val wireJson = wireRps.map(r =>
-      s""","wire_ingest":{"rows_per_sec":$r}""").getOrElse("")
-    val grpcJson = grpcRps.map(r =>
-      s""","grpc_ingest":{"rows_per_sec":$r}""").getOrElse("")
+    val wireRps = wireLeg.map(_.rps)
+    val grpcRps = grpcLeg.map(_.rps)
+    val wireJson = wireLeg.map(legJson("wire_ingest", _)).getOrElse("")
+    val grpcJson = grpcLeg.map(legJson("grpc_ingest", _)).getOrElse("")
     // The reference's OTHER RPC — unary WriteBatch over a long-lived
     // connection, one HTTP/2 stream per call (the gRPC channel shape).
     // The interleaved pair above answers the transport-ratio question;
     // this stamps whether the per-RPC path (headers + trailers per
     // call) keeps up with the streaming one.
-    var unaryRps: Option[Long] = None
+    var unaryLeg: Option[LegRep] = None
     if (!only.exists(!_.contains("grpc_unary"))) {
-      try {
-        val (rows, sec) =
-          bestOf(() => WireBench.run(rows = wireRows,
-            transport = "grpc_unary"))
-        unaryRps = Some((rows / sec).toLong)
-      } catch { case e: Throwable =>
+      try unaryLeg = Some(bestOf(() =>
+        WireBench.run(rows = wireRows, transport = "grpc_unary")))
+      catch { case e: Throwable =>
         System.err.println(s"[bench] grpc unary bench failed: ${e.getMessage}")
       }
     }
-    val unaryJson = unaryRps.map(r =>
-      s""","grpc_unary":{"rows_per_sec":$r}""").getOrElse("")
+    val unaryJson = unaryLeg.map(legJson("grpc_unary", _)).getOrElse("")
     // The measured grpc/socket ratio IN the artifact of record, so the
     // SURVEY transport claim can never drift from what a run actually
     // measured (VERDICT r11 #4 — the ledger said 0.97x, the archived
@@ -631,16 +657,17 @@ object Bench {
         // adjudicated in BASELINE.md; the array JSON arm is a no-op
         // projection for this array-free frame and was not the cause).
         // Distinct batch ids per rep keep the replay ledger honest.
-        val secs = (1 to 3).map { rep =>
-          val t0 = System.nanoTime()
-          graft.streaming.JdbcSink.sinkBatch(df, rep.toLong, url, "t_bench")
-          (System.nanoTime() - t0) / 1e9
+        val reps = (1 to 3).map { rep =>
+          witnessed { () =>
+            val t0 = System.nanoTime()
+            graft.streaming.JdbcSink.sinkBatch(df, rep.toLong, url, "t_bench")
+            (n, (System.nanoTime() - t0) / 1e9)
+          }
         }
-        val sec = secs.min
-        val rps = (n / sec).toLong
+        val best = reps.minBy(r => r.sec / r.rows)
         System.err.println(f"[bench] jdbc $n rows in " +
-          secs.map(s => f"$s%.3f").mkString(" / ") + " s (best kept)")
-        s""","jdbc_ingest":{"rows_per_sec":$rps}"""
+          reps.map(r => f"${r.sec}%.3f").mkString(" / ") + " s (best kept)")
+        legJson("jdbc_ingest", best)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] jdbc bench failed: ${e.getMessage}")
         ""
@@ -770,10 +797,8 @@ object Bench {
     // is escaped so a quote/backslash in the env var can't break the
     // record's JSON validity.
     val sfJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
-    // Locale.ROOT: the f-interpolator uses the default locale, and a
-    // comma-decimal locale would corrupt the JSON record
-    def f2(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // (f2 — 2 dp, Locale.ROOT so a comma-decimal locale can't corrupt
+    // the JSON — is defined up at the throughput-leg block)
     // load1 = start sample (the r10 gate); ext_max = the WORST kept
     // per-query EXTERNAL-cores reading (co-tenant cpu with the bench's
     // own work subtracted — load1 mid-run only measures the bench
@@ -1019,10 +1044,13 @@ object BenchWitness {
   *      per-query values in REGISTRY ORDER (stable, and the full
   *      named map is always on stderr), so every query keeps a
   *      number in the artifact long after named keys stop fitting
-  *   6. 1-dp, "NN" keys, only the top-30 slowest queries plus a
+  *   6. value array + the per-leg ext/steal witnesses stripped from
+  *      the fixed block (stderr keeps them): evidence keys yield to
+  *      per-query coverage only at the very edge
+  *   7. 1-dp, "NN" keys, only the top-30 slowest queries plus a
   *      "q_dropped" count (the full map is on stderr) — accepted up
   *      to the hard cap
-  * and a final length re-check that WARNS if even rung 5 overflows
+  * and a final length re-check that WARNS if even rung 6 overflows
   * (ADVICE r11 #3 — never silently print a decapitated record).
   */
 object BenchRecord {
@@ -1046,10 +1074,18 @@ object BenchRecord {
     def vjson(items: Seq[(String, Double)], dp: Int): String =
       items.map { case (_, v) => num(v, dp) }
         .mkString("""{"v":[""", ",", "]}")
-    def rec(qs: String, withExtras: Boolean, dropped: Int): String = {
+    // The per-leg ext/steal witness keys live ONLY inside the fixed
+    // block's throughput-leg objects (the tail's ext_max/ext_top are a
+    // different string), so stripping them by shape is well-defined.
+    val fixedCompact = fixed
+      .replaceAll(""","ext":-?[0-9.]+""", "")
+      .replaceAll(""","steal":-?[0-9.]+""", "")
+    def rec(qs: String, withExtras: Boolean, dropped: Int,
+        compactFixed: Boolean = false): String = {
       val x = if (withExtras) extras else ""
       val d = if (dropped > 0) s""","q_dropped":$dropped""" else ""
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson$fixed$x$d$tail}"""
+      val fx = if (compactFixed) fixedCompact else fixed
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson$fx$x$d$tail}"""
     }
     val top = results.sortBy(-_._2).take(30)
       .sortBy(t => results.indexWhere(_._1 == t._1))
@@ -1065,7 +1101,11 @@ object BenchRecord {
         "dropping the zorder/landed extras (stderr keeps them)"),
       (() => rec(vjson(results, 1), withExtras = false, 0),
         "per-query keys compacted to a registry-ordered value array " +
-          "(the named map stays on stderr)"))
+          "(the named map stays on stderr)"),
+      (() => rec(vjson(results, 1), withExtras = false, 0,
+          compactFixed = true),
+        "dropping the throughput-leg ext/steal witnesses (stderr keeps " +
+          "them) so every query keeps a number"))
     var chosen: Option[String] = None
     var i = 0
     while (chosen.isEmpty && i < rungs.length) {
@@ -1079,7 +1119,7 @@ object BenchRecord {
     }
     chosen.getOrElse {
       val last = rec(qjson(top, 1, strip = true), withExtras = false,
-        math.max(0, results.size - top.size))
+        math.max(0, results.size - top.size), compactFixed = true)
       if (last.length <= MaxChars)
         warn(s"record over $fit chars at every full rung — keeping only " +
           s"the ${top.size} slowest queries (full map on stderr)")

@@ -20,13 +20,15 @@ class BenchRecordSpec extends AnyFunSuite {
       warnings: StringBuilder = new StringBuilder): String =
     BenchRecord.choose(results, failedJson = "[]",
       total = results.map(_._2).sum,
-      // the r16 fixed block at its real widths: five throughput legs,
-      // ratio, rtt pair, store_build1 (8 stores) + build_method marker
-      fixed = ""","ingest":{"rows_per_sec":671234},""" +
-        """"wire_ingest":{"rows_per_sec":1130000},""" +
-        """"grpc_ingest":{"rows_per_sec":668000},""" +
-        """"grpc_unary":{"rows_per_sec":852000},""" +
-        """"jdbc_ingest":{"rows_per_sec":55000},"grpc_wire_ratio":0.59,""" +
+      // the r16 fixed block at its real widths: five throughput legs
+      // (each with its kept-rep ext/steal witness), ratio, rtt pair,
+      // store_build1 (8 stores) + build_method marker
+      fixed = ""","ingest":{"rows_per_sec":671234,"ext":0.31,"steal":0.04},""" +
+        """"wire_ingest":{"rows_per_sec":1130000,"ext":0.02,"steal":0.11},""" +
+        """"grpc_ingest":{"rows_per_sec":668000,"ext":0.03,"steal":0.02},""" +
+        """"grpc_unary":{"rows_per_sec":852000,"ext":0.01,"steal":0.05},""" +
+        """"jdbc_ingest":{"rows_per_sec":55000,"ext":0.24,"steal":0.03},""" +
+        """"grpc_wire_ratio":0.59,""" +
         """"wire_rtt_ms":0.094,"grpc_rtt_ms":0.285,""" +
         """"store_build1":{"106":8.94,"187":7.63,"188":3.73,"190":8.08,""" +
         """"192":2.94,"193":2.06,"194":2.53,"197":2.87},""" +
@@ -82,6 +84,23 @@ class BenchRecordSpec extends AnyFunSuite {
         assert(vals.split(',').length == n, s"n=$n value count")
       }
     }
+  }
+
+  test("leg witnesses survive at the frozen 198 surface, strip at 250") {
+    // the per-leg ext/steal stamps are evidence and must ride the
+    // record at the REAL surface; at pressure they yield to per-query
+    // coverage (rung 6) instead of queries getting dropped
+    val r198 = choose(surface(198))
+    assert(r198.contains(""""ingest":{"rows_per_sec":671234,"ext":0.31"""),
+      s"leg witness missing at 198:\n$r198")
+    val r250 = choose(surface(250))
+    assert(r250.contains(""""ingest":{"rows_per_sec":671234}"""),
+      s"leg witness not stripped at 250:\n$r250")
+    assert(!r250.contains("\"q_dropped\":"))
+    // the tail's capture-wide witness keys must survive the strip —
+    // the regex targets only the legs' ",ext"/",steal" pairs
+    assert(r250.contains("\"ext_max\":"))
+    assert(r250.contains("\"steal\":0.21"))
   }
 
   test("a small surface stays on the verbose rung: 2 dp + extras, no warning") {
