@@ -20,21 +20,35 @@ sbt -batch compile
 echo "== 2/4 full test suite"
 sbt -batch test
 
-echo "== 3/4 correctness gate at ALL THREE scale factors (count PASS"
-echo "   lines — piping through tail eats the exit code)"
+echo "== 3/4 correctness gate at ALL THREE scale factors"
 for sf in 0.001 0.01 0.1; do
   out="/tmp/close_r${N}_sf${sf}"
-  n_pass=$(python3 scripts/check.py "/root/testdata/sf${sf}" "$out" \
-    | grep -c '^PASS' || true)
-  echo "sf${sf}: ${n_pass} PASS"
+  log="/tmp/close_r${N}_sf${sf}.log"
+  # capture check.py's own exit status BEFORE any pipe can mask it: a
+  # FAIL at any SF must fail the close (the whole point of the gate)
+  rc=0
+  python3 scripts/check.py "/root/testdata/sf${sf}" "$out" > "$log" || rc=$?
+  n_pass=$(grep -c '^PASS' "$log" || true)
+  echo "sf${sf}: ${n_pass} PASS (check.py rc=${rc})"
+  if [ "$rc" -ne 0 ]; then
+    grep -v '^PASS' "$log" | tail -20
+    echo "CLOSE FAILED: correctness gate at sf${sf} (see $log)"
+    exit 1
+  fi
 done
 
 echo "== 4/4 plan census + cross-round diff (zero unexplained exchange"
 echo "   growth / codegen-span loss / broadcast loss, or adjudicate each"
 echo "   flagged query in SURVEY §10)"
 scripts/run.sh graft.ExplainQ /root/testdata/sf0.001 -json "PLANS_r${N}.json"
-if ! python3 scripts/plans_diff.py "PLANS_r${PREV}.json" "PLANS_r${N}.json" \
-    | tee "/tmp/plans_diff_r${N}.txt"; then
+diff_rc=0
+python3 scripts/plans_diff.py "PLANS_r${PREV}.json" "PLANS_r${N}.json" \
+  > "/tmp/plans_diff_r${N}.txt" || diff_rc=$?
+cat "/tmp/plans_diff_r${N}.txt"
+# exit 2 = usage/input error (missing/corrupt census) — nothing to
+# adjudicate, and falling through as success would un-enforce the gate
+[ "$diff_rc" -eq 2 ] && { echo "CLOSE FAILED: plans_diff input error"; exit 2; }
+if [ "$diff_rc" -ne 0 ]; then
   # The census carries one benign nondeterminism: the AQE exchange-
   # reuse race (two identical subtrees submitted concurrently can both
   # materialize before either lands in the stage cache, so the
@@ -46,6 +60,12 @@ if ! python3 scripts/plans_diff.py "PLANS_r${PREV}.json" "PLANS_r${N}.json" \
   # min is the canonical deduplicated plan. A real regression (code
   # adding a shuffle) reproduces in every solo run and stays flagged.
   flagged=$(sed -n 's/^REGRESS \([^:]*\):.*/\1/p' "/tmp/plans_diff_r${N}.txt")
+  # a nonzero diff with no REGRESS line means REMOVED queries: nothing
+  # to re-census, and the removal itself must fail the close
+  if [ -z "$flagged" ]; then
+    echo "CLOSE FAILED: plans_diff flagged removals (see above)"
+    exit 1
+  fi
   if [ -n "$flagged" ]; then
     echo "== re-censusing flagged queries solo x3 (reuse-race adjudication):"
     echo "$flagged"
@@ -65,8 +85,13 @@ for path in sys.argv[2:]:
     solo = json.load(open(path))
     for name, counts in solo.items():
         cur = full.get(name, counts)
-        if "err" in counts or "err" in cur:
-            full[name] = counts  # an err never silently disappears
+        # an err never silently disappears: if ANY rep (or the full
+        # census) saw the query fail to plan, the err entry survives
+        # the merge regardless of rep order
+        if "err" in counts:
+            full[name] = counts
+        elif "err" in cur:
+            pass  # keep the recorded err; a later clean rep can't erase it
         else:
             full[name] = {k: min(cur[k], counts[k]) for k in counts}
 with open(sys.argv[1], "w") as f:

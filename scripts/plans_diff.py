@@ -59,14 +59,21 @@ def main():
         # wscg/bhj ACCOMPANIED by an exchange shrink is this dedup
         # signature, not a regression: a real codegen break does not
         # remove exchanges, and a real broadcast loss ADDS them
-        # (SMJ shuffles both sides).
-        dedup = n["ex"] < o["ex"]
+        # (SMJ shuffles both sides). The shrink a dedup explains is
+        # BOUNDED by the removed subtree, which removed ex_drop
+        # exchanges — a wscg/bhj loss beyond that bound is a real
+        # regression hiding behind a race-inflated baseline and stays
+        # flagged.
+        ex_drop = max(0, o["ex"] - n["ex"])
+        dedup_wscg = ex_drop and (o["wscg"] - n["wscg"]) <= ex_drop
+        dedup_bhj = ex_drop and (o["bhj"] - n["bhj"]) <= ex_drop
         if n["ex"] > o["ex"]:
             msgs.append(f"exchanges {o['ex']} -> {n['ex']}")
-        if n["wscg"] < o["wscg"] and not dedup:
+        if n["wscg"] < o["wscg"] and not dedup_wscg:
             msgs.append(f"codegen spans {o['wscg']} -> {n['wscg']}")
-        if n["bhj"] < o["bhj"] and not dedup:
+        if n["bhj"] < o["bhj"] and not dedup_bhj:
             msgs.append(f"broadcast joins {o['bhj']} -> {n['bhj']}")
+        dedup = ex_drop > 0
         if msgs:
             print(f"REGRESS {name}: {'; '.join(msgs)}")
             bad += 1

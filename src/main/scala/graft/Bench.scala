@@ -339,7 +339,11 @@ object Bench {
         (gcGate > 0 && st.gc >= gcGate)
     val failedSet = failed.toSet
     var pass = 1
-    while ((retryGate > 0 || psiGate > 0) && pass <= 2 &&
+    // any enabled gate arms the loop — a window taintedStats flags must
+    // get its retry even when the ext/psi gates are disabled by env
+    val anyGate = retryGate > 0 || psiGate > 0 || cpuGate > 0 ||
+      stealGate > 0 || gcGate > 0
+    while (anyGate && pass <= 2 &&
         keep.exists { case (n, st) => taintedStats(st) && !failedSet(n) }) {
       val tainted = registry.filter(q =>
         !failedSet(q.name) && taintedStats(keep(q.name)))

@@ -66,8 +66,11 @@ class BenchWitnessSpec extends AnyFunSuite {
 
   test("the live readers produce coherent snapshots on this box") {
     // not a timing assertion — just that the readers parse /proc and
-    // the MXBean on the boxes the bench actually runs on
+    // the MXBean on the boxes the bench actually runs on. A box
+    // without /proc (macOS dev machine) CANCELS rather than fails —
+    // the reader's contract there is the -1 propagation, pinned above
     val j = cpuJiffies()
+    assume(j.busy >= 0, "no readable /proc/stat on this box")
     assert(j.busy > 0 && j.self >= 0 && j.steal >= 0)
     assert(j.busy >= j.self, "total busy can never trail own jiffies")
     val (io, mem, cpu) = psiTotals()
