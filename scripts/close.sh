@@ -27,11 +27,15 @@ for sf in 0.001 0.01 0.1; do
   # capture check.py's own exit status BEFORE any pipe can mask it: a
   # FAIL at any SF must fail the close (the whole point of the gate)
   rc=0
-  python3 scripts/check.py "/root/testdata/sf${sf}" "$out" > "$log" || rc=$?
+  # 2>&1: check.py prints its diagnostics on stderr, and a failure log
+  # holding only PASS lines loses the one thing the gate exists to show
+  python3 scripts/check.py "/root/testdata/sf${sf}" "$out" > "$log" 2>&1 || rc=$?
   n_pass=$(grep -c '^PASS' "$log" || true)
   echo "sf${sf}: ${n_pass} PASS (check.py rc=${rc})"
   if [ "$rc" -ne 0 ]; then
-    grep -v '^PASS' "$log" | tail -20
+    # || true: under pipefail an all-PASS log makes grep exit 1 and
+    # set -e would abort BEFORE the failure message below (ADVICE r16)
+    grep -v '^PASS' "$log" | tail -20 || true
     echo "CLOSE FAILED: correctness gate at sf${sf} (see $log)"
     exit 1
   fi
@@ -81,19 +85,29 @@ if [ "$diff_rc" -ne 0 ]; then
     python3 - "PLANS_r${N}.json" "/tmp/plans_solo_r${N}"_{1,2,3}.json <<'PYEOF'
 import json, sys
 full = json.load(open(sys.argv[1]))
+# Whole-plan minimum, NOT per-key minima (ADVICE r16): component-wise
+# mins can splice counts from different observed plans into a plan that
+# never existed (min ex from one rep, min wscg from another), biasing
+# the re-diff toward passing. Instead collect every observed entry per
+# query and keep the single entry with the fewest exchanges (tie-broken
+# by fewest wscg then bhj — the race only ADDS nodes, so fewest = the
+# canonical deduplicated plan), so the recorded counts always
+# correspond to a plan some run actually executed.
+cands = {}
 for path in sys.argv[2:]:
     solo = json.load(open(path))
     for name, counts in solo.items():
-        cur = full.get(name, counts)
-        # an err never silently disappears: if ANY rep (or the full
-        # census) saw the query fail to plan, the err entry survives
-        # the merge regardless of rep order
-        if "err" in counts:
-            full[name] = counts
-        elif "err" in cur:
-            pass  # keep the recorded err; a later clean rep can't erase it
-        else:
-            full[name] = {k: min(cur[k], counts[k]) for k in counts}
+        cands.setdefault(name, []).append(counts)
+for name, reps in cands.items():
+    cur = full.get(name)
+    # an err never silently disappears: if ANY rep (or the full census)
+    # saw the query fail to plan, the err entry survives the merge
+    errs = [c for c in reps + ([cur] if cur else []) if "err" in c]
+    if errs:
+        full[name] = errs[0]
+        continue
+    pool = reps + ([cur] if cur else [])
+    full[name] = min(pool, key=lambda c: (c["ex"], c["wscg"], c["bhj"]))
 with open(sys.argv[1], "w") as f:
     json.dump(full, f, indent=1)
     f.write("\n")
@@ -110,6 +124,10 @@ Close-out checks done. Remaining, BY HAND:
      this script reads 1.3-2x on the tail with every witness quiet).
   2. Capture:  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \\
                  scripts/run.sh graft.Bench 2>capture.err >capture.json
+     On a QUIET capture, add SPARK_GRAFT_BASELINE_WRITE=1 so the
+     per-query self-baseline (scripts/bench_baseline_sf0.1.json)
+     min-merges the run's untainted slots — the vector the over_band
+     adjudication reads. Commit the refreshed baseline with the round.
   3. Sync docs: SURVEY §8/§10 (closing numbers + next-round outlook),
      README test count, USAGE if env vars / record keys changed.
   4. Commit everything, including PLANS_r${N}.json.

@@ -41,7 +41,14 @@ def main():
         o, n = old[name], new[name]
         msgs = []
         # ExplainQ writes {"err":true} for a query that failed to plan;
-        # such entries carry no ex/wscg/bhj keys (ADVICE r15).
+        # such entries carry no ex/wscg/bhj keys (ADVICE r15). A query
+        # erring in BOTH censuses is a known pre-existing failure, not a
+        # regression — flagging it would fail every future close with a
+        # misleading "no longer plans" (ADVICE r16).
+        if "err" in n and "err" in o:
+            print(f"NOTE    {name}: still fails to plan (err in both "
+                  "censuses), unchanged")
+            continue
         if "err" in n:
             print(f"REGRESS {name}: query no longer plans (err in new census)")
             bad += 1
