@@ -1016,14 +1016,14 @@ object Bench {
     // and a record without the keys carries no PSI evidence (kernel
     // without CONFIG_PSI), which is honest.
     // Capture-environment stamps (VERDICT r15 #2): which harness ran
-    // the JVM (run.sh execs the main directly, so sun.java.command is
-    // the bare class; sbt's is its launcher) and the JVM heap cap, so
-    // cross-round comparison stops guessing at the runtime setup.
-    val harness = {
-      val cmd = sys.props.getOrElse("sun.java.command", "")
-      if (cmd.startsWith("graft.")) "run.sh"
-      else if (cmd.toLowerCase.contains("sbt")) "sbt" else "other"
-    }
+    // the JVM and its heap cap, so cross-round comparison stops
+    // guessing at the runtime setup. Detection rule is pure + specced
+    // (BenchRecord.harnessOf): run.sh declares itself via
+    // -Dgraft.harness (an sbt-forked run shares its bare
+    // sun.java.command and no JVM-side artifact disambiguates).
+    val harness = BenchRecord.harnessOf(
+      sys.props.getOrElse("sun.java.command", ""),
+      sys.props.get("graft.harness"))
     // heapGb/heapOk stamped below are computed above the baseline
     // write (which the band gates).
     val loadJson =
@@ -1326,6 +1326,23 @@ object BenchBaseline {
 object BenchRecord {
   val MaxChars = 1950
   val SafetySlack = 100
+
+  /** Which harness launched this JVM. A bare `graft.X` command alone
+    * does NOT mean run.sh: sbt's `run / fork := true` JVM carries the
+    * same bare class in sun.java.command (the r16 driver capture was
+    * sbt-forked at 89 g yet stamped "run.sh" under the command-only
+    * rule), and no JVM-side artifact separates the two — the JVM
+    * expands run.sh's -cp wildcard before java.class.path is set. So
+    * run.sh declares itself (-Dgraft.harness=run.sh, the marker
+    * argument); a bare-class JVM without the marker is a fork by some
+    * other launcher (in this repo's workflows: sbt).
+    */
+  def harnessOf(cmd: String, marker: Option[String]): String =
+    marker.map(_.trim).filter(_.nonEmpty).getOrElse {
+      if (cmd.startsWith("graft.")) "fork"
+      else if (cmd.toLowerCase.contains("sbt")) "sbt"
+      else "other"
+    }
 
   def choose(results: Seq[(String, Double)], failedJson: String,
       total: Double, fixed: String, extras: String, tail: String,

@@ -136,4 +136,22 @@ class BenchRecordSpec extends AnyFunSuite {
       assert(r.contains("\"failed\":[]"), s"n=$n failed")
     }
   }
+
+  test("harnessOf separates run.sh from an sbt-forked bare-class JVM") {
+    // run.sh: declares itself via -Dgraft.harness (a bare-class
+    // command is NOT enough — sbt's fork carries the same one, and
+    // the JVM expands the -cp wildcard before java.class.path is set,
+    // so no JVM-side artifact disambiguates; the r16 driver capture,
+    // sbt-forked at 89 g, stamped "run.sh" under the command-only rule)
+    assert(BenchRecord.harnessOf("graft.Bench", Some("run.sh"))
+      == "run.sh")
+    // sbt `run / fork := true`: SAME bare class, no marker
+    assert(BenchRecord.harnessOf("graft.Bench", None) == "fork")
+    // a present-but-blank marker must not stamp an empty harness
+    assert(BenchRecord.harnessOf("graft.Bench", Some(" ")) == "fork")
+    // in-process sbt launcher (no fork): command is sbt's own main
+    assert(BenchRecord.harnessOf(
+      "xsbt.boot.Boot -batch runMain graft.Bench", None) == "sbt")
+    assert(BenchRecord.harnessOf("some.other.Main", None) == "other")
+  }
 }
