@@ -60,9 +60,14 @@ if [ "$diff_rc" -ne 0 ]; then
   # ReusedExchange — r16 observed q89 flicker 19/11 <-> 21/13 ex/wscg
   # SOLO on identical code, and q123 62-vs-61 across full runs).
   # Adjudicate: re-census each flagged query solo THREE times and keep
-  # the per-key MINIMUM — the race only ever ADDS plan nodes, so the
-  # min is the canonical deduplicated plan. A real regression (code
-  # adding a shuffle) reproduces in every solo run and stays flagged.
+  # the WHOLE-PLAN minimum — the single observed rep with the fewest
+  # exchanges (ties: fewest wscg, then bhj; see the embedded Python
+  # below). The race only ever ADDS plan nodes, so the most-elided
+  # observed plan is the canonical deduplicated one; never take
+  # per-key minima across reps, which can splice counts from
+  # different plans into one no run executed (ADVICE r16). A real
+  # regression (code adding a shuffle) reproduces in every solo run
+  # and stays flagged.
   flagged=$(sed -n 's/^REGRESS \([^:]*\):.*/\1/p' "/tmp/plans_diff_r${N}.txt")
   # a nonzero diff with no REGRESS line means REMOVED queries: nothing
   # to re-census, and the removal itself must fail the close

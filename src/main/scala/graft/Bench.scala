@@ -432,7 +432,9 @@ object Bench {
     val bandGate = sys.env.get("SPARK_GRAFT_BAND_RETRY").map(_.toDouble)
       .getOrElse(2.0)
     val baselinePath = BenchBaseline.resolvePath(sfDir)
-    val baseline = BenchBaseline.load(baselinePath)
+    val boxCpuCount = Runtime.getRuntime.availableProcessors
+    val baseline = BenchBaseline.loadForBox(baselinePath, boxCpuCount,
+      m => System.err.println(s"[bench] $m"))
     def qPrefix(n: String): String = n.takeWhile(_ != '_')
     def overBandNow(n: String): Option[Double] = {
       val st = keep(n)
@@ -501,12 +503,16 @@ object Bench {
     // heaps: the vector adjudicates 16 g-band captures, and a huge
     // heap can sink GC-sensitive slots below any floor the band can
     // reproduce — min-merge would keep that floor forever.
-    if (sys.env.get("SPARK_GRAFT_BASELINE_WRITE").contains("1") &&
-        only.isEmpty && !heapOk)
+    val baselineWriteAsked =
+      sys.env.get("SPARK_GRAFT_BASELINE_WRITE").contains("1")
+    if (baselineWriteAsked && only.isDefined)
+      System.err.println("[bench] baseline write SKIPPED: restricted " +
+        "run (SPARK_GRAFT_BENCH_ONLY) — a subset skips the store " +
+        "pre-pass and its kept slots are not comparable floors")
+    else if (baselineWriteAsked && !heapOk)
       System.err.println("[bench] baseline write SKIPPED: heap out of " +
         "band — the quiet vector only accepts in-band captures")
-    if (sys.env.get("SPARK_GRAFT_BASELINE_WRITE").contains("1") &&
-        only.isEmpty && heapOk) {
+    if (baselineWriteAsked && only.isEmpty && heapOk) {
       // A landing query whose ONLY over-gate axis is ext, with that
       // reading adjudicated self-inflicted (idle-box reproduction —
       // the kworker writeback of its own landed files), is quiet for
@@ -527,7 +533,7 @@ object Bench {
       }
       try {
         BenchBaseline.write(baselinePath,
-          BenchBaseline.merged(baseline, quiet))
+          BenchBaseline.merged(baseline, quiet), boxCpuCount)
         System.err.println(s"[bench] baseline written: ${quiet.size} " +
           s"quiet slots min-merged into $baselinePath")
       } catch { case e: Throwable =>
@@ -993,18 +999,24 @@ object Bench {
     // over_band: kept slots still >= BAND_RETRY x their own quiet
     // baseline after the extra retry, stamped as kept/baseline ratios
     // (VERDICT r16 #1 — the per-slot tail adjudicates itself even when
-    // every witness axis is quiet). Worst-first, capped at 24 entries
-    // for stdout-capture headroom; a pathological fully-inflated
-    // capture still self-identifies via over_band_n (the total count).
-    // Empty (no key) on a capture in its own quiet band.
+    // every witness axis is quiet). Worst-first, capped at 6 entries:
+    // the tail string rides in EVERY ladder rung, and the top vectors
+    // are capped at 4 for exactly this reason — a fully-inflated
+    // capture with 24 over_band entries (~330 chars) on top of four
+    // full top vectors would overflow every full rung and force the
+    // top-30/q_dropped fallback on precisely the capture whose
+    // per-slot evidence matters most. Beyond the cap the record still
+    // self-identifies via over_band_n (the total count; the full map
+    // is on stderr). Empty (no key) on a capture in its own quiet
+    // band.
     val overBandJson =
       if (overBand.isEmpty) ""
       else {
-        val body = overBand.toSeq.sortBy(-_._2).take(24).map { case (n, r) =>
+        val body = overBand.toSeq.sortBy(-_._2).take(6).map { case (n, r) =>
           "\"" + qPrefix(n).stripPrefix("q") + "\":" + f2(r)
         }.mkString(",")
         val extra =
-          if (overBand.size > 24) s""","over_band_n":${overBand.size}"""
+          if (overBand.size > 6) s""","over_band_n":${overBand.size}"""
           else ""
         s""","over_band":{$body}$extra"""
       }
@@ -1220,6 +1232,20 @@ object BenchBaseline {
     })
 
   private val Entry = """"(q?[0-9]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
+  private val BoxEntry = """"_cpus"\s*:\s*([0-9]+)""".r
+
+  /** The box fingerprint recorded inside the vector: the cpu count.
+    * The quiet floors follow the box's parallelism class (a 32-thread
+    * local[32] floor means nothing on an 8-cpu machine), and cpu
+    * count is the one shape number stable across container respawns
+    * of the same hardware, where hostnames are not. None on a vector
+    * written before the key existed.
+    */
+  def boxCpus(text: String): Option[Int] =
+    BoxEntry.findFirstMatchIn(text).flatMap { m =>
+      try Some(m.group(1).toInt)
+      catch { case _: NumberFormatException => None }
+    }
 
   /** Tolerant flat-JSON parse; keys normalized to the qNN form. A
     * malformed value skips its entry rather than failing the capture:
@@ -1240,6 +1266,32 @@ object BenchBaseline {
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => Map.empty }
+
+  /** Load with the per-box contract enforced: the vector is committed
+    * at a box-agnostic repo path, so a capture on a machine of a
+    * different parallelism class (different cpu count) must NOT
+    * adjudicate against these floors — it would flag dozens of slots
+    * spuriously over band, trigger a pointless full retry sweep, and
+    * stamp noise into the record. Mismatch → warn + empty (over_band
+    * inactive, exactly like a missing file). A vector without the
+    * fingerprint (pre-r17) loads as before.
+    */
+  def loadForBox(path: String, cpus: Int,
+      warn: String => Unit): Map[String, Double] = {
+    val text =
+      try new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      catch { case _: Throwable => return Map.empty }
+    boxCpus(text) match {
+      case Some(c) if c != cpus =>
+        warn(s"baseline at $path was recorded on a $c-cpu box (this " +
+          s"one: $cpus) — over_band adjudication disabled; write a " +
+          "fresh vector on this box (SPARK_GRAFT_BASELINE_WRITE=1)")
+        Map.empty
+      case _ => parse(text)
+    }
+  }
 
   /** Kept/baseline ratio with the baseline floored at 20 ms: a 5 ms
     * baseline would turn timer granularity into double-digit ratios.
@@ -1269,17 +1321,22 @@ object BenchBaseline {
       m.updated(k, m.get(k).fold(v)(math.min(_, v)))
     }
 
-  def render(entries: Map[String, Double]): String =
-    entries.toSeq.sortBy(_._1).map { case (k, v) =>
-      "\"" + k + "\":" +
-        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    }.mkString("{", ",", "}\n")
+  /** On-disk form: the `_cpus` box fingerprint first (sorts before
+    * the qNN keys anyway, and `parse` ignores it), then the floors.
+    */
+  def render(entries: Map[String, Double], cpus: Int): String =
+    (s""""_cpus":$cpus""" +: entries.toSeq.sortBy(_._1).map {
+      case (k, v) =>
+        "\"" + k + "\":" +
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    }).mkString("{", ",", "}\n")
 
-  def write(path: String, entries: Map[String, Double]): Unit = {
+  def write(path: String, entries: Map[String, Double],
+      cpus: Int): Unit = {
     val p = java.nio.file.Paths.get(path)
     if (p.getParent != null)
       java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p, render(entries).getBytes(
+    java.nio.file.Files.write(p, render(entries, cpus).getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
   }
 

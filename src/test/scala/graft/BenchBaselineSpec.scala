@@ -67,20 +67,46 @@ class BenchBaselineSpec extends AnyFunSuite {
 
   test("render/parse round-trip through the on-disk form") {
     val m = Map("q110" -> 6.421, "q01" -> 0.5554)
-    val back = parse(render(m))
+    val text = render(m, cpus = 32)
+    val back = parse(text)
     assert(math.abs(back("q110") - 6.421) < 1e-9)
     assert(math.abs(back("q01") - 0.555) < 1e-9) // 3 dp on disk
+    // the box fingerprint rides in the same file, invisible to parse
+    assert(!back.contains("_cpus") && boxCpus(text).contains(32))
   }
 
   test("write/load round-trip and min-merge across captures") {
     val dir = java.nio.file.Files.createTempDirectory("graft-baseline-")
     val path = dir.resolve("bench_baseline_sfX.json").toString
     try {
-      write(path, Map("q01" -> 0.50, "q02" -> 1.20))
+      write(path, Map("q01" -> 0.50, "q02" -> 1.20), cpus = 32)
       val first = load(path)
       assert(first == Map("q01" -> 0.50, "q02" -> 1.20))
-      write(path, merged(first, Seq("q01" -> 0.45, "q02" -> 9.99)))
+      write(path, merged(first, Seq("q01" -> 0.45, "q02" -> 9.99)),
+        cpus = 32)
       assert(load(path) == Map("q01" -> 0.45, "q02" -> 1.20))
+    } finally graft.streaming.Parts.deleteTree(dir)
+  }
+
+  test("loadForBox enforces the per-box contract via the cpu count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-baseline-")
+    val path = dir.resolve("bench_baseline_sfX.json").toString
+    val warns = scala.collection.mutable.Buffer[String]()
+    try {
+      write(path, Map("q01" -> 0.50), cpus = 32)
+      // same box: floors load, no warning
+      assert(loadForBox(path, 32, warns += _) == Map("q01" -> 0.50))
+      assert(warns.isEmpty)
+      // a different parallelism class must NOT adjudicate against
+      // this box's floors: empty (over_band inactive) + a loud warn
+      assert(loadForBox(path, 8, warns += _).isEmpty)
+      assert(warns.exists(_.contains("32-cpu")))
+      // a pre-r17 vector without the fingerprint loads as before
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        """{"q01":0.50}""".getBytes("UTF-8"))
+      assert(loadForBox(path, 8, warns += _) == Map("q01" -> 0.50))
+      // missing file: empty, no warning (just like load)
+      assert(loadForBox(path + ".nope", 32, warns += _).isEmpty)
     } finally graft.streaming.Parts.deleteTree(dir)
   }
 
