@@ -961,13 +961,28 @@ object Bench {
     // self-inflicted (own kernel writeback), with the worst idle hum
     // observed during adjudication as the certificate (VERDICT r14
     // #2). An ext_top entry NOT in ext_self is unexplained — possibly
-    // a real co-tenant.
+    // a real co-tenant. Capped at 8 (a contended capture stamped 10
+    // live entries; unbounded it overflows the ladder's last full
+    // rung like the over_band cap case): ext_top-paired entries ride
+    // first — annotating those is the key's whole point — then the
+    // largest remaining; ext_self_n carries the overflow count and
+    // stderr the full list.
     val extSelfJson =
       if (extSelf.isEmpty) ""
-      else s""","ext_self":{"hum":${f2(selfHum)},${extSelf.map {
-        case (n, x) =>
-          "\"" + n.takeWhile(_ != '_').stripPrefix("q") + "\":" + f2(x)
-      }.mkString(",")}}"""
+      else {
+        val paired = extTop.map(_._1).toSet
+        val (onTop, rest) =
+          extSelf.toSeq.partition { case (n, _) => paired(n) }
+        val kept8 = onTop ++ rest.sortBy(-_._2).take(8 - onTop.size)
+        val extra =
+          if (extSelf.size > kept8.size)
+            s""","ext_self_n":${extSelf.size}"""
+          else ""
+        s""","ext_self":{"hum":${f2(selfHum)},${kept8.map {
+          case (n, x) =>
+            "\"" + n.takeWhile(_ != '_').stripPrefix("q") + "\":" + f2(x)
+        }.mkString(",")}}$extra"""
+      }
     // psi_top: queries whose QUIETEST io/mem-stall witness stayed over
     // the psi gate — the non-CPU analog of ext_top (VERDICT r14 #1)
     val psiTop = keep.toSeq

@@ -137,6 +137,77 @@ class BenchRecordSpec extends AnyFunSuite {
     }
   }
 
+  private def chooseWithTail(tail: String,
+      warnings: StringBuilder): String =
+    BenchRecord.choose(surface(198), failedJson = "[]", total = 230.0,
+      fixed = ""","ingest":{"rows_per_sec":671234,"ext":0.31,"steal":0.94},""" +
+        """"wire_ingest":{"rows_per_sec":1130000,"ext":0.02,"steal":0.81},""" +
+        """"grpc_ingest":{"rows_per_sec":668000,"ext":0.03,"steal":0.72},""" +
+        """"grpc_unary":{"rows_per_sec":852000,"ext":0.01,"steal":0.65},""" +
+        """"jdbc_ingest":{"rows_per_sec":55000,"ext":0.24,"steal":0.43},""" +
+        """"grpc_wire_ratio":0.59,""" +
+        """"wire_rtt_ms":0.094,"grpc_rtt_ms":0.285,""" +
+        """"store_build1":{"106":8.94,"187":7.63,"188":3.73,"190":8.08,""" +
+        """"192":2.94,"193":2.06,"194":2.53,"197":2.87},""" +
+        """"build_method":"single1"""",
+      extras = ""","zorder":[6,53,53,53],"landed":{"q01":[1.86,0.42],""" +
+        """"q03":[1.90,0.55],"q13":[0.80,0.30],"q14":[0.40,0.10],""" +
+        """"q34":[0.40,0.20]}""",
+      tail = tail,
+      warn = m => { warnings ++= m; () })
+
+  test("an r16-driver-shaped inflated tail keeps full per-query coverage") {
+    // the realistic bad capture (the shape BENCH_r16 actually
+    // shipped, plus the new evidence keys at observed sizes): all six
+    // maxima, a few ext_top/ext_self entries, six over_band stamps +
+    // overflow count, out-of-band heap, fork harness — per-query
+    // coverage must survive (no top-30/q_dropped fallback)
+    val tail =
+      ""","load1":0.40,"ext_max":0.28,"io_psi":0.00,"mem_psi":0.00,""" +
+        """"cpu_psi":0.07,"steal":0.37,"gc_frac":0.07,""" +
+        """"ext_top":{"48":0.28,"41":0.26},""" +
+        """"ext_self":{"hum":0.01,"48":0.28,"41":0.26},""" +
+        """"over_band":{"110":4.02,"102":8.73,"76":5.19,"75":6.92,""" +
+        """"130":2.25,"65":2.43},"over_band_n":11,""" +
+        """"ext_win":1.5,"reps":4,"harness":"fork","heap_gb":89.00,""" +
+        """"heap_band":false,"sf":"/root/testdata/sf0.1""""
+    val w = new StringBuilder
+    val r = chooseWithTail(tail, w)
+    assert(r.length <= BenchRecord.MaxChars)
+    assert(!r.contains("\"q_dropped\":"),
+      s"realistic inflated tail fell to q_dropped (${r.length} chars)")
+    assert(r.contains("\"over_band\":") && r.contains("\"heap_band\""))
+  }
+
+  test("the every-vector-at-cap torture tail keeps all evidence keys") {
+    // all five vectors at their caps at once + both overflow counts:
+    // beyond any full rung by construction — the ladder may fall to
+    // the top-30 fallback, but every evidence key must ride along
+    // (the full per-query map is on stderr) and the record must stay
+    // under the cap with the fallback marked
+    val tail =
+      ""","load1":6.52,"ext_max":1.58,"io_psi":0.12,"mem_psi":0.08,""" +
+        """"cpu_psi":0.44,"steal":1.57,"gc_frac":0.21,""" +
+        """"ext_top":{"110":1.58,"111":1.44,"159":1.31,"85":1.20},""" +
+        """"ext_self":{"hum":0.05,"48":1.58,"41":1.44,"33":0.79,""" +
+        """"35":0.54,"100":0.48,"64":0.41,"24":0.38,"159":0.31},""" +
+        """"ext_self_n":14,""" +
+        """"psi_top":{"110":0.12,"24":0.11,"37":0.11,"55":0.10},""" +
+        """"cpu_top":{"110":0.44,"159":0.41,"111":0.38,"85":0.33},""" +
+        """"gc_top":{"93":0.21,"95":0.19,"88":0.17,"167":0.16},""" +
+        """"over_band":{"110":4.02,"102":8.73,"76":5.19,"75":6.92,""" +
+        """"130":2.25,"65":2.43},"over_band_n":24,""" +
+        """"ext_win":1.5,"reps":11,"harness":"fork","heap_gb":89.00,""" +
+        """"heap_band":false,"sf":"/root/testdata/sf0.1""""
+    val w = new StringBuilder
+    val r = chooseWithTail(tail, w)
+    assert(r.length <= BenchRecord.MaxChars)
+    for (k <- Seq("\"over_band\":", "\"over_band_n\":", "\"ext_self_n\":",
+        "\"cpu_top\":", "\"gc_top\":", "\"heap_band\""))
+      assert(r.contains(k), s"evidence key $k lost")
+    if (r.contains("\"q_dropped\":")) assert(w.nonEmpty)
+  }
+
   test("harnessOf separates run.sh from an sbt-forked bare-class JVM") {
     // run.sh: declares itself via -Dgraft.harness (a bare-class
     // command is NOT enough — sbt's fork carries the same one, and
