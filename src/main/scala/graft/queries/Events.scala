@@ -3452,12 +3452,12 @@ object Events {
   /** Kendall rank correlation τ-b (ClickHouse `kendallTau` analog,
     * tie-corrected) between the props key and the scaled value, per
     * event_type — WITHOUT enumerating row pairs: concordant and
-    * discordant counts come from the (x, y) CELL histogram's
-    * self-join (a.x < b.x, classify by y), where the cell count is
-    * bounded BY CONSTRUCTION (≤ 100 keys × 65 value buckets) however
-    * large the corpus — the O(cells²) pair frame is a constant-sized
-    * summary at any scale, the q123-style answer to a quadratic
-    * statistic. Tie terms n1/n2 from the marginal histograms; every
+    * discordant counts come from one ordered dominance pass over the
+    * (x, y) CELL histogram (see [[kendallTauOf]]), where cells are
+    * bounded by ≤100 x-keys × the y-bucket domain however large the
+    * corpus — the pair statistic is computed on a summary frame at
+    * any scale, the q123-style answer to a quadratic statistic. Tie
+    * terms n1/n2 from the marginal histograms in the same pass; every
     * count is an exact BIGINT; τ-b = (C−D)/√((n0−n1)(n0−n2)) is the
     * single fixed-order IEEE finale, rounded 6 dp, NULL on a zero
     * denominator.
@@ -3479,55 +3479,101 @@ object Events {
     */
   private[graft] def kendallTauOf(e: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+      val spark = e.sparkSession
       val cells = e.groupBy(col("event_type"), col("x"), col("y"))
         .agg(count(lit(1)).as("c"))
       // Concordant/discordant WITHOUT the cells² pair join (first
       // formulation measured 135 s at sf0.1: y = floor(value·64) has a
-      // ~21k-level domain, so cells² is NOT small). 2D dominance on
-      // the BOUNDED x-domain instead (x = props k, ≤100 levels by
-      // construction): every cell's mass is expanded to each larger
-      // x-level (cells × ≤100 rows — domain-bounded at ANY corpus
-      // size), probe markers carry the cells themselves into the same
-      // frame, and one y-prefix window per (type, x-level) yields
-      // G(<x, <y) / G(<x, ≤y); then
-      //   concordant = Σ c·G(<x,<y),  discordant = Σ c·(T(<x) − G(<x,≤y))
-      // — identical integers to the pair-join form, no join wider
-      // than cells × levels, every join keyed.
-      import org.apache.spark.sql.expressions.Window
-      val lv = cells.select(col("event_type").as("lt"), col("x").as("xt"))
-        .distinct()
-      val mass = cells
-        .join(broadcast(lv),
-          col("event_type") === col("lt") && col("x") < col("xt"))
-        .select(col("event_type"), col("xt"), col("y"), col("c").as("g"),
-          lit(0L).as("pc"))
-      val probes = cells.select(col("event_type"), col("x").as("xt"),
-        col("y"), lit(0L).as("g"), col("c").as("pc"))
-      val frame = mass.unionByName(probes)
-        .groupBy(col("event_type"), col("xt"), col("y"))
-        .agg(sum(col("g")).as("g"), sum(col("pc")).as("pc"))
-      val wy = Window.partitionBy(col("event_type"), col("xt"))
-        .orderBy(col("y"))
-      val wt = Window.partitionBy(col("event_type"), col("xt"))
-      val dom = frame
-        .withColumn("gle", sum(col("g")).over(wy))
-        .withColumn("glt", col("gle") - col("g"))
-        .withColumn("tl", sum(col("g")).over(wt))
-      val cd = dom.groupBy(col("event_type"))
-        .agg(sum(col("pc") * col("glt")).as("concordant"),
-          sum(col("pc") * (col("tl") - col("gle"))).as("discordant"))
-      val nTot = cells.groupBy(col("event_type"))
-        .agg(sum(col("c")).as("n"))
-      def tiePairs(key: String, out: String) = cells
-        .groupBy(col("event_type"), col(key))
-        .agg(sum(col("c")).as("t"))
-        .groupBy(col("event_type"))
-        .agg(sum(expr("t * (t - 1) div 2")).as(out))
-      val r = cd
-        .join(broadcast(nTot), "event_type")
-        .join(broadcast(tiePairs("x", "n1")), "event_type")
-        .join(broadcast(tiePairs("y", "n2")), "event_type")
-        .withColumn("n0", expr("n * (n - 1) div 2"))
+      // ~21k-level domain, so cells² is NOT small) and WITHOUT the
+      // cells × x-levels expansion (second formulation: each cell's
+      // mass replayed at every larger x-level — ~50× the cell count
+      // through a join + re-aggregation + two window sorts; 42
+      // exchanges, 7.7 s quiet at sf0.1 where this form is ~1 s).
+      // One ordered pass per event_type over the CELL SUMMARY instead:
+      // cells arrive sorted by (y, x); a running x-marginal (TreeMap,
+      // ≤100 keys by construction) yields for every cell the dominance
+      // masses G(<x,<y) (before folding its y-group in) and G(<x,≤y)
+      // (after), so
+      //   concordant = Σ c·G(<x,<y),  discordant = Σ c·T(<x) − Σ c·G(<x,≤y)
+      // — identical integers to the pair-join form (the window form's
+      // gle/glt/tl, evaluated sequentially instead of materialized).
+      // Shuffle is O(cells) — the summary itself, nothing wider; the
+      // pass is O(cells·L) compute on ≤100-key state. n/n1/n2 fall out
+      // of the same pass (y-group sizes and the final x-marginal).
+      // Parallelism is one task per event_type — types are a handful
+      // by construction; were types × y-domain ever to outgrow a task,
+      // range-partition on y with per-range carry-in is the same pass
+      // sharded (cells per type stay ≤ 100·|y| rows — a summary, not
+      // the corpus, at any SF).
+      import spark.implicits._
+      val sorted = cells
+        .repartition(col("event_type"))
+        .sortWithinPartitions(col("event_type"), col("y"), col("x"))
+        .as[(String, Long, Long, Long)]
+      val perType = sorted.mapPartitions { it =>
+        val out = scala.collection.mutable.ListBuffer
+          .empty[(String, Long, Long, Long, Long, Long)]
+        val hist = new java.util.TreeMap[java.lang.Long, Long]()
+        val grp = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var curType: String = null
+        var curY = 0L
+        var haveY = false
+        var conc = 0L; var sumGle = 0L; var n = 0L; var n2 = 0L
+        def pref(x: Long): Long = {
+          var s = 0L
+          val itr = hist.headMap(x, false).values.iterator()
+          while (itr.hasNext) s = Math.addExact(s, itr.next())
+          s
+        }
+        // fold the pending y-group: conc against the y'<y marginal,
+        // then merge the group in, then G(<x,≤y) against the updated
+        // marginal (same-y smaller-x neighbors included — the window
+        // form's RANGE-frame tie semantics, exactly)
+        def flushGroup(): Unit = if (grp.nonEmpty) {
+          var i = 0
+          while (i < grp.length) {
+            conc = Math.addExact(conc,
+              Math.multiplyExact(grp(i)._2, pref(grp(i)._1))); i += 1
+          }
+          var ty = 0L
+          i = 0
+          while (i < grp.length) {
+            hist.merge(grp(i)._1, grp(i)._2, (a, b) => Math.addExact(a, b))
+            ty = Math.addExact(ty, grp(i)._2); i += 1
+          }
+          i = 0
+          while (i < grp.length) {
+            sumGle = Math.addExact(sumGle,
+              Math.multiplyExact(grp(i)._2, pref(grp(i)._1))); i += 1
+          }
+          n = Math.addExact(n, ty)
+          n2 = Math.addExact(n2, Math.multiplyExact(ty, ty - 1) / 2)
+          grp.clear()
+        }
+        def flushType(): Unit = if (curType != null) {
+          flushGroup()
+          var n1 = 0L; var sumCT = 0L; var run = 0L
+          val itr = hist.entrySet().iterator()
+          while (itr.hasNext) {
+            val t = itr.next().getValue
+            sumCT = Math.addExact(sumCT, Math.multiplyExact(t, run))
+            n1 = Math.addExact(n1, Math.multiplyExact(t, t - 1) / 2)
+            run = Math.addExact(run, t)
+          }
+          out += ((curType, n, conc, Math.subtractExact(sumCT, sumGle),
+            n1, n2))
+          hist.clear(); conc = 0L; sumGle = 0L; n = 0L; n2 = 0L
+          haveY = false
+        }
+        it.foreach { case (t, x, y, c) =>
+          if (t != curType) { flushType(); curType = t }
+          if (!haveY || y != curY) { flushGroup(); curY = y; haveY = true }
+          grp += ((x, c))
+        }
+        flushType()
+        out.iterator
+      }.toDF("event_type", "n", "concordant", "discordant", "n1", "n2")
+      val r = perType.withColumn("n0", expr("n * (n - 1) div 2"))
       val den = sqrt((col("n0") - col("n1")).cast("double") *
         (col("n0") - col("n2")).cast("double"))
       r.select(col("event_type"), col("n"),

@@ -140,21 +140,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"q157 plans a Window:\n$p")
   }
 
-  test("q159: dominance counts ride the bounded x-expansion, cells never pair") {
-    // the r12 rewrite (cells² self-join measured 135 s at sf0.1 — the
-    // y domain is ~21k levels, NOT small): concordant/discordant come
-    // from the cells × ≤100-x-level expansion plus y-prefix windows
-    // over that domain-bounded frame; the x-level frame and the tie /
-    // total attachments ride broadcast, and nothing may pair cells
-    // against cells
+  test("q159: dominance counts ride one ordered pass over cells, no pairing") {
+    // the r17 rewrite (the r12 cells × ≤100-x-level expansion replayed
+    // every cell's mass ~50× through a join + re-aggregation + two
+    // window sorts — 42 exchanges, 7.7 s quiet at sf0.1): concordant/
+    // discordant now come from a single sorted per-type dominance pass
+    // over the cell summary (MapPartitions on ≤100-key running state).
+    // Nothing may pair cells against cells, join, or window — the only
+    // fact-sized work is the cells aggregate itself.
     val p = plan(Events.q159)
     assert(!p.contains("CartesianProduct"), s"q159 plans a cartesian:\n$p")
-    assert(p.contains("Window"),
-      s"q159 lost the dominance prefix windows:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"q159 shuffle-joins a frame:\n$p")
-    assert(p.contains("BroadcastHashJoin") ||
-      p.contains("BroadcastNestedLoopJoin"),
-      s"q159 x-level/tie/total frames not broadcast:\n$p")
+    assert(!p.contains("Window"), s"q159 re-grew a window frame:\n$p")
+    assert(!p.contains("Join"), s"q159 re-grew a join:\n$p")
+    assert(p.contains("MapPartitions"),
+      s"q159 lost the dominance pass kernel:\n$p")
   }
 
   test("q160/q162/q165: one fact-sized aggregate, no window, no join") {
