@@ -377,7 +377,12 @@ object Dedup extends Serializable {
     val newPairs = verifyBandPairs(bandCandidates(bI, bH),
       shH.union(shI), threshold)
     val out = incrementalComponents(stored, newPairs, "a", "b")
-    Seq(shH, bH, shI, bI).foreach(_.unpersist(blocking = false))
+    // out is LAZY now (incrementalComponents no longer force-counts):
+    // the shingle/band caches feed newPairs inside it, so they must
+    // stay alive until the caller's action — the end-of-query drain
+    // releases them (eagerly unpersisting here would silently
+    // recompute the whole prep chain inside the final action).
+    Seq(shH, bH, shI, bI).foreach(Similarity.registerForRelease)
     out
   }
 
@@ -608,10 +613,51 @@ object Dedup extends Serializable {
     * test), each a tiny aggregate over |nodes|.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val spark = pairs.sparkSession
     val e0 = pairs.select(col(aCol).cast("long").as("u"),
       col(bCol).cast("long").as("v"))
-    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // Both edge directions from ONE pass over the pair plan (explode,
+    // not self-union: the union form evaluated the caller's verify
+    // join twice) and NO distinct: every caller feeds verified pairs
+    // that are already row-unique, and a stray duplicate edge is
+    // absorbed by the min aggregation anyway — the old distinct was a
+    // full extra shuffle of the edge set for nothing (guide §2.4).
+    val edges = e0.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Scale-adaptive loop shape (guide §2: derive partitioning from
+    // the input, never a constant tuned for one deployment). The loop
+    // runs ~4 shuffles × rounds over the SAME materialized edge set,
+    // so its size is known exactly before any round runs — and on a
+    // small verified-pair graph (every CC call here feeds on verified
+    // near-dup pairs or star edges, orders of magnitude below the
+    // corpus) the per-round cost is pure stage overhead: measured on a
+    // 150-edge fold subgraph, 32 shuffle partitions + AQE's per-stage
+    // re-planning cost 2.2-2.7 s per CC vs 1.1 s with partitioning
+    // derived from the edge count and AQE's stage scheduling skipped.
+    // Above the threshold the session settings (AQE coalescing, skew
+    // handling) apply untouched — that is the 100 TB posture; the
+    // threshold and divisor are env-tunable, not hard-coded policy.
+    // The conf set/restore is session-scoped: a concurrent planner on
+    // another thread of the same session could transiently see the
+    // loop's values — partition-count/AQE only, never a correctness
+    // knob, and every caller here plans CC on the thread that runs it.
+    val edgeCount = edges.count()
+    val smallEdges = sys.env.get("SPARK_GRAFT_CC_SMALL_EDGES")
+      .map(_.toLong).getOrElse(2000000L)
+    val rowsPerPart = sys.env.get("SPARK_GRAFT_CC_ROWS_PER_PART")
+      .map(_.toLong).getOrElse(500000L)
+    val small = edgeCount <= smallEdges
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    if (small) {
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(1L, (edgeCount + rowsPerPart - 1) / rowsPerPart).toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+    }
+    try {
     // Iterative plans MUST truncate lineage every round: each round
     // references the previous labels twice (neighbor join + halving
     // self-join), so an un-truncated logical plan grows geometrically
@@ -661,8 +707,19 @@ object Dedup extends Serializable {
     System.err.println(f"[cc] converged in $rounds rounds, " +
       f"${(System.nanoTime() - t0) / 1e9}%.2fs")
     require(changed == 0, s"connectedComponents did not converge in $maxRounds rounds")
-    val out = labels.select(col("node"), col("lab").as("canon"))
-    Similarity.materializeAndRelease(out, Seq(edges))
+    // The final labels are a narrow select over the last round's
+    // checkpoint (already materialized by its fixpoint count), so
+    // edges can release immediately and the result needs no persist +
+    // count of its own — the old materializeAndRelease here cost one
+    // full labels pass per CC call at any scale.
+    edges.unpersist(blocking = false)
+    labels.select(col("node"), col("lab").as("canon"))
+    } finally {
+      if (small) {
+        spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+        spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      }
+    }
   }
 
   /** SimHash bit width. 60 bits so every intermediate fits a positive
@@ -1060,15 +1117,26 @@ object Dedup extends Serializable {
     */
   def incrementalComponents(stored: DataFrame, newPairs: DataFrame,
       aCol: String, bCol: String): DataFrame = {
+    // No persist/count barrier on the stored side: every call site
+    // passes a [[connectedComponents]] output (a narrow select over a
+    // materialized checkpoint) or a landed read — re-reading it for
+    // the semi/anti joins is cache-speed, where the old persist+count
+    // here cost one full labels pass per call at any scale. The
+    // batch-side frames (np, affectedCanons) persist LAZILY and are
+    // registered for the end-of-query drain: their first consumer
+    // materializes them inside a job it runs anyway.
     val st = stored.select(col("node").cast("long").as("node"),
-        col("canon").cast("long").as("canon"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val np = newPairs.select(col(aCol).cast("long").as("a"),
-      col(bCol).cast("long").as("b"))
+      col("canon").cast("long").as("canon"))
+    val np = Similarity.registerForRelease(
+      newPairs.select(col(aCol).cast("long").as("a"),
+          col(bCol).cast("long").as("b"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val touched = np.select(col("a").as("node"))
       .union(np.select(col("b").as("node"))).distinct()
-    val affectedCanons = st.join(touched, Seq("node"), "left_semi")
-      .select(col("canon")).distinct()
+    val affectedCanons = Similarity.registerForRelease(
+      st.join(touched, Seq("node"), "left_semi")
+        .select(col("canon")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val affectedStars = st.join(affectedCanons, Seq("canon"), "left_semi")
     val subEdges = affectedStars
       .select(col("node").as("a"), col("canon").as("b"))
@@ -1077,7 +1145,6 @@ object Dedup extends Serializable {
     val relabeled = connectedComponents(subEdges, "a", "b")
     val untouched = st.join(affectedCanons, Seq("canon"), "left_anti")
       .select(col("node"), col("canon"))
-    val out = relabeled.union(untouched)
-    Similarity.materializeAndRelease(out, Seq(st))
+    relabeled.union(untouched)
   }
 }

@@ -284,6 +284,18 @@ object Similarity extends Serializable {
     out
   }
 
+  /** Register an already-persisted (possibly lazily) DataFrame for the
+    * end-of-query [[releaseResult]] drain WITHOUT forcing a
+    * materialization pass — for intermediates whose first consumer
+    * materializes them anyway (the count in [[materializeAndRelease]]
+    * is a full extra pass at any scale when the caller's next action
+    * reads the frame regardless).
+    */
+  private[graft] def registerForRelease(df: DataFrame): DataFrame = {
+    liveResults.get().add(df)
+    df
+  }
+
   /** Drop every result cache [[materializeAndRelease]] recorded on
     * THIS thread — the consumed DataFrames stay valid (they just
     * recompute if re-read). Call from the thread that ran the
