@@ -216,7 +216,7 @@ object Dedup extends Serializable {
       .select(col("a"), col("b"),
         jaccardKernel(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    Similarity.materializeAndRelease(verified, Seq(sh, buckets))
+    Similarity.cacheAndRelease(verified, Seq(sh, buckets))
   }
 
   /** Incremental MinHash near-dup — the ingest-time twin of
@@ -271,7 +271,7 @@ object Dedup extends Serializable {
       .filter(col("jaccard") >= threshold)
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_matches"), max(col("jaccard")).as("best_jaccard"))
-    Similarity.materializeAndRelease(verified, Seq(shH, shI, bH, bI))
+    Similarity.cacheAndRelease(verified, Seq(shH, shI, bH, bI))
   }
 
   /** [[incrementalMinhash]]'s PAIR-level form, feeding the incremental
@@ -339,7 +339,7 @@ object Dedup extends Serializable {
     bH.count(); bI.count()
     val verified = verifyBandPairs(bandCandidates(bI, bH),
       shH.union(shI), threshold)
-    Similarity.materializeAndRelease(verified, Seq(shH, shI, bH, bI))
+    Similarity.cacheAndRelease(verified, Seq(shH, shI, bH, bI))
   }
 
   /** q110's full composition — history clustering + batch fold — with
@@ -511,7 +511,7 @@ object Dedup extends Serializable {
       .select(col("a"), col("b"),
         jaccardKernel(col("t_a"), col("t_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    Similarity.materializeAndRelease(verified, Seq(sh, prefix))
+    Similarity.cacheAndRelease(verified, Seq(sh, prefix))
   }
 
   /** Containment of the FIRST argument's distinct shingles in the
@@ -588,7 +588,7 @@ object Dedup extends Serializable {
       .select(col("a"), col("b"),
         containmentKernel(col("t_a"), col("t_b")).as("containment"))
       .filter(col("containment") >= threshold)
-    Similarity.materializeAndRelease(verified, Seq(sh, prefix))
+    Similarity.cacheAndRelease(verified, Seq(sh, prefix))
   }
 
   /** Connected components over an undirected pair list — the cluster
@@ -947,7 +947,7 @@ object Dedup extends Serializable {
   def editNearDups(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 10, q: Int = 16): DataFrame = {
     val (out, intermediates) = editNearDupsLazy(docs, textCol, idCol, k, q)
-    Similarity.materializeAndRelease(out, intermediates)
+    Similarity.cacheAndRelease(out, intermediates)
   }
 
   /** Incremental edit-distance near-dup — the edit member of the
@@ -979,7 +979,7 @@ object Dedup extends Serializable {
     val bGrid = grid.join(bIds, Seq("aid"), "left_semi")
     val out =
       editVerify(editAnchors(bGrid, grid, k, q), editSliding(all, k, q), all, k)
-    Similarity.materializeAndRelease(out, Seq(h, b, grid))
+    Similarity.cacheAndRelease(out, Seq(h, b, grid))
   }
 
   val SimChunks = 4
@@ -1007,7 +1007,7 @@ object Dedup extends Serializable {
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxDist)
       .select(col("a"), col("b"), col("hamming"))
-    Similarity.materializeAndRelease(out, Seq(chunked))
+    Similarity.cacheAndRelease(out, Seq(chunked))
   }
 
   /** Maximal duplicated spans — the ExactSubstr signal ("Deduplicating
@@ -1081,7 +1081,7 @@ object Dedup extends Serializable {
       .select(col("doc_id"), col("nw").cast("long").as("n_words"),
         col("n_spans"), col("dup_words"), col("max_span"),
         (col("dup_words").cast("double") / col("nw")).as("dup_frac"))
-    Similarity.materializeAndRelease(out, Seq(wins))
+    Similarity.cacheAndRelease(out, Seq(wins))
   }
 
   /** Incremental connected components — fold a BATCH of new near-dup

@@ -296,6 +296,25 @@ object Similarity extends Serializable {
     df
   }
 
+  /** The LAZY sibling of [[materializeAndRelease]]: cache the result,
+    * KEEP the intermediates cached (registered for the end-of-query
+    * drain instead of unpersisted now), and skip the forced count —
+    * the caller's next action materializes result + intermediates in
+    * the job it runs anyway, saving one full result pass per operator
+    * call at any scale. Use only where nothing between here and the
+    * consumer's action depends on synchronous materialization (e.g.
+    * GramIndexLayout.probe widens a parquet-pushdown conf around its
+    * materialization and must stay on the eager form).
+    */
+  private[graft] def cacheAndRelease(result: DataFrame,
+      intermediates: Seq[DataFrame]): DataFrame = {
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = liveResults.get()
+    q.add(out)
+    intermediates.foreach(q.add)
+    out
+  }
+
   /** Drop every result cache [[materializeAndRelease]] recorded on
     * THIS thread — the consumed DataFrames stay valid (they just
     * recompute if re-read). Call from the thread that ran the

@@ -99,7 +99,7 @@ object BandIndexLayout {
       .filter(col("jaccard") >= threshold)
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_matches"), max(col("jaccard")).as("best_jaccard"))
-    graft.pipeline.Similarity.materializeAndRelease(verified, Seq(shI, bI))
+    graft.pipeline.Similarity.cacheAndRelease(verified, Seq(shI, bI))
   }
 
   /** Pair-level stored probe — `Dedup.incrementalMinhashPairs` against
@@ -130,7 +130,7 @@ object BandIndexLayout {
     val verified = Dedup.verifyBandPairs(
       Dedup.bandCandidates(bI, stored),
       shI.union(spark.read.parquet(s"$dir/shingles")), threshold)
-    graft.pipeline.Similarity.materializeAndRelease(verified, Seq(shI, bI))
+    graft.pipeline.Similarity.cacheAndRelease(verified, Seq(shI, bI))
   }
 
   // one stored index per (source dir, split) per JVM — the
