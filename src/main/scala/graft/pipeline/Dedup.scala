@@ -412,6 +412,63 @@ object Dedup extends Serializable {
     * same bucket-join shape at 100 TB, zero recall loss, at the cost
     * of a document-frequency pass.
     */
+  /** Each document's token hashes in the global rarest-first order
+    * ((document frequency, token hash) ascending) — the (id, sorted)
+    * frame behind the prefix-filter family (ngram Jaccard q37,
+    * containment q166). Default path broadcasts the (tok → df)
+    * dictionary and sorts map-side, removing BOTH rows×tokens
+    * shuffles (tok ⋈ dfreq and the groupBy collect_list) — see the
+    * inline rationale; `broadcastDict=false` keeps the distributed
+    * join shape for dictionaries that outgrow the driver.
+    */
+  private def rarestFirstOrdered(sh: DataFrame, tok: DataFrame,
+      broadcastDict: Boolean): DataFrame = {
+    val spark = sh.sparkSession
+    // df shuffles only DISTINCT token hashes (map-side partial agg);
+    // the rows × tokens stream never crosses the wire for the count.
+    val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // Default path: ship the (tok → df) dictionary — distinct-shingles
+    // sized, the same payload a broadcast-hash join would build — and
+    // sort each document's tokens map-side, removing BOTH rows×tokens
+    // shuffles (the tok ⋈ dfreq join and the groupBy(id) collect_list)
+    // that made q37 the most expensive query in BENCH_r04 (23 s).
+    // For corpora whose shingle dictionary outgrows the driver
+    // (~100s of millions of distinct shingles), broadcastDict=false
+    // keeps the r4 distributed-join shape instead — slower, unbounded.
+    if (broadcastDict) {
+      val dict = dfreq.orderBy(col("tok")).collect()
+      val dictToks = dict.map(_.getLong(0))
+      val dictDfs = dict.map(_.getLong(1))
+      val bcDict = spark.sparkContext.broadcast((dictToks, dictDfs))
+      // Per-row mirror of sort_array(collect_list(struct(df, tok))):
+      // hash via the same XxHash64 chain as the Column xxhash64
+      // (seed 42), ascending signed (df, tok) order.
+      val sortKernel = udf { (toks: Seq[String]) =>
+        val (ts, dfs) = bcDict.value
+        val m = toks.length
+        val df = new Array[Long](m)
+        val hs = new Array[Long](m)
+        var i = 0
+        while (i < m) {
+          val h = XxHash64Function.hash(
+            UTF8String.fromString(toks(i)), StringType, 42L)
+          hs(i) = h
+          df(i) = dfs(java.util.Arrays.binarySearch(ts, h))
+          i += 1
+        }
+        val idx = Array.range(0, m).sortWith { (a, b) =>
+          if (df(a) != df(b)) df(a) < df(b) else hs(a) < hs(b)
+        }
+        idx.map(hs)
+      }
+      sh.select(col("id"), sortKernel(col("toks")).as("sorted"))
+    } else
+      tok.join(dfreq, "tok")
+        .groupBy(col("id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+          .getField("tok").as("sorted"))
+  }
+
   def ngramJaccardNearDups(docs: DataFrame, textCol: String, idCol: String,
       threshold: Double, n: Int = 2, broadcastDict: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
@@ -430,50 +487,7 @@ object Dedup extends Serializable {
     // to 8-byte longs.
     val tok = sh.select(col("id"), explode(col("toks")).as("tokS"))
       .select(col("id"), xxhash64(col("tokS")).as("tok"))
-    // df shuffles only DISTINCT token hashes (map-side partial agg);
-    // the rows × tokens stream never crosses the wire for the count.
-    val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    // Default path: ship the (tok → df) dictionary — distinct-shingles
-    // sized, the same payload a broadcast-hash join would build — and
-    // sort each document's tokens map-side, removing BOTH rows×tokens
-    // shuffles (the tok ⋈ dfreq join and the groupBy(id) collect_list)
-    // that made this the most expensive query in BENCH_r04 (23 s).
-    // For corpora whose shingle dictionary outgrows the driver
-    // (~100s of millions of distinct shingles), broadcastDict=false
-    // keeps the r4 distributed-join shape instead — slower, unbounded.
-    val ordered =
-      if (broadcastDict) {
-        val dict = dfreq.orderBy(col("tok")).collect()
-        val dictToks = dict.map(_.getLong(0))
-        val dictDfs = dict.map(_.getLong(1))
-        val bcDict = spark.sparkContext.broadcast((dictToks, dictDfs))
-        // Per-row mirror of sort_array(collect_list(struct(df, tok))):
-        // hash via the same XxHash64 chain as the Column xxhash64
-        // (seed 42), ascending signed (df, tok) order.
-        val sortKernel = udf { (toks: Seq[String]) =>
-          val (ts, dfs) = bcDict.value
-          val m = toks.length
-          val df = new Array[Long](m)
-          val hs = new Array[Long](m)
-          var i = 0
-          while (i < m) {
-            val h = XxHash64Function.hash(
-              UTF8String.fromString(toks(i)), StringType, 42L)
-            hs(i) = h
-            df(i) = dfs(java.util.Arrays.binarySearch(ts, h))
-            i += 1
-          }
-          val idx = Array.range(0, m).sortWith { (a, b) =>
-            if (df(a) != df(b)) df(a) < df(b) else hs(a) < hs(b)
-          }
-          idx.map(hs)
-        }
-        sh.select(col("id"), sortKernel(col("toks")).as("sorted"))
-      } else
-        tok.join(dfreq, "tok")
-          .groupBy(col("id"))
-          .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
-            .getField("tok").as("sorted"))
+    val ordered = rarestFirstOrdered(sh, tok, broadcastDict)
 
     // prefix length |d| - ceil(t*|d|) + 1; only prefix tokens indexed,
     // each carrying its set size and 1-based position in the global
@@ -552,7 +566,8 @@ object Dedup extends Serializable {
     * volume: candidates × 8-byte token hashes, never all-pairs.
     */
   def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
-      threshold: Double, n: Int = 3): DataFrame = {
+      threshold: Double, n: Int = 3,
+      broadcastDict: Boolean = true): DataFrame = {
     val sh = graft.operators.FanOut(docs)
       .select(col(idCol).as("id"),
         TextOps.shinglesKernel(n)(TextOps.words(col(textCol))).as("toks"))
@@ -560,14 +575,12 @@ object Dedup extends Serializable {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // 64-bit token hashes (collisions only ADD candidates — exact
-    // verification removes them) + global rarest-first order
+    // verification removes them) + global rarest-first order via the
+    // shared q37 path (broadcast-dict map-side sort by default — the
+    // same two rows×tokens shuffles removed here as there)
     val tok = sh.select(col("id"), explode(col("toks")).as("tokS"))
       .select(col("id"), xxhash64(col("tokS")).as("tok"))
-    val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val ordered = tok.join(dfreq, "tok")
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
-        .getField("tok").as("sorted"))
+    val ordered = rarestFirstOrdered(sh, tok, broadcastDict)
     val prefLen = (size(col("sorted")) -
       ceil(lit(threshold) * size(col("sorted"))).cast("int") + 1)
     val prefix = ordered
@@ -636,28 +649,10 @@ object Dedup extends Serializable {
     // corpus) the per-round cost is pure stage overhead: measured on a
     // 150-edge fold subgraph, 32 shuffle partitions + AQE's per-stage
     // re-planning cost 2.2-2.7 s per CC vs 1.1 s with partitioning
-    // derived from the edge count and AQE's stage scheduling skipped.
-    // Above the threshold the session settings (AQE coalescing, skew
-    // handling) apply untouched — that is the 100 TB posture; the
-    // threshold and divisor are env-tunable, not hard-coded policy.
-    // The conf set/restore is session-scoped: a concurrent planner on
-    // another thread of the same session could transiently see the
-    // loop's values — partition-count/AQE only, never a correctness
-    // knob, and every caller here plans CC on the thread that runs it.
+    // derived from the edge count and AQE's stage scheduling skipped
+    // (graft.operators.AdaptiveShape — thresholds and rationale there).
     val edgeCount = edges.count()
-    val smallEdges = sys.env.get("SPARK_GRAFT_CC_SMALL_EDGES")
-      .map(_.toLong).getOrElse(2000000L)
-    val rowsPerPart = sys.env.get("SPARK_GRAFT_CC_ROWS_PER_PART")
-      .map(_.toLong).getOrElse(500000L)
-    val small = edgeCount <= smallEdges
-    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    if (small) {
-      spark.conf.set("spark.sql.shuffle.partitions",
-        math.max(1L, (edgeCount + rowsPerPart - 1) / rowsPerPart).toString)
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-    }
-    try {
+    graft.operators.AdaptiveShape.withFrameSize(spark, edgeCount) {
     // Iterative plans MUST truncate lineage every round: each round
     // references the previous labels twice (neighbor join + halving
     // self-join), so an un-truncated logical plan grows geometrically
@@ -714,11 +709,6 @@ object Dedup extends Serializable {
     // full labels pass per CC call at any scale.
     edges.unpersist(blocking = false)
     labels.select(col("node"), col("lab").as("canon"))
-    } finally {
-      if (small) {
-        spark.conf.set("spark.sql.shuffle.partitions", savedParts)
-        spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
-      }
     }
   }
 

@@ -387,11 +387,14 @@ object TextOps extends Serializable {
     // unpersists by plan identity, so unpersisting the round-k DERIVED
     // frame would leave the cached base blocks pinned for the session
     val cached = bpeVocab(docs, textCol).cache()
-    cached.count() // materialize: every round re-reads this frame
+    val vocabRows = cached.count() // materialize: every round re-reads this
     var vocab: org.apache.spark.sql.DataFrame = cached
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     try {
+      // the n rounds are vocabulary-sized TakeOrdered jobs over the
+      // measured cache — summary-frame loop shape (AdaptiveShape)
+      graft.operators.AdaptiveShape.withFrameSize(spark, vocabRows) {
       for (k <- 1 to n) {
         val best = bpePairs(vocab)
           .orderBy(col("c").desc, col("l").asc, col("r").asc)
@@ -408,6 +411,7 @@ object TextOps extends Serializable {
             call_function("replace", col("s"), pat,
               lit(BpeSep + l + r + BpeSep)))
         }
+      }
       }
     } finally cached.unpersist(false)
     import spark.implicits._
@@ -504,9 +508,13 @@ object TextOps extends Serializable {
           lit(ss + "</w>" + BpeSep)).as("s"),
         col("cnt"))
       .cache()
-    cached.count()
+    val vocabRows = cached.count()
     var vocab: org.apache.spark.sql.DataFrame = cached
     try {
+      // merge replay: vocabulary-sized rounds (AdaptiveShape); the
+      // corpus-scale encode join below plans OUTSIDE the small shape
+      graft.operators.AdaptiveShape.withFrameSize(
+          docs.sparkSession, vocabRows) {
       for (_ <- 1 to n) {
         val best = bpePairs(vocab)
           .orderBy(col("c").desc, col("l").asc, col("r").asc)
@@ -518,6 +526,7 @@ object TextOps extends Serializable {
             call_function("replace", col("s"), pat,
               lit(BpeSep + l + r + BpeSep)))
         }
+      }
       }
       val perWord = vocab.select(col("w"),
         size(split(substring(col("s"), lit(2), length(col("s")) - 2),
