@@ -722,6 +722,10 @@ object Similarity extends Serializable {
       rounds: Int): Array[(Long, Array[Double])] = {
     val spark = v.sparkSession
     import spark.implicits._
+    // the rounds are driver round-trips over the caller-persisted v,
+    // whose size one cache-speed count measures — summary-frame loop
+    // shape below the AdaptiveShape threshold, session shape above
+    graft.operators.AdaptiveShape.withFrameSize(spark, v.count()) {
     // init: k smallest ids — TakeOrderedAndProject, not a global sort
     var cents: Array[(Long, Array[Double])] = v.orderBy(col("id")).limit(k)
       .as[(Long, Array[Double])].collect()
@@ -745,6 +749,7 @@ object Similarity extends Serializable {
         .toArray.sortBy(_._1)
     }
     cents
+    }
   }
 
   def deterministicKMeans(emb: DataFrame, idCol: String, vecCol: String,
@@ -808,6 +813,9 @@ object Similarity extends Serializable {
       rounds: Int): Array[Array[(Long, Array[Double])]] = {
     val spark = v.sparkSession
     import spark.implicits._
+    // driver round-trips over the caller-persisted v — same
+    // measured-size loop shape as lloydCentroids
+    graft.operators.AdaptiveShape.withFrameSize(spark, v.count()) {
     var books: Array[Array[(Long, Array[Double])]] = {
       val init = v.orderBy(col("id")).limit(k)
         .as[(Long, Array[Double])].collect()
@@ -854,6 +862,7 @@ object Similarity extends Serializable {
         }
     }
     books
+    }
   }
 
   /** The three per-call PQ kernels over a trained codebook set:
