@@ -29,11 +29,17 @@ import scala.collection.concurrent.TrieMap
   */
 object BandIndexLayout {
 
-  /** Land the index/shingles pair for `docs`. Returns `dir`. */
+  /** Land the index/shingles pair for `docs`. Returns `dir`.
+    * `nBuckets = 0` (default) derives the bucket count from the doc
+    * count and records it in the layout sidecar ([[LayoutMeta]]).
+    */
   def write(docs: DataFrame, textCol: String, idCol: String, dir: String,
-      nBuckets: Int = 64): String = {
+      nBuckets0: Int = 0): String = {
     val sh = Dedup.minhashPrep(docs, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBuckets =
+      if (nBuckets0 > 0) nBuckets0 else LayoutMeta.nBucketsFor(sh.count())
+    LayoutMeta.writeNBuckets(dir, nBuckets)
     sh.write.mode("overwrite").parquet(s"$dir/shingles")
     Dedup.minhashBandRows(sh)
       .withColumn("pb", pmod(col("bucket"), lit(nBuckets)).cast("int"))
@@ -52,7 +58,9 @@ object BandIndexLayout {
     * rarity-ranked).
     */
   def append(docs: DataFrame, textCol: String, idCol: String, dir: String,
-      nBuckets: Int = 64): String = {
+      nBuckets0: Int = 0): String = {
+    val nBuckets =
+      if (nBuckets0 > 0) nBuckets0 else LayoutMeta.readNBuckets(dir)
     val sh = Dedup.minhashPrep(docs, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.write.mode("append").parquet(s"$dir/shingles")
@@ -75,7 +83,9 @@ object BandIndexLayout {
     */
   def probe(spark: SparkSession, dir: String, incoming: DataFrame,
       textCol: String, idCol: String, threshold: Double,
-      nBuckets: Int = 64): DataFrame = {
+      nBuckets0: Int = 0): DataFrame = {
+    val nBuckets =
+      if (nBuckets0 > 0) nBuckets0 else LayoutMeta.readNBuckets(dir)
     val shI = Dedup.minhashPrep(incoming, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bI = Dedup.minhashBandRows(shI)
@@ -113,7 +123,9 @@ object BandIndexLayout {
     */
   def probePairs(spark: SparkSession, dir: String, incoming: DataFrame,
       textCol: String, idCol: String, threshold: Double,
-      nBuckets: Int = 64): DataFrame = {
+      nBuckets0: Int = 0): DataFrame = {
+    val nBuckets =
+      if (nBuckets0 > 0) nBuckets0 else LayoutMeta.readNBuckets(dir)
     val shI = Dedup.minhashPrep(incoming, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bI = Dedup.minhashBandRows(shI)

@@ -46,11 +46,17 @@ object GramIndexLayout {
     */
   val LookupGrams = 256
 
-  /** Land the index/stats/docs triple for `docs`. Returns `dir`. */
+  /** Land the index/stats/docs triple for `docs`. Returns `dir`.
+    * `nBuckets = 0` (default) derives the bucket count from the doc
+    * count and records it in the layout sidecar ([[LayoutMeta]]).
+    */
   def write(docs: DataFrame, textCol: String, idCol: String, dir: String,
-      k: Int = 10, q: Int = 16, nBuckets: Int = 64): String = {
+      k: Int = 10, q: Int = 16, nBuckets0: Int = 0): String = {
     val minLen = (k + 1) * q + k
     val d = Dedup.editProject(docs, textCol, idCol, minLen)
+    val nBuckets =
+      if (nBuckets0 > 0) nBuckets0 else LayoutMeta.nBucketsFor(d.count())
+    LayoutMeta.writeNBuckets(dir, nBuckets)
     Dedup.editSliding(d, k, q)
       .withColumn("bucket", pmod(col("gh"), lit(nBuckets)).cast("int"))
       .repartition(col("bucket"))
@@ -84,7 +90,9 @@ object GramIndexLayout {
     * because stats/ has no key-value store behind it.
     */
   def append(docs: DataFrame, textCol: String, idCol: String, dir: String,
-      k: Int = 10, q: Int = 16, nBuckets: Int = 64): String = {
+      k: Int = 10, q: Int = 16, nBuckets0: Int = 0): String = {
+    val nBuckets =
+      if (nBuckets0 > 0) nBuckets0 else LayoutMeta.readNBuckets(dir)
     val minLen = (k + 1) * q + k
     val d = Dedup.editProject(docs, textCol, idCol, minLen)
     Dedup.editSliding(d, k, q)
@@ -117,7 +125,9 @@ object GramIndexLayout {
     */
   def probe(spark: SparkSession, dir: String, incoming: DataFrame,
       textCol: String, idCol: String, k: Int = 10, q: Int = 16,
-      nBuckets: Int = 64): DataFrame = {
+      nBuckets0: Int = 0): DataFrame = {
+    val nBuckets =
+      if (nBuckets0 > 0) nBuckets0 else LayoutMeta.readNBuckets(dir)
     val minLen = (k + 1) * q + k
     val b = Dedup.editProject(incoming, textCol, idCol, minLen)
     val grid = Dedup.editGrid(b, q)

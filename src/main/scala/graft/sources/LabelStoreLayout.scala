@@ -55,13 +55,23 @@ object LabelStoreLayout {
         col("canon").cast("long").as("canon"))
       .withColumn("pb", pmod(col("canon"), lit(nBuckets)).cast("int"))
 
-  /** Land a labeling (columns node, canon) at `dir`. Returns `dir`. */
-  def write(labels: DataFrame, dir: String, nBuckets: Int = 64): String = {
-    withPb(labels, nBuckets)
+  /** Land a labeling (columns node, canon) at `dir`. Returns `dir`.
+    * `nBuckets = 0` (the default) derives the bucket count from the
+    * labeling's measured size and records it in the layout sidecar
+    * ([[LayoutMeta]]); an explicit value is honored and recorded.
+    */
+  def write(labels: DataFrame, dir: String, nBuckets: Int = 0): String = {
+    val cached = labels
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n =
+      if (nBuckets > 0) nBuckets else LayoutMeta.nBucketsFor(cached.count())
+    withPb(cached, n)
       .repartition(col("pb"))
       .sortWithinPartitions(col("node"))
       .write.mode("overwrite").partitionBy("pb")
       .parquet(s"$dir/labels")
+    LayoutMeta.writeNBuckets(dir, n)
+    cached.unpersist(blocking = false)
     dir
   }
 
@@ -69,9 +79,14 @@ object LabelStoreLayout {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/labels").select(col("node"), col("canon"))
 
-  /** Fold a batch of verified pairs into the stored labeling. */
+  /** Fold a batch of verified pairs into the stored labeling.
+    * `nBuckets = 0` reads the layout's recorded bucket count — the
+    * pmod pruning below must match the store as built.
+    */
   def fold(spark: SparkSession, dir: String, newPairs: DataFrame,
-      aCol: String, bCol: String, nBuckets: Int = 64): String = {
+      aCol: String, bCol: String, nBuckets0: Int = 0): String = {
+    val nBuckets =
+      if (nBuckets0 > 0) nBuckets0 else LayoutMeta.readNBuckets(dir)
     val np = newPairs.select(col(aCol).cast("long").as("a"),
         col(bCol).cast("long").as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
