@@ -46,13 +46,45 @@ object ExplainQ {
         // executed plan and its codegen spans only finalize after an
         // action. Oracle-checked results are small by construction.
         df.collect()
+        // Census by TREE WALK over the executed plan, not by counting
+        // tokens in its string (r17): a cached relation PRINTS its
+        // whole child plan at every reference, so a query composing
+        // k cached intermediates string-counted the same subtree's
+        // exchanges k times — and registering one more (cheap) cache
+        // read as "+200 exchanges" of growth. The walk counts each
+        // cached plan ONCE (by relation identity), skips
+        // ReusedExchange (a reuse is not a new shuffle), and descends
+        // through the AQE wrappers — the count is the set of distinct
+        // shuffles/codegen spans/broadcast joins the query can
+        // actually execute.
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.WholeStageCodegenExec
+        import org.apache.spark.sql.execution.adaptive.{
+          AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+        import org.apache.spark.sql.execution.exchange.{
+          Exchange, ReusedExchangeExec}
+        import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        val seen = scala.collection.mutable.Set.empty[AnyRef]
+        var ex = 0; var cg = 0; var bhj = 0
+        def walk(p: SparkPlan): Unit = {
+          p match {
+            case a: AdaptiveSparkPlanExec => walk(a.executedPlan); return
+            case s: QueryStageExec => walk(s.plan); return
+            case i: InMemoryTableScanExec =>
+              if (seen.add(i.relation)) walk(i.relation.cachedPlan)
+              return
+            case _: ReusedExchangeExec => return
+            case e: Exchange => ex += 1
+            case _: WholeStageCodegenExec => cg += 1
+            case _: BroadcastHashJoinExec => bhj += 1
+            case _ =>
+          }
+          p.children.foreach(walk)
+          p.subqueries.foreach(walk)
+        }
+        walk(df.queryExecution.executedPlan)
         val plan = df.queryExecution.executedPlan.toString
-        val ex = "Exchange".r.findAllIn(plan).size
-        // codegen spans render as `*(n)` in the plan string — count
-        // DISTINCT stage ids (one per WholeStageCodegenExec subtree)
-        val cg = raw"\*\((\d+)\)".r.findAllMatchIn(plan)
-          .map(_.group(1)).toSet.size
-        val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
         println(f"${q.name}%-36s exchanges=$ex%-3d wscg=$cg%-3d broadcastJoins=$bhj")
         census(q.name) = s"""{"ex":$ex,"wscg":$cg,"bhj":$bhj}"""
         if (verbose) df.explain("formatted")
