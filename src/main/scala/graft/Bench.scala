@@ -1053,6 +1053,11 @@ object Bench {
       sys.props.get("graft.harness"))
     // heapGb/heapOk stamped below are computed above the baseline
     // write (which the band gates).
+    // Scalar witness maxima stay in the tail (compact, and the
+    // adjudication evidence every past verdict leaned on); the witness
+    // VECTORS + store_build1 form the `witness` block that the ladder
+    // drops before it would drop named per-query keys (VERDICT r17
+    // #4) — the sidecar and stderr always keep the full versions.
     val loadJson =
       (if (loadAtStart >= 0) s""","load1":${f2(loadAtStart)}""" else "") +
         (if (extMax >= 0) s""","ext_max":${f2(extMax)}""" else "") +
@@ -1061,20 +1066,40 @@ object Bench {
         (if (cpuMax >= 0) s""","cpu_psi":${f2(cpuMax)}""" else "") +
         (if (stealMax >= 0) s""","steal":${f2(stealMax)}""" else "") +
         (if (gcMax >= 0) s""","gc_frac":${f2(gcMax)}""" else "") +
-        extTopJson + extSelfJson + psiTopJson + cpuTopJson + gcTopJson +
-        overBandJson +
         s""","ext_win":1.5,"reps":$reps""" +
         s""","harness":"$harness","heap_gb":${f2(heapGb)}""" +
         (if (heapOk) "" else s""","heap_band":false""")
+    val witnessJson = extTopJson + extSelfJson + psiTopJson +
+      cpuTopJson + gcTopJson + overBandJson + storeFirstJson
+    val fixedJson =
+      s"$ingestJson$wireJson$grpcJson$unaryJson$jdbcJson$ratioJson" +
+        rttJson
+    val extrasJson = s"$zorderJson$landedJson"
+    val tailJson = s"""$loadJson,"sf":"$sfJson""""
+    // The full-fidelity NAMED record goes to a sidecar the driver can
+    // read (VERDICT r17 #4: 198 named 1-dp entries cannot fit the
+    // ~1950-char stdout capture — ~2100 chars of keys+values alone —
+    // so the named map needs its own artifact). Relative path = the
+    // forked run's working directory = the repo root.
+    try {
+      val scPath = sys.env.getOrElse("SPARK_GRAFT_QUERIES_JSON",
+        "BENCH_queries.json")
+      val cpusN = scala.util.Try(cpus.trim.toInt).getOrElse(-1)
+      val sc = BenchRecord.sidecar(results, fs, total, cpusN,
+        fixedJson, extrasJson, witnessJson, tailJson)
+      java.nio.file.Files.write(java.nio.file.Paths.get(scPath),
+        (sc + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] named per-query record written to " +
+        s"$scPath (${sc.length} chars)")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
+    }
     val line = BenchRecord.choose(
       results, fs, total,
-      // store_build1 rides in fixed (never dropped by the ladder): it
-      // is the measured build-vs-probe split VERDICT r12 #4 asked the
-      // ARTIFACT to carry, and the value-array rung was dropping it
-      fixed = s"$ingestJson$wireJson$grpcJson$unaryJson$jdbcJson$ratioJson" +
-        rttJson + storeFirstJson,
-      extras = s"$zorderJson$landedJson",
-      tail = s"""$loadJson,"sf":"$sfJson"""",
+      fixed = fixedJson,
+      extras = extrasJson,
+      witness = witnessJson,
+      tail = tailJson,
       warn = m => System.err.println(s"[bench] $m"))
     println(line)
     spark.stop()
@@ -1374,30 +1399,59 @@ object BenchBaseline {
   * first fit wins — and "fit" for every rung but the last means
   * MaxChars minus a 100-char safety slack, so runtime value widths
   * (a 17.62-s tail query is wider than the dry-run's) can never push
-  * a just-fitting record over the real cap:
-  *   1. 2-dp per-query, "qNN" keys, zorder/landed extras
-  *   2. 1-dp per-query, "qNN" keys, extras
-  *   3. 1-dp, "NN" keys (the q stripped — prefixes stay unique),
-  *      extras kept: the measured layout numbers outrank a cosmetic
-  *      prefix
-  *   4. 1-dp, "NN" keys, extras dropped (beyond the driver contract;
-  *      stderr keeps them)
-  *   5. 1-dp, keys dropped entirely: `"queries":{"v":[...]}` — the
-  *      per-query values in REGISTRY ORDER (stable, and the full
-  *      named map is always on stderr), so every query keeps a
-  *      number in the artifact long after named keys stop fitting
-  *   6. value array + the per-leg ext/steal witnesses stripped from
-  *      the fixed block (stderr keeps them): evidence keys yield to
-  *      per-query coverage only at the very edge
-  *   7. 1-dp, "NN" keys, only the top-30 slowest queries plus a
-  *      "q_dropped" count (the full map is on stderr) — accepted up
-  *      to the hard cap
-  * and a final length re-check that WARNS if even rung 6 overflows
-  * (ADVICE r11 #3 — never silently print a decapitated record).
+  * a just-fitting record over the real cap.
+  *
+  * The witness VECTORS (ext_top/ext_self/psi_top/cpu_top/gc_top/
+  * over_band + store_build1) are a separate `witness` block that
+  * yields BEFORE named per-query keys do (VERDICT r17 #4: the r17
+  * record fell to the nameless value-array rung because the witness
+  * keys crowded the contract line; the driver parses per-query NAMES,
+  * so names outrank witness vectors — stderr and the BENCH_queries
+  * sidecar always keep the full versions of both). Ladder:
+  *   1. 2-dp "qNN" keys + extras + witness
+  *   2. 1-dp "qNN" keys + extras + witness
+  *   3. 1-dp "NN" keys (prefixes stay unique) + extras + witness
+  *   4. 1-dp "NN" keys + witness, extras dropped
+  *   5. 1-dp "NN" keys alone — named coverage survives every
+  *      witness extra
+  *   6. `"queries":{"v":[...]}` (REGISTRY ORDER; named map in the
+  *      sidecar + stderr) + extras + witness — once names cannot fit
+  *      at all, the evidence keys ride again
+  *   7. value array + witness, extras dropped
+  *   8. value array alone
+  *   9. value array + the per-leg ext/steal witnesses stripped from
+  *      the fixed block (stderr keeps them)
+  *  10. (fallback) 1-dp "NN" keys, only the top-30 slowest queries +
+  *      witness + "q_dropped" count — accepted up to the hard cap
+  * and a final length re-check that WARNS if even the fallback
+  * overflows (ADVICE r11 #3 — never silently print a decapitated
+  * record).
+  *
+  * Because 198 named 1-dp entries can never fit a ~1950-char line
+  * (~2100 chars of keys+values alone), the FULL named map additionally
+  * goes to a `BENCH_queries.json` sidecar in the working directory on
+  * every run (VERDICT r17 #4's sanctioned channel): same shape as the
+  * stdout record but with full query names at 3 dp, so the driver's
+  * per-query comparison and scaling blocks can always be populated.
   */
 object BenchRecord {
   val MaxChars = 1950
   val SafetySlack = 100
+
+  /** The full-fidelity named record for the sidecar artifact: every
+    * query by its FULL registry name at 3 dp, plus the same fixed /
+    * witness / tail evidence the stdout line carries (uncompacted).
+    */
+  def sidecar(results: Seq[(String, Double)], failedJson: String,
+      total: Double, cpus: Int, fixed: String, extras: String,
+      witness: String, tail: String): String = {
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,""" +
+      s""""queries":$qs,"failed":$failedJson$fixed$extras$witness$tail}"""
+  }
 
   /** Which harness launched this JVM. A bare `graft.X` command alone
     * does NOT mean run.sh: sbt's `run / fork := true` JVM carries the
@@ -1417,8 +1471,8 @@ object BenchRecord {
     }
 
   def choose(results: Seq[(String, Double)], failedJson: String,
-      total: Double, fixed: String, extras: String, tail: String,
-      warn: String => Unit): String = {
+      total: Double, fixed: String, extras: String, witness: String,
+      tail: String, warn: String => Unit): String = {
     def num(v: Double, dp: Int): String = {
       val p = math.pow(10, dp)
       (math.rint(v * p) / p).toString
@@ -1439,30 +1493,46 @@ object BenchRecord {
     val fixedCompact = fixed
       .replaceAll(""","ext":-?[0-9.]+""", "")
       .replaceAll(""","steal":-?[0-9.]+""", "")
-    def rec(qs: String, withExtras: Boolean, dropped: Int,
-        compactFixed: Boolean = false): String = {
+    def rec(qs: String, withExtras: Boolean, withWitness: Boolean,
+        dropped: Int, compactFixed: Boolean = false): String = {
       val x = if (withExtras) extras else ""
+      val wt = if (withWitness) witness else ""
       val d = if (dropped > 0) s""","q_dropped":$dropped""" else ""
       val fx = if (compactFixed) fixedCompact else fixed
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson$fx$x$d$tail}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson$fx$x$wt$d$tail}"""
     }
     val top = results.sortBy(-_._2).take(30)
       .sortBy(t => results.indexWhere(_._1 == t._1))
     val fit = MaxChars - SafetySlack
     val rungs: Seq[(() => String, String)] = Seq(
-      (() => rec(qjson(results, 2, strip = false), withExtras = true, 0),
+      (() => rec(qjson(results, 2, strip = false), withExtras = true,
+          withWitness = true, 0),
         ""),
-      (() => rec(qjson(results, 1, strip = false), withExtras = true, 0),
+      (() => rec(qjson(results, 1, strip = false), withExtras = true,
+          withWitness = true, 0),
         "per-query keys degraded to 1 dp for stdout-capture safety"),
-      (() => rec(qjson(results, 1, strip = true), withExtras = true, 0),
+      (() => rec(qjson(results, 1, strip = true), withExtras = true,
+          withWitness = true, 0),
         "stripping the q key prefix (NN keys stay unique)"),
-      (() => rec(qjson(results, 1, strip = true), withExtras = false, 0),
+      (() => rec(qjson(results, 1, strip = true), withExtras = false,
+          withWitness = true, 0),
         "dropping the zorder/landed extras (stderr keeps them)"),
-      (() => rec(vjson(results, 1), withExtras = false, 0),
+      (() => rec(qjson(results, 1, strip = true), withExtras = false,
+          withWitness = false, 0),
+        "dropping the witness vectors (sidecar/stderr keep them) so " +
+          "named per-query keys survive"),
+      (() => rec(vjson(results, 1), withExtras = true,
+          withWitness = true, 0),
         "per-query keys compacted to a registry-ordered value array " +
-          "(the named map stays on stderr)"),
-      (() => rec(vjson(results, 1), withExtras = false, 0,
-          compactFixed = true),
+          "(the named map is in BENCH_queries.json and on stderr)"),
+      (() => rec(vjson(results, 1), withExtras = false,
+          withWitness = true, 0),
+        "value array without extras (named map in BENCH_queries.json)"),
+      (() => rec(vjson(results, 1), withExtras = false,
+          withWitness = false, 0),
+        "value array without witness vectors (sidecar/stderr keep them)"),
+      (() => rec(vjson(results, 1), withExtras = false,
+          withWitness = false, 0, compactFixed = true),
         "dropping the throughput-leg ext/steal witnesses (stderr keeps " +
           "them) so every query keeps a number"))
     var chosen: Option[String] = None
@@ -1478,7 +1548,8 @@ object BenchRecord {
     }
     chosen.getOrElse {
       val last = rec(qjson(top, 1, strip = true), withExtras = false,
-        math.max(0, results.size - top.size), compactFixed = true)
+        withWitness = true, math.max(0, results.size - top.size),
+        compactFixed = true)
       if (last.length <= MaxChars)
         warn(s"record over $fit chars at every full rung — keeping only " +
           s"the ${top.size} slowest queries (full map on stderr)")

@@ -16,26 +16,42 @@ class BenchRecordSpec extends AnyFunSuite {
   private def surface(n: Int): Seq[(String, Double)] =
     (1 to n).map(i => (f"q$i%02d_some_operator_name", (i % 37) + 0.87))
 
+  /** Values at the REAL capture's widths (BENCH_r17: 197 of 198 slots
+    * print 3 chars at 1 dp) — the rung-fitting tests for the actual
+    * 198-surface behavior must not be skewed by synthetic 2-digit
+    * seconds.
+    */
+  private def realSurface(n: Int): Seq[(String, Double)] =
+    (1 to n).map(i => (f"q$i%02d_some_operator_name", (i % 9) / 10.0 + 0.27))
+
+  // the r16 fixed block at its real widths: five throughput legs
+  // (each with its kept-rep ext/steal witness), ratio, rtt pair
+  private val realFixed =
+    ""","ingest":{"rows_per_sec":671234,"ext":0.31,"steal":0.04},""" +
+      """"wire_ingest":{"rows_per_sec":1130000,"ext":0.02,"steal":0.11},""" +
+      """"grpc_ingest":{"rows_per_sec":668000,"ext":0.03,"steal":0.02},""" +
+      """"grpc_unary":{"rows_per_sec":852000,"ext":0.01,"steal":0.05},""" +
+      """"jdbc_ingest":{"rows_per_sec":55000,"ext":0.24,"steal":0.03},""" +
+      """"grpc_wire_ratio":0.59,""" +
+      """"wire_rtt_ms":0.094,"grpc_rtt_ms":0.285"""
+  private val realExtras =
+    ""","zorder":[6,53,53,53],"landed":{"q01":[1.86,0.42],""" +
+      """"q03":[1.90,0.55],"q13":[0.80,0.30],"q14":[0.40,0.10],""" +
+      """"q34":[0.40,0.20]}"""
+  // store_build1 now rides the witness block (VERDICT r17 #4: named
+  // per-query keys outrank the witness vectors on the contract line)
+  private val realWitness =
+    ""","store_build1":{"106":8.94,"187":7.63,"188":3.73,"190":8.08,""" +
+      """"192":2.94,"193":2.06,"194":2.53,"197":2.87},""" +
+      """"build_method":"single1""""
+
   private def choose(results: Seq[(String, Double)],
       warnings: StringBuilder = new StringBuilder): String =
     BenchRecord.choose(results, failedJson = "[]",
       total = results.map(_._2).sum,
-      // the r16 fixed block at its real widths: five throughput legs
-      // (each with its kept-rep ext/steal witness), ratio, rtt pair,
-      // store_build1 (8 stores) + build_method marker
-      fixed = ""","ingest":{"rows_per_sec":671234,"ext":0.31,"steal":0.04},""" +
-        """"wire_ingest":{"rows_per_sec":1130000,"ext":0.02,"steal":0.11},""" +
-        """"grpc_ingest":{"rows_per_sec":668000,"ext":0.03,"steal":0.02},""" +
-        """"grpc_unary":{"rows_per_sec":852000,"ext":0.01,"steal":0.05},""" +
-        """"jdbc_ingest":{"rows_per_sec":55000,"ext":0.24,"steal":0.03},""" +
-        """"grpc_wire_ratio":0.59,""" +
-        """"wire_rtt_ms":0.094,"grpc_rtt_ms":0.285,""" +
-        """"store_build1":{"106":8.94,"187":7.63,"188":3.73,"190":8.08,""" +
-        """"192":2.94,"193":2.06,"194":2.53,"197":2.87},""" +
-        """"build_method":"single1"""",
-      extras = ""","zorder":[6,53,53,53],"landed":{"q01":[1.86,0.42],""" +
-        """"q03":[1.90,0.55],"q13":[0.80,0.30],"q14":[0.40,0.10],""" +
-        """"q34":[0.40,0.20]}""",
+      fixed = realFixed,
+      extras = realExtras,
+      witness = realWitness,
       // the r16 tail at its real widths: the six witness maxima, the
       // burst-window marker, and the capture-environment stamps
       tail = ""","load1":0.26,"ext_max":0.41,"io_psi":0.00,""" +
@@ -86,21 +102,26 @@ class BenchRecordSpec extends AnyFunSuite {
     }
   }
 
-  test("leg witnesses survive at the frozen 198 surface, strip at 250") {
+  test("leg witnesses survive at the frozen 198 surface, strip under pressure") {
     // the per-leg ext/steal stamps are evidence and must ride the
     // record at the REAL surface; at pressure they yield to per-query
-    // coverage (rung 6) instead of queries getting dropped
+    // coverage (the compact-fixed rung) instead of queries dropping
     val r198 = choose(surface(198))
     assert(r198.contains(""""ingest":{"rows_per_sec":671234,"ext":0.31"""),
       s"leg witness missing at 198:\n$r198")
-    val r250 = choose(surface(250))
-    assert(r250.contains(""""ingest":{"rows_per_sec":671234}"""),
-      s"leg witness not stripped at 250:\n$r250")
-    assert(!r250.contains("\"q_dropped\":"))
-    // the tail's capture-wide witness keys must survive the strip —
-    // the regex targets only the legs' ",ext"/",steal" pairs
-    assert(r250.contains("\"ext_max\":"))
-    assert(r250.contains("\"steal\":0.21"))
+    // find the first surface size whose record needed the strip: it
+    // must exist (the compact-fixed rung engages before the top-30
+    // fallback), keep full per-query coverage, and keep the tail's
+    // capture-wide witness keys (the regex targets only the legs'
+    // ",ext"/",steal" pairs)
+    val stripN = (200 to 430).find(n =>
+      choose(surface(n)).contains(""""ingest":{"rows_per_sec":671234}"""))
+    assert(stripN.nonEmpty, "no surface size engaged the compact-fixed rung")
+    val r = choose(surface(stripN.get))
+    assert(!r.contains("\"q_dropped\":"),
+      s"strip engaged only at the drop fallback (n=${stripN.get})")
+    assert(r.contains("\"ext_max\":"))
+    assert(r.contains("\"steal\":0.21"))
   }
 
   test("a small surface stays on the verbose rung: 2 dp + extras, no warning") {
@@ -137,58 +158,55 @@ class BenchRecordSpec extends AnyFunSuite {
     }
   }
 
-  private def chooseWithTail(tail: String,
-      warnings: StringBuilder): String =
-    BenchRecord.choose(surface(198), failedJson = "[]", total = 230.0,
+  private def chooseWithWitness(witness: String, tail: String,
+      warnings: StringBuilder, n: Int = 198): String =
+    BenchRecord.choose(realSurface(n), failedJson = "[]", total = 230.0,
       fixed = ""","ingest":{"rows_per_sec":671234,"ext":0.31,"steal":0.94},""" +
         """"wire_ingest":{"rows_per_sec":1130000,"ext":0.02,"steal":0.81},""" +
         """"grpc_ingest":{"rows_per_sec":668000,"ext":0.03,"steal":0.72},""" +
         """"grpc_unary":{"rows_per_sec":852000,"ext":0.01,"steal":0.65},""" +
         """"jdbc_ingest":{"rows_per_sec":55000,"ext":0.24,"steal":0.43},""" +
         """"grpc_wire_ratio":0.59,""" +
-        """"wire_rtt_ms":0.094,"grpc_rtt_ms":0.285,""" +
-        """"store_build1":{"106":8.94,"187":7.63,"188":3.73,"190":8.08,""" +
-        """"192":2.94,"193":2.06,"194":2.53,"197":2.87},""" +
-        """"build_method":"single1"""",
-      extras = ""","zorder":[6,53,53,53],"landed":{"q01":[1.86,0.42],""" +
-        """"q03":[1.90,0.55],"q13":[0.80,0.30],"q14":[0.40,0.10],""" +
-        """"q34":[0.40,0.20]}""",
+        """"wire_rtt_ms":0.094,"grpc_rtt_ms":0.285"""",
+      extras = realExtras,
+      witness = witness,
       tail = tail,
       warn = m => { warnings ++= m; () })
 
-  test("an r16-driver-shaped inflated tail keeps full per-query coverage") {
+  test("an r16-driver-shaped inflated capture keeps full per-query coverage") {
     // the realistic bad capture (the shape BENCH_r16 actually
-    // shipped, plus the new evidence keys at observed sizes): all six
-    // maxima, a few ext_top/ext_self entries, six over_band stamps +
-    // overflow count, out-of-band heap, fork harness — per-query
-    // coverage must survive (no top-30/q_dropped fallback)
+    // shipped, plus the evidence keys at observed sizes): all six
+    // maxima in the tail, a few ext_top/ext_self entries, six
+    // over_band stamps + overflow count in the witness block,
+    // out-of-band heap, fork harness — per-query coverage must
+    // survive (no top-30/q_dropped fallback) and the witness evidence
+    // must still ride the (value-array) record
+    val witness =
+      ""","ext_top":{"48":0.28,"41":0.26},""" +
+        """"ext_self":{"hum":0.01,"48":0.28,"41":0.26},""" +
+        """"over_band":{"110":4.02,"102":8.73,"76":5.19,"75":6.92,""" +
+        """"130":2.25,"65":2.43},"over_band_n":11""" + realWitness
     val tail =
       ""","load1":0.40,"ext_max":0.28,"io_psi":0.00,"mem_psi":0.00,""" +
         """"cpu_psi":0.07,"steal":0.37,"gc_frac":0.07,""" +
-        """"ext_top":{"48":0.28,"41":0.26},""" +
-        """"ext_self":{"hum":0.01,"48":0.28,"41":0.26},""" +
-        """"over_band":{"110":4.02,"102":8.73,"76":5.19,"75":6.92,""" +
-        """"130":2.25,"65":2.43},"over_band_n":11,""" +
         """"ext_win":1.5,"reps":4,"harness":"fork","heap_gb":89.00,""" +
         """"heap_band":false,"sf":"/root/testdata/sf0.1""""
     val w = new StringBuilder
-    val r = chooseWithTail(tail, w)
+    val r = chooseWithWitness(witness, tail, w)
     assert(r.length <= BenchRecord.MaxChars)
     assert(!r.contains("\"q_dropped\":"),
-      s"realistic inflated tail fell to q_dropped (${r.length} chars)")
+      s"realistic inflated capture fell to q_dropped (${r.length} chars)")
     assert(r.contains("\"over_band\":") && r.contains("\"heap_band\""))
   }
 
-  test("the every-vector-at-cap torture tail keeps all evidence keys") {
+  test("the every-vector-at-cap torture witness keeps all evidence keys") {
     // all five vectors at their caps at once + both overflow counts:
     // beyond any full rung by construction — the ladder may fall to
     // the top-30 fallback, but every evidence key must ride along
     // (the full per-query map is on stderr) and the record must stay
     // under the cap with the fallback marked
-    val tail =
-      ""","load1":6.52,"ext_max":1.58,"io_psi":0.12,"mem_psi":0.08,""" +
-        """"cpu_psi":0.44,"steal":1.57,"gc_frac":0.21,""" +
-        """"ext_top":{"110":1.58,"111":1.44,"159":1.31,"85":1.20},""" +
+    val witness =
+      ""","ext_top":{"110":1.58,"111":1.44,"159":1.31,"85":1.20},""" +
         """"ext_self":{"hum":0.05,"48":1.58,"41":1.44,"33":0.79,""" +
         """"35":0.54,"100":0.48,"64":0.41,"24":0.38,"159":0.31},""" +
         """"ext_self_n":14,""" +
@@ -196,16 +214,62 @@ class BenchRecordSpec extends AnyFunSuite {
         """"cpu_top":{"110":0.44,"159":0.41,"111":0.38,"85":0.33},""" +
         """"gc_top":{"93":0.21,"95":0.19,"88":0.17,"167":0.16},""" +
         """"over_band":{"110":4.02,"102":8.73,"76":5.19,"75":6.92,""" +
-        """"130":2.25,"65":2.43},"over_band_n":24,""" +
+        """"130":2.25,"65":2.43},"over_band_n":24""" + realWitness
+    val tail =
+      ""","load1":6.52,"ext_max":1.58,"io_psi":0.12,"mem_psi":0.08,""" +
+        """"cpu_psi":0.44,"steal":1.57,"gc_frac":0.21,""" +
         """"ext_win":1.5,"reps":11,"harness":"fork","heap_gb":89.00,""" +
         """"heap_band":false,"sf":"/root/testdata/sf0.1""""
     val w = new StringBuilder
-    val r = chooseWithTail(tail, w)
+    // a 400-query surface pushes even the value-array rungs past the
+    // cap, forcing the top-30 fallback — which must carry the witness
+    // evidence (on exactly the captures where it matters most)
+    val r = chooseWithWitness(witness, tail, w, n = 400)
     assert(r.length <= BenchRecord.MaxChars)
+    assert(r.contains("\"q_dropped\":"), s"expected fallback (${r.length})")
+    assert(w.nonEmpty)
     for (k <- Seq("\"over_band\":", "\"over_band_n\":", "\"ext_self_n\":",
         "\"cpu_top\":", "\"gc_top\":", "\"heap_band\""))
-      assert(r.contains(k), s"evidence key $k lost")
-    if (r.contains("\"q_dropped\":")) assert(w.nonEmpty)
+      assert(r.contains(k), s"evidence key $k lost in fallback")
+    // at the REAL 198 surface the same torture witness must keep
+    // per-query coverage (value-array rung) AND the evidence
+    val w198 = new StringBuilder
+    val r198 = chooseWithWitness(witness, tail, w198)
+    assert(r198.length <= BenchRecord.MaxChars)
+    assert(!r198.contains("\"q_dropped\":"),
+      s"198-surface torture witness dropped queries (${r198.length})")
+  }
+
+  test("witness vectors yield before named per-query keys do") {
+    // a surface small enough that named 1-dp keys fit WITHOUT the
+    // witness block but not with it: the ladder must print named keys
+    // and drop the witness vectors (they live in the sidecar/stderr),
+    // never the reverse (VERDICT r17 #4)
+    val witness = ("," + (1 to 40).map(i =>
+      s""""w$i":{"110":4.02,"102":8.73,"76":5.19}""").mkString(","))
+    val w = new StringBuilder
+    val r = chooseWithWitness(witness, ""","sf":"/x"""", w, n = 60)
+    assert(r.length <= BenchRecord.MaxChars)
+    assert(r.contains("\"01\":") || r.contains("\"q01\":"),
+      s"named keys lost while witness vectors rode:\n$r")
+    assert(!r.contains("\"w1\":"),
+      "witness vectors survived at the cost of named keys")
+    assert(!r.contains("\"queries\":{\"v\":["),
+      "fell to the nameless value array while dropping the witness " +
+        "would have kept named keys")
+  }
+
+  test("sidecar carries every query by FULL name at 3 dp") {
+    val sc = BenchRecord.sidecar(surface(198), "[]", 230.0, 32,
+      realFixed, realExtras, realWitness,
+      ""","load1":0.26,"sf":"/root/testdata/sf0.1"""")
+    assert(sc.contains("\"q01_some_operator_name\":1.870"))
+    assert(sc.contains("\"q198_some_operator_name\":"))
+    assert(sc.contains("\"cpus\":32"))
+    assert(sc.contains("\"store_build1\":"))
+    assert(sc.count(_ == '{') == sc.count(_ == '}'))
+    assert(sc.startsWith("{\"metric\":\"total\""))
+    assert(sc.endsWith("\"sf\":\"/root/testdata/sf0.1\"}"))
   }
 
   test("harnessOf separates run.sh from an sbt-forked bare-class JVM") {
