@@ -75,6 +75,16 @@ object Bench {
       // the GC itself between queries, outside the timed window, so
       // the periodic timer only needs to cover the longest queries.
       .config("spark.cleaner.periodicGC.interval", "10min")
+      // Cached plans compile WITHOUT AQE under the Spark default
+      // (false), preserving a cache's output partitioning. Measured
+      // BOTH ways on this surface (r18): enabling it helps
+      // cache-composed stored probes (q106 2.8 vs 3.7) but costs the
+      // cache-chained prefix-filter family 2-3x (q166 5.9 vs 1.9 —
+      // every cache in the chain becomes its own adaptive stage
+      // barrier), so the default stays off; the env knob exists
+      // because the right setting is workload-shaped, not universal.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up: exercise the parquet reader, shuffle/broadcast

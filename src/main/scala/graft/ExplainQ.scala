@@ -34,6 +34,8 @@ object ExplainQ {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val qs = SparkEntry.registry.filter(q => names.isEmpty || names(q.name))

@@ -28,6 +28,8 @@ object PrepareCorpus {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.pipeline.{Dedup, TextOps}

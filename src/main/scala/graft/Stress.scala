@@ -37,6 +37,8 @@ object Stress {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "30s")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.pipeline.{Dedup, TextOps}

@@ -5,7 +5,10 @@ object TimeQ {
     val names = args.drop(1)
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions","32").config("spark.ui.enabled","false")
-      .config("spark.sql.session.timeZone","UTC").getOrCreate()
+      .config("spark.sql.session.timeZone","UTC")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "false"))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       val t0 = System.nanoTime()

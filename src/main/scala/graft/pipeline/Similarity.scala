@@ -303,8 +303,9 @@ object Similarity extends Serializable {
     * the job it runs anyway, saving one full result pass per operator
     * call at any scale. Use only where nothing between here and the
     * consumer's action depends on synchronous materialization (e.g.
-    * GramIndexLayout.probe widens a parquet-pushdown conf around its
-    * materialization and must stay on the eager form).
+    * a scan that must run inside a widened parquet-pushdown conf
+    * window is pinned by its own eager persist first —
+    * GramIndexLayout.probe does exactly that for its index read).
     */
   private[graft] def cacheAndRelease(result: DataFrame,
       intermediates: Seq[DataFrame]): DataFrame = {
@@ -724,15 +725,17 @@ object Similarity extends Serializable {
     import spark.implicits._
     // the rounds are driver round-trips over the caller-persisted v,
     // whose size one cache-speed count measures — summary-frame loop
-    // shape below the AdaptiveShape threshold, session shape above
-    graft.operators.AdaptiveShape.withFrameSize(spark, v.count()) {
+    // shape below the AdaptiveShape threshold (session-isolated; the
+    // collected centroids are driver data, nothing escapes), session
+    // shape above
+    graft.operators.AdaptiveShape.withLoopFrame(v, v.count()) { vv =>
     // init: k smallest ids — TakeOrderedAndProject, not a global sort
-    var cents: Array[(Long, Array[Double])] = v.orderBy(col("id")).limit(k)
+    var cents: Array[(Long, Array[Double])] = vv.orderBy(col("id")).limit(k)
       .as[(Long, Array[Double])].collect()
     for (_ <- 1 to rounds) {
       // (cluster, dim) exact integer partial sums → k·dim rows to the
       // driver (bounded by contract), ONE division each
-      cents = lloydAssign(v, cents)
+      cents = lloydAssign(vv, cents)
         .select(col("cluster"), posexplode(col("vd")).as(Seq("pos", "x")))
         .groupBy(col("cluster"), col("pos"))
         .agg(sum(floor(col("x") * 1e6).cast("long")).as("s"),
@@ -814,10 +817,11 @@ object Similarity extends Serializable {
     val spark = v.sparkSession
     import spark.implicits._
     // driver round-trips over the caller-persisted v — same
-    // measured-size loop shape as lloydCentroids
-    graft.operators.AdaptiveShape.withFrameSize(spark, v.count()) {
+    // measured-size loop shape as lloydCentroids (session-isolated;
+    // only the collected codebooks leave the block)
+    graft.operators.AdaptiveShape.withLoopFrame(v, v.count()) { vv =>
     var books: Array[Array[(Long, Array[Double])]] = {
-      val init = v.orderBy(col("id")).limit(k)
+      val init = vv.orderBy(col("id")).limit(k)
         .as[(Long, Array[Double])].collect()
       Array.tabulate(m)(s =>
         init.map { case (id, vd) => (id, vd.slice(s * sub, (s + 1) * sub)) })
@@ -839,7 +843,7 @@ object Similarity extends Serializable {
           bestC
         }
       }
-      books = v
+      books = vv
         .select(assignK(col("vd")).as("cids"),
           posexplode(col("vd")).as(Seq("pos", "x")))
         .select((col("pos") / sub).cast("int").as("s"),

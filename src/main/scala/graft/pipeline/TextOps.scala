@@ -388,13 +388,14 @@ object TextOps extends Serializable {
     // frame would leave the cached base blocks pinned for the session
     val cached = bpeVocab(docs, textCol).cache()
     val vocabRows = cached.count() // materialize: every round re-reads this
-    var vocab: org.apache.spark.sql.DataFrame = cached
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     try {
       // the n rounds are vocabulary-sized TakeOrdered jobs over the
-      // measured cache — summary-frame loop shape (AdaptiveShape)
-      graft.operators.AdaptiveShape.withFrameSize(spark, vocabRows) {
+      // measured cache — summary-frame loop shape (AdaptiveShape,
+      // session-isolated; only the collected merge rows leave)
+      graft.operators.AdaptiveShape.withLoopFrame(cached, vocabRows) { v0 =>
+      var vocab: org.apache.spark.sql.DataFrame = v0
       for (k <- 1 to n) {
         val best = bpePairs(vocab)
           .orderBy(col("c").desc, col("l").asc, col("r").asc)
@@ -509,12 +510,19 @@ object TextOps extends Serializable {
         col("cnt"))
       .cache()
     val vocabRows = cached.count()
-    var vocab: org.apache.spark.sql.DataFrame = cached
-    try {
-      // merge replay: vocabulary-sized rounds (AdaptiveShape); the
-      // corpus-scale encode join below plans OUTSIDE the small shape
-      graft.operators.AdaptiveShape.withFrameSize(
-          docs.sparkSession, vocabRows) {
+    // the encode join CONSUMES the vocab cache lazily (the caller's
+    // action runs after this returns), so release rides the
+    // end-of-query drain — the old finally-unpersist dropped the
+    // blocks before that action and the join re-aggregated the
+    // corpus words from scratch
+    graft.pipeline.Similarity.registerForRelease(cached)
+    // merge replay: vocabulary-sized rounds (AdaptiveShape,
+    // session-isolated); the corpus-scale encode join below plans
+    // OUTSIDE the small shape — the final vocab frame ESCAPES the
+    // block, so it is rebound to the caller's session
+    val vocabOut = graft.operators.AdaptiveShape.withLoopFrame(
+        cached, vocabRows) { v0 =>
+      var vocab: org.apache.spark.sql.DataFrame = v0
       for (_ <- 1 to n) {
         val best = bpePairs(vocab)
           .orderBy(col("c").desc, col("l").asc, col("r").asc)
@@ -527,22 +535,24 @@ object TextOps extends Serializable {
               lit(BpeSep + l + r + BpeSep)))
         }
       }
-      }
-      val perWord = vocab.select(col("w"),
-        size(split(substring(col("s"), lit(2), length(col("s")) - 2),
-          BpeSep + BpeSep)).cast("long").as("toks"))
-      docs.select(col(srcCol).as("source"),
-          explode(split(col(textCol), " ")).as("w"))
-        .filter(col("w") =!= "")
-        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("k"))
-        .join(perWord, "w")
-        .groupBy(col("source"))
-        .agg(sum(col("k")).as("n_words"),
-          sum(col("k") * col("toks")).as("bpe_tokens"))
-        .withColumn("tokens_per_word",
-          col("bpe_tokens").cast("double") / col("n_words").cast("double"))
-        .orderBy(col("source"))
-    } finally cached.unpersist(false)
+      vocab
+    }
+    val vocabFinal = graft.operators.AdaptiveShape.rebind(vocabOut,
+      docs.sparkSession)
+    val perWord = vocabFinal.select(col("w"),
+      size(split(substring(col("s"), lit(2), length(col("s")) - 2),
+        BpeSep + BpeSep)).cast("long").as("toks"))
+    docs.select(col(srcCol).as("source"),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("k"))
+      .join(perWord, "w")
+      .groupBy(col("source"))
+      .agg(sum(col("k")).as("n_words"),
+        sum(col("k") * col("toks")).as("bpe_tokens"))
+      .withColumn("tokens_per_word",
+        col("bpe_tokens").cast("double") / col("n_words").cast("double"))
+      .orderBy(col("source"))
   }
 
   /** DuckDB oracle for [[bpeEncodedCounts]]: the same unrolled merge

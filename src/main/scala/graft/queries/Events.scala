@@ -1094,13 +1094,22 @@ object Events {
     (spark, dir) => {
       val k = 256
       val qs = Seq(("p25", 0.25), ("p50", 0.50), ("p75", 0.75))
+      // the md5-hashed projection feeds bottomK (two reads of its
+      // input), the exact rank leg AND the per-type counts — four
+      // evaluations of the per-row md5 without the cache (guide §5);
+      // the ≤ 256×types sample is read twice. Both lazy, drained with
+      // the query.
       val ev = Tables(spark, dir, "events")
         .select(col("event_type"), col("event_id"), col("value"))
         .withColumn("h",
           conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
             .cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.Similarity.registerForRelease(ev)
       val sample = graft.operators.OrderedScan.bottomK(ev, col("event_type"),
-        col("h"), col("event_id"), expr(s"h div ${1L << 53}L"), k, "rk")
+          col("h"), col("event_id"), expr(s"h div ${1L << 53}L"), k, "rk")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.Similarity.registerForRelease(sample)
       // bounded-sample value rank: ≤ k rows per key by construction,
       // so the per-key window is not a scale hazard here
       val vw = org.apache.spark.sql.expressions.Window
@@ -1717,74 +1726,134 @@ object Events {
       : org.apache.spark.sql.DataFrame = {
     val B = LttbB
     val mid = LttbMid
-    // score of candidate x against anchor st.(ax, ay) and next-bucket
-    // centroid cent.(sx, sy, c): |2·area·c| with the centroid division
-    // multiplied through — all-integer
-    def scoreOf(x: String): String =
-      s"""abs((st.ax * cent.c - cent.sx) * ($x.v - st.ay)
-            - (st.ax - $x.xms) * (st.ay * cent.c - cent.sy))"""
-    def pt(x: String): String =
-      s"named_struct('t_us', $x.t_us, 'event_id', $x.event_id, 'v', $x.v)"
-    // bucket j of the sorted middle array is the CONTIGUOUS slice
-    // [ceil(j·(n-2)/10), ceil((j+1)·(n-2)/10)) — same membership as
-    // bk(k) = (k·10) div (n-2), but each bucket visit is O(bucket),
-    // not an O(n) filter: the fold's total work drops from (B-2)·n
-    // to n per series
-    def seg(j: String): String = {
-      val lo = s"cast((($j) * cast(n - 2 as bigint) + ${mid - 1})" +
-        s" div $mid as int)"
-      val hi = s"cast((($j) * cast(n - 2 as bigint) + cast(n - 2 as bigint)" +
-        s" + ${mid - 1}) div $mid as int)"
-      s"slice(m, $lo + 1, $hi - $lo)"
-    }
-    // argmax via array_max over (score, -xms, -event_id, point)
-    // structs: lexicographic struct comparison makes the max the
-    // highest score with ties to the EARLIEST (xms, event_id), and the
-    // score is computed ONCE per element (the compare-twice CASE form
-    // doubled the work and the codegen size)
-    val fold = s"""aggregate(sequence(0, ${mid - 1}),
-      named_struct('sel', array(${pt("element_at(a, 1)")}),
-                   'ax', element_at(a, 1).xms, 'ay', element_at(a, 1).v),
-      (st, j) -> try_element_at(transform(array(
-          CASE WHEN j < ${mid - 1} THEN element_at(sums, j + 2)
-               ELSE named_struct('sx', element_at(a, n).xms,
-                                 'sy', element_at(a, n).v, 'c', 1L) END),
-        cent -> try_element_at(transform(array(
-            array_max(transform(${seg("j")}, e -> named_struct(
-              's', ${scoreOf("e")}, 'nx', -e.xms, 'ne', -e.event_id,
-              'xms', e.xms, 't_us', e.t_us, 'event_id', e.event_id,
-              'v', e.v)))),
-          cand -> named_struct('sel', concat(st.sel, array(${pt("cand")})),
-                               'ax', cand.xms, 'ay', cand.v)), 1)), 1),
-      st -> concat(st.sel, array(${pt("element_at(a, n)")})))"""
+    val spark = raw.sparkSession
     val ev = raw.select(
       col("event_type"),
       date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
       expr("(ts_ns div 1000 - unix_micros(date_trunc('DAY', ts))) div 1000")
         .as("xms"),
       expr("ts_ns div 1000").as("t_us"),
-      col("event_id"), floor(col("value") * 64).as("v"))
-    ev.groupBy(col("event_type"), col("day"))
-      .agg(sort_array(collect_list(struct(col("xms"), col("t_us"),
-        col("event_id"), col("v")))).as("a"))
-      .withColumn("n", size(col("a")))
-      .withColumn("m", expr("slice(a, 2, n - 2)"))
-      .withColumn("sums", expr(s"""transform(sequence(0, ${mid - 1}), j ->
-        aggregate(${seg("j")},
-          named_struct('sx', 0L, 'sy', 0L, 'c', 0L),
-          (acc, e) -> named_struct('sx', acc.sx + e.xms,
-                                   'sy', acc.sy + e.v,
-                                   'c', acc.c + 1L)))"""))
-      .withColumn("sel", expr(s"""CASE WHEN n <= $B
-          THEN transform(a, p -> ${pt("p")})
-          ELSE $fold END"""))
-      .select(col("event_type"), col("day"),
-        posexplode(col("sel")).as(Seq("pos", "p")))
-      .select(col("event_type"), col("day"),
-        (col("pos") + 1).cast("long").as("seq"),
-        col("p.t_us").as("t_us"), col("p.event_id").as("event_id"),
-        col("p.v").as("v"))
-      .orderBy(col("event_type"), col("day"), col("seq"))
+      col("event_id").cast("long"), floor(col("value") * 64).as("v"))
+    // One (type, day) shuffle into per-series sorted runs, then the
+    // whole LTTB selection as a JVM kernel (the q159 mapPartitions
+    // treatment): the previous form built a per-series array
+    // (collect_list + sort_array) and ran the 10-step fold as a
+    // ~200-node higher-order-function expression tree — interpreted
+    // lambda dispatch per element plus a giant codegen span, measured
+    // 2.38 s quiet at sf0.1 where this form is ~1 s. Exact-identical
+    // output: points arrive in sort_array's (xms, t_us, event_id, v)
+    // order; bucket j of the n-2 middle points is the contiguous
+    // slice [ceil(j·(n-2)/mid), ceil((j+1)·(n-2)/mid)) (same indices
+    // as the expression's seg(j)); the argmax reproduces the
+    // lexicographic array_max over (score, -xms, -event_id, xms,
+    // t_us, event_id, v) structs; score arithmetic is the same
+    // all-integer |2·area·c| with overflow LOUD via
+    // Math.multiplyExact/addExact (the q159 ANSI discipline — the
+    // oracle's BIGINT ops error on overflow too, never wrap).
+    // Per-series state is one day×type point buffer — exactly the
+    // array the collect_list row held, so the memory posture is
+    // unchanged; series count scales out, the per-series cost is
+    // bounded by daily density.
+    import spark.implicits._
+    val sorted = ev
+      .repartition(col("event_type"), col("day"))
+      .sortWithinPartitions(col("event_type"), col("day"), col("xms"),
+        col("t_us"), col("event_id"), col("v"))
+      .as[(String, String, Long, Long, Long, Long)]
+    val selected = sorted.mapPartitions { it =>
+      val out = scala.collection.mutable.ListBuffer
+        .empty[(String, String, Long, Long, Long, Long)]
+      // point = (xms, t_us, event_id, v)
+      val pts = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long)]
+      var curType: String = null
+      var curDay: String = null
+      def score(ax: Long, ay: Long, cx: Long, cy: Long, cc: Long,
+          xms: Long, v: Long): Long =
+        Math.abs(Math.subtractExact(
+          Math.multiplyExact(
+            Math.subtractExact(Math.multiplyExact(ax, cc), cx),
+            Math.subtractExact(v, ay)),
+          Math.multiplyExact(
+            Math.subtractExact(ax, xms),
+            Math.subtractExact(Math.multiplyExact(ay, cc), cy))))
+      def flush(): Unit = if (curType != null && pts.nonEmpty) {
+        val n = pts.length
+        val sel =
+          if (n <= B) pts.toIndexedSeq
+          else {
+            val nm = n - 2 // middle points pts(1..n-2), 0-based 1..nm
+            def lo(j: Int): Int = ((j.toLong * nm + mid - 1) / mid).toInt
+            def hi(j: Int): Int =
+              ((j.toLong * nm + nm + mid - 1) / mid).toInt
+            // per-bucket centroid sums over the middle slice
+            val sx = new Array[Long](mid)
+            val sy = new Array[Long](mid)
+            val c = new Array[Long](mid)
+            var j = 0
+            while (j < mid) {
+              var i = lo(j)
+              while (i < hi(j)) {
+                val e = pts(i + 1)
+                sx(j) = Math.addExact(sx(j), e._1)
+                sy(j) = Math.addExact(sy(j), e._4)
+                c(j) = Math.addExact(c(j), 1L)
+                i += 1
+              }
+              j += 1
+            }
+            val s = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Long, Long)]
+            s += pts(0)
+            var ax = pts(0)._1
+            var ay = pts(0)._4
+            j = 0
+            while (j < mid) {
+              val (cx, cy, cc) =
+                if (j < mid - 1) (sx(j + 1), sy(j + 1), c(j + 1))
+                else (pts(n - 1)._1, pts(n - 1)._4, 1L)
+              var best = pts(lo(j) + 1)
+              var bestS = score(ax, ay, cx, cy, cc, best._1, best._4)
+              var i = lo(j) + 1
+              while (i < hi(j)) {
+                val e = pts(i + 1)
+                val es = score(ax, ay, cx, cy, cc, e._1, e._4)
+                // the expression's array_max struct order: score desc,
+                // then EARLIEST (xms, event_id), then the remaining
+                // struct fields (t_us, v) ascending-max
+                val better =
+                  if (es != bestS) es > bestS
+                  else if (e._1 != best._1) e._1 < best._1
+                  else if (e._3 != best._3) e._3 < best._3
+                  else if (e._2 != best._2) e._2 > best._2
+                  else e._4 > best._4
+                if (better) { best = e; bestS = es }
+                i += 1
+              }
+              s += best
+              ax = best._1
+              ay = best._4
+              j += 1
+            }
+            s += pts(n - 1)
+            s.toIndexedSeq
+          }
+        var k = 0
+        while (k < sel.length) {
+          val p = sel(k)
+          out += ((curType, curDay, (k + 1).toLong, p._2, p._3, p._4))
+          k += 1
+        }
+        pts.clear()
+      }
+      it.foreach { case (t, d, xms, tus, eid, v) =>
+        if (t != curType || d != curDay) { flush(); curType = t; curDay = d }
+        pts += ((xms, tus, eid, v))
+      }
+      flush()
+      out.iterator
+    }.toDF("event_type", "day", "seq", "t_us", "event_id", "v")
+    selected.orderBy(col("event_type"), col("day"), col("seq"))
   }
 
   val q133 = {

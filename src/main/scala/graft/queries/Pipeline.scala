@@ -3837,17 +3837,20 @@ object Pipeline {
         conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
 
   /** The q121 estimate finale over ANY (source, h) bottom-64 sketch
-    * frame plus the docs frame for the exact-count comparison column —
-    * shared with the stored leg (q190) so sketches from any build path
-    * read identically.
+    * frame plus the (source, h) distinct-hash frame for the
+    * exact-count comparison column — shared with the stored leg
+    * (q190) so sketches from any build path read identically. Takes
+    * the HASH frame (not docs) so a caller that already computed it
+    * can share one evaluation (q121 passes its cached frame; without
+    * that, the shingle+md5+distinct pipeline ran once per consumer).
     */
   private[graft] def kmvDistinctFrom(sk: org.apache.spark.sql.DataFrame,
-      docs: org.apache.spark.sql.DataFrame)
+      hashes: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val k = 64
     val s = sk.groupBy(col("source"))
       .agg(max(col("h")).as("hk"), count(lit(1)).as("n_kept"))
-    val nd = kmvHashes(docs).groupBy(col("source"))
+    val nd = hashes.groupBy(col("source"))
       .agg(count(lit(1)).as("n_distinct"))
     // M = 2^60 (15 md5 hex digits); (k-1)*M has 6 significant bits
     // so the Scala-side product is exactly representable
@@ -3863,11 +3866,18 @@ object Pipeline {
   val q121 = Q(
     "q121_kmv_distinct",
     (spark, dir) => {
-      val docs = Tables(spark, dir, "documents")
-      val ranked = graft.operators.OrderedScan.bottomK(kmvHashes(docs),
+      // NOT cached, deliberately (measured r18): the three
+      // evaluations of the hash pipeline (bottomK's two reads + the
+      // n_distinct leg) share their aggregation exchanges via
+      // ReusedExchange under AQE, while a persist compiles the
+      // subtree into a non-adaptive cached plan (static partitions,
+      // no runtime broadcast) and lost 0.5-2 s per run both with and
+      // without adaptive cached plans
+      val h = kmvHashes(Tables(spark, dir, "documents"))
+      val ranked = graft.operators.OrderedScan.bottomK(h,
         col("source"), col("h"), col("h"), expr(s"h div ${1L << 53}L"),
         64, "rk")
-      kmvDistinctFrom(ranked.select(col("source"), col("h")), docs)
+      kmvDistinctFrom(ranked.select(col("source"), col("h")), h)
     },
     Some("""
       WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
@@ -3917,6 +3927,11 @@ object Pipeline {
     "q123_kmv_setops",
     (spark, dir) => {
       val k = 64
+      // NOT cached, deliberately — same measurement as q121: the
+      // repeated subtrees (bottomK's reads, the distinct counts, both
+      // intersection sides) dedup via ReusedExchange under AQE;
+      // persisting them compiled non-adaptive cached plans and lost
+      // 0.5-2 s per run under either cached-plan setting
       val h = kmvHashes(Tables(spark, dir, "documents"))
       val sk = graft.operators.OrderedScan.bottomK(h, col("source"),
           col("h"), col("h"), expr(s"h div ${1L << 53}L"), k, "rk")
@@ -4187,8 +4202,24 @@ object Pipeline {
           (pmod(TextOps.wordCode(col("bg.w1")) * 131L +
             TextOps.wordCode(col("bg.w2")), lit(B)).as("b12")): _*)
       val train = big.where(col("lang") === "en")
-      val c12 = train.groupBy(col("b12")).agg(count(lit(1)).as("c12"))
-      val c1 = train.groupBy(col("b1")).agg(count(lit(1)).as("c1"))
+      // ONE pass over the training bigram stream builds both model
+      // frames: the separate c12/c1 aggregations each re-evaluated the
+      // corpus-scale split+explode (two full train passes; guide §2.4
+      // — don't compute the same stream twice). Grouping sets expand
+      // the stream ×2 map-side into ≤ 2·B partial-agg groups — the
+      // same integer counts, one pass at any scale; both model frames
+      // read the SAME aggregation exchange (ReusedExchange dedups it
+      // inside the one action — no persist needed, see perSrc below).
+      val gs = train
+        .groupingSets(Seq(Seq(col("b1")), Seq(col("b12"))),
+          col("b1"), col("b12"))
+        .agg(count(lit(1)).as("c"))
+      // b1/b12 are pmod results — never null in data, so a null key
+      // identifies the OTHER grouping set exactly
+      val c12 = gs.where(col("b12").isNotNull)
+        .select(col("b12"), col("c").as("c12"))
+      val c1 = gs.where(col("b1").isNotNull)
+        .select(col("b1"), col("c").as("c1"))
       big
         .join(broadcast(c12), Seq("b12"), "left")
         .join(broadcast(c1), Seq("b1"), "left")
@@ -4292,6 +4323,14 @@ object Pipeline {
     (spark, dir) => {
       val terms = bigramEntropyTerms(
         Tables(spark, dir, "documents"), Seq("doc_id", "source"))
+      // the ≤ #sources summary is referenced by FOUR downstream
+      // subtrees (glob, e's probe side, tot, the finale) — NOT
+      // cached, deliberately (measured r18): all four references live
+      // in ONE action, where the planner already dedups the identical
+      // aggregation exchanges via ReusedExchange; a persist here
+      // compiled the corpus bigram pass into a non-adaptive cached
+      // plan and cost ~1.7 s per run. Caching pays across separate
+      // actions, not within one plan.
       val perSrc = terms.groupBy(col("source"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_bigrams"),
@@ -4737,7 +4776,7 @@ object Pipeline {
     (spark, dir) =>
       kmvDistinctFrom(
         graft.sources.KmvStoreLayout.read(spark, kmvStoreOf(spark, dir)),
-        Tables(spark, dir, "documents")),
+        kmvHashes(Tables(spark, dir, "documents"))),
     q121.oracle)
 
   // one stored CM sketch per sf dir per JVM (the memoization pattern

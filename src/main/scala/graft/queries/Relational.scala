@@ -449,10 +449,16 @@ object Relational {
   val q127 = Q(
     "q127_weighted_quantiles",
     (spark, dir) => {
+      // the projection feeds runningTotal (two reads: within-bucket
+      // window + per-bucket totals) AND the target weights — three
+      // lineitem scans without the cache (guide §5); lazy, drained
+      // with the query
       val li = Tables(spark, dir, "lineitem")
         .select(col("l_returnflag").as("flag"), col("l_orderkey"),
           col("l_linenumber"), col("l_extendedprice").as("price"),
           col("l_quantity").cast("long").as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.Similarity.registerForRelease(li)
       val ranked = graft.operators.OrderedScan.runningTotal(li, col("flag"),
         Seq(col("price"), col("l_orderkey"), col("l_linenumber")), col("w"),
         floor(col("price") / 5000), "cw")

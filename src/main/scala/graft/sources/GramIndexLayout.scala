@@ -148,30 +148,56 @@ object GramIndexLayout {
     val stats = smallGh.fold(stats0)(g => stats0.filter(col("gh").isin(g: _*)))
     val anchors = Dedup.editAnchorsByDf(grid, stats, k, q)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ≤ nBuckets distinct ints: the bounded collect that buys
-    // directory-level pruning on the stored index
-    val buckets = anchors
-      .select(pmod(col("gh"), lit(nBuckets)).cast("int").as("bucket"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val stored0 = spark.read.parquet(s"$dir/index")
-      .filter(col("bucket").isin(buckets: _*)).drop("bucket")
-    // anchors carry only selected (rarest) grams, but candidate
-    // completeness needs index rows for exactly those grams — the
-    // full batch gram set is a safe superset filter
-    val stored = smallGh.fold(stored0)(g =>
-      stored0.filter(col("gh").isin(g: _*)))
-    val union = stored.unionByName(Dedup.editSliding(b, k, q))
-    val texts = spark.read.parquet(s"$dir/docs").unionByName(b)
-    val out = Dedup.editVerify(anchors, union, texts, k)
     // parquet only pushes In-filters up to inFilterThreshold literals
     // (beyond it, a min-max range — useless on uniform hashes); widen
-    // it for the lookup path's one synchronous materialization so the
-    // gram literals actually reach row-group skipping, then restore
+    // it around the TWO scans that need it (stats — materialized by
+    // the buckets collect through the anchors cache — and the pruned
+    // index read, pinned by an eager persist), then restore. The
+    // verify tail no longer runs inside the window, so it can be LAZY
+    // (the caller's action materializes it) — the old
+    // whole-result-eager form paid one full extra result pass per
+    // probe just to keep the conf window closed (guide §1.4/§5).
     val key = "spark.sql.parquet.pushdown.inFilterThreshold"
     val prev = spark.conf.get(key, "10")
     if (smallGh.isDefined) spark.conf.set(key, LookupGrams.toString)
-    try graft.pipeline.Similarity.materializeAndRelease(out, Seq(b, anchors))
-    finally if (smallGh.isDefined) spark.conf.set(key, prev)
+    val (stored, storedCache) =
+      try {
+        // ≤ nBuckets distinct ints: the bounded collect that buys
+        // directory-level pruning on the stored index (and the one
+        // action that materializes the anchors cache, stats scan
+        // included, inside the widened window)
+        val buckets = anchors
+          .select(pmod(col("gh"), lit(nBuckets)).cast("int").as("bucket"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val stored0 = spark.read.parquet(s"$dir/index")
+          .filter(col("bucket").isin(buckets: _*)).drop("bucket")
+        // anchors carry only selected (rarest) grams, but candidate
+        // completeness needs index rows for exactly those grams — the
+        // full batch gram set is a safe superset filter
+        smallGh match {
+          case Some(g) =>
+            // pin the gh-pushed read NOW (while the threshold is
+            // wide): the pruned posting set is lookup-sized
+            val m = stored0.filter(col("gh").isin(g: _*))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            m.count()
+            (m, Seq(m))
+          case None => (stored0, Nil)
+        }
+      } finally if (smallGh.isDefined) spark.conf.set(key, prev)
+    // the batch's own sliding grams only ever join anchor grams, and
+    // every anchor gh is one of the batch's grid ghs ⊆ smallGh — so
+    // on the lookup path the batch leg of the union prunes to the
+    // same gram set as the stored leg (no candidate can be lost;
+    // PipelineSpec pins probe ≡ incremental output)
+    val slidingB0 = Dedup.editSliding(b, k, q)
+    val slidingB = smallGh.fold(slidingB0)(g =>
+      slidingB0.filter(col("gh").isin(g: _*)))
+    val union = stored.unionByName(slidingB)
+    val texts = spark.read.parquet(s"$dir/docs").unionByName(b)
+    val out = Dedup.editVerify(anchors, union, texts, k)
+    graft.pipeline.Similarity.cacheAndRelease(out,
+      Seq(b, anchors) ++ storedCache)
   }
 
   // one stored index per (source dir, split) per JVM — queries and

@@ -773,6 +773,30 @@ class PipelineSpec extends SparkSpec {
       "containment verification let a false pair through")
   }
 
+  test("dictionary gate: an over-gate dictionary takes the distributed " +
+      "shape with identical output (q37 + q166 kernels)") {
+    // VERDICT r17 #1: the broadcast-dict collect must be SELF-gating
+    // on the measured dictionary size — force the gate to 1 entry so
+    // the small fixture overflows it, and pin output equality against
+    // the default broadcast path for both prefix-filter consumers
+    val key = "graft.dict.max.entries"
+    assert(Dedup.maxDictEntries > 1L)
+    val jaccB = Dedup.ngramJaccardNearDups(docs, "text", "doc_id", 0.6, n = 2)
+      .select("a", "b").collect().toSet
+    val contB = Dedup.containmentPairs(docs, "text", "doc_id", 0.7, n = 2)
+      .select("a", "b").collect().toSet
+    sys.props(key) = "1"
+    try {
+      assert(Dedup.maxDictEntries == 1L)
+      val jaccD = Dedup.ngramJaccardNearDups(docs, "text", "doc_id", 0.6,
+        n = 2).select("a", "b").collect().toSet
+      val contD = Dedup.containmentPairs(docs, "text", "doc_id", 0.7,
+        n = 2).select("a", "b").collect().toSet
+      assert(jaccD == jaccB, "gated distributed path changed q37 output")
+      assert(contD == contB, "gated distributed path changed q166 output")
+    } finally sys.props.remove(key)
+  }
+
   test("ivf top-k: recall@5 >= 0.30 vs brute force; probes nprobe/nlist of corpus") {
     val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 20, 5)
       .select("query_id", "neighbor_id")

@@ -40,7 +40,8 @@ class KmvStoreLayoutSpec extends SparkSpec {
     assert(skMap(KmvStoreLayout.read(spark, dir)) == direct,
       "replayed fold moved the sketch")
     val got = graft.queries.Pipeline.kmvDistinctFrom(
-      KmvStoreLayout.read(spark, dir), docs).collect().map(_.toSeq)
+      KmvStoreLayout.read(spark, dir),
+      graft.queries.Pipeline.kmvHashes(docs)).collect().map(_.toSeq)
     val expect = graft.queries.Pipeline.q121.fn(spark, sf)
       .collect().map(_.toSeq)
     assert(got.nonEmpty && got.sameElements(expect),
